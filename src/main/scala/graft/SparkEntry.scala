@@ -1,13 +1,825 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{Microstructure, Stats, TextFunctions}
+import graft.operators._
+
+/** Driver contract (see SURVEY.md §7 + the builder prompt): one `queries`
+  * entry per implemented operator from SURVEY.md §2, each with equivalent
+  * DuckDB SQL in `oracleSql` over the same parquet tables.
+  *
+  * Cross-engine float parity rules (SURVEY §7.4.8), used throughout:
+  *  - money/product sums go through DECIMAL(18,4) inside the aggregate:
+  *    decimal addition is exact and order-independent, so Spark and DuckDB
+  *    produce bit-identical doubles after the final cast;
+  *  - ratios / means / moments are emitted as micro-units via
+  *    floor(x*1e6 + 0.5) cast to BIGINT — the SAME pure-IEEE expression on
+  *    both engines (Spark round() rounds the shortest-decimal string,
+  *    DuckDB round() rounds the binary value: they disagree on exact
+  *    halves, floor-scaling does not);
+  *  - event time is int64 epoch-NANOS end-to-end (`ts_ns`): Spark reads
+  *    parquet TIMESTAMP(NANOS) via nanosAsLong, DuckDB via epoch_ns(ts).
+  *    All bin arithmetic is integer (nanos exceed Double's 2^53).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared helpers -----------------------------------------------------
+
+  /** Micro-unit fixed-point: floor(x*1e6+0.5) as BIGINT (see header). */
+  private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
+  /** SQL twin of [[r6]]. */
+  private def R6(e: String): String = s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT)"
+
+  /** Exact (order-independent) money sum: decimal inside, double outside. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+  private def MoneySum(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** events with ts as epoch-nanos long (column `ts_ns`), truncated to
+    * whole microseconds: DuckDB (the oracle) reads parquet TIMESTAMP(NANOS)
+    * as µs TIMESTAMP, so sub-µs nanos exist only on the Spark side —
+    * truncating BOTH sides (idempotent under either DuckDB behavior) makes
+    * every downstream timestamp, diff, and bin label bit-identical. Bin
+    * floor/ceil at ≥1µs steps is unaffected (edges are multiples of 1000ns).
+    */
+  private def eventsNs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      .withColumnRenamed("ts", "ts_ns")
+  /** DuckDB twin of [[eventsNs]]. */
+  private val EventsNs =
+    "SELECT event_id, (epoch_ns(ts) // 1000) * 1000 AS ts_ns, user_id, event_type, value, props FROM events"
+
+  private val H  = 3600L * 1000 * 1000 * 1000  // 1 hour in ns
+  private val M15 = 15L * 60 * 1000 * 1000 * 1000
+  private val M5  = 5L * 60 * 1000 * 1000 * 1000
+  private val DAY = 24L * H
+
+  /** DuckDB twin of TimeBins.ceilNs (positive ts). */
+  private def CeilNs(e: String, step: Long): String =
+    s"((($e) + ${step} - 1) // ${step}) * ${step}"
+  private def FloorNs(e: String, step: Long): String =
+    s"(($e) // ${step}) * ${step}"
+
+  /** Buyer/seller side tag used to give `events` an OI shape: interaction
+    * events are "buys" (side -1, per the LOBSTER convention that -1 means
+    * buyer-initiated), lifecycle events "sells". */
+  private def side(c: Column): Column =
+    when(c.isin("click", "view", "purchase"), -1).otherwise(1)
+  private val Side =
+    "CASE WHEN event_type IN ('click','view','purchase') THEN -1 ELSE 1 END"
+
+  // ---- driver contract ----------------------------------------------------
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the EP1
+    * spine — scan, join, conditional-sum OI aggregation per time bin. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_a1_oi")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- A1: plain conditional-sum order imbalance per hour bin (ceil) ---
+    "q_a1_oi" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+        .withColumn("bin_ns", TimeBins.ceilNs(col("ts_ns"), H))
+      Imbalance.orderImbalance(ev, Seq(col("bin_ns")),
+          side(col("event_type")), col("value"))
+        .select(col("bin_ns"), r6(col("order_imbalance")).as("oi_micro"))
+    }),
+
+    // --- A2: probability-weighted OI (lineitem: discount as pseudo-prob) ---
+    "q_a2_weighted_oi" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_returnflag"))
+        .agg((sum(col("l_extendedprice") * (lit(1.0) - lit(2.0) * col("l_discount"))) /
+              sum(col("l_extendedprice"))).as("woi"))
+        .select(col("l_returnflag"), r6(col("woi")).as("woi_micro"))
+    }),
+
+    // --- A3: split OI (two flag classes in one pass) ---
+    "q_a3_split_oi" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+        .withColumn("bin_ns", TimeBins.ceilNs(col("ts_ns"), H * 6))
+        .withColumn("flag", (col("event_id") % 2).cast("int"))
+      Imbalance.splitOrderImbalance(ev, Seq(col("bin_ns")),
+          side(col("event_type")), col("value"), col("flag"))
+        .select(col("bin_ns"),
+          r6(col("order_imbalance_vis")).as("oi_vis_micro"),
+          r6(col("order_imbalance_ib")).as("oi_ib_micro"))
+    }),
+
+    // --- A5: ordered first/last per group (min_by/max_by) ---
+    "q_a5_first_last" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+      ev.groupBy(col("user_id")).agg(
+        min_by(col("value"), col("event_id")).as("first_value"),
+        max_by(col("value"), col("event_id")).as("last_value"),
+        min(col("ts_ns")).as("first_ts_ns"),
+        max(col("ts_ns")).as("last_ts_ns"),
+        count(lit(1)).as("n"))
+    }),
+
+    // --- A6: event number within group (cumcount) ---
+    "q_a6_event_number" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      eventsNs(s, dir)
+        .select(col("event_id"),
+          (row_number().over(w) - 1).cast("long").as("event_number"))
+    }),
+
+    // --- A7: resample (15-min floor bins, mean+sum) ---
+    "q_a7_resample" -> ((s, dir) => {
+      eventsNs(s, dir)
+        .withColumn("bin_ns", TimeBins.floorNs(col("ts_ns"), M15))
+        .groupBy(col("bin_ns"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("avg_micro"),
+          moneySum(col("value")).as("sum_value"))
+    }),
+
+    // --- A8: summary stats per group ---
+    "q_a8_summary" -> ((s, dir) => {
+      eventsNs(s, dir).groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        r6(avg(col("value"))).as("mean_micro"),
+        r6(stddev_samp(col("value"))).as("std_micro"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    }),
+
+    // --- A10: Pearson correlation per group ---
+    "q_a10_corr" -> ((s, dir) => {
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(r6(corr(col("l_quantity"), col("l_extendedprice")))
+          .as("corr_micro"))
+    }),
+
+    // --- A12: grouped counts / distinct counts / money sums ---
+    "q_a12_counts" -> ((s, dir) => {
+      Tables.orders(s, dir).groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // --- A13: population skewness / raw kurtosis (power-sum moments) ---
+    "q_a13_moments" -> ((s, dir) => {
+      eventsNs(s, dir).groupBy(col("event_type")).agg(
+        r6(Stats.skewnessPop(col("value"))).as("skew_micro"),
+        r6(Stats.kurtosisRaw(col("value"))).as("kurt_micro"))
+    }),
+
+    // --- J2: multi-table equi-join + aggregate (TPC-H Q5 shape) ---
+    "q_j2_equi_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val n  = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // --- J3: as-of join forward w/ tolerance (iceberg-tag shape) ---
+    "q_j3_asof" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      AsOfJoin.forward(clicks, purchases, "ts_ns", Seq("user_id"),
+          attach = Nil, toleranceNs = Some(H))
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+          col("asof_time"),
+          col("asof_time").isNotNull.cast("int").cast("long").as("matched"))
+    }),
+
+    // --- J5: bin-spine densification (left join to full spine, fill 0) ---
+    "q_j5_spine" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+        .withColumn("bin_ns", TimeBins.floorNs(col("ts_ns"), H * 6))
+      val agg = ev.groupBy(col("bin_ns")).agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(min(col("bin_ns")).as("lo"), max(col("bin_ns")).as("hi"))
+        .collect()(0)
+      val spine = TimeBins.spine(agg, bounds.getLong(0), bounds.getLong(1), H * 6)
+      TimeBins.densify(agg, spine, "bin_ns", Nil, Seq("n"))
+    }),
+
+    // --- J6: broadcast dimension joins (orders->customer->nation->region) ---
+    "q_j6_dim_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // --- J8: full-outer join + zero fill ---
+    "q_j8_outer_fill" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_errors"))
+      clicks.join(errors, Seq("user_id"), "full_outer")
+        .na.fill(0, Seq("n_clicks", "n_errors"))
+    }),
+
+    // --- W1: lag/lead + log return ---
+    "q_w1_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      eventsNs(s, dir).select(col("event_id"), col("user_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        r6(log(col("value") / lag(col("value"), 1).over(w))).as("log_ret_micro"))
+    }),
+
+    // --- W2: conditional forward fill (last non-null over preceding) ---
+    "q_w2_cond_fill" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsNs(s, dir).select(col("event_id"),
+        coalesce(last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w), lit(0.0)).as("last_purchase_value"))
+    }),
+
+    // --- W3: rolling window sum (previous 5 events incl. current) ---
+    "q_w3_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id")).rowsBetween(-4, 0)
+      eventsNs(s, dir).select(col("event_id"),
+        r6(sum(col("value")).over(w)).as("rolling5_micro"))
+    }),
+
+    // --- W4: per-group rank (method='first' => row_number) + top-k ---
+    "q_w4_rank_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+          col("o_totalprice"))
+    }),
+
+    // --- W5: cumulative sum + cumulative product (exp-sum-log1p) ---
+    "q_w5_cum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsNs(s, dir).select(col("event_id"),
+        r6(sum(col("value")).over(w)).as("cumsum_micro"),
+        r6(exp(sum(log(lit(1.0) + col("value") / lit(10000.0))).over(w)))
+          .as("cumprod_micro"))
+    }),
+
+    // --- W6: diff (value - lag) — pass-through doubles, no rounding ---
+    "q_w6_diff" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      eventsNs(s, dir).select(col("event_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("dvalue"),
+        (col("ts_ns") - lag(col("ts_ns"), 1).over(w)).as("dts_ns"))
+    }),
+
+    // --- W7: right-closed ceil binning (pandas .ceil parity) ---
+    "q_w7_ceil_bins" -> ((s, dir) => {
+      eventsNs(s, dir)
+        .withColumn("bin_ns", TimeBins.ceilNs(col("ts_ns"), M5))
+        .groupBy(col("bin_ns"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // --- O2: global top-k with deterministic tiebreak ---
+    "q_o2_topk" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // --- U1: union all + tag ---
+    "q_u1_union" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+      val a = ev.filter(col("event_type") === "purchase" && col("value") > 150)
+        .select(col("event_id"), lit("big_purchase").as("tag"))
+      val b = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), lit("error").as("tag"))
+      a.unionByName(b)
+    }),
+
+    // --- U2: semi-join membership filter ---
+    "q_u2_semi" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
+      c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // --- P2+F2: filter + row-level derived columns (pass-through doubles) ---
+    "q_p2_filter_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).as("charge"))
+    }),
+
+    // --- P6: quantile band bounds (exact percentile) ---
+    "q_p6_quantile_band" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val bounds = li.agg(
+        expr("percentile(l_extendedprice, 0.025)").as("lo"),
+        expr("percentile(l_extendedprice, 0.975)").as("hi"))
+      val banded = Quantiles.bandFilter(li, "l_extendedprice", 0.025, 0.975)
+      val n = banded.agg(count(lit(1)).as("n_in_band"))
+      bounds.crossJoin(n)
+        .select(r6(col("lo")).as("lo_micro"), r6(col("hi")).as("hi_micro"),
+          col("n_in_band"))
+    }),
+
+    // --- F7: z-score standardization per group ---
+    "q_f7_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+      eventsNs(s, dir).select(col("event_id"),
+        r6((col("value") - avg(col("value")).over(w)) /
+          stddev_samp(col("value")).over(w)).as("z_micro"))
+    }),
+
+    // --- M5: simple OLS per group via regr_* aggregates ---
+    "q_m5_regression" -> ((s, dir) => {
+      Regression.simpleOlsByGroup(Tables.lineitem(s, dir),
+          y = "l_extendedprice", x = "l_quantity", Seq("l_returnflag"))
+        .select(col("l_returnflag"), r6(col("slope")).as("slope_micro"),
+          r6(col("intercept")).as("intercept_micro"),
+          r6(col("r2")).as("r2_micro"), col("n"))
+    }),
+
+    // --- M10: skew/kurt-adjusted Sharpe test per "strategy" (user) ---
+    "q_m10_sharpe" -> ((s, dir) => {
+      val daily = eventsNs(s, dir)
+        .withColumn("day_ns", TimeBins.floorNs(col("ts_ns"), DAY))
+        .groupBy(col("user_id"), col("day_ns"))
+        .agg(sum(side(col("event_type")) * col("value")).as("ret"))
+      val aggs = Stats.sharpeColumns(col("ret"))
+      daily.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+        .filter(col("n") >= 3 && col("sd_ret") > 0)
+        .select(col("user_id"), col("n").cast("long").as("n_days"),
+          r6(col("mean_ret")).as("mean_micro"),
+          r6(col("sd_ret")).as("sd_micro"),
+          r6(col("sharpe")).as("sharpe_micro"),
+          r6(col("sharpe_tstat")).as("tstat_micro"),
+          r6(col("sharpe_annual")).as("annual_micro"))
+    }),
+
+    // --- M11: portfolio construction (rank per bin, top/bottom, PnL) ---
+    "q_m11_portfolio" -> ((s, dir) => {
+      val binned = eventsNs(s, dir)
+        .withColumn("bin_ns", TimeBins.floorNs(col("ts_ns"), H * 6))
+        .groupBy(col("bin_ns"), col("user_id"))
+        .agg(sum(side(col("event_type")) * col("value")).as("signal"))
+      val w = Window.partitionBy(col("bin_ns"))
+        .orderBy(col("signal").desc, col("user_id"))
+      val n = Window.partitionBy(col("bin_ns"))
+      val ranked = binned
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n_users", count(lit(1)).over(n).cast("long"))
+      ranked.groupBy(col("bin_ns")).agg(
+        r6(sum(when(col("rk") <= 2, col("signal")).otherwise(0.0)) -
+           sum(when(col("rk") > col("n_users") - 2, col("signal"))
+             .otherwise(0.0))).as("pnl_micro"),
+        count(lit(1)).as("n_users_out"))
+    }),
+
+    // --- S3: filename metadata extraction (partition-pruning analog) ---
+    "q_s3_file_meta" -> ((s, dir) => {
+      eventsNs(s, dir)
+        .select(regexp_extract(input_file_name(), "(sf[0-9.]+)", 1).as("sf"),
+          lit("events").as("table_name"))
+        .distinct()
+    }),
+
+    // --- LLM ops: exact dedup groups ---
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
+    }),
+
+    // --- LLM ops: 3-gram Jaccard near-dup pairs (blocked by source) ---
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = docs.select(col("doc_id"), col("source"),
+          Dedup.shingles(col("text"), 3).as("sh"))
+        .withColumn("sh_size", size(col("sh")))
+      val ex = sh.select(col("doc_id"), col("source"), col("sh_size"),
+        explode(col("sh")).as("shingle"))
+      val a = ex.select(col("source"), col("shingle"),
+        col("doc_id").as("id_a"), col("sh_size").as("size_a"))
+      val b = ex.select(col("source"), col("shingle"),
+        col("doc_id").as("id_b"), col("sh_size").as("size_b"))
+      a.join(b, Seq("source", "shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard_micro"))
+    }),
+
+    // --- LLM ops: bag-of-words document fingerprint ---
+    "q_text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.bowFingerprint(col("text")).as("bow_fingerprint"))
+    }),
+
+    // --- LLM ops: token counting + quality signals ---
+    "q_text_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.nTokens(col("text")).cast("long").as("n_tokens"),
+        r6(TextFunctions.avgTokenLen(col("text"))).as("avg_token_len_micro"),
+        r6(TextFunctions.stopwordRatio(col("text"))).as("stopword_ratio_micro"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+    }),
+
+    // --- LLM ops: language-ID heuristic (no SQL oracle: marker tables) ---
+    "q_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_id"))
+    }),
+
+    // --- LLM ops: MinHash signatures (no SQL oracle: xxhash64) ---
+    "q_minhash_sig" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        Dedup.minHashSignature(col("text"), n = 3, k = 16).as("sig"))
+    }),
+
+    // --- LLM ops: SimHash fingerprints (no SQL oracle: xxhash64) ---
+    "q_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        Dedup.simHash64(col("text")).as("simhash64"))
+    }),
+
+    // --- LLM ops: brute-force cosine top-k ANN ---
+    "q_ann_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id",
+          "vec", "vec", k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("corpus_id"), r6(col("cosine")).as("cosine_micro"))
+    }),
+
+    // --- LLM ops: embedding near-dup pairs (cosine >= 0.95, LSH-bucketed
+    //     candidates verified exactly; brute-force double-check in spec) ---
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      Similarity.nearDupPairs(emb, "vec_id", "vec", 0.95)
+        .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine_micro"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_a1_oi" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT ${CeilNs("ts_ns", H)} AS bin_ns,
+         |  ${R6(s"(SUM(CASE WHEN $Side = -1 THEN value ELSE 0 END) - SUM(CASE WHEN $Side = 1 THEN value ELSE 0 END)) / NULLIF(SUM(CASE WHEN $Side = -1 THEN value ELSE 0 END) + SUM(CASE WHEN $Side = 1 THEN value ELSE 0 END), 0)")} AS oi_micro
+         |FROM e GROUP BY 1""".stripMargin,
+
+    "q_a2_weighted_oi" ->
+      s"""SELECT l_returnflag,
+         |  ${R6("SUM(l_extendedprice * (1.0 - 2.0*l_discount)) / SUM(l_extendedprice)")} AS woi_micro
+         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_a3_split_oi" ->
+      s"""WITH e AS (SELECT *, event_id % 2 AS flag, ${CeilNs("ts_ns", H * 6)} AS bin_ns
+         |  FROM ($EventsNs))
+         |SELECT bin_ns,
+         |  ${R6(s"(SUM(CASE WHEN flag=0 AND $Side=-1 THEN value ELSE 0 END) - SUM(CASE WHEN flag=0 AND $Side=1 THEN value ELSE 0 END)) / NULLIF(SUM(CASE WHEN flag=0 AND $Side=-1 THEN value ELSE 0 END) + SUM(CASE WHEN flag=0 AND $Side=1 THEN value ELSE 0 END), 0)")} AS oi_vis_micro,
+         |  ${R6(s"(SUM(CASE WHEN flag=1 AND $Side=-1 THEN value ELSE 0 END) - SUM(CASE WHEN flag=1 AND $Side=1 THEN value ELSE 0 END)) / NULLIF(SUM(CASE WHEN flag=1 AND $Side=-1 THEN value ELSE 0 END) + SUM(CASE WHEN flag=1 AND $Side=1 THEN value ELSE 0 END), 0)")} AS oi_ib_micro
+         |FROM e GROUP BY 1""".stripMargin,
+
+    "q_a5_first_last" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT user_id, arg_min(value, event_id) AS first_value,
+         |  arg_max(value, event_id) AS last_value,
+         |  MIN(ts_ns) AS first_ts_ns, MAX(ts_ns) AS last_ts_ns,
+         |  COUNT(*) AS n
+         |FROM e GROUP BY 1""".stripMargin,
+
+    "q_a6_event_number" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT event_id,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) - 1 AS event_number
+         |FROM e""".stripMargin,
+
+    "q_a7_resample" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT ${FloorNs("ts_ns", M15)} AS bin_ns, event_type,
+         |  COUNT(*) AS n, ${R6("AVG(value)")} AS avg_micro,
+         |  ${MoneySum("value")} AS sum_value
+         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q_a8_summary" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${R6("AVG(value)")} AS mean_micro,
+         |  ${R6("stddev_samp(value)")} AS std_micro,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_a10_corr" ->
+      s"""SELECT l_returnflag, ${R6("corr(l_quantity, l_extendedprice)")} AS corr_micro
+         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_a12_counts" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_custkey) AS n_customers,
+         |  ${MoneySum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_a13_moments" ->
+      // population moments from power sums (same formula as the Spark side)
+      s"""WITH s AS (
+         |  SELECT event_type, COUNT(*)::DOUBLE AS n, SUM(value) AS s1,
+         |    SUM(value*value) AS s2, SUM(value*value*value) AS s3,
+         |    SUM(value*value*value*value) AS s4
+         |  FROM events GROUP BY 1)
+         |SELECT event_type,
+         |  ${R6("(s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) / pow(s2/n - (s1/n)*(s1/n), 1.5)")} AS skew_micro,
+         |  ${R6("((s4 - 4*(s1/n)*s3 + 6*(s1/n)*(s1/n)*s2 - 4*(s1/n)*(s1/n)*(s1/n)*s1 + n*(s1/n)*(s1/n)*(s1/n)*(s1/n))/n) / pow(s2/n - (s1/n)*(s1/n), 2)")} AS kurt_micro
+         |FROM s""".stripMargin,
+
+    "q_j2_equi_join" ->
+      s"""SELECT n_name,
+         |  ${MoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1""".stripMargin,
+
+    "q_j3_asof" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT l.event_id, l.user_id, l.ts_ns,
+         |  (SELECT MIN(r.ts_ns) FROM e r
+         |   WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+         |     AND r.ts_ns >= l.ts_ns AND r.ts_ns <= l.ts_ns + ${H}) AS asof_time,
+         |  CAST((SELECT MIN(r.ts_ns) FROM e r
+         |   WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+         |     AND r.ts_ns >= l.ts_ns AND r.ts_ns <= l.ts_ns + ${H}) IS NOT NULL AS BIGINT) AS matched
+         |FROM e l WHERE l.event_type = 'click'""".stripMargin,
+
+    "q_j5_spine" ->
+      s"""WITH e AS (SELECT ${FloorNs("epoch_ns(ts)", H * 6)} AS bin_ns FROM events),
+         |agg AS (SELECT bin_ns, COUNT(*) AS n FROM e GROUP BY 1),
+         |bounds AS (SELECT MIN(bin_ns) AS lo, MAX(bin_ns) AS hi FROM e),
+         |spine AS (SELECT unnest(generate_series(lo, hi, ${H * 6})) AS bin_ns FROM bounds)
+         |SELECT s.bin_ns, COALESCE(a.n, 0) AS n
+         |FROM spine s LEFT JOIN agg a ON s.bin_ns = a.bin_ns""".stripMargin,
+
+    "q_j6_dim_join" ->
+      s"""SELECT r_name, COUNT(*) AS n_orders, ${MoneySum("o_totalprice")} AS sum_price
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1""".stripMargin,
+
+    "q_j8_outer_fill" ->
+      s"""WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+         |  WHERE event_type = 'click' GROUP BY 1),
+         |e AS (SELECT user_id, COUNT(*) AS n_errors FROM events
+         |  WHERE event_type = 'error' GROUP BY 1)
+         |SELECT COALESCE(c.user_id, e.user_id) AS user_id,
+         |  COALESCE(n_clicks, 0) AS n_clicks, COALESCE(n_errors, 0) AS n_errors
+         |FROM c FULL OUTER JOIN e ON c.user_id = e.user_id""".stripMargin,
+
+    "q_w1_lag_lead" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT event_id, user_id,
+         |  LAG(value, 1) OVER w AS prev_value,
+         |  LEAD(value, 1) OVER w AS next_value,
+         |  ${R6("ln(value / (LAG(value, 1) OVER w))")} AS log_ret_micro
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)""".stripMargin,
+
+    "q_w2_cond_fill" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT event_id,
+         |  COALESCE(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS last_purchase_value
+         |FROM e""".stripMargin,
+
+    "q_w3_rolling" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT event_id,
+         |  ${R6("SUM(value) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)")} AS rolling5_micro
+         |FROM e""".stripMargin,
+
+    "q_w4_rank_topk" ->
+      s"""SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "q_w5_cum" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT event_id,
+         |  ${R6("SUM(value) OVER w")} AS cumsum_micro,
+         |  ${R6("exp(SUM(ln(1.0 + value/10000.0)) OVER w)")} AS cumprod_micro
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_w6_diff" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT event_id,
+         |  value - LAG(value, 1) OVER w AS dvalue,
+         |  ts_ns - LAG(ts_ns, 1) OVER w AS dts_ns
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)""".stripMargin,
+
+    "q_w7_ceil_bins" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT ${CeilNs("ts_ns", M5)} AS bin_ns, event_type, COUNT(*) AS n
+         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q_o2_topk" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_u1_union" ->
+      s"""SELECT event_id, 'big_purchase' AS tag FROM events
+         |  WHERE event_type = 'purchase' AND value > 150
+         |UNION ALL
+         |SELECT event_id, 'error' AS tag FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q_u2_semi" ->
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin,
+
+    "q_p2_filter_project" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  l_extendedprice * (1.0 - l_discount) AS revenue,
+         |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30""".stripMargin,
+
+    "q_p6_quantile_band" ->
+      s"""WITH b AS (SELECT quantile_cont(l_extendedprice, 0.025) AS lo,
+         |  quantile_cont(l_extendedprice, 0.975) AS hi FROM lineitem)
+         |SELECT ${R6("lo")} AS lo_micro, ${R6("hi")} AS hi_micro,
+         |  (SELECT COUNT(*) FROM lineitem, b
+         |   WHERE l_extendedprice >= lo AND l_extendedprice <= hi) AS n_in_band
+         |FROM b""".stripMargin,
+
+    "q_f7_zscore" ->
+      s"""SELECT event_id,
+         |  ${R6("(value - AVG(value) OVER w) / stddev_samp(value) OVER w")} AS z_micro
+         |FROM events
+         |WINDOW w AS (PARTITION BY event_type)""".stripMargin,
+
+    "q_m5_regression" ->
+      s"""SELECT l_returnflag,
+         |  ${R6("regr_slope(l_extendedprice, l_quantity)")} AS slope_micro,
+         |  ${R6("regr_intercept(l_extendedprice, l_quantity)")} AS intercept_micro,
+         |  ${R6("regr_r2(l_extendedprice, l_quantity)")} AS r2_micro,
+         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_m10_sharpe" ->
+      s"""WITH e AS ($EventsNs),
+         |daily AS (
+         |  SELECT user_id, ${FloorNs("ts_ns", DAY)} AS day_ns,
+         |    SUM((CASE WHEN event_type IN ('click','view','purchase') THEN -1 ELSE 1 END) * value) AS ret
+         |  FROM e GROUP BY 1, 2),
+         |s AS (
+         |  SELECT user_id, COUNT(*)::DOUBLE AS n, AVG(ret) AS mean_ret,
+         |    stddev_samp(ret) AS sd_ret, SUM(ret) AS s1, SUM(ret*ret) AS s2,
+         |    SUM(ret*ret*ret) AS s3, SUM(ret*ret*ret*ret) AS s4
+         |  FROM daily GROUP BY 1),
+         |m AS (
+         |  SELECT user_id, n, mean_ret, sd_ret, mean_ret / sd_ret AS sr,
+         |    (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) / pow(s2/n - (s1/n)*(s1/n), 1.5) AS g3,
+         |    ((s4 - 4*(s1/n)*s3 + 6*(s1/n)*(s1/n)*s2 - 4*(s1/n)*(s1/n)*(s1/n)*s1 + n*(s1/n)*(s1/n)*(s1/n)*(s1/n))/n) / pow(s2/n - (s1/n)*(s1/n), 2) AS g4
+         |  FROM s WHERE n >= 3 AND sd_ret > 0)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_days,
+         |  ${R6("mean_ret")} AS mean_micro, ${R6("sd_ret")} AS sd_micro,
+         |  ${R6("sr")} AS sharpe_micro,
+         |  ${R6("sr / sqrt((1.0 - g3*sr + (g4 - 1.0)*sr*sr/4.0) / (n - 1.0))")} AS tstat_micro,
+         |  ${R6("sr * sqrt(252.0)")} AS annual_micro
+         |FROM m""".stripMargin,
+
+    "q_m11_portfolio" ->
+      s"""WITH e AS ($EventsNs),
+         |sig AS (
+         |  SELECT ${FloorNs("ts_ns", H * 6)} AS bin_ns, user_id,
+         |    SUM((CASE WHEN event_type IN ('click','view','purchase') THEN -1 ELSE 1 END) * value) AS signal
+         |  FROM e GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT bin_ns, user_id, signal,
+         |    ROW_NUMBER() OVER (PARTITION BY bin_ns ORDER BY signal DESC, user_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY bin_ns) AS n_users
+         |  FROM sig)
+         |SELECT bin_ns,
+         |  ${R6("SUM(CASE WHEN rk <= 2 THEN signal ELSE 0.0 END) - SUM(CASE WHEN rk > n_users - 2 THEN signal ELSE 0.0 END)")} AS pnl_micro,
+         |  COUNT(*) AS n_users_out
+         |FROM ranked GROUP BY 1""".stripMargin,
+
+    "q_s3_file_meta" ->
+      s"""SELECT DISTINCT 'sf0.01' AS sf, 'events' AS table_name FROM events""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""SELECT md5(text) AS text_md5, COUNT(*) AS n_copies,
+         |  MIN(doc_id) AS keep_id
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> array_to_string(t[i:i+2], ' '))) AS shset
+         |  FROM toks),
+         |sized AS (SELECT doc_id, source, shset, len(shset) AS sz FROM sh),
+         |ex AS (SELECT doc_id, source, sz, unnest(shset) AS shingle FROM sized),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sz AS size_a, b.sz AS size_b, COUNT(*) AS inter
+         |  FROM ex a JOIN ex b ON a.source = b.source AND a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b,
+         |  ${R6("inter::DOUBLE / (size_a + size_b - inter)::DOUBLE")} AS jaccard_micro
+         |FROM pairs
+         |WHERE inter::DOUBLE / (size_a + size_b - inter)::DOUBLE >= 0.5""".stripMargin,
+
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(
+         |    string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS bow_fingerprint
+         |FROM documents""".stripMargin,
+
+    "q_text_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(trim(text), '\\s+') AS toks,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  ${R6("length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks)")} AS avg_token_len_micro,
+         |  ${R6("len(list_filter(ltoks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','it','that','this','for','on','with','as','at','by','be')))::DOUBLE / len(ltoks)")} AS stopword_ratio_micro,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc
+         |FROM t""".stripMargin,
+
+    "q_ann_cosine" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS corpus_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * c.vec[i])) /
+         |    (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+         |     sqrt(list_sum(list_transform(c.vec, x -> x*x)))) AS cos
+         |  FROM q, v c WHERE q.query_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, corpus_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, corpus_id, ${R6("cos")} AS cosine_micro
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${R6("list_sum(list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i])) / (sqrt(list_sum(list_transform(a.vec, x -> x*x))) * sqrt(list_sum(list_transform(b.vec, x -> x*x))))")} AS cosine_micro
+         |FROM v a, v b
+         |WHERE a.vec_id < b.vec_id
+         |  AND list_sum(list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i])) / (sqrt(list_sum(list_transform(a.vec, x -> x*x))) * sqrt(list_sum(list_transform(b.vec, x -> x*x)))) >= 0.95""".stripMargin
+  )
 }

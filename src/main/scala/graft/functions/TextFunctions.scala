@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, token counting, document fingerprinting,
+  * and a character-n-gram language-ID heuristic. All are pure Column
+  * expressions (codegen'd, no UDFs) so they survive a 100 TB scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the baseline token counter). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+").as("tokens")
+
+  def nTokens(text: Column): Column = size(tokens(text)).as("n_tokens")
+
+  /** BPE-ish subword-count proxy: word-boundary pieces + digit runs +
+    * punctuation marks each count as one token — a regex approximation of a
+    * byte-pair tokenizer's piece count, cheap enough for a 100 TB scan. */
+  def nTokensBpeIsh(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|\\s+"),
+      t => length(trim(t)) > 0)).as("n_tokens_bpeish")
+
+  def avgTokenLen(text: Column): Column =
+    (length(regexp_replace(text, "\\s+", "")).cast("double") /
+      nTokens(text)).as("avg_token_len")
+
+  /** Punctuation density: punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    (length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", ""))
+      .cast("double") / length(text)).as("punct_ratio")
+
+  /** Uppercase density (shouting / OCR-garbage signal). */
+  def upperRatio(text: Column): Column =
+    (length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
+      length(text)).as("upper_ratio")
+
+  private val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Stopword occurrence ratio (quality heuristic: natural prose has ~0.4,
+    * keyword spam ~0). Counted over occurrences, not distinct words. */
+  def stopwordRatio(text: Column,
+                    stops: Seq[String] = englishStopwords): Column = {
+    val stopArr = array(stops.map(lit): _*)
+    val toks = tokens(lower(text))
+    (size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+      size(toks)).as("stopword_ratio")
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence -
+    * punctuation/uppercase excess. A simple, monotone, explainable scorer
+    * in the Gopher/C4-rule style. */
+  def qualityScore(text: Column): Column = {
+    val nt = nTokens(text).cast("double")
+    val lenScore = least(nt / lit(50.0), lit(1.0)) *
+      when(nt > 10000, 0.5).otherwise(1.0)
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(2.0), lit(0.5))
+    val upperPenalty = least(upperRatio(text) * lit(2.0), lit(0.5))
+    greatest(lit(0.0), least(lit(1.0),
+      lit(0.5) * lenScore + lit(0.5) * stopScore
+        - punctPenalty - upperPenalty)).as("quality_score")
+  }
+
+  /** Bag-of-words fingerprint: md5 of the sorted distinct token set.
+    * Canonical (order/whitespace-insensitive) near-exact-dup key; two docs
+    * that permute the same words collide. */
+  def bowFingerprint(text: Column): Column =
+    md5(concat_ws(" ",
+      array_sort(array_distinct(tokens(lower(text)))))).as("bow_fingerprint")
+
+  /** Content-defined rolling-hash fingerprint of the token STREAM
+    * (order-sensitive; distinct from [[bowFingerprint]]'s bag semantics):
+    * left-fold of xxhash64(acc, token) — chained hashing avoids the Long
+    * overflow a polynomial hash would hit under ANSI arithmetic, and stays
+    * inside codegen via the higher-order `aggregate`. */
+  def seqFingerprint(text: Column): Column =
+    aggregate(tokens(lower(text)), lit(0L),
+      (acc, t) => xxhash64(acc, t)).as("seq_fingerprint")
+
+  // --- language ID (character n-gram heuristic) ---
+  // Marker character patterns + very-high-frequency function words per
+  // language; scores are counts of marker hits per language, argmax wins.
+  // Works on real text; on marker-free text falls back to "en".
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " die ", " das ", " und ", " ist ", " nicht ",
+      "sch", "ß", "ä", "ö", "ü"),
+    "fr" -> Seq(" le ", " la ", " les ", " des ", " est ", " une ", " et ",
+      "é", "è", "ê", "ç", " qu"),
+    "es" -> Seq(" el ", " los ", " las ", " es ", " una ", " que ", " y ",
+      "ñ", "ó", "í", "¿", "¡"),
+    "en" -> Seq(" the ", " and ", " is ", " of ", " to ", " that ",
+      " with ", " for "))
+
+  /** Language-ID heuristic: CJK codepoint share first (zh), then marker
+    * n-gram voting for de/fr/es/en. Pure Column expression. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    def score(markers: Seq[String]): Column =
+      markers.map { m =>
+        // occurrences of marker m = (len - len(remove m)) / len(m)
+        ((length(padded) - length(regexp_replace(padded,
+          java.util.regex.Pattern.quote(m), ""))) / lit(m.length))
+      }.reduce(_ + _)
+    val scored = langMarkers.map { case (l, ms) => (l, score(ms)) }
+    val best = scored.tail.foldLeft(
+      struct(scored.head._2.as("s"), lit(scored.head._1).as("l"))) {
+      case (acc, (l, s)) =>
+        when(s > acc.getField("s"), struct(s.as("s"), lit(l).as("l")))
+          .otherwise(acc)
+    }
+    when(cjk.cast("double") / length(text) > 0.2, "zh")
+      .when(best.getField("s") > 0, best.getField("l"))
+      .otherwise("en").as("lang_id")
+  }
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document deduplication operators for training-data pipelines:
+  * exact (hash), n-gram Jaccard, MinHash+LSH banding, SimHash, and
+  * embedding-cosine near-dup. Each returns either the surviving rows or the
+  * duplicate-pair table, so pipelines can audit before dropping.
+  *
+  * Scale design: exact dedup is one hash-shuffle; MinHash/SimHash are
+  * linear scans + a band-bucket shuffle (candidate pairs only inside a
+  * bucket — never the O(n^2) cross join); plain Jaccard is reserved for
+  * verifying candidate pairs, not generating them.
+  */
+object Dedup {
+
+  /** Exact dedup on a canonical text hash: keeps the row with the smallest
+    * `idCol` per hash group (deterministic winner). One shuffle. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-duplicate group table: md5 -> group size + canonical id.
+    * SQL-expressible (oracle-checkable) face of [[exact]]. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** Word-shingle sets: distinct n-grams of tokens per doc (the unit for
+    * Jaccard/MinHash). n=1 gives bag-of-words. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    if (n == 1) array_distinct(toks)
+    else {
+      // sliding n-gram join via transform over indices; docs shorter than
+      // n tokens yield an empty set (sequence(0,-1) would count DOWN)
+      val idx = sequence(lit(0), size(toks) - n)
+      when(size(toks) >= n,
+        array_distinct(transform(idx,
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+
+  /** n-gram Jaccard near-dup pairs >= threshold. Exact but O(pairs sharing
+    * a shingle): explode distinct shingles, self-join on shingle, count
+    * intersections, compute |A∩B| / (|A|+|B|-|A∩B|). Use on candidate sets
+    * or small corpora; at 100 TB generate candidates with [[minHashLsh]]
+    * first and verify pairs with this. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        shingles(col(textCol), n).as("sh"))
+      .withColumn("sh_size", size(col("sh")))
+    val exploded = sh.select(col("id"), col("sh_size"),
+      explode(col("sh")).as("shingle"))
+    val a = exploded.toDF("id_a", "size_a", "shingle")
+    val b = exploded.toDF("id_b", "size_b", "shingle")
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signatures: k independent permutation approximations via
+    * seeded xxhash64 of each shingle; signature[i] = min over shingles of
+    * xxhash64(seed_i, shingle). Linear scan, no shuffle. */
+  def minHashSignature(text: Column, n: Int, k: Int): Column = {
+    val sh = shingles(text, n)
+    val sig = (0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))
+    }
+    array(sig: _*).as("minhash_sig")
+  }
+
+  /** MinHash + LSH banding: docs whose signature agrees on ALL rows of any
+    * band land in the same bucket -> candidate pairs. bands*rowsPerBand = k.
+    * Returns candidate pairs with their estimated Jaccard (signature
+    * agreement rate). The only shuffle is the band-bucket groupBy.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4)
+      : DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+      minHashSignature(col(textCol), n, k).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b,
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand)))))).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => (x === y).cast("int")), v => v === 1)).cast("double")
+          / lit(k.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash of the token stream: per-token xxhash64; fingerprint
+    * bit j = sign of the sum over tokens of bit_j(hash)∈{-1,+1}. Near-dups
+    * have small Hamming distance. Pure expressions, linear scan. */
+  def simHash64(text: Column): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L,
+          lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce[Column]((a, b) => a.bitwiseOR(b)).as("simhash64")
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).as("hamming")
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, bucketed by
+    * 16-bit fingerprint chunks (a pair within distance d <= 3 must agree on
+    * at least one of 4 chunks — standard pigeonhole blocking), avoiding the
+    * O(n^2) cross join. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simHash64(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "key")))
+    val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"),
+      col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk"), col("key"), col("id").as("id_b"),
+      col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+}

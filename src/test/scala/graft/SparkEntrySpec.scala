@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver-contract smoke: entry() returns rows; every query runs on
+  * sf0.001; queries and oracleSql stay consistent. */
+class SparkEntrySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("every query runs and yields a non-degenerate schema on sf0.001") {
+    val empties = Seq("q_embed_neardup", "q_dedup_jaccard") // legit may-be-empty
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val out = fn(spark, sf)
+      assert(out.columns.nonEmpty, s"$name: no columns")
+      val n = out.count()
+      if (!empties.contains(name))
+        assert(n > 0, s"$name: returned 0 rows on sf0.001")
+    }
+  }
+
+  test("OI output bounded and spine densification yields zero-filled bins") {
+    val oi = SparkEntry.queries("q_a1_oi")(spark, sf)
+    val vals = oi.select(col("oi_micro")).collect()
+      .filterNot(_.isNullAt(0)).map(_.getLong(0))
+    assert(vals.forall(v => v >= -1000000L && v <= 1000000L))
+    val spine = SparkEntry.queries("q_j5_spine")(spark, sf)
+    assert(spine.count() > 0)
+  }
+}

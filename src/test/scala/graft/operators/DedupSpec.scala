@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) =
+    df("doc_id BIGINT, text STRING", rows.map(r => Row(r._1, r._2)): _*)
+
+  test("exact dedup keeps smallest id per identical text") {
+    val d = docs(1L -> "hello world", 2L -> "hello world", 3L -> "unique")
+    val kept = Dedup.exact(d, "text", "doc_id").collect().map(_.getLong(0))
+    assert(kept.sorted.sameElements(Array(1L, 3L)))
+  }
+
+  test("exactGroups reports copies and canonical id") {
+    val d = docs(5L -> "a b", 2L -> "a b", 9L -> "c")
+    val out = Dedup.exactGroups(d, "text", "doc_id").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(2L -> 2L, 1L -> 9L)) // (n_copies -> keep_id)
+  }
+
+  test("shingles: 3-gram set of tokens, distinct, lowercase") {
+    val d = docs(1L -> "The quick brown fox jumps")
+    val sh = d.select(Dedup.shingles(col("text"), 3)).collect()(0)
+      .getSeq[String](0).toSet
+    assert(sh == Set("the quick brown", "quick brown fox", "brown fox jumps"))
+  }
+
+  test("shingles shorter than n yields empty set") {
+    val d = docs(1L -> "only two")
+    val sh = d.select(Dedup.shingles(col("text"), 3)).collect()(0)
+      .getSeq[String](0)
+    assert(sh.isEmpty)
+  }
+
+  test("jaccardPairs hand-computed") {
+    // doc1: shingles {a b c, b c d}  doc2: {a b c, b c e} -> inter 1, union 3
+    val d = docs(1L -> "a b c d", 2L -> "a b c e", 3L -> "x y z w")
+    val out = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 1)
+    assertApprox(out((1L, 2L)), 1.0 / 3.0)
+  }
+
+  test("identical docs have identical minhash signatures; sig length k") {
+    val d = docs(1L -> "one two three four five six",
+      2L -> "one two three four five six", 3L -> "totally different words here")
+    val sigs = d.select(col("doc_id"),
+        Dedup.minHashSignature(col("text"), n = 3, k = 16))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).length == 16)
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("minHashLshPairs finds identical docs with est_jaccard 1") {
+    val d = docs(1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "unrelated content entirely different words")
+    val out = Dedup.minHashLshPairs(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.contains((1L, 2L)))
+    assertApprox(out((1L, 2L)), 1.0)
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+  }
+
+  test("simHash: identical texts equal, near-identical close in Hamming") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> base, 2L -> base,
+      3L -> (base + " extra"), 4L -> "completely unrelated korean bbq menu")
+    val sigs = d.select(col("doc_id"), Dedup.simHash64(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("hamming64 column matches bitCount") {
+    val d = df("a BIGINT, b BIGINT", Row(0xFFL, 0x0FL), Row(5L, 5L))
+    val out = d.select(Dedup.hamming64(col("a"), col("b")))
+      .collect().map(_.getInt(0))
+    assert(out.sameElements(Array(4, 0)))
+  }
+
+  test("simHashPairs blocks via 16-bit chunks and bounds distance") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> base, 2L -> base, 3L -> "something else entirely now")
+    val out = Dedup.simHashPairs(d, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(out.forall(_._3 <= 3))
+  }
+}

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QuantilesSpec extends SparkSpec {
+
+  test("bandFilter keeps rows within exact [lo, hi] quantiles") {
+    val d = df("x DOUBLE", (1 to 100).map(i => Row(i.toDouble)): _*)
+    val out = Quantiles.bandFilter(d, "x", 0.1, 0.9)
+      .collect().map(_.getDouble(0))
+    // exact percentile with linear interpolation: p10 = 10.9, p90 = 90.1
+    assert(out.min >= 10.9 - 1e-9 && out.max <= 90.1 + 1e-9)
+    assert(out.length == 80)
+  }
+
+  test("bandFilter per group uses per-group bounds") {
+    val rows = (1 to 10).map(i => Row("a", i.toDouble)) ++
+      (1 to 10).map(i => Row("b", i * 100.0))
+    val d = df("g STRING, x DOUBLE", rows: _*)
+    val out = Quantiles.bandFilter(d, "x", 0.25, 0.75, Seq("g"))
+    val byG = out.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(byG("a").head >= 3.0 && byG("a").last <= 8.0)
+    assert(byG("b").head >= 300.0 && byG("b").last <= 800.0)
+  }
+}

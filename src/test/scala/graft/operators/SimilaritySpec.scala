@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Double])*) =
+    df("id BIGINT, v ARRAY<DOUBLE>", rows.map(r => Row(r._1, r._2)): _*)
+
+  test("cosine: orthogonal 0, identical 1, opposite -1") {
+    val d = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0))
+    val pairs = d.as("a").crossJoin(d.as("b"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assertApprox(pairs((1L, 1L)), 1.0)
+    assertApprox(pairs((1L, 2L)), 0.0)
+    val opp = vecs(1L -> Seq(1.0, 2.0), 2L -> Seq(-1.0, -2.0))
+    val c = opp.as("a").crossJoin(opp.as("b"))
+      .filter(col("a.id") === 1 && col("b.id") === 2)
+      .select(Similarity.cosine(col("a.v"), col("b.v"))).collect()(0).getDouble(0)
+    assertApprox(c, -1.0)
+  }
+
+  test("cosine hand value") {
+    val d = vecs(1L -> Seq(1.0, 2.0, 3.0), 2L -> Seq(4.0, 5.0, 6.0))
+    val c = d.as("a").crossJoin(d.as("b"))
+      .filter(col("a.id") === 1 && col("b.id") === 2)
+      .select(Similarity.cosine(col("a.v"), col("b.v"))).collect()(0).getDouble(0)
+    // dot=32, |a|=sqrt(14), |b|=sqrt(77)
+    assertApprox(c, 32.0 / (math.sqrt(14.0) * math.sqrt(77.0)))
+  }
+
+  test("cosine of zero vector is NULL (not NaN/div-by-zero)") {
+    val d = vecs(1L -> Seq(0.0, 0.0), 2L -> Seq(1.0, 1.0))
+    val r = d.as("a").crossJoin(d.as("b"))
+      .filter(col("a.id") === 1 && col("b.id") === 2)
+      .select(Similarity.cosine(col("a.v"), col("b.v"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("bruteForceTopK: correct neighbors, rank order, self excluded") {
+    val d = vecs(
+      1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1),
+      3L -> Seq(0.0, 1.0), 4L -> Seq(1.0, 0.05))
+    val out = Similarity.bruteForceTopK(d.filter(col("id") === 1), d,
+        "id", "id", "v", "v", k = 2)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // nearest to (1,0): id4 (cos~.9988) then id2 (cos~.9939); never id1 itself
+    assert(out.sameElements(Array((4L, 1), (2L, 2))))
+  }
+
+  test("nearDupPairs finds only pairs above threshold") {
+    val d = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(1.0, 0.01),
+      3L -> Seq(0.0, 1.0))
+    val out = Similarity.nearDupPairs(d, "id", "v", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sameElements(Array((1L, 2L))))
+  }
+
+  test("lshTopK finds identical vectors (recall on exact dups)") {
+    val d = vecs(
+      1L -> Seq(1.0, 2.0, 3.0, 4.0), 2L -> Seq(1.0, 2.0, 3.0, 4.0),
+      3L -> Seq(-4.0, 3.0, -2.0, 1.0))
+    val out = Similarity.lshTopK(d.filter(col("id") === 1), d, "id", "id",
+        "v", "v", k = 1, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1)
+    assert(out(0)._2 == 2L)
+    assertApprox(out(0)._3, 1.0)
+  }
+
+  test("srpSignature: identical vectors identical, scale-invariant") {
+    val d = vecs(1L -> Seq(1.0, 2.0, 3.0), 2L -> Seq(2.0, 4.0, 6.0),
+      3L -> Seq(-1.0, -2.0, -3.0))
+    val sigs = d.select(col("id"),
+        Similarity.srpSignature(col("v"), nPlanes = 16, dims = 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))      // cosine 1 -> same halfspaces
+    assert(sigs(1L) != sigs(3L))      // cosine -1 -> all bits flipped
+    assert((sigs(1L) ^ sigs(3L)) == 0xFFFFL)
+  }
+}
