@@ -339,16 +339,17 @@ object SparkEntry {
             (lit(1.0) + col("l_tax"))).as("charge"))
     }),
 
-    // --- P6: quantile band bounds (exact percentile) ---
+    // --- P6: quantile band bounds — exact interpolated percentiles via a
+    //     distributed sort (Quantiles.exactPercentiles; the built-in exact
+    //     `percentile` buffers all rows in one reducer), then one scan
+    //     counts the band ---
     "q_p6_quantile_band" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val bounds = li.agg(
-        expr("percentile(l_extendedprice, 0.025)").as("lo"),
-        expr("percentile(l_extendedprice, 0.975)").as("hi"))
-      val banded = Quantiles.bandFilter(li, "l_extendedprice", 0.025, 0.975)
-      val n = banded.agg(count(lit(1)).as("n_in_band"))
-      bounds.crossJoin(n)
-        .select(r6(col("lo")).as("lo_micro"), r6(col("hi")).as("hi_micro"),
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice"))
+      val Seq(lo, hi) =
+        Quantiles.exactPercentiles(li, "l_extendedprice", Seq(0.025, 0.975))
+      li.agg(sum(when(col("l_extendedprice").between(lo, hi), 1L)
+          .otherwise(0L)).as("n_in_band"))
+        .select(r6(lit(lo)).as("lo_micro"), r6(lit(hi)).as("hi_micro"),
           col("n_in_band"))
     }),
 
@@ -413,30 +414,204 @@ object SparkEntry {
         .distinct()
     }),
 
+    // --- A4: size-tercile conditional weighted OI (exact per-group
+    //     percentile terciles; discount plays pred_prob) ---
+    "q_a4_size_oi" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val terciles = li.groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_quantity, 0.3333333333333333)").as("q1"),
+        expr("percentile(l_quantity, 0.6666666666666666)").as("q2"))
+      val tagged = li.join(broadcast(terciles), Seq("l_returnflag"))
+        .withColumn("bucket", when(col("l_quantity") <= col("q1"), "small")
+          .when(col("l_quantity") <= col("q2"), "medium")
+          .otherwise("large"))
+      def woi(b: String): Column = {
+        val cond = col("bucket") === b
+        val num = sum(when(cond, col("l_extendedprice") *
+          (lit(1.0) - lit(2.0) * col("l_discount"))).otherwise(0.0))
+        val den = sum(when(cond, col("l_extendedprice")).otherwise(0.0))
+        (num / when(den =!= 0.0, den)).as(b)
+      }
+      tagged.groupBy(col("l_returnflag")).agg(
+          woi("small"), woi("medium"), woi("large"))
+        .select(col("l_returnflag"), r6(col("small")).as("oi_small_micro"),
+          r6(col("medium")).as("oi_medium_micro"),
+          r6(col("large")).as("oi_large_micro"))
+    }),
+
+    // --- P3: time-of-day session window filter ---
+    "q_p3_session" -> ((s, dir) => {
+      // integer floor division to match the oracle's `//`
+      val secOfDay = floor((col("ts_ns") % lit(86400L * 1000000000L)) /
+        lit(1000000000L)).cast("long")
+      eventsNs(s, dir)
+        .filter(secOfDay >= 10 * 3600 && secOfDay <= 15 * 3600 + 1800)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+          moneySum(col("value")).as("sum_value"))
+    }),
+
+    // --- P4: duplicate-key drop, keep first in explicit order ---
+    "q_p4_dedup_keys" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      eventsNs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts_ns"))
+    }),
+
+    // --- A9: mean +/- std by hour-of-day ---
+    "q_a9_time_of_day" -> ((s, dir) => {
+      val hour = floor((col("ts_ns") % lit(86400L * 1000000000L)) /
+        lit(3600L * 1000000000L)).cast("long")
+      eventsNs(s, dir).groupBy(hour.as("hour_of_day"))
+        .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("mean_micro"),
+          r6(stddev_samp(col("value"))).as("std_micro"))
+    }),
+
+    // --- W8: Gaussian-kernel smoothing over an ordered window (sigma=1,
+    //     radius 2; same explicit lag/lead arithmetic as the oracle) ---
+    "q_w8_gauss_smooth" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val ker = Seq(-2, -1, 0, 1, 2)
+        .map(k => k -> math.exp(-k * k / 2.0))
+      val num = ker.map { case (k, wt) =>
+        when(lag(col("value"), -k).over(w).isNotNull,
+          lag(col("value"), -k).over(w) * lit(wt)).otherwise(0.0)
+      }.reduce(_ + _)
+      val den = ker.map { case (k, wt) =>
+        when(lag(col("value"), -k).over(w).isNotNull, lit(wt))
+          .otherwise(0.0)
+      }.reduce(_ + _)
+      eventsNs(s, dir).select(col("event_id"),
+        r6(num / den).as("smooth_micro"))
+    }),
+
+    // --- W9: ACF at lags 1..3 per user (corr of value with lag-k) ---
+    "q_w9_acf" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val withLags = eventsNs(s, dir).select(col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("l1"),
+        lag(col("value"), 2).over(w).as("l2"),
+        lag(col("value"), 3).over(w).as("l3"))
+      withLags.groupBy(col("user_id")).agg(
+        r6(corr(col("value"), col("l1"))).as("acf1_micro"),
+        r6(corr(col("value"), col("l2"))).as("acf2_micro"),
+        r6(corr(col("value"), col("l3"))).as("acf3_micro"))
+    }),
+
+    // --- M7: multi-regressor OLS (2 regressors + intercept) via power
+    //     sums; closed-form Cramer solve both sides ---
+    "q_m7_multi_ols" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val x1 = col("l_quantity"); val x2 = col("l_discount")
+      val y = col("l_extendedprice")
+      val g = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x1).as("s1"), sum(x2).as("s2"), sum(x1 * x1).as("s11"),
+        sum(x1 * x2).as("s12"), sum(x2 * x2).as("s22"),
+        sum(y).as("sy"), sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"))
+      // normal equations [n s1 s2; s1 s11 s12; s2 s12 s22] b = [sy s1y s2y]
+      val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+        col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+      val b0 = (col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+        col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))) / det
+      val b1 = (col("n") * (col("s1y") * col("s22") - col("s2y") * col("s12")) -
+        col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+        col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))) / det
+      val b2 = (col("n") * (col("s11") * col("s2y") - col("s12") * col("s1y")) -
+        col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+        col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))) / det
+      g.select(col("l_returnflag"), r6(b0).as("b0_micro"),
+        r6(b1).as("b1_micro"), r6(b2).as("b2_micro"))
+    }),
+
+    // --- M8: rolling refit — per user, regress daily value-sum on day
+    //     index over the previous 3 days, predict today ---
+    "q_m8_rolling_refit" -> ((s, dir) => {
+      val daily = eventsNs(s, dir)
+        .withColumn("day", (col("ts_ns") / lit(DAY)).cast("long"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("value")).as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(-3, -1)
+      daily.select(col("user_id"), col("day"),
+          regr_slope(col("v"), col("day")).over(w).as("slope"),
+          regr_intercept(col("v"), col("day")).over(w).as("icept"),
+          regr_count(col("v"), col("day")).over(w).as("n_train"))
+        .filter(col("n_train") === 3)
+        .select(col("user_id"), col("day"),
+          r6(col("icept") + col("slope") * col("day")).as("pred_micro"))
+    }),
+
+    // --- F8+F9: linear signal + threshold/sign PnL per user ---
+    "q_f8_f9_signal_pnl" -> ((s, dir) => {
+      val daily = eventsNs(s, dir)
+        .withColumn("day", (col("ts_ns") / lit(DAY)).cast("long"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(side(col("event_type")) * col("value")).as("oi"),
+          avg(col("value")).as("ret"))
+      val sig = daily.withColumn("signal",
+        lit(0.5) + lit(2.0) * col("oi"))
+      sig.groupBy(col("user_id")).agg(
+        r6(sum(when(col("signal") > 0, col("ret")).otherwise(0.0)) -
+          sum(when(col("signal") < 0, col("ret")).otherwise(0.0)))
+          .as("pnl_thresh_micro"),
+        r6(sum(signum(col("signal")) * col("ret"))).as("pnl_sign_micro"))
+    }),
+
+    // --- J9/M12: bet-size normalization by per-group median ---
+    "q_j9_bet_size" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val pnl = li.groupBy(col("l_suppkey"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      val med = li.groupBy(col("l_suppkey"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med_price"))
+      pnl.join(med, Seq("l_suppkey"))
+        .select(col("l_suppkey"),
+          r6(col("revenue") / col("med_price")).as("sized_micro"))
+    }),
+
+    // --- A14: Mann-Whitney U between two event-type samples per user ---
+    "q_a14_mannwhitney" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+        .filter(col("event_type").isin("click", "error"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value"))
+      // average ranks for ties via rank ranges: use dense approach with
+      // (rank() + count-1/2) — simpler: average_rank = (2*rank() +
+      // cnt_equal - 1) / 2 where rank() is min-rank
+      val cntEq = count(lit(1)).over(Window.partitionBy(col("user_id"),
+        col("value")))
+      val avgRank = (rank().over(w) * 2 + cntEq - 1).cast("double") / 2.0
+      val ranked = ev.select(col("user_id"), col("event_type"),
+        avgRank.as("r"))
+      ranked.groupBy(col("user_id")).agg(
+        sum(when(col("event_type") === "click", col("r"))
+          .otherwise(0.0)).as("rank_sum_click"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
+        .select(col("user_id"),
+          r6(col("rank_sum_click") -
+            col("n_click") * (col("n_click") + 1) / 2.0).as("u_micro"),
+          col("n_click"), col("n_error"))
+    }),
+
     // --- LLM ops: exact dedup groups ---
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
     }),
 
-    // --- LLM ops: 3-gram Jaccard near-dup pairs (blocked by source) ---
+    // --- LLM ops: 3-gram Jaccard near-dup pairs (prefix-filtered exact
+    //     set-similarity join, blocked by source) ---
     "q_dedup_jaccard" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val sh = docs.select(col("doc_id"), col("source"),
-          Dedup.shingles(col("text"), 3).as("sh"))
-        .withColumn("sh_size", size(col("sh")))
-      val ex = sh.select(col("doc_id"), col("source"), col("sh_size"),
-        explode(col("sh")).as("shingle"))
-      val a = ex.select(col("source"), col("shingle"),
-        col("doc_id").as("id_a"), col("sh_size").as("size_a"))
-      val b = ex.select(col("source"), col("shingle"),
-        col("doc_id").as("id_b"), col("sh_size").as("size_b"))
-      a.join(b, Seq("source", "shingle"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")).cast("double"))
-        .filter(col("jaccard") >= 0.5)
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5, blockCols = Seq("source"))
         .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard_micro"))
     }),
 
@@ -747,6 +922,142 @@ object SparkEntry {
 
     "q_s3_file_meta" ->
       s"""SELECT DISTINCT 'sf0.01' AS sf, 'events' AS table_name FROM events""".stripMargin,
+
+    "q_a4_size_oi" ->
+      s"""WITH t AS (
+         |  SELECT l_returnflag, quantile_cont(l_quantity, 0.3333333333333333) AS q1,
+         |    quantile_cont(l_quantity, 0.6666666666666666) AS q2
+         |  FROM lineitem GROUP BY 1),
+         |tagged AS (
+         |  SELECT l.l_returnflag, l_extendedprice, l_discount,
+         |    CASE WHEN l_quantity <= q1 THEN 'small'
+         |         WHEN l_quantity <= q2 THEN 'medium' ELSE 'large' END AS bucket
+         |  FROM lineitem l JOIN t ON l.l_returnflag = t.l_returnflag)
+         |SELECT l_returnflag,
+         |  ${R6("SUM(CASE WHEN bucket='small' THEN l_extendedprice*(1.0-2.0*l_discount) ELSE 0 END) / NULLIF(SUM(CASE WHEN bucket='small' THEN l_extendedprice ELSE 0 END), 0)")} AS oi_small_micro,
+         |  ${R6("SUM(CASE WHEN bucket='medium' THEN l_extendedprice*(1.0-2.0*l_discount) ELSE 0 END) / NULLIF(SUM(CASE WHEN bucket='medium' THEN l_extendedprice ELSE 0 END), 0)")} AS oi_medium_micro,
+         |  ${R6("SUM(CASE WHEN bucket='large' THEN l_extendedprice*(1.0-2.0*l_discount) ELSE 0 END) / NULLIF(SUM(CASE WHEN bucket='large' THEN l_extendedprice ELSE 0 END), 0)")} AS oi_large_micro
+         |FROM tagged GROUP BY 1""".stripMargin,
+
+    "q_p3_session" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT event_type, COUNT(*) AS n, ${MoneySum("value")} AS sum_value
+         |FROM e
+         |WHERE (ts_ns % ${86400L * 1000000000L}) // 1000000000 BETWEEN ${10 * 3600} AND ${15 * 3600 + 1800}
+         |GROUP BY 1""".stripMargin,
+
+    "q_p4_dedup_keys" ->
+      s"""WITH e AS ($EventsNs),
+         |r AS (SELECT user_id, event_type, event_id, ts_ns,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+         |    ORDER BY ts_ns, event_id) AS rn FROM e)
+         |SELECT user_id, event_type, event_id, ts_ns FROM r WHERE rn = 1""".stripMargin,
+
+    "q_a9_time_of_day" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT (ts_ns % ${86400L * 1000000000L}) // ${3600L * 1000000000L} AS hour_of_day,
+         |  COUNT(*) AS n, ${R6("AVG(value)")} AS mean_micro,
+         |  ${R6("stddev_samp(value)")} AS std_micro
+         |FROM e GROUP BY 1""".stripMargin,
+
+    "q_w8_gauss_smooth" -> {
+      val ker = Seq(-2, -1, 0, 1, 2).map(k => k -> math.exp(-k * k / 2.0))
+      val num = ker.map { case (k, wt) =>
+        val c = if (k < 0) s"LAG(value, ${-k}) OVER w"
+                else if (k > 0) s"LEAD(value, $k) OVER w" else "value"
+        s"(CASE WHEN $c IS NOT NULL THEN $c * $wt ELSE 0.0 END)"
+      }.mkString(" + ")
+      val den = ker.map { case (k, wt) =>
+        val c = if (k < 0) s"LAG(value, ${-k}) OVER w"
+                else if (k > 0) s"LEAD(value, $k) OVER w" else "value"
+        s"(CASE WHEN $c IS NOT NULL THEN $wt ELSE 0.0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS ($EventsNs)
+         |SELECT event_id, ${R6(s"($num) / ($den)")} AS smooth_micro
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)""".stripMargin
+    },
+
+    "q_w9_acf" ->
+      s"""WITH e AS ($EventsNs),
+         |l AS (SELECT user_id, value,
+         |  LAG(value, 1) OVER w AS l1, LAG(value, 2) OVER w AS l2,
+         |  LAG(value, 3) OVER w AS l3
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id))
+         |SELECT user_id, ${R6("corr(value, l1)")} AS acf1_micro,
+         |  ${R6("corr(value, l2)")} AS acf2_micro,
+         |  ${R6("corr(value, l3)")} AS acf3_micro
+         |FROM l GROUP BY 1""".stripMargin,
+
+    "q_m7_multi_ols" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag, COUNT(*)::DOUBLE AS n, SUM(l_quantity) AS s1,
+         |    SUM(l_discount) AS s2, SUM(l_quantity*l_quantity) AS s11,
+         |    SUM(l_quantity*l_discount) AS s12, SUM(l_discount*l_discount) AS s22,
+         |    SUM(l_extendedprice) AS sy, SUM(l_quantity*l_extendedprice) AS s1y,
+         |    SUM(l_discount*l_extendedprice) AS s2y
+         |  FROM lineitem GROUP BY 1),
+         |d AS (SELECT *,
+         |  n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det
+         |  FROM g)
+         |SELECT l_returnflag,
+         |  ${R6("(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det")} AS b0_micro,
+         |  ${R6("(n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det")} AS b1_micro,
+         |  ${R6("(n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det")} AS b2_micro
+         |FROM d""".stripMargin,
+
+    "q_m8_rolling_refit" ->
+      s"""WITH e AS ($EventsNs),
+         |daily AS (
+         |  SELECT user_id, ts_ns // ${DAY} AS day, SUM(value) AS v
+         |  FROM e GROUP BY 1, 2),
+         |r AS (
+         |  SELECT user_id, day,
+         |    regr_slope(v, day) OVER w AS slope,
+         |    regr_intercept(v, day) OVER w AS icept,
+         |    regr_count(v, day) OVER w AS n_train
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+         |SELECT user_id, day, ${R6("icept + slope * day")} AS pred_micro
+         |FROM r WHERE n_train = 3""".stripMargin,
+
+    "q_f8_f9_signal_pnl" ->
+      s"""WITH e AS ($EventsNs),
+         |daily AS (
+         |  SELECT user_id, ts_ns // ${DAY} AS day,
+         |    SUM(($Side) * value) AS oi, AVG(value) AS ret
+         |  FROM e GROUP BY 1, 2),
+         |sig AS (SELECT *, 0.5 + 2.0 * oi AS signal FROM daily)
+         |SELECT user_id,
+         |  ${R6("SUM(CASE WHEN signal > 0 THEN ret ELSE 0.0 END) - SUM(CASE WHEN signal < 0 THEN ret ELSE 0.0 END)")} AS pnl_thresh_micro,
+         |  ${R6("SUM(sign(signal) * ret)")} AS pnl_sign_micro
+         |FROM sig GROUP BY 1""".stripMargin,
+
+    "q_j9_bet_size" ->
+      s"""WITH pnl AS (
+         |  SELECT l_suppkey,
+         |    ${MoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |  FROM lineitem GROUP BY 1),
+         |med AS (
+         |  SELECT l_suppkey, quantile_cont(l_extendedprice, 0.5) AS med_price
+         |  FROM lineitem GROUP BY 1)
+         |SELECT pnl.l_suppkey, ${R6("revenue / med_price")} AS sized_micro
+         |FROM pnl JOIN med ON pnl.l_suppkey = med.l_suppkey""".stripMargin,
+
+    "q_a14_mannwhitney" ->
+      s"""WITH e AS ($EventsNs),
+         |f AS (SELECT * FROM e WHERE event_type IN ('click', 'error')),
+         |ranked AS (
+         |  SELECT user_id, event_type,
+         |    (2 * RANK() OVER (PARTITION BY user_id ORDER BY value) +
+         |     COUNT(*) OVER (PARTITION BY user_id, value) - 1)::DOUBLE / 2.0 AS r
+         |  FROM f)
+         |SELECT user_id,
+         |  ${R6("SUM(CASE WHEN event_type = 'click' THEN r ELSE 0.0 END) - SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * (SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) + 1) / 2.0")} AS u_micro,
+         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+         |FROM ranked GROUP BY 1""".stripMargin,
 
     "q_dedup_exact" ->
       s"""SELECT md5(text) AS text_md5, COUNT(*) AS n_copies,

@@ -1,0 +1,131 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression,
+  RandomForestClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator,
+  MulticlassClassificationEvaluator}
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hidden-execution direction classifier (SURVEY §2.9 M1-M4, M9;
+  * `/root/reference/chunk_pipeline.py:26-96`,
+  * `/root/reference/prediction_ML_pipeline.py:265-302`).
+  *
+  * The reference trains XGBoost / RandomForest / LogisticRegression on
+  * type-5 rows to predict `direction` (its chunked warm-start loop is a
+  * single-machine memory workaround — Spark ML fits whole-data in one
+  * distributed pass, SURVEY §4.1). Labels: direction ∈ {-1, +1} maps to
+  * {0, 1} (`chunk_pipeline.py:63-64`); predictions map back and
+  * `pred_prob` = P(label 1) feeds the weighted-OI family (A2).
+  */
+object DirectionModel {
+
+  val DefaultFeatures: Seq[String] = Seq(
+    "ofi", "agg_ratio", "bid_pref", "hid_at_bid", "hid_at_ask",
+    "prev_dir_1", "next_dir_1", "prev_dir_3", "next_dir_3",
+    "prev_dir_4", "next_dir_4", "sent_prev", "sent_next", "size")
+
+  /** Assemble features + binary label (direction -1 -> 0.0, +1 -> 1.0).
+    * NaN/inf scrub mirrors `chunk_pipeline.py:325-326` (P7). */
+  def prepareTraining(features: DataFrame,
+                      cols: Seq[String] = DefaultFeatures): DataFrame = {
+    val clean = cols.foldLeft(features) { (d, c) =>
+      d.withColumn(c,
+        when(isnan(col(c).cast("double")) ||
+          abs(col(c).cast("double")) === Double.PositiveInfinity, 0.0)
+          .otherwise(coalesce(col(c).cast("double"), lit(0.0))))
+    }
+    clean.withColumn("label",
+      when(col("direction") === -1, 0.0).otherwise(1.0))
+  }
+
+  /** M1: gradient-boosted trees (the XGBoost analog), full pipeline. */
+  def gbtPipeline(cols: Seq[String] = DefaultFeatures,
+                  maxDepth: Int = 6, maxIter: Int = 20,
+                  stepSize: Double = 0.1, subsample: Double = 0.8)
+      : Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(cols.toArray).setOutputCol("features_raw")
+      .setHandleInvalid("keep")
+    val scaler = new StandardScaler()
+      .setInputCol("features_raw").setOutputCol("features")
+    val gbt = new GBTClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxDepth(maxDepth).setMaxIter(maxIter)
+      .setStepSize(stepSize).setSubsamplingRate(subsample)
+    new Pipeline().setStages(Array(assembler, scaler, gbt))
+  }
+
+  /** M3: RandomForest / LogisticRegression with cross-validated grids
+    * (`prediction_ML_pipeline.py:265-302`). */
+  def rfCrossValidated(cols: Seq[String] = DefaultFeatures,
+                       folds: Int = 3): CrossValidator = {
+    val assembler = new VectorAssembler()
+      .setInputCols(cols.toArray).setOutputCol("features")
+      .setHandleInvalid("keep")
+    val rf = new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+    val pipe = new Pipeline().setStages(Array(assembler, rf))
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.numTrees, Array(50, 100))
+      .addGrid(rf.maxDepth, Array(5, 10))
+      .build()
+    new CrossValidator().setEstimator(pipe)
+      .setEvaluator(new BinaryClassificationEvaluator()
+        .setLabelCol("label"))
+      .setEstimatorParamMaps(grid).setNumFolds(folds).setParallelism(4)
+  }
+
+  def logisticPipeline(cols: Seq[String] = DefaultFeatures): Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(cols.toArray).setOutputCol("features_raw")
+      .setHandleInvalid("keep")
+    val scaler = new StandardScaler()
+      .setInputCol("features_raw").setOutputCol("features")
+      .setWithMean(true)
+    val lr = new LogisticRegression()
+      .setLabelCol("label").setFeaturesCol("features").setMaxIter(100)
+    new Pipeline().setStages(Array(assembler, scaler, lr))
+  }
+
+  /** M2: predictions back to the domain convention — pred_dir ∈ {-1, +1}
+    * (`chunk_pipeline.py:154-157`), pred_prob = P(class 1) (prob of a
+    * seller-initiated hidden exec, matching A2's weighting). */
+  def attachPredictions(model: PipelineModel, df: DataFrame): DataFrame = {
+    val p1 = udf((v: Vector) => v(1))
+    model.transform(df)
+      .withColumn("pred_prob", p1(col("probability")))
+      .withColumn("pred_dir",
+        when(col("prediction") === 0.0, -1).otherwise(1))
+      .drop("features_raw", "features", "rawPrediction", "probability",
+        "prediction")
+  }
+
+  /** M4: train/test split (`train_test_split(test_size=.25)`). */
+  def split(df: DataFrame, testSize: Double = 0.25, seed: Long = 42L)
+      : (DataFrame, DataFrame) = {
+    val Array(tr, te) = df.randomSplit(Array(1.0 - testSize, testSize), seed)
+    (tr, te)
+  }
+
+  /** M9: accuracy + AUC evaluation report. */
+  def evaluate(predictions: DataFrame): (Double, Double) = {
+    val withPredCol =
+      if (predictions.columns.contains("prediction")) predictions
+      else predictions.withColumn("prediction",
+        when(col("pred_dir") === -1, 0.0).otherwise(1.0))
+    val acc = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(withPredCol)
+    val auc =
+      if (predictions.columns.contains("rawPrediction"))
+        new BinaryClassificationEvaluator().setLabelCol("label")
+          .evaluate(predictions)
+      else Double.NaN
+    (acc, auc)
+  }
+}

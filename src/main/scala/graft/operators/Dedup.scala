@@ -49,26 +49,61 @@ object Dedup {
     }
   }
 
-  /** n-gram Jaccard near-dup pairs >= threshold. Exact but O(pairs sharing
-    * a shingle): explode distinct shingles, self-join on shingle, count
-    * intersections, compute |A∩B| / (|A|+|B|-|A∩B|). Use on candidate sets
-    * or small corpora; at 100 TB generate candidates with [[minHashLsh]]
-    * first and verify pairs with this. */
+  /** n-gram Jaccard near-dup pairs >= threshold — EXACT, with prefix
+    * filtering (the PPJoin candidate-pruning principle): under ANY fixed
+    * global order of the shingle universe, a pair with Jaccard >= t must
+    * share one of the first |A| - ceil(t*|A|) + 1 shingles of each set.
+    * We use xxhash64 order — a deterministic pseudo-random permutation —
+    * so the per-doc prefix is computed NARROWLY (sort-within-row, no
+    * frequency shuffle), at a modest candidate-count cost vs the optimal
+    * rarity order. A size-ratio prune (t <= |A|/|B| <= 1/t) cuts further;
+    * candidates are verified exactly on the full sets. Results are
+    * identical to the naive all-pairs shingle join; only candidate
+    * generation changes.
+    *
+    * Shuffles: prefix self-join, candidate distinct, two verify joins.
+    *
+    * `blockCols`: optional equality blocking (e.g. `source`) — pairs must
+    * agree on these columns. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        shingles(col(textCol), n).as("sh"))
+                   n: Int, threshold: Double,
+                   blockCols: Seq[String] = Nil): DataFrame = {
+    // persisted: feeds candidate generation and both verification joins —
+    // without persistence the regex shingling re-runs in each branch
+    val sh = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
+        shingles(col(textCol), n).as("sh"): _*)
       .withColumn("sh_size", size(col("sh")))
-    val exploded = sh.select(col("id"), col("sh_size"),
-      explode(col("sh")).as("shingle"))
-    val a = exploded.toDF("id_a", "size_a", "shingle")
-    val b = exploded.toDF("id_b", "size_b", "shingle")
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("sh_size") > 0)
+      // narrow prefix: order the set by hash, keep |A| - ceil(t|A|) + 1
+      .withColumn("prefix", expr(
+        s"slice(transform(array_sort(transform(sh, " +
+          s"s -> struct(xxhash64(s) AS h, s AS s))), x -> x.s), 1, " +
+          s"greatest(cast(sh_size - ceil($threshold * sh_size) + 1 AS int)" +
+          s", 1))"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = {
+      val ex = sh.select((col("id") +: col("sh_size").as("sz") +:
+        blockCols.map(col)) :+ explode(col("prefix")).as("shingle"): _*)
+      val a = ex.toDF(("id_a" +: "size_a" +: blockCols.map(_ + "_a")) :+
+        "shingle": _*)
+      val b = ex.toDF(("id_b" +: "size_b" +: blockCols.map(_ + "_b")) :+
+        "shingle": _*)
+      val blockEq = blockCols.map(c => col(c + "_a") === col(c + "_b"))
+        .foldLeft(lit(true))(_ && _)
+      a.join(b, Seq("shingle"))
+        .where(col("id_a") < col("id_b") && blockEq &&
+          col("size_a") * threshold <= col("size_b") &&
+          col("size_b") * threshold <= col("size_a"))
+        .select("id_a", "id_b").distinct()
+    }
+    // exact verification on the full sets
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -15,6 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** EXACT linear-interpolated percentiles of a single ungrouped column,
+    * computed with a distributed range-partitioned sort instead of the
+    * built-in `percentile` aggregate (which buffers every value in ONE
+    * reducer — the 100 TB anti-pattern). Two jobs: count, then sort +
+    * select the two bracketing ranks per quantile. Interpolation formula
+    * matches Spark/pandas/DuckDB `quantile_cont`:
+    * v = lo + (hi - lo) * frac at rank h = (n-1)*q. */
+  def exactPercentiles(df: DataFrame, valueCol: String, qs: Seq[Double])
+      : Seq[Double] = {
+    val rdd = df.select(col(valueCol).cast("double")).na.drop()
+      .rdd.map(_.getDouble(0))
+    val n = rdd.count()
+    require(n > 0, s"exactPercentiles: no non-null values in $valueCol")
+    val hs = qs.map(q => (n - 1) * q)
+    val wanted = hs.flatMap(h =>
+      Seq(math.floor(h).toLong, math.ceil(h).toLong)).toSet
+    val picked = rdd.sortBy(identity).zipWithIndex()
+      .filter { case (_, i) => wanted.contains(i) }
+      .map(_.swap).collectAsMap()
+    hs.map { h =>
+      val lo = picked(math.floor(h).toLong)
+      val hi = picked(math.ceil(h).toLong)
+      lo + (hi - lo) * (h - math.floor(h))
+    }
+  }
+
   def bandFilter(df: DataFrame, valueCol: String, lo: Double, hi: Double,
                  by: Seq[String] = Nil): DataFrame = {
     val bounds =

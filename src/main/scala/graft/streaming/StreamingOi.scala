@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Structured-Streaming face of the OI family (SURVEY §2.10): the
+  * reference is pure batch, but its time-bucketed OI is tumbling-window
+  * shaped, so the same conditional-sum aggregation runs over a stream with
+  * watermarked event time. "Drop the last incomplete bin"
+  * (`/root/reference/order_imbalance.py:324`) becomes emit-on-window-close
+  * (append mode); J5 densification is a batch-side concern.
+  *
+  * Inputs are any streaming DataFrame with (event_time TIMESTAMP, ticker,
+  * side INT in {-1,+1}, size) — e.g. `spark.readStream.format("rate")`
+  * remapped, a Kafka topic, or a MemoryStream in tests.
+  */
+object StreamingOi {
+
+  /** Tumbling-window OI per ticker with late-data watermark. Append mode
+    * emits each window once, when the watermark passes its end — the
+    * streaming twin of "drop the last incomplete bin". */
+  def windowedOi(events: DataFrame, delta: String = "5 minutes",
+                 watermark: String = "1 minute",
+                 timeCol: String = "event_time",
+                 side: Column = col("direction"),
+                 size: Column = col("size")): DataFrame = {
+    val buy = sum(when(side === -1, size).otherwise(lit(0L)))
+    val sell = sum(when(side === 1, size).otherwise(lit(0L)))
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), delta), col("ticker"))
+      .agg(((buy - sell) / when(buy + sell =!= 0, buy + sell))
+        .as("order_imbalance"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bin_start"),
+        col("window.end").as("bin_end"), col("ticker"),
+        col("order_imbalance"), col("n_events"))
+  }
+
+  /** Running per-ticker state: cumulative buy/sell volume and current OI,
+    * updated per micro-batch via mapGroupsWithState (the custom-state
+    * mechanism SURVEY §2.10 calls for; no reference analog — extension). */
+  final case class TickerState(buy: Double, sell: Double)
+  final case class TickerOi(ticker: String, buy: Double, sell: Double,
+                            oi: Double)
+
+  def runningOi(events: DataFrame): org.apache.spark.sql.Dataset[TickerOi] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("ticker").as[String],
+        col("direction").cast("int").as[Int],
+        col("size").cast("double").as[Double])
+      .as[(String, Int, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[TickerState, TickerOi](
+        GroupStateTimeout.NoTimeout()) {
+        case (ticker, rows, state: GroupState[TickerState]) =>
+          val prev = state.getOption.getOrElse(TickerState(0.0, 0.0))
+          var buy = prev.buy; var sell = prev.sell
+          rows.foreach { case (_, dir, sz) =>
+            if (dir == -1) buy += sz else sell += sz
+          }
+          state.update(TickerState(buy, sell))
+          val tot = buy + sell
+          TickerOi(ticker, buy, sell,
+            if (tot == 0) 0.0 else (buy - sell) / tot)
+      }
+  }
+
+  /** Convenience: write a windowed-OI stream to an in-memory sink (tests /
+    * dashboards). Returns the started query. */
+  def startMemorySink(oi: DataFrame, queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    oi.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamingOiSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedOi emits closed windows with correct OI (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Int, Long)]
+    val events = input.toDF()
+      .toDF("event_time", "ticker", "direction", "size")
+    val oi = StreamingOi.windowedOi(events, delta = "5 minutes",
+      watermark = "1 minute")
+    val q = StreamingOi.startMemorySink(oi, "oi_test")
+    try {
+      // window [10:00,10:05): buys 30 (dir -1), sells 10 -> OI 0.5
+      input.addData(
+        (ts("2024-01-15 10:00:10"), "T", -1, 30L),
+        (ts("2024-01-15 10:01:00"), "T", 1, 10L))
+      q.processAllAvailable()
+      // advance watermark past 10:06 to close the first window
+      input.addData((ts("2024-01-15 10:07:00"), "T", -1, 5L))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM oi_test").collect()
+      assert(out.length == 1)
+      val r = out(0)
+      assert(r.getAs[Timestamp]("bin_start") == ts("2024-01-15 10:00:00"))
+      assertApprox(r.getAs[Double]("order_imbalance"), 0.5)
+      assert(r.getAs[Long]("n_events") == 2L)
+    } finally q.stop()
+  }
+
+  test("windowedOi drops data later than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Int, Long)]
+    val events = input.toDF()
+      .toDF("event_time", "ticker", "direction", "size")
+    val oi = StreamingOi.windowedOi(events, delta = "5 minutes",
+      watermark = "1 minute")
+    val q = StreamingOi.startMemorySink(oi, "oi_late")
+    try {
+      input.addData((ts("2024-01-15 10:00:10"), "T", -1, 30L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-15 10:30:00"), "T", 1, 1L))
+      q.processAllAvailable()
+      // this event is far behind the watermark -> dropped
+      input.addData((ts("2024-01-15 10:00:20"), "T", 1, 999L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-15 10:40:00"), "T", 1, 1L))
+      q.processAllAvailable()
+      val first = spark.sql(
+        "SELECT order_imbalance FROM oi_late WHERE bin_start = '2024-01-15 10:00:00'")
+        .collect()
+      assert(first.length == 1)
+      assertApprox(first(0).getDouble(0), 1.0) // late 999 not counted
+    } finally q.stop()
+  }
+
+  test("runningOi accumulates cross-batch state per ticker") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Int, Long)]
+    val events = input.toDF()
+      .toDF("event_time", "ticker", "direction", "size")
+    val running = StreamingOi.runningOi(events)
+    val q = running.writeStream.format("memory").queryName("oi_run")
+      .outputMode("update").start()
+    try {
+      input.addData((ts("2024-01-15 10:00:00"), "T", -1, 10L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-15 10:01:00"), "T", 1, 10L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT * FROM oi_run ORDER BY buy + sell").collect()
+      // second update sees cumulative state: buy 10, sell 10 -> OI 0
+      val last = rows.last
+      assert(last.getAs[Double]("buy") == 10.0 &&
+        last.getAs[Double]("sell") == 10.0)
+      assertApprox(last.getAs[Double]("oi"), 0.0)
+    } finally q.stop()
+  }
+}
