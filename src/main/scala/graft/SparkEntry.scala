@@ -642,6 +642,59 @@ object SparkEntry {
         Dedup.minHashSignature(col("text"), n = 3, k = 16).as("sig"))
     }),
 
+    // --- LLM ops: MinHash+LSH banded candidate pairs (rows-only) ---
+    "q_minhash_lsh_pairs" -> ((s, dir) => {
+      Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), r6(col("est_jaccard"))
+          .as("est_jaccard_micro"))
+    }),
+
+    // --- LLM ops: SimHash near-dup pairs via chunk blocking (rows-only) ---
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxDist = 10)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long")
+          .as("hamming"))
+    }),
+
+    // --- LLM ops: SRP-LSH bucketed ANN (rows-only; recall<1 by design) ---
+    "q_lsh_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val dims = emb.select(size(col("vec"))).first().getInt(0)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "vec", "vec", k = 3, dims = dims)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"),
+          r6(col("cosine")).as("cosine_micro"))
+    }),
+
+    // --- LLM ops: composite quality score + BPE-ish token count
+    //     (rows-only: regex classes differ between engines) ---
+    "q_text_quality" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        r6(TextFunctions.qualityScore(col("text"))).as("quality_micro"),
+        TextFunctions.nTokensBpeIsh(col("text")).cast("long")
+          .as("n_tokens_bpeish"),
+        TextFunctions.seqFingerprint(col("text")).as("seq_fingerprint"))
+    }),
+
+    // --- Multimodal plumbing driven over synthesized binary payloads
+    //     (documents.text as bytes; stub codec — rows-only) ---
+    "q_mm_features" -> ((s, dir) => {
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .withColumn("path", concat(lit("doc://"), col("doc_id")))
+        .withColumn("length", length(col("content")).cast("long"))
+      val withMeta = graft.multimodal.Multimodal.withMetadata(media)
+      graft.multimodal.Multimodal.extractFeatures(withMeta, dim = 8)
+        .select(col("doc_id"), col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          r6(element_at(col("media_embedding"), 1).cast("double"))
+            .as("f0_micro"))
+    }),
+
     // --- LLM ops: SimHash fingerprints (no SQL oracle: xxhash64) ---
     "q_simhash" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),

@@ -1,0 +1,71 @@
+package graft.domain
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Regression
+
+/** End-to-end pipeline compositions mirroring the reference's entry points
+  * (SURVEY §3 EP1/EP3). Each stage is a DataFrame -> DataFrame function;
+  * the whole chain is ONE lazy plan per delta, so Catalyst sees scan ->
+  * filter -> window -> agg -> join -> regression input without
+  * materialization boundaries (the reference re-reads archives per stage).
+  */
+object Pipelines {
+
+  /** EP1 regression pipeline for one delta over a prepped event frame:
+    * features -> (optional) prediction probabilities -> OI panel ->
+    * densify -> returns -> contemporaneous OLS of log_ret on OI.
+    *
+    * `predProb`: column expression standing in for the ML model output
+    * (tests use a deterministic function; production uses
+    * DirectionModel.attachPredictions upstream).
+    *
+    * Returns (panel with returns, fitted OlsFit rows).
+    */
+  def ep1(prepped: DataFrame, deltaNs: Long, kind: String = "vis",
+          predictive: Boolean = false)
+      : (DataFrame, Seq[Regression.OlsFit]) = {
+    val featured = Features.addMicrostructure(prepped)
+    val withProb =
+      if (featured.columns.contains("pred_prob")) featured
+      else featured.withColumn("pred_prob",
+        when(col("direction") === -1, 0.0).otherwise(1.0))
+    val panel = Oi.densifyPanel(Oi.panel(withProb, deltaNs, kind), deltaNs)
+    val withRet = Returns.addLogReturns(panel)
+    val oiCol = s"order_imbalance_$kind"
+    val y = if (predictive) "fut_log_ret" else "log_ret"
+    val fitInput = withRet.filter(col(y).isNotNull && col(oiCol).isNotNull)
+    val fits = Regression.olsByGroup(fitInput, y, Seq(oiCol), Seq("ticker"))
+    (withRet, fits)
+  }
+
+  /** EP1 stage-4 fan-out: one cached feature frame, panels for MANY deltas
+    * computed off it (the reference loops deltas re-reading raw CSVs;
+    * here the scan+features run once — SURVEY §4.1 caching note). */
+  def ep1MultiDelta(prepped: DataFrame, deltaNs: Seq[Long],
+                    kind: String = "vis")
+      : Map[Long, DataFrame] = {
+    val featured = Features.addMicrostructure(prepped)
+      .withColumn("pred_prob",
+        when(col("direction") === -1, 0.0).otherwise(1.0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deltaNs.map { d =>
+      d -> Returns.addLogReturns(Oi.densifyPanel(Oi.panel(featured, d, kind), d))
+    }.toMap
+  }
+
+  /** EP3 daily ClOp signal: daily OI panel + ClOp returns + a saved
+    * coefficients row -> per-day signal (`trading_strategy.py:469-524`). */
+  def ep3ClOpSignal(prepped: DataFrame, dailyBars: DataFrame,
+                    params: DataFrame, oiKind: String = "vis")
+      : DataFrame = {
+    val featured = Features.addMicrostructure(prepped)
+      .withColumn("pred_prob",
+        when(col("direction") === -1, 0.0).otherwise(1.0))
+    val daily = Oi.panel(featured, 0L, oiKind)
+    val withClOp = Returns.addClOp(daily, dailyBars)
+    Strategy.linearSignal(withClOp, params,
+      Map(s"order_imbalance_$oiKind" -> "b_oi", "ClOp" -> "b_clop"))
+  }
+}

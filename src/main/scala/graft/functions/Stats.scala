@@ -80,6 +80,30 @@ object Stats {
   def pptColumns(pnl: Column, trades: Column): Seq[Column] =
     Seq((sum(pnl) / sum(trades) * lit(1e4)).as("ppt"))
 
+  /** W9: PACF from an ACF sequence via Durbin-Levinson recursion —
+    * driver-side on the (tiny) per-series ACF vector, as SURVEY §2.5 W9
+    * plans. `acf(0)=1` is implied; pass acf for lags 1..m. Returns PACF
+    * for lags 1..m. */
+  def pacfFromAcf(acf: Seq[Double]): Seq[Double] = {
+    val m = acf.size
+    if (m == 0) return Nil
+    val phi = Array.ofDim[Double](m + 1, m + 1)
+    val pacf = new Array[Double](m)
+    phi(1)(1) = acf(0)
+    pacf(0) = acf(0)
+    for (k <- 2 to m) {
+      val num = acf(k - 1) -
+        (1 until k).map(j => phi(k - 1)(j) * acf(k - 1 - j)).sum
+      val den = 1.0 -
+        (1 until k).map(j => phi(k - 1)(j) * acf(j - 1)).sum
+      phi(k)(k) = if (den == 0) 0.0 else num / den
+      for (j <- 1 until k)
+        phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j)
+      pacf(k - 1) = phi(k)(k)
+    }
+    pacf.toSeq
+  }
+
   /** Basic describe (A8): count/mean/std/min/max + exact quartiles. */
   def describeColumns(x: Column, colName: String): Seq[Column] = Seq(
     count(x).as(s"${colName}_count"),

@@ -108,15 +108,23 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures: k independent permutation approximations via
-    * seeded xxhash64 of each shingle; signature[i] = min over shingles of
-    * xxhash64(seed_i, shingle). Linear scan, no shuffle. */
+  /** MinHash signatures: k independent permutation approximations;
+    * signature[i] = min over shingles of xxhash64(seed_i, h(shingle)).
+    * ONE aggregate pass carries all k running minimums in an array
+    * accumulator — higher-order lambdas are interpreted with no common
+    * subexpression elimination, so k separate array_min terms would
+    * re-evaluate the (expensive) shingling k times. Empty shingle sets
+    * yield all-null signatures. Linear scan, no shuffle. */
   def minHashSignature(text: Column, n: Int, k: Int): Column = {
-    val sh = shingles(text, n)
-    val sig = (0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
-    }
-    array(sig: _*).as("minhash_sig")
+    val hashes = transform(shingles(text, n), s => xxhash64(s))
+    val init = array((0 until k).map(_ => lit(Long.MaxValue)): _*)
+    aggregate(hashes, init,
+      (acc, h) => array((0 until k).map { i =>
+        least(element_at(acc, i + 1), xxhash64(lit(i), h))
+      }: _*),
+      acc => transform(acc, v =>
+        when(v === Long.MaxValue, lit(null).cast("long")).otherwise(v)))
+      .as("minhash_sig")
   }
 
   /** MinHash + LSH banding: docs whose signature agrees on ALL rows of any
@@ -128,8 +136,12 @@ object Dedup {
                       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4)
       : DataFrame = {
     val k = bands * rowsPerBand
+    // persisted materialization barrier: without it Catalyst's projection
+    // collapse inlines the whole k-hash signature expression into every
+    // band lambda (interpreted, no CSE) — an O(bands*k) blowup
     val sig = df.select(col(idCol).as("id"),
-      minHashSignature(col(textCol), n, k).as("sig"))
+        minHashSignature(col(textCol), n, k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit("band"), b,
@@ -150,17 +162,25 @@ object Dedup {
 
   /** 64-bit SimHash of the token stream: per-token xxhash64; fingerprint
     * bit j = sign of the sum over tokens of bit_j(hash)∈{-1,+1}. Near-dups
-    * have small Hamming distance. Pure expressions, linear scan. */
+    * have small Hamming distance. ONE aggregate pass carrying an array of
+    * 64 vote counters, assembled to a long in the finish lambda — lambda
+    * variables are bound values, so nothing is re-evaluated (64 separate
+    * bit-aggregates would re-hash the token array 64x in the interpreted
+    * higher-order path). */
   def simHash64(text: Column): Column = {
     val toks = TextFunctions.tokens(lower(text))
     val hashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L,
-          lit(1L)).otherwise(lit(-1L)))
-      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce[Column]((a, b) => a.bitwiseOR(b)).as("simhash64")
+    val init = array((0 until 64).map(_ => lit(0L)): _*)
+    val voted = aggregate(hashes, init,
+      (acc, h) => array((0 until 64).map { j =>
+        element_at(acc, j + 1) +
+          (shiftright(h, j).bitwiseAND(1L) * 2L - 1L)
+      }: _*),
+      acc => (0 until 64).map { j =>
+        when(element_at(acc, j + 1) > 0, shiftleft(lit(1L), j))
+          .otherwise(lit(0L))
+      }.reduce[Column]((a, b) => a.bitwiseOR(b)))
+    voted.as("simhash64")
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
@@ -173,8 +193,10 @@ object Dedup {
     * O(n^2) cross join. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
+    // persisted for the same projection-collapse reason as minHashLshPairs
     val sigs = df.select(col(idCol).as("id"),
-      simHash64(col(textCol)).as("sig"))
+        simHash64(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))

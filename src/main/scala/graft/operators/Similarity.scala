@@ -91,8 +91,11 @@ object Similarity {
     def banded(df: DataFrame, id: String, vec: String, side: String)
         : DataFrame = {
       val sig = srpSignature(col(vec), nPlanes, dims, seed)
+      // persisted barrier: projection collapse would otherwise inline the
+      // nPlanes-dot-product signature into every band extraction
       df.select(col(id).as(s"${side}_id"), col(vec).as(s"__${side}v"),
           sig.as("__sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .select(col(s"${side}_id"), col(s"__${side}v"),
           posexplode(array((0 until bands).map(b =>
             shiftright(col("__sig"), b * bitsPerBand)

@@ -1,0 +1,148 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-STYLE table operations over versioned parquet (north star,
+  * SURVEY §7.4.9): MERGE-INTO upsert, snapshot versioning with time
+  * travel, dynamic partition overwrite, and small-file compaction.
+  *
+  * The Iceberg format/catalog jars are not available in this environment
+  * (offline build); these operators reproduce the OPERATION semantics in a
+  * Spark-native way with a directory-per-snapshot layout and an atomically
+  * swapped `_latest` pointer file:
+  *
+  * ```
+  * table_root/
+  *   v00001/ ... parquet (optionally partitioned dirs)
+  *   v00002/ ...
+  *   _latest            # contains "v00002"
+  * ```
+  *
+  * Every write creates a NEW snapshot directory and then swaps the pointer
+  * (write-temp + atomic move), so readers never observe a partial table —
+  * the same reader/writer isolation Iceberg's metadata pointer provides.
+  * On a real deployment the same call sites map 1:1 onto
+  * `MERGE INTO`/`INSERT OVERWRITE`/`CALL rewrite_data_files` and
+  * `VERSION AS OF`.
+  */
+object TableOps {
+
+  private def latestPath(root: String) = Paths.get(root, "_latest")
+
+  /** Current snapshot version, or None for an empty table. */
+  def currentVersion(root: String): Option[Int] = {
+    val p = latestPath(root)
+    if (Files.exists(p)) Some(Files.readString(p).trim.stripPrefix("v").toInt)
+    else None
+  }
+
+  /** All snapshot versions, ascending. */
+  def versions(root: String): Seq[Int] = {
+    val d = Paths.get(root)
+    if (!Files.isDirectory(d)) return Nil
+    val it = Files.list(d).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (it.hasNext) {
+      val name = it.next().getFileName.toString
+      if (name.matches("v\\d+")) out += name.stripPrefix("v").toInt
+    }
+    out.sorted.toSeq
+  }
+
+  private def dirFor(root: String, v: Int) = f"$root/v$v%05d"
+
+  /** Write a new snapshot and atomically swap the pointer. */
+  private def commit(df: DataFrame, root: String,
+                     partitionBy: Seq[String]): Int = {
+    val v = currentVersion(root).getOrElse(0) + 1
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dirFor(root, v))
+    val tmp = Paths.get(root, s"_latest.tmp$v")
+    Files.writeString(tmp, f"v$v%05d")
+    Files.move(tmp, latestPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Read the current snapshot (or a specific version: time travel). */
+  def read(spark: SparkSession, root: String,
+           asOfVersion: Option[Int] = None): DataFrame = {
+    val v = asOfVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no snapshot in $root"))
+    spark.read.parquet(dirFor(root, v))
+  }
+
+  /** Create/replace the table with `df`. */
+  def overwrite(df: DataFrame, root: String,
+                partitionBy: Seq[String] = Nil): Int = {
+    Files.createDirectories(Paths.get(root))
+    commit(df, root, partitionBy)
+  }
+
+  /** MERGE INTO semantics: upsert `updates` into the table on `keys` —
+    * matched rows are replaced by the update row, unmatched update rows
+    * are inserted, unmatched target rows are kept. One outer join, one
+    * snapshot write; schemas must align (unionByName semantics for new
+    * nullable columns on either side). */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+            keys: Seq[String], partitionBy: Seq[String] = Nil): Int = {
+    val target = read(spark, root)
+    val cols = (target.columns ++
+      updates.columns.filterNot(target.columns.contains)).toSeq
+    def aligned(df: DataFrame): DataFrame =
+      cols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null)))
+        .select(cols.map(col): _*)
+    val t = aligned(target).alias("t")
+    val u = aligned(updates).alias("u")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
+    val keep = t.join(u, cond, "left_anti")
+    val merged = keep.unionByName(aligned(updates))
+    commit(merged, root, partitionBy)
+  }
+
+  /** DELETE WHERE semantics: new snapshot without matching rows. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  partitionBy: Seq[String] = Nil): Int =
+    commit(read(spark, root).filter(!predicate || predicate.isNull),
+      root, partitionBy)
+
+  /** Dynamic partition overwrite: replace only the partitions present in
+    * `replacement`, keep all others (INSERT OVERWRITE ... PARTITION). */
+  def overwritePartitions(spark: SparkSession, root: String,
+                          replacement: DataFrame,
+                          partitionBy: Seq[String]): Int = {
+    val target = read(spark, root)
+    val parts = replacement.select(partitionBy.map(col): _*).distinct()
+    val keep = target.join(broadcast(parts), partitionBy, "left_anti")
+    commit(keep.unionByName(replacement.select(target.columns.map(col): _*)),
+      root, partitionBy)
+  }
+
+  /** Compaction (rewrite_data_files analog): rewrite the current snapshot
+    * with a target file count per partition. */
+  def compact(spark: SparkSession, root: String, targetFiles: Int,
+              partitionBy: Seq[String] = Nil): Int =
+    commit(read(spark, root).repartition(targetFiles), root, partitionBy)
+
+  /** Expire old snapshots, keeping the most recent `keep`. */
+  def expireSnapshots(root: String, keep: Int = 2): Seq[Int] = {
+    val vs = versions(root)
+    val cur = currentVersion(root).getOrElse(return Nil)
+    val expire = vs.filter(_ != cur).dropRight(math.max(keep - 1, 0))
+    expire.foreach { v =>
+      val dir = Paths.get(dirFor(root, v))
+      if (Files.isDirectory(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+    }
+    expire
+  }
+}

@@ -1,0 +1,86 @@
+package graft.tables
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TableOpsSpec extends SparkSpec {
+
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("tbl").resolve("t").toString
+
+  private def base() = df("id BIGINT, ticker STRING, v DOUBLE",
+    Row(1L, "A", 1.0), Row(2L, "A", 2.0), Row(3L, "B", 3.0))
+
+  test("overwrite + read + version bookkeeping") {
+    val root = tmp()
+    val v1 = TableOps.overwrite(base(), root)
+    assert(v1 == 1 && TableOps.currentVersion(root).contains(1))
+    assert(TableOps.read(spark, root).count() == 3)
+  }
+
+  test("merge: upsert on key — update matched, insert new, keep rest") {
+    val root = tmp()
+    TableOps.overwrite(base(), root)
+    val updates = df("id BIGINT, ticker STRING, v DOUBLE",
+      Row(2L, "A", 20.0), Row(4L, "C", 4.0))
+    val v2 = TableOps.merge(spark, root, updates, Seq("id"))
+    assert(v2 == 2)
+    val out = TableOps.read(spark, root).orderBy(col("id")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0, 4L -> 4.0))
+  }
+
+  test("time travel reads an old snapshot") {
+    val root = tmp()
+    TableOps.overwrite(base(), root)
+    TableOps.merge(spark, root,
+      df("id BIGINT, ticker STRING, v DOUBLE", Row(1L, "A", 99.0)),
+      Seq("id"))
+    val v1 = TableOps.read(spark, root, asOfVersion = Some(1))
+      .filter(col("id") === 1).collect()(0).getDouble(2)
+    val v2 = TableOps.read(spark, root)
+      .filter(col("id") === 1).collect()(0).getDouble(2)
+    assert(v1 == 1.0 && v2 == 99.0)
+  }
+
+  test("deleteWhere removes matching rows only") {
+    val root = tmp()
+    TableOps.overwrite(base(), root)
+    TableOps.deleteWhere(spark, root, col("ticker") === "A")
+    val ids = TableOps.read(spark, root).collect().map(_.getLong(0))
+    assert(ids.sameElements(Array(3L)))
+  }
+
+  test("overwritePartitions replaces named partitions, keeps others") {
+    val root = tmp()
+    TableOps.overwrite(base(), root, partitionBy = Seq("ticker"))
+    val repl = df("id BIGINT, ticker STRING, v DOUBLE",
+      Row(9L, "A", 9.0))
+    TableOps.overwritePartitions(spark, root, repl, Seq("ticker"))
+    val out = TableOps.read(spark, root).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("ticker")))
+    assert(out.sameElements(Array(3L -> "B", 9L -> "A")))
+  }
+
+  test("expireSnapshots keeps current + most recent") {
+    val root = tmp()
+    TableOps.overwrite(base(), root)
+    TableOps.overwrite(base(), root)
+    TableOps.overwrite(base(), root)
+    val expired = TableOps.expireSnapshots(root, keep = 2)
+    assert(expired == Seq(1))
+    assert(TableOps.versions(root) == Seq(2, 3))
+    // current still readable
+    assert(TableOps.read(spark, root).count() == 3)
+  }
+
+  test("readers never see a partial table (pointer swap is atomic)") {
+    val root = tmp()
+    TableOps.overwrite(base(), root)
+    // pointer file contains a valid version name after every commit
+    val ptr = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_latest")).trim
+    assert(ptr.matches("v\\d{5}"))
+  }
+}
