@@ -55,6 +55,23 @@ object Pipelines {
     }.toMap
   }
 
+  /** EP2 portfolio strategy over a precomputed multi-ticker OI panel
+    * (`trading_strategy.py` main loop, SURVEY §3 EP2): rolling per-day
+    * OLS refit -> signals -> cross-sectional rank portfolio -> per-bin
+    * PnL -> Sharpe statistics. The reference recomputes the panel from
+    * raw archives per strategy day; here it is computed once upstream.
+    *
+    * Returns (per-bin PnL, picks, strategy stats row).
+    */
+  def ep2Portfolio(panel: DataFrame, y: String, xs: Seq[String],
+                   lookback: Int, pct: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val signals = Strategy.rollingRefitSignals(panel, y, xs, lookback)
+    val (pnl, picks) = Strategy.portfolio(signals, pct, retCol = y)
+    val stats = Strategy.strategyStats(pnl, Nil)
+    (pnl, picks, stats)
+  }
+
   /** EP3 daily ClOp signal: daily OI panel + ClOp returns + a saved
     * coefficients row -> per-day signal (`trading_strategy.py:469-524`). */
   def ep3ClOpSignal(prepped: DataFrame, dailyBars: DataFrame,

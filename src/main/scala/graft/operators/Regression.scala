@@ -33,11 +33,13 @@ object Regression {
       regr_r2(col(y), col(x)).as("r2"),
       regr_count(col(y), col(x)).as("n"))
 
-  /** Result row of a multi-regressor fit. */
+  /** Result row of a multi-regressor fit. `xtxInv` (row-major, (k+1)²,
+    * intercept first) and `sigma2` feed the M13 diagnostics. */
   final case class OlsFit(group: Seq[Any], intercept: Double,
                           coefs: Array[Double], tValues: Array[Double],
                           interceptT: Double, r2: Double, adjR2: Double,
-                          n: Long)
+                          n: Long, xtxInv: Array[Double] = Array.empty,
+                          sigma2: Double = Double.NaN)
 
   /** Exact k-regressor OLS (with intercept) per group. Design matrix
     * moments are accumulated distributedly; normal equations are solved on
@@ -90,8 +92,39 @@ object Regression {
     val r2 = if (tss > 0) 1.0 - rss / tss else Double.NaN
     val adjR2 = 1.0 - (1.0 - r2) * (n - 1).toDouble / dof
     val groupVals = groupCols.map(c => row.getAs[Any](c))
+    val inv = (for (i <- 0 to k; j <- 0 to k)
+      yield xtxInv.getEntry(i, j)).toArray
     OlsFit(groupVals, beta.getEntry(0),
       (1 to k).map(beta.getEntry).toArray,
-      (1 to k).map(t).toArray, t(0), r2, adjR2, n)
+      (1 to k).map(t).toArray, t(0), r2, adjR2, n, inv, sigma2)
+  }
+
+  /** M13 regression-diagnostic columns for a fitted model
+    * (`/root/reference/order_imbalance.py:603-670`): fitted value,
+    * residual, leverage h_ii = x'(X'X)⁻¹x, standardized residual, and
+    * Cook's distance D = e² h / (p σ² (1-h)²). Pure row-local arithmetic
+    * over the broadcast (k+1)² inverse — scales as a map. */
+  def diagnostics(df: DataFrame, y: String, xs: Seq[String], fit: OlsFit)
+      : DataFrame = {
+    val p = xs.size + 1
+    require(fit.xtxInv.length == p * p,
+      s"fit carries no inverse for ${xs.size} regressors")
+    val cols: Seq[Column] = lit(1.0) +: xs.map(c => col(c).cast("double"))
+    val yhat = xs.zip(fit.coefs).foldLeft(lit(fit.intercept)) {
+      case (acc, (x, b)) => acc + col(x).cast("double") * lit(b)
+    }
+    def inv(i: Int, j: Int) = fit.xtxInv(i * p + j)
+    val leverage = (for (i <- 0 until p; j <- 0 until p)
+      yield cols(i) * cols(j) * lit(inv(i, j))).reduce(_ + _)
+    val resid = col(y).cast("double") - yhat
+    df.withColumn("fitted", yhat)
+      .withColumn("residual", resid)
+      .withColumn("leverage", leverage)
+      .withColumn("std_residual",
+        col("residual") / sqrt(lit(fit.sigma2) * (lit(1.0) - col("leverage"))))
+      .withColumn("cooks_d",
+        col("residual") * col("residual") * col("leverage") /
+          (lit(p * fit.sigma2) *
+            (lit(1.0) - col("leverage")) * (lit(1.0) - col("leverage"))))
   }
 }
