@@ -602,6 +602,16 @@ object SparkEntry {
           col("n_click"), col("n_error"))
     }),
 
+    // --- Sessionization (gaps-and-islands; 30-min gap) ---
+    "q_sessionize" -> ((s, dir) => {
+      Sessionize.sessions(eventsNs(s, dir), Seq("user_id"), "ts_ns",
+          gapNs = 30L * 60 * 1000000000L, tieBreak = "event_id",
+          aggs = Seq(moneySum(col("value")).as("sum_value")))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"), col("session_end"), col("duration_ns"),
+          col("sum_value"))
+    }),
+
     // --- LLM ops: exact dedup groups ---
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
@@ -1111,6 +1121,23 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
          |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
          |FROM ranked GROUP BY 1""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH e AS ($EventsNs),
+         |tagged AS (
+         |  SELECT user_id, ts_ns, value,
+         |    CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > ${30L * 60 * 1000000000L}
+         |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+         |          ORDER BY ts_ns, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+         |  FROM (SELECT user_id, event_id, ts_ns, value,
+         |    LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev_ts
+         |    FROM e))
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(ts_ns) AS session_start, MAX(ts_ns) AS session_end,
+         |  MAX(ts_ns) - MIN(ts_ns) AS duration_ns,
+         |  ${MoneySum("value")} AS sum_value
+         |FROM tagged GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_exact" ->
       s"""SELECT md5(text) AS text_md5, COUNT(*) AS n_copies,

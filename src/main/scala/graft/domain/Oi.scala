@@ -146,7 +146,7 @@ object Oi {
         lit(deltaNs))).as("bin_ns"))
     val dense = spine.join(panel, Seq("ticker", "date", "bin_ns"), "left")
       .na.fill(0.0, oiCols)
-    TimeBins.dropLastBin(dense, "bin_ns")
+    TimeBins.dropLastBin(dense, "bin_ns", Seq("ticker", "date"))
   }
 
   /** Combined panel (J4): join several kinds on the bin key

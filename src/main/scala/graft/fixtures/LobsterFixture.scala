@@ -129,4 +129,20 @@ object LobsterFixture {
               seed: Long = 42L): DataFrame =
     graft.core.Prep.dropDuplicateKeys(graft.core.Prep.addEventKey(
       Ingest.withEventTime(rawDay(spark, nEvents, seed))))
+
+  /** Multi-day prepped panel input: consecutive weekdays from `startDate`,
+    * one independent synthetic day each (seed varies per day). */
+  def preppedDays(spark: SparkSession, startDate: String, nDays: Int,
+                  nEvents: Int = 1200, seed: Long = 42L): DataFrame = {
+    var d = java.time.LocalDate.parse(startDate)
+    val frames = (0 until nDays).map { i =>
+      while (d.getDayOfWeek.getValue > 5) d = d.plusDays(1)
+      val day = Date.valueOf(d)
+      d = d.plusDays(1)
+      val raw = rawDay(spark, nEvents, seed + i)
+        .withColumn("date", org.apache.spark.sql.functions.lit(day))
+      graft.core.Prep.prepare(raw)
+    }
+    frames.reduce(_ unionByName _)
+  }
 }

@@ -58,9 +58,19 @@ object TimeBins {
   }
 
   /** Drop the final (incomplete) intraday bin, mirroring `grouped[:-1]`
-    * (`order_imbalance.py:321-324`): keep bins strictly before the max. */
-  def dropLastBin(df: DataFrame, binCol: String): DataFrame = {
-    val mx = df.agg(max(col(binCol)).as("__mx"))
-    df.join(broadcast(mx), col(binCol) < col("__mx")).drop("__mx")
+    * (`order_imbalance.py:321-324`): keep bins strictly before the max —
+    * per `partitionCols` group (the reference drops per ticker-day), or
+    * globally when no partitions are given. */
+  def dropLastBin(df: DataFrame, binCol: String,
+                  partitionCols: Seq[String] = Nil): DataFrame = {
+    if (partitionCols.isEmpty) {
+      val mx = df.agg(max(col(binCol)).as("__mx"))
+      df.join(broadcast(mx), col(binCol) < col("__mx")).drop("__mx")
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(partitionCols.map(col): _*)
+      df.withColumn("__mx", max(col(binCol)).over(w))
+        .filter(col(binCol) < col("__mx")).drop("__mx")
+    }
   }
 }
