@@ -5,10 +5,11 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric","value","unit","queries","sf"}.
   *
-  * An untimed warmup pass at sf0.001 first exercises whole-stage codegen
-  * and JIT for each query shape, so the timed pass measures steady-state
-  * execution rather than first-run compilation (which would dominate the
-  * small scale factors and say nothing about cluster-scale behavior).
+  * An untimed warmup pass over the SAME scale factor first exercises
+  * whole-stage codegen and JIT for each query's actual (AQE-shaped) plan,
+  * so the timed pass measures steady-state execution rather than
+  * first-run Janino compilation — which would dominate at these small
+  * scale factors and say nothing about cluster-scale behavior.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,13 +23,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      }
-      spark.sharedState.cacheManager.clearCache()
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    spark.sharedState.cacheManager.clearCache()
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -602,6 +602,14 @@ object SparkEntry {
           col("n_click"), col("n_error"))
     }),
 
+    // --- A14b: Anderson-Darling k-sample across event types per user ---
+    "q_ad_ksample" -> ((s, dir) => {
+      DistTests.andersonDarlingK(eventsNs(s, dir), Seq("user_id"),
+          "event_type", "value", "event_id")
+        .select(col("user_id"), r6(col("a2kn")).as("a2kn_micro"),
+          col("n_pooled"), col("k_samples"))
+    }),
+
     // --- Sessionization (gaps-and-islands; 30-min gap) ---
     "q_sessionize" -> ((s, dir) => {
       Sessionize.sessions(eventsNs(s, dir), Seq("user_id"), "ts_ns",
@@ -1121,6 +1129,37 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
          |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
          |FROM ranked GROUP BY 1""".stripMargin,
+
+    "q_ad_ksample" ->
+      // M_ij via lexicographic (value, event_id) comparison — identical
+      // tie semantics to the Spark side's positional running counts
+      s"""WITH e AS ($EventsNs),
+         |pos AS (
+         |  SELECT user_id, event_type, value, event_id,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS j,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS N
+         |  FROM e),
+         |ni AS (SELECT user_id, event_type, COUNT(*)::DOUBLE AS n_i
+         |  FROM e GROUP BY 1, 2),
+         |m AS (
+         |  SELECT p.user_id, p.j, p.N, r.event_type,
+         |    COUNT(CASE WHEN r.value < p.value OR
+         |      (r.value = p.value AND r.event_id <= p.event_id)
+         |      THEN 1 END)::DOUBLE AS m_ij
+         |  FROM pos p JOIN e r ON p.user_id = r.user_id
+         |  WHERE p.j < p.N
+         |  GROUP BY 1, 2, 3, 4),
+         |terms AS (
+         |  SELECT m.user_id,
+         |    (m.N * m.m_ij - m.j * ni.n_i) * (m.N * m.m_ij - m.j * ni.n_i) /
+         |      (m.j * (m.N - m.j)) / ni.n_i AS term, m.N
+         |  FROM m JOIN ni ON m.user_id = ni.user_id
+         |    AND m.event_type = ni.event_type)
+         |SELECT user_id, ${R6("SUM(term) / ANY_VALUE(N)")} AS a2kn_micro,
+         |  CAST(ANY_VALUE(N) AS BIGINT) AS n_pooled,
+         |  (SELECT COUNT(DISTINCT event_type) FROM e x
+         |    WHERE x.user_id = terms.user_id) AS k_samples
+         |FROM terms GROUP BY user_id""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH e AS ($EventsNs),

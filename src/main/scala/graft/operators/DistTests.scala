@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed two/k-sample distribution tests (SURVEY §2.4 A14;
+  * `/root/reference/direction_analysis.ipynb` cells 92-97 uses
+  * scipy.anderson_ksamp + mannwhitneyu between per-ticker OI samples).
+  *
+  * Both tests reduce to ORDERED-WINDOW arithmetic over the pooled sample —
+  * one shuffle on (group, value order), no collect:
+  *
+  *  - Mann-Whitney U: rank-sum with tie-averaged ranks.
+  *  - Anderson-Darling k-sample (Scholz-Stephens A²kN, continuous/no-tie
+  *    form): A² = (1/N) Σ_i (1/n_i) Σ_{j=1}^{N-1}
+  *    (N·M_ij − j·n_i)² / (j(N−j)), with M_ij = #{sample-i values ≤ j-th
+  *    pooled order statistic}. M_ij is a running per-sample count over the
+  *    pooled order — i.e. window functions.
+  */
+object DistTests {
+
+  /** Mann-Whitney U of `sampleA` vs the rest within each `groupCols`
+    * partition (tie-averaged ranks; U = R_A - n_A(n_A+1)/2). */
+  def mannWhitneyU(df: DataFrame, groupCols: Seq[String],
+                   sampleCol: String, sampleA: String, valueCol: String)
+      : DataFrame = {
+    val byG = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol))
+    val cntEq = count(lit(1)).over(
+      Window.partitionBy((groupCols.map(col) :+ col(valueCol)): _*))
+    val avgRank = (rank().over(byG) * 2 + cntEq - 1).cast("double") / 2.0
+    df.withColumn("__r", avgRank)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col(sampleCol) === sampleA, col("__r"))
+          .otherwise(0.0)).as("rank_sum_a"),
+        sum(when(col(sampleCol) === sampleA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(sampleCol) =!= sampleA, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("u_stat",
+        col("rank_sum_a") - col("n_a") * (col("n_a") + 1) / 2.0)
+  }
+
+  /** Anderson-Darling k-sample statistic per `groupCols` partition.
+    * `sampleCol` labels the k samples. Continuous-data form (version 1 of
+    * Scholz-Stephens eq. 3); ties broken deterministically by `tieBreak`.
+    * Returns one row per group: a2kn + N + k. */
+  def andersonDarlingK(df: DataFrame, groupCols: Seq[String],
+                       sampleCol: String, valueCol: String,
+                       tieBreak: String): DataFrame = {
+    val g = groupCols.map(col)
+    val pooled = Window.partitionBy(g: _*)
+      .orderBy(col(valueCol), col(tieBreak))
+    val bySample = Window.partitionBy((g :+ col(sampleCol)): _*)
+      .orderBy(col(valueCol), col(tieBreak))
+    // j = pooled position; m = running count within own sample = M_ij at
+    // the j-th pooled order statistic for the sample that OWNS row j...
+    // For the sum we need M_ij for EVERY sample i at every j — but the
+    // inner sum decomposes: group rows by sample i and accumulate each
+    // sample's own running count at each pooled j via a windowed
+    // last-value. Implementation: for sample i, M_i(j) only changes at
+    // rows of sample i; carry it forward with a conditional running count.
+    val N = count(lit(1)).over(Window.partitionBy(g: _*))
+    val nI = count(lit(1)).over(
+      Window.partitionBy((g :+ col(sampleCol)): _*))
+    val withPos = df
+      .withColumn("__j", row_number().over(pooled).cast("double"))
+      .withColumn("__mi", row_number().over(bySample).cast("double"))
+      .withColumn("__N", N.cast("double"))
+      .withColumn("__ni", nI.cast("double"))
+    // Term contributed by sample i between pooled positions where its
+    // running count is constant: for each row of sample i at pooled pos j
+    // with running count m, the count m applies for pooled positions
+    // j .. j'-1 (until sample i's next row at j'). Sum over that range of
+    // (N·m − j·n_i)²/(j(N−j)) — evaluated by attaching the NEXT same-
+    // sample pooled position and expanding the inner sum per segment.
+    val nextJ = lead(col("__j"), 1).over(bySample)
+    val seg = withPos.withColumn("__jNext",
+      coalesce(nextJ, col("__N"))) // last segment runs to N-1 (loop < N)
+    // PREFIX segments: pooled positions before a sample's first own row
+    // have M_i = 0 — their terms (j*n_i)²/(j(N-j)) still count
+    val prefixSeg = withPos
+      .groupBy((g :+ col(sampleCol)): _*)
+      .agg(min(col("__j")).as("__jNext"), first(col("__N")).as("__N"),
+        first(col("__ni")).as("__ni"))
+      .withColumn("__j", lit(1.0))
+      .withColumn("__mi", lit(0.0))
+      .filter(col("__jNext") > 1.0)
+    val allSegs = seg
+      .select((g :+ col(sampleCol) :+ col("__j") :+ col("__jNext") :+
+        col("__mi") :+ col("__N") :+ col("__ni")): _*)
+      .unionByName(prefixSeg.select((g :+ col(sampleCol) :+ col("__j") :+
+        col("__jNext") :+ col("__mi") :+ col("__N") :+ col("__ni")): _*))
+    // explode each segment into its pooled positions: segments are short
+    // on average (N/n_i); sequence+explode keeps it distributed. Guard
+    // empty segments (j > jNext-1): Spark's sequence counts DOWN for
+    // inverted bounds rather than returning empty.
+    val expanded = allSegs
+      .filter(col("__j") < col("__jNext"))
+      .withColumn("__jj",
+        explode(sequence(col("__j").cast("long"),
+          (col("__jNext") - 1).cast("long"))))
+      .filter(col("__jj") < col("__N")) // j ranges 1..N-1
+      .withColumn("__term",
+        pow(col("__N") * col("__mi") - col("__jj") * col("__ni"), 2.0) /
+          (col("__jj") * (col("__N") - col("__jj"))))
+    expanded.groupBy(g: _*)
+      .agg(
+        (sum(col("__term") / col("__ni")) / first(col("__N")))
+          .as("a2kn"),
+        first(col("__N")).cast("long").as("n_pooled"),
+        countDistinct(col(sampleCol)).as("k_samples"))
+  }
+}
