@@ -34,18 +34,25 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
   /** Word-shingle sets: distinct n-grams of tokens per doc (the unit for
-    * Jaccard/MinHash). n=1 gives bag-of-words. */
+    * Jaccard/MinHash). n=1 gives bag-of-words.
+    *
+    * The token array is BOUND once via a 1-element `transform` (lambda
+    * variables are materialized values): referencing the split expression
+    * directly inside the index lambda would re-run the regex tokenization
+    * once per shingle — higher-order lambdas are interpreted with no
+    * common-subexpression elimination (measured 40x slower). Docs shorter
+    * than n tokens yield an empty set (guarded: Spark's `sequence` counts
+    * DOWN for inverted bounds). */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextFunctions.tokens(lower(text))
     if (n == 1) array_distinct(toks)
     else {
-      // sliding n-gram join via transform over indices; docs shorter than
-      // n tokens yield an empty set (sequence(0,-1) would count DOWN)
-      val idx = sequence(lit(0), size(toks) - n)
-      when(size(toks) >= n,
-        array_distinct(transform(idx,
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-        .otherwise(array().cast("array<string>"))
+      val perDoc = transform(array(toks), t =>
+        when(size(t) >= n,
+          array_distinct(transform(sequence(lit(0), size(t) - n),
+            i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+          .otherwise(array().cast("array<string>")))
+      element_at(perDoc, 1)
     }
   }
 
