@@ -421,8 +421,9 @@ object SparkEntry {
       val terciles = li.groupBy(col("l_returnflag")).agg(
         expr("percentile(l_quantity, 0.3333333333333333)").as("q1"),
         expr("percentile(l_quantity, 0.6666666666666666)").as("q2"))
+      // reference bucket boundaries: strict < q1, [q1,q2], > q2
       val tagged = li.join(broadcast(terciles), Seq("l_returnflag"))
-        .withColumn("bucket", when(col("l_quantity") <= col("q1"), "small")
+        .withColumn("bucket", when(col("l_quantity") < col("q1"), "small")
           .when(col("l_quantity") <= col("q2"), "medium")
           .otherwise("large"))
       def woi(b: String): Column = {
@@ -1001,7 +1002,7 @@ object SparkEntry {
          |  FROM lineitem GROUP BY 1),
          |tagged AS (
          |  SELECT l.l_returnflag, l_extendedprice, l_discount,
-         |    CASE WHEN l_quantity <= q1 THEN 'small'
+         |    CASE WHEN l_quantity < q1 THEN 'small'
          |         WHEN l_quantity <= q2 THEN 'medium' ELSE 'large' END AS bucket
          |  FROM lineitem l JOIN t ON l.l_returnflag = t.l_returnflag)
          |SELECT l_returnflag,

@@ -17,6 +17,9 @@ import graft.operators.{AsOfJoin, Imbalance, TimeBins}
   *               (`order_imbalance.py:290-291`)
   *  - `iceberg`  A3 vis-OI split by the iceberg tag (J3 as-of self-join)
   *  - `size`     A4 tercile-conditional weighted OI over hidden execs
+  *               (strict < q1 / [q1,q2] / > q2, `order_imbalance.py:436-448`)
+  *  - `agg`      A4 aggressiveness-conditional weighted OI: buckets from
+  *               pred_dir x agg_ratio vs 0.5 (`order_imbalance.py:419-432`)
   *
   * Execution shape at scale: one as-of window shuffle on (ticker, price)
   * [iceberg only], then ONE groupBy shuffle on (ticker, date, bin). The
@@ -101,7 +104,7 @@ object Oi {
           expr("percentile(size, 0.3333333333333333)").as("__q1"),
           expr("percentile(size, 0.6666666666666666)").as("__q2"))
         val tagged = hid.join(broadcast(terciles), Seq("ticker", "date"))
-          .withColumn("__b", when(sz <= col("__q1"), "small")
+          .withColumn("__b", when(sz < col("__q1"), "small")
             .when(sz <= col("__q2"), "medium").otherwise("large"))
         def woi(b: String): Column = {
           val cond = col("__b") === b
@@ -113,6 +116,28 @@ object Oi {
         val aggs = Seq(woi("small"), woi("medium"), woi("large")) ++
           firstLastAggs
         tagged.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      case "agg" =>
+        // aggressiveness buckets (order_imbalance.py:419-432): relative to
+        // the PREDICTED direction, a hidden exec is low-aggressive when
+        // priced on the passive side of the half-spread, high-aggressive
+        // on the aggressive side; agg_ratio == 0.5 exactly is "mid"
+        val hid = e.filter(col("event_type") === EventType.HiddenExec)
+        val b = when(col("agg_ratio") === 0.5, "agg_mid")
+          .when((col("pred_dir") === 1 && col("agg_ratio") < 0.5) ||
+            (col("pred_dir") === -1 && col("agg_ratio") > 0.5), "agg_low")
+          .when((col("pred_dir") === 1 && col("agg_ratio") > 0.5) ||
+            (col("pred_dir") === -1 && col("agg_ratio") < 0.5), "agg_high")
+        def woiA(bkt: String): Column = {
+          val cond = col("__b") === bkt
+          val num = sum(when(cond, sz * (lit(1.0) - lit(2.0) *
+            col("pred_prob"))).otherwise(0.0))
+          val den = sum(when(cond, sz).otherwise(0.0))
+          (num / when(den =!= 0.0, den)).as(s"order_imbalance_$bkt")
+        }
+        val aggs = Seq(woiA("agg_low"), woiA("agg_mid"),
+          woiA("agg_high")) ++ firstLastAggs
+        hid.withColumn("__b", b).groupBy(keys: _*)
+          .agg(aggs.head, aggs.tail: _*)
       case other => throw new IllegalArgumentException(
         s"unknown OI kind: $other")
     }

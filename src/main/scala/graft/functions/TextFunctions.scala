@@ -92,14 +92,25 @@ object TextFunctions {
       "é", "è", "ê", "ç", " qu"),
     "es" -> Seq(" el ", " los ", " las ", " es ", " una ", " que ", " y ",
       "ñ", "ó", "í", "¿", "¡"),
+    "it" -> Seq(" il ", " di ", " che ", " per ", " con ", " della ",
+      " è ", " una ", " gli ", " nel "),
+    "pt" -> Seq(" o ", " os ", " de ", " que ", " não ", " uma ", " em ",
+      " para ", "ção", "ã", "õ"),
     "en" -> Seq(" the ", " and ", " is ", " of ", " to ", " that ",
       " with ", " for "))
 
-  /** Language-ID heuristic: CJK codepoint share first (zh), then marker
-    * n-gram voting for de/fr/es/en. Pure Column expression. */
+  /** Language-ID heuristic: script-range shares first (zh/ja/ru/ko), then
+    * marker n-gram voting for the Latin-script set. Pure Column
+    * expression — a linear regex scan per language, no UDF. */
   def langId(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
-    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val n = length(text).cast("double")
+    def share(ranges: String): Column =
+      length(regexp_replace(text, s"[^$ranges]", "")).cast("double") / n
+    val cjk = share("\\x{4e00}-\\x{9fff}")
+    val kana = share("\\x{3040}-\\x{30ff}")
+    val hangul = share("\\x{ac00}-\\x{d7af}")
+    val cyrillic = share("\\x{0400}-\\x{04ff}")
     def score(markers: Seq[String]): Column =
       markers.map { m =>
         // occurrences of marker m = (len - len(remove m)) / len(m)
@@ -113,7 +124,10 @@ object TextFunctions {
         when(s > acc.getField("s"), struct(s.as("s"), lit(l).as("l")))
           .otherwise(acc)
     }
-    when(cjk.cast("double") / length(text) > 0.2, "zh")
+    when(kana > 0.1, "ja")           // kana before CJK: kanji overlaps zh
+      .when(cjk > 0.2, "zh")
+      .when(hangul > 0.2, "ko")
+      .when(cyrillic > 0.2, "ru")
       .when(best.getField("s") > 0, best.getField("l"))
       .otherwise("en").as("lang_id")
   }

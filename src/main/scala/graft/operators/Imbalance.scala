@@ -62,9 +62,11 @@ object Imbalance {
 
   /** A4 size-tercile conditional OI: tag rows {small, medium, large} by the
     * per-group exact terciles of `size`, then weighted OI per bucket.
-    * Exact `percentile` (not approx) mirrors pandas `quantile`
-    * (`order_imbalance.py:435-448`); tercile groups are per key (small), so
-    * the sort-based exact percentile is cheap and skew-safe.
+    * Exact `percentile` (not approx) mirrors pandas `quantile`; bucket
+    * boundaries follow the reference exactly — small `< q1`, medium
+    * `[q1, q2]` inclusive both ends, large `> q2`
+    * (`order_imbalance.py:435-448`). Tercile groups are per key (small),
+    * so the sort-based exact percentile is cheap and skew-safe.
     */
   def sizeBucketOi(df: DataFrame, tercileKeys: Seq[String],
                    groupCols: Seq[Column], side: Column, sizeCol: String)
@@ -75,7 +77,7 @@ object Imbalance {
       expr(s"percentile($sizeCol, 0.6666666666666666)").as("__q2"))
     val tagged = df.join(broadcast(terciles), tercileKeys)
       .withColumn("__bucket",
-        when(size <= col("__q1"), "small")
+        when(size < col("__q1"), "small")
           .when(size <= col("__q2"), "medium")
           .otherwise("large"))
     def oi(b: String): Column = {

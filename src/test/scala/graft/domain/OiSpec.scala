@@ -78,6 +78,29 @@ class OiSpec extends SparkSpec {
     }
   }
 
+  test("agg panel: aggressiveness buckets from pred_dir x agg_ratio") {
+    val withDir = day.withColumn("pred_dir",
+      when(col("direction") === -1, -1).otherwise(1))
+    val p = Oi.panel(withDir, 0L, "agg").collect()(0)
+    Seq("order_imbalance_agg_low", "order_imbalance_agg_mid",
+      "order_imbalance_agg_high").foreach { c =>
+      val i = p.fieldIndex(c)
+      if (!p.isNullAt(i)) {
+        val v = p.getDouble(i)
+        assert(v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12, s"$c = $v")
+      }
+    }
+    // fixture engineers hidden execs at bid (ratio 0), inside (0.5), and
+    // above ask (>1) — low/mid/high are all populated for some pred_dir
+    val withB = Features.addMicrostructure(
+      graft.fixtures.LobsterFixture.preppedDay(spark))
+      .withColumn("pred_dir", when(col("direction") === -1, -1).otherwise(1))
+      .filter(col("event_type") === 5)
+    assert(withB.filter(col("agg_ratio") === 0.5).count() > 0)
+    assert(withB.filter(col("agg_ratio") < 0.5).count() > 0)
+    assert(withB.filter(col("agg_ratio") > 0.5).count() > 0)
+  }
+
   test("densifyPanel: full spine, zero-filled OI, last bin dropped") {
     val p = Oi.densifyPanel(Oi.panel(day, M5, "vis"), M5)
     // session (10:00, 15:30] at 5min = 66 bins, minus the dropped last = 65

@@ -83,7 +83,15 @@ class TextFunctionsSpec extends SparkSpec {
         "une politique qui est adaptée et des investissements."),
       Row(4, "El desarrollo de la región es el resultado de una política " +
         "que fue adoptada por los gobiernos y las instituciones."),
-      Row(5, "这是一个简单的中文测试文本，用来验证语言识别功能是否正常工作。"))
+      Row(5, "这是一个简单的中文测试文本，用来验证语言识别功能是否正常工作。"),
+      Row(6, "Lo sviluppo della regione è il risultato di una politica " +
+        "che il governo ha adottato per la crescita con gli investimenti."),
+      Row(7, "O desenvolvimento da região não é uma questão simples, " +
+        "é o resultado de uma política que foi adotada para a população."),
+      Row(8, "Развитие региона является результатом политики, которую " +
+        "приняли правительства и учреждения за последние годы."),
+      Row(9, "この地域の発展は、政府が採用した政策の結果であり、" +
+        "ここ数年のさまざまな投資によって支えられています。"))
     val out = d.select(col("id"), TextFunctions.langId(col("text")))
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(out(1) == "en", s"got ${out(1)}")
@@ -91,5 +99,9 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(3) == "fr", s"got ${out(3)}")
     assert(out(4) == "es", s"got ${out(4)}")
     assert(out(5) == "zh", s"got ${out(5)}")
+    assert(out(6) == "it", s"got ${out(6)}")
+    assert(out(7) == "pt", s"got ${out(7)}")
+    assert(out(8) == "ru", s"got ${out(8)}")
+    assert(out(9) == "ja", s"got ${out(9)}")
   }
 }

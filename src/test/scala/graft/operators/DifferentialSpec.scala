@@ -91,8 +91,10 @@ class DifferentialSpec extends SparkSpec {
       val sell = es.filter(_._2 == 1).map(_._3).sum
       if (buy + sell == 0) None else Some((buy - sell) / (buy + sell))
     }
-    val small = evs.filter(_._3 <= q1)
-    val medium = evs.filter(e => e._3 > q1 && e._3 <= q2)
+    // reference boundaries (order_imbalance.py:440-448): strict < q1,
+    // [q1, q2] inclusive, > q2
+    val small = evs.filter(_._3 < q1)
+    val medium = evs.filter(e => e._3 >= q1 && e._3 <= q2)
     val large = evs.filter(_._3 > q2)
     assertApprox(got.getAs[Double]("order_imbalance_small"),
       oi(small).get, 1e-12)
