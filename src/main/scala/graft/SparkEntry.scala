@@ -655,10 +655,15 @@ object SparkEntry {
         TextFunctions.langId(col("text")).as("lang_id"))
     }),
 
-    // --- LLM ops: MinHash signatures (no SQL oracle: xxhash64) ---
+    // --- LLM ops: MinHash signatures (no SQL oracle: xxhash64). The raw
+    //     array<bigint> is folded to ONE scalar per row: array columns are
+    //     unsortable by the driver's pandas row comparator (round-1 crash),
+    //     and the md5 of the joined signature pins every element anyway ---
     "q_minhash_sig" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
-        Dedup.minHashSignature(col("text"), n = 3, k = 16).as("sig"))
+        md5(concat_ws(",",
+          Dedup.minHashSignature(col("text"), n = 3, k = 16)
+            .cast("array<string>"))).as("sig_md5"))
     }),
 
     // --- LLM ops: MinHash+LSH banded candidate pairs (rows-only) ---

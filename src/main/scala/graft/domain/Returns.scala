@@ -7,21 +7,35 @@ import org.apache.spark.sql.functions._
 /** Return attachment for OI panels (SURVEY §2.4 stage 5 / §2.5 W1;
   * `/root/reference/order_imbalance.py:85-230`).
   *
-  * All windows partition by (ticker) and order by bin — at most one
+  * All windows partition by (ticker, date) and order by bin — at most one
   * shuffle, reused across every lag/lead below. Factor and SPY joins are
   * broadcast (small dimension tables).
+  *
+  * Future-return leads are PER DAY: the reference computes each day's
+  * frame independently (`order_imbalance.py:91` — `shift(-1)` inside a
+  * single session's DataFrame), so the last bin of day d has a null
+  * future return, never the overnight jump into day d+1. Intraday
+  * predictive regressions must not see overnight moves in the target.
+  * Set `perDay = false` only for genuinely daily panels (one row per
+  * (ticker, date)) where the next-day lead IS the intended semantics.
   */
 object Returns {
 
   private def byTicker = Window.partitionBy(col("ticker"))
     .orderBy(col("bin_ns"))
+  private def byTickerDay = Window.partitionBy(col("ticker"), col("date"))
+    .orderBy(col("bin_ns"))
+
+  private def futWindow(perDay: Boolean) =
+    if (perDay) byTickerDay else byTicker
 
   /** Log return over the bin (last/first midprice) plus contemporaneous
     * and next-bin (future) returns (`order_imbalance.py:90-93`). */
   def addLogReturns(panel: DataFrame,
                     firstCol: String = "first_midprice",
-                    lastCol: String = "last_midprice"): DataFrame = {
-    val w = byTicker
+                    lastCol: String = "last_midprice",
+                    perDay: Boolean = true): DataFrame = {
+    val w = futWindow(perDay)
     panel
       .withColumn("log_ret",
         when(col(firstCol) > 0 && col(lastCol) > 0,
@@ -30,8 +44,9 @@ object Returns {
   }
 
   /** Weighted-midprice returns (same shape on weighted_mp columns). */
-  def addWeightedReturns(panel: DataFrame): DataFrame = {
-    val w = byTicker
+  def addWeightedReturns(panel: DataFrame,
+                         perDay: Boolean = true): DataFrame = {
+    val w = futWindow(perDay)
     panel
       .withColumn("w_log_ret",
         when(col("first_weighted_mp") > 0 && col("last_weighted_mp") > 0,
@@ -41,16 +56,19 @@ object Returns {
 
   /** Market-excess return vs the SPY bins table (S6:
     * `spy_bins(bin_ns, first_midprice, last_midprice)` at the same delta):
-    * ret - spy_ret per bin (`order_imbalance.py:96-111`). */
-  def addExcessVsSpy(panel: DataFrame, spyBins: DataFrame): DataFrame = {
+    * ret - spy_ret per bin (`order_imbalance.py:96-111`). Bins with no
+    * SPY row get a NULL excess return (the reference's pandas alignment
+    * yields NaN there, dropping the row from downstream regressions —
+    * market return is unknown, not zero). */
+  def addExcessVsSpy(panel: DataFrame, spyBins: DataFrame,
+                     perDay: Boolean = true): DataFrame = {
     val spy = spyBins.select(col("bin_ns"),
       when(col("first_midprice") > 0 && col("last_midprice") > 0,
         log(col("last_midprice") / col("first_midprice"))).as("spy_ret"))
     panel.join(broadcast(spy), Seq("bin_ns"), "left")
-      .withColumn("excess_ret", col("log_ret") - coalesce(col("spy_ret"),
-        lit(0.0)))
+      .withColumn("excess_ret", col("log_ret") - col("spy_ret"))
       .withColumn("fut_excess_ret",
-        lead(col("excess_ret"), 1).over(byTicker))
+        lead(col("excess_ret"), 1).over(futWindow(perDay)))
   }
 
   /** J6: broadcast-join Fama-French factors on date

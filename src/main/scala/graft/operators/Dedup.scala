@@ -195,19 +195,44 @@ object Dedup {
     bit_count(a.bitwiseXOR(b)).as("hamming")
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, bucketed by
-    * 16-bit fingerprint chunks (a pair within distance d <= 3 must agree on
-    * at least one of 4 chunks — standard pigeonhole blocking), avoiding the
-    * O(n^2) cross join. */
+    * (maxDist+1) disjoint fingerprint bit-chunks: a pair differing in at
+    * most d bits cannot touch all d+1 chunks, so it agrees exactly on at
+    * least one (pigeonhole) — candidate recall is 1.0 BY CONSTRUCTION for
+    * the requested distance, with no O(n^2) cross join. maxDist=3 gives
+    * the classic 4x16-bit blocking.
+    *
+    * Scale note: bucket keys are ~64/(d+1) bits wide, so candidate volume
+    * grows as d does (6-bit keys at d=10 mean 64-way buckets). At corpus
+    * scale keep d <= 7 (8-bit keys), or pre-block on a coarse partition
+    * (e.g. language/source) first; Manku-style rotated multi-block tables
+    * are the next step beyond that. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     // persisted for the same projection-collapse reason as minHashLshPairs
     val sigs = df.select(col(idCol).as("id"),
         simHash64(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simHashPairsFromSigs(sigs, maxDist)
+  }
+
+  /** Pair generation over a precomputed `(id, sig)` frame (see
+    * [[simHashPairs]] for the guarantee). Exposed separately so recall can
+    * be validated on adversarial bit patterns and so pipelines that
+    * persist signatures can reuse them. */
+  def simHashPairsFromSigs(sigs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"maxDist must be in [0, 63], got $maxDist")
+    val nChunks = maxDist + 1
+    // chunk c covers bits [64c/n, 64(c+1)/n) — disjoint, exhaustive, sizes
+    // differ by at most one bit
+    val chunkKeys = (0 until nChunks).map { c =>
+      val lo = 64 * c / nChunks
+      val width = 64 * (c + 1) / nChunks - lo
+      if (width >= 64) col("sig")
+      else shiftright(col("sig"), lo).bitwiseAND((1L << width) - 1L)
+    }
     val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk", "key")))
+      posexplode(array(chunkKeys: _*)).as(Seq("chunk", "key")))
     val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"),
       col("sig").as("sig_a"))
     val r = chunked.select(col("chunk"), col("key"), col("id").as("id_b"),

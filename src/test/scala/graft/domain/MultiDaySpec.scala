@@ -19,6 +19,44 @@ class MultiDaySpec extends SparkSpec {
     assert(fits.head.n > 40)
   }
 
+  test("fut_log_ret is null on each day's last kept bin (no overnight " +
+    "lookahead; order_imbalance.py:91 per-day shift(-1))") {
+    val (panel, _) = Pipelines.ep1(days, 15L * 60 * 1000000000L)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("ticker"), col("date"))
+    val lastBins = panel
+      .withColumn("__max_bin", max(col("bin_ns")).over(w))
+      .filter(col("bin_ns") === col("__max_bin"))
+    assert(lastBins.count() == 4)
+    assert(lastBins.filter(col("fut_log_ret").isNotNull).count() == 0)
+    // and interior bins DO carry a future return
+    val interior = panel
+      .withColumn("__max_bin", max(col("bin_ns")).over(w))
+      .filter(col("bin_ns") < col("__max_bin"))
+    assert(interior.filter(col("fut_log_ret").isNull).count() == 0)
+  }
+
+  test("per-day fut_log_ret differential: equals brute-force next-bin " +
+    "log_ret within the day, never the next day's first bin") {
+    val (panel, _) = Pipelines.ep1(days, 15L * 60 * 1000000000L)
+    val rows = panel.select(col("date").cast("string"), col("bin_ns"),
+        col("log_ret"), col("fut_log_ret"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .sortBy(t => (t._1, t._2))
+    val byDay = rows.groupBy(_._1)
+    byDay.values.foreach { day =>
+      val sorted = day.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, fut), (_, _, ret, _)) => assert(fut == ret)
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty)
+    }
+  }
+
   test("daily panel across days feeds a ClOp-style regression") {
     val featured = Features.addMicrostructure(days)
       .withColumn("pred_prob", lit(0.5))

@@ -29,8 +29,9 @@ class ReturnsAndStrategySpec extends SparkSpec {
       .select(col("excess_ret")).collect()
     assertApprox(out(0).getDouble(0),
       math.log(1.01) - math.log(505.0 / 500.0))
-    // missing SPY bin (3000) -> excess = raw return
-    assertApprox(out(2).getDouble(0), math.log(100.0 / 99.0))
+    // missing SPY bin (3000) -> market return unknown -> excess is null
+    // (reference pandas alignment yields NaN, dropping the row downstream)
+    assert(out(2).isNullAt(0))
   }
 
   test("addClOp: close-to-open vs previous close") {

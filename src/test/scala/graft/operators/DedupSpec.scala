@@ -85,12 +85,60 @@ class DedupSpec extends SparkSpec {
     assert(out.sameElements(Array(4, 0)))
   }
 
-  test("simHashPairs blocks via 16-bit chunks and bounds distance") {
+  test("simHashPairs blocks via chunk pigeonhole and bounds distance") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(1L -> base, 2L -> base, 3L -> "something else entirely now")
     val out = Dedup.simHashPairs(d, "doc_id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
     assert(out.forall(_._3 <= 3))
+  }
+
+  test("simHashPairsFromSigs: full recall at maxDist=10 on adversarial " +
+    "bit spreads (each flip in a different chunk)") {
+    // sig_i flips i bits of the base, one per 6-bit chunk — the worst case
+    // for pigeonhole blocking: a d-distance pair touches d distinct chunks.
+    // (The round-1 4x16-bit layout drops every pair with distance in 4..10
+    // on this pattern.)
+    val baseSig = 0x0123456789ABCDEFL
+    val flipPos = (0 until 13).map(k => 6 * k + 1) // one bit per chunk
+    val sigRows = (0 to 13).map { i =>
+      val sig = flipPos.take(i).foldLeft(baseSig)((s, p) => s ^ (1L << p))
+      Row(i.toLong, sig)
+    }
+    val sigs = df("id BIGINT, sig BIGINT", sigRows: _*)
+    val raw = sigs.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- raw; (ib, sb) <- raw
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 10
+    } yield (ia, ib)).toSet
+    val blocked = Dedup.simHashPairsFromSigs(sigs, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pairs exist at every distance 1..13; 10 < 13 so some are excluded
+    assert(brute.nonEmpty && brute != (for {
+      (ia, _) <- raw; (ib, _) <- raw if ia < ib } yield (ia, ib)).toSet)
+    assert(blocked == brute)
+  }
+
+  test("simHashPairs end-to-end recall == brute force at maxDist=10") {
+    val words = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu").split(" ")
+    val rows = (0 until 30).map { i =>
+      val t = words.zipWithIndex.map { case (w, j) =>
+        if (j % 9 == i % 9) w + (i % 5) else w
+      }.mkString(" ")
+      i.toLong -> t
+    }
+    val d = docs(rows: _*)
+    val raw = d.select(col("doc_id"), Dedup.simHash64(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- raw; (ib, sb) <- raw
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 10
+    } yield (ia, ib)).toSet
+    val blocked = Dedup.simHashPairs(d, "doc_id", "text", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute)
   }
 }
