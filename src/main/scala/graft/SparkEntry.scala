@@ -673,10 +673,16 @@ object SparkEntry {
           .as("est_jaccard_micro"))
     }),
 
-    // --- LLM ops: SimHash near-dup pairs via chunk blocking (rows-only) ---
+    // --- LLM ops: SimHash near-dup pairs via chunk blocking (rows-only).
+    //     maxDist=3 -> classic 4x16-bit pigeonhole: recall 1.0 by
+    //     construction AND 16-bit bucket keys keep candidate volume
+    //     ~n^2/65536 per chunk. Larger d is supported by the operator
+    //     ((d+1)-chunk blocking) but narrows keys to 64/(d+1) bits — at
+    //     d=10 that meant 6-bit keys and a near-quadratic candidate blowup
+    //     (71s-class bench regressions at sf0.1); keep gate d small. ---
     "q_simhash_pairs" -> ((s, dir) => {
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxDist = 10)
+        maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long")
           .as("hamming"))
     }),
