@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Stats
-import graft.operators.Regression
 
 /** Trading-strategy operators (SURVEY §2.9 M8/M10-M12, §2.8 F8/F9;
   * `/root/reference/trading_strategy.py`).
@@ -75,24 +74,72 @@ object Strategy {
 
   /** M8: rolling per-day refit — for each session d, fit OLS of `y` on
     * `xs` over the previous `lookback` sessions of the panel and predict
-    * day d's rows => signal. Driver loops over days (small count), each
-    * fit is one distributed agg (`trading_strategy.py:138-245`). */
+    * day d's rows => signal (`trading_strategy.py:138-245`).
+    *
+    * Fully distributed, ONE plan, zero driver loops: the OLS normal
+    * equations are additive in the X'X / X'y power sums, so
+    *   1. one map-side-combinable groupBy(date) reduces the panel to one
+    *      row of k(k+1)/2 + k + 1 sums per day;
+    *   2. a rolling window over the tiny day-level frame sums the previous
+    *      `lookback` days' moments (the unpartitioned window is fine: its
+    *      input is |days| rows — ~250/year — no matter the panel size);
+    *   3. a per-day (k+1)x(k+1) solve (commons-math QR, same as
+    *      [[graft.operators.Regression.olsByGroup]]) runs as a UDF on that
+    *      day frame;
+    *   4. the day->beta table broadcast-joins back onto the panel.
+    * At 100x the panel only step 1 touches the data; steps 2-4 stay
+    * O(days). Days whose trailing X'X is singular yield a null signal. */
   def rollingRefitSignals(panel: DataFrame, y: String, xs: Seq[String],
                           lookback: Int): DataFrame = {
-    val spark = panel.sparkSession
-    import spark.implicits._
-    val days = panel.select(col("date")).distinct()
-      .orderBy(col("date")).as[java.sql.Date].collect()
-    val frames = days.zipWithIndex.drop(lookback).map { case (d, i) =>
-      val trainDays = days.slice(i - lookback, i)
-      val train = panel.filter(col("date").isin(trainDays.map(_.toString): _*))
-      val fit = Regression.olsByGroup(train, y, xs, Nil).head
-      val combo = xs.zip(fit.coefs).foldLeft(lit(fit.intercept)) {
-        case (acc, (x, b)) => acc + coalesce(col(x), lit(0.0)) * lit(b)
+    val k = xs.size
+    val cols: Seq[Column] = lit(1.0) +: xs.map(c => col(c).cast("double"))
+    val yc = col(y).cast("double")
+    val momentNames =
+      (for (i <- 0 to k; j <- i to k) yield s"xx_${i}_$j") ++
+        (0 to k).map(i => s"xy_$i")
+    var dayAggs = Seq.empty[Column]
+    for (i <- 0 to k; j <- i to k)
+      dayAggs :+= sum(cols(i) * cols(j)).as(s"xx_${i}_$j")
+    for (i <- 0 to k) dayAggs :+= sum(cols(i) * yc).as(s"xy_$i")
+    val daySums = panel.groupBy(col("date"))
+      .agg(dayAggs.head, dayAggs.tail: _*)
+
+    val w = Window.orderBy(col("date")).rowsBetween(-lookback, -1)
+    // null day-moments (all-null regressor day) roll up like the single-pass
+    // sum would: skipped by sum, 0.0 into the solve (olsByGroup's getAs)
+    val rolled = daySums.select(
+      (col("date") +:
+        momentNames.map(m => coalesce(sum(col(m)).over(w), lit(0.0)).as(m)) :+
+        count(lit(1)).over(w).as("__train_days")): _*)
+      .filter(col("__train_days") === lookback)
+
+    val solve = udf((xxFlat: Seq[Double], xyFlat: Seq[Double]) => {
+      import org.apache.commons.math3.linear._
+      val p = xyFlat.size
+      val m = new Array2DRowRealMatrix(p, p)
+      var idx = 0
+      for (i <- 0 until p; j <- i until p) {
+        m.setEntry(i, j, xxFlat(idx)); m.setEntry(j, i, xxFlat(idx))
+        idx += 1
       }
-      panel.filter(col("date") === lit(d.toString)).withColumn("signal", combo)
+      try {
+        val beta = new QRDecomposition(m).getSolver
+          .solve(new ArrayRealVector(xyFlat.toArray))
+        (0 until p).map(beta.getEntry)
+      } catch { case _: Exception => null }
+    })
+    val xxArr = array((for (i <- 0 to k; j <- i to k)
+      yield col(s"xx_${i}_$j")): _*)
+    val xyArr = array((0 to k).map(i => col(s"xy_$i")): _*)
+    val betas = rolled.select(col("date"), solve(xxArr, xyArr).as("__beta"))
+
+    val signal = xs.zipWithIndex.foldLeft(element_at(col("__beta"), 1)) {
+      case (acc, (x, i)) =>
+        acc + coalesce(col(x), lit(0.0)) * element_at(col("__beta"), i + 2)
     }
-    frames.reduce(_ unionByName _)
+    panel.join(broadcast(betas), Seq("date"))
+      .withColumn("signal", signal)
+      .select((panel.columns.map(col) :+ col("signal")): _*)
   }
 
   /** M10: Sharpe test over a daily PnL series per group + M12 PPT. */

@@ -131,9 +131,16 @@ object LobsterFixture {
       Ingest.withEventTime(rawDay(spark, nEvents, seed))))
 
   /** Multi-day prepped panel input: consecutive weekdays from `startDate`,
-    * one independent synthetic day each (seed varies per day). */
+    * one independent synthetic day each (seed varies per day).
+    *
+    * Default density (4000 raw events) is chosen so the 10:00-15:30 core
+    * session is covered end-to-end (~9 s mean inter-event step needs ~2200
+    * events for the 19,800 s core; surplus events clamp at 16:00 and are
+    * dropped by the session filter). At 1200 events the day exhausts near
+    * 13:00 and every later 15-min bin is empty — pass a small `nEvents`
+    * deliberately to exercise empty-bin/null-return semantics. */
   def preppedDays(spark: SparkSession, startDate: String, nDays: Int,
-                  nEvents: Int = 1200, seed: Long = 42L): DataFrame = {
+                  nEvents: Int = 4000, seed: Long = 42L): DataFrame = {
     var d = java.time.LocalDate.parse(startDate)
     val frames = (0 until nDays).map { i =>
       while (d.getDayOfWeek.getValue > 5) d = d.plusDays(1)

@@ -29,11 +29,38 @@ class MultiDaySpec extends SparkSpec {
       .filter(col("bin_ns") === col("__max_bin"))
     assert(lastBins.count() == 4)
     assert(lastBins.filter(col("fut_log_ret").isNotNull).count() == 0)
-    // and interior bins DO carry a future return
+    // and interior bins DO carry a future return (fixture density covers
+    // the whole core session, so every successor bin has a defined log_ret)
     val interior = panel
       .withColumn("__max_bin", max(col("bin_ns")).over(w))
       .filter(col("bin_ns") < col("__max_bin"))
+    assert(interior.count() == 84 - 4)
     assert(interior.filter(col("fut_log_ret").isNull).count() == 0)
+  }
+
+  test("bin before an EMPTY bin has null fut_log_ret (reference semantics: " +
+    "order_imbalance.py:91 shift(-1) of a NaN log_ret; the :301 fill " +
+    "touches only OI columns, never returns)") {
+    // sparse day: ~260 core events at ~9 s mean step exhaust coverage near
+    // 10:40, so late 15-min bins are empty after densification
+    val sparse = LobsterFixture
+      .preppedDays(spark, "2024-02-05", nDays = 1, nEvents = 300)
+    val (panel, _) = Pipelines.ep1(sparse, 15L * 60 * 1000000000L)
+    val rows = panel.select(col("bin_ns"), col("log_ret"), col("fut_log_ret"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    val emptyBins = rows.filter(_._2.isEmpty)
+    assert(emptyBins.nonEmpty, "sparse fixture must produce empty bins")
+    // every bin's fut_log_ret IS its successor's log_ret — including None
+    // when the successor bin is empty
+    rows.sliding(2).foreach {
+      case Array((_, _, fut), (_, ret, _)) => assert(fut == ret)
+      case _ =>
+    }
+    assert(rows.exists { case (_, ret, fut) => ret.isDefined && fut.isEmpty })
   }
 
   test("per-day fut_log_ret differential: equals brute-force next-bin " +

@@ -98,6 +98,47 @@ class ReturnsAndStrategySpec extends SparkSpec {
     assertApprox(r, 6.0, 1e-8)
   }
 
+  test("rollingRefitSignals: distributed power-sum form equals the " +
+    "per-day refit loop (k=2, multi-ticker EP2 fixture)") {
+    import graft.operators.Regression
+    val rng = new scala.util.Random(7)
+    val rows = for {
+      d <- 10 to 17
+      t <- Seq("A", "B", "C", "D")
+      b <- 1 to 3
+    } yield Row(t, java.sql.Date.valueOf(s"2024-01-$d"), b.toLong,
+      rng.nextDouble() * 2 - 1, rng.nextDouble(),
+      rng.nextGaussian() * 0.01)
+    val p = df("ticker STRING, date DATE, bin_ns BIGINT, x1 DOUBLE, " +
+      "x2 DOUBLE, y DOUBLE", rows: _*)
+    val lookback = 3
+    // reference implementation: the driver day-loop this operator replaced
+    val days = p.select(col("date")).distinct().orderBy(col("date"))
+      .collect().map(_.getDate(0))
+    val expected = days.zipWithIndex.drop(lookback).flatMap { case (d, i) =>
+      val trainDays = days.slice(i - lookback, i)
+      val train = p.filter(col("date").isin(trainDays.map(_.toString): _*))
+      val fit = Regression.olsByGroup(train, "y", Seq("x1", "x2"), Nil).head
+      p.filter(col("date") === lit(d.toString))
+        .select(col("ticker"), col("date"), col("bin_ns"), col("x1"), col("x2"))
+        .collect().map { r =>
+          (r.getString(0), r.getDate(1).toString, r.getLong(2)) ->
+            (fit.intercept + fit.coefs(0) * r.getDouble(3) +
+              fit.coefs(1) * r.getDouble(4))
+        }
+    }.toMap
+    val got = Strategy.rollingRefitSignals(p, "y", Seq("x1", "x2"), lookback)
+      .select(col("ticker"), col("date").cast("string"), col("bin_ns"),
+        col("signal"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        r.getDouble(3)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (key, s) =>
+      assert(math.abs(s - expected(key)) < 1e-9, s"$key: $s vs ${expected(key)}")
+    }
+  }
+
   test("strategyStats: sharpe + p-value per group") {
     val pnl = df("g STRING, pnl DOUBLE",
       (1 to 30).map(i => Row("s1", 0.01 + 0.001 * (i % 5))): _*)
