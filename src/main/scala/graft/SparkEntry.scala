@@ -743,8 +743,10 @@ object SparkEntry {
           col("corpus_id"), r6(col("cosine")).as("cosine_micro"))
     }),
 
-    // --- LLM ops: embedding near-dup pairs (cosine >= 0.95, LSH-bucketed
-    //     candidates verified exactly; brute-force double-check in spec) ---
+    // --- LLM ops: embedding near-dup pairs (cosine >= 0.95). At gate SFs
+    //     the corpus is under nearDupPairs' broadcastLimit so the EXACT
+    //     block-nested-loop runs; past the limit the operator switches to
+    //     SRP-bucketed candidates + exact verify (equality spec-pinned) ---
     "q_embed_neardup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"),

@@ -116,27 +116,62 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (>= threshold), EXACT, via a
-    * distributed block-nested-loop: the corpus is broadcast once as
-    * primitive double arrays and every partition scores its rows against
-    * the ids greater than its own (each unordered pair computed exactly
-    * once). Primitive loops run ~50x faster than interpreted higher-order
-    * array expressions and keep the exact left-to-right summation order of
-    * the SQL `aggregate` fold (bit-identical cosines vs the DuckDB oracle).
+  /** Exact pairwise cosine: primitive while-loop (left-to-right summation,
+    * bit-identical to the SQL `aggregate` fold and the DuckDB oracle),
+    * ~50x faster than interpreted higher-order array expressions. Returns
+    * None on length mismatch or zero norm. */
+  private def exactCosine(va: Seq[Double], vb: Seq[Double]): Option[Double] =
+    if (va == null || vb == null || va.length != vb.length) None
+    else {
+      val d = va.length
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) {
+        dot += va(i) * vb(i); na += va(i) * va(i)
+        nb += vb(i) * vb(i); i += 1
+      }
+      if (na > 0 && nb > 0) Some(dot / (math.sqrt(na) * math.sqrt(nb)))
+      else None
+    }
+
+  /** Embedding-cosine near-duplicate pairs (cosine >= threshold), each
+    * unordered pair (id_a < id_b) emitted once.
     *
-    * Scale envelope: broadcast is n*d*8 bytes — fine to ~10^6 x 10^3 dims
-    * (8 GB executors). Beyond that, generate candidates with
-    * [[lshTopK]]-style SRP bucketing and verify each candidate pair with
-    * the same exact formula. */
+    * Two physical paths behind one API:
+    *  - corpora up to `broadcastLimit` rows: EXACT distributed
+    *    block-nested-loop — the corpus is broadcast once as primitive
+    *    double arrays and every partition scores its rows against the ids
+    *    greater than its own. Broadcast is n*d*8 bytes — fine to ~10^5 rows
+    *    x 10^3 dims on 8 GB executors.
+    *  - beyond the limit: SRP-bucketed candidates + exact verify — the
+    *    100 TB path. Rows are signed with `bands * bitsPerBand` (<= 64)
+    *    random hyperplanes ([[srpSignature]]), pairs sharing any band
+    *    bucket become candidates (one band-bucket shuffle join, the same
+    *    shape as [[lshTopK]]; candidates are bounded by bucket
+    *    co-occupancy, never O(n^2)), and each candidate is verified with
+    *    the same exact cosine the broadcast path uses. Recall < 1 by
+    *    construction: at threshold 0.95 a true pair disagrees on a given
+    *    hyperplane with p = acos(0.95)/pi ~ 0.10, so P(miss) =
+    *    (1 - 0.9^8)^8 ~ 1% at the 8x8 default; tighter thresholds push it
+    *    toward zero (8e-5 at 0.99). Raise `bands` (fewer bits) for recall,
+    *    `bitsPerBand` for pruning. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+                   threshold: Double, broadcastLimit: Long = 100000L,
+                   bands: Int = 8, bitsPerBand: Int = 8,
+                   seed: Long = 42L): DataFrame = {
     val vecs = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v")).as[(Long, Array[Double])]
-    val corpus = vecs.collect().sortBy(_._1)
+      col(vecCol).cast("array<double>").as("v"))
+    if (vecs.count() <= broadcastLimit) nearDupPairsExact(vecs, threshold)
+    else nearDupPairsBucketed(vecs, threshold, bands, bitsPerBand, seed)
+  }
+
+  private def nearDupPairsExact(vecs: DataFrame, threshold: Double)
+      : DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val ds = vecs.as[(Long, Array[Double])]
+    val corpus = ds.collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(corpus)
-    val out = vecs.mapPartitions { iter =>
+    ds.mapPartitions { iter =>
       val c = bc.value
       iter.flatMap { case (idA, va) =>
         // first corpus index with id > idA (corpus sorted by id)
@@ -145,25 +180,49 @@ object Similarity {
           val m = (lo + hi) >>> 1
           if (c(m)._1 <= idA) lo = m + 1 else hi = m
         }
-        val d = va.length
         Iterator.range(lo, c.length).flatMap { j =>
           val (idB, vb) = c(j)
-          if (vb.length != d) Iterator.empty
-          else {
-            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-            while (i < d) {
-              dot += va(i) * vb(i); na += va(i) * va(i)
-              nb += vb(i) * vb(i); i += 1
-            }
-            if (na > 0 && nb > 0) {
-              val cos = dot / (math.sqrt(na) * math.sqrt(nb))
-              if (cos >= threshold) Iterator.single((idA, idB, cos))
-              else Iterator.empty
-            } else Iterator.empty
+          exactCosine(va, vb) match {
+            case Some(cos) if cos >= threshold =>
+              Iterator.single((idA, idB, cos))
+            case _ => Iterator.empty
           }
         }
       }
     }.toDF("id_a", "id_b", "cosine")
-    out
+  }
+
+  private def nearDupPairsBucketed(vecs: DataFrame, threshold: Double,
+                                   bands: Int, bitsPerBand: Int,
+                                   seed: Long): DataFrame = {
+    require(bands * bitsPerBand <= 64,
+      s"SRP signature is one 64-bit word: bands ($bands) * bitsPerBand " +
+        s"($bitsPerBand) must be <= 64")
+    val nPlanes = bands * bitsPerBand
+    val dims = vecs.agg(max(size(col("v")))).first().getInt(0) // 1-row fetch
+    val sig = vecs
+      .select(col("id"), col("v"),
+        srpSignature(col("v"), nPlanes, dims, seed).as("__sig"))
+      // persisted barrier: projection collapse would otherwise inline the
+      // nPlanes-dot-product signature into every band extraction
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("id"), col("v"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("__sig"), b * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("v").as("__va"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("v").as("__vb"))
+    val verify = udf((va: Seq[Double], vb: Seq[Double]) =>
+      exactCosine(va, vb))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        verify(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine").isNotNull && col("cosine") >= threshold)
   }
 }

@@ -61,6 +61,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sameElements(Array((1L, 2L))))
   }
 
+  test("nearDupPairs: SRP-bucketed path == exact broadcast path on a " +
+    "clustered corpus at threshold 0.95") {
+    // 12 clusters x 5 near-identical members + 20 scattered vectors, 16 dims
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 12).flatMap { c =>
+      val center = Array.fill(16)(rng.nextGaussian())
+      (0 until 5).map { m =>
+        (c * 5 + m).toLong -> center.map(_ + rng.nextGaussian() * 0.01).toSeq
+      }
+    } ++ (0 until 20).map { i =>
+      (100 + i).toLong -> Array.fill(16)(rng.nextGaussian()).toSeq
+    }
+    val d = vecs(rows: _*)
+    def key(r: Row) = (r.getLong(0), r.getLong(1))
+    val exact = Similarity.nearDupPairs(d, "id", "v", 0.95).collect()
+    val bucketed = Similarity
+      .nearDupPairs(d, "id", "v", 0.95, broadcastLimit = 0L).collect()
+    assert(exact.length >= 12 * 10, "clusters must yield true near-dups")
+    assert(bucketed.map(key).toSet == exact.map(key).toSet)
+    // verify formula is shared: cosines agree bit-for-bit
+    val exactCos = exact.map(r => key(r) -> r.getDouble(2)).toMap
+    bucketed.foreach(r => assert(r.getDouble(2) == exactCos(key(r))))
+  }
+
   test("lshTopK finds identical vectors (recall on exact dups)") {
     val d = vecs(
       1L -> Seq(1.0, 2.0, 3.0, 4.0), 2L -> Seq(1.0, 2.0, 3.0, 4.0),
