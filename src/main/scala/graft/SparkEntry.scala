@@ -74,6 +74,51 @@ object SparkEntry {
   private val Side =
     "CASE WHEN event_type IN ('click','view','purchase') THEN -1 ELSE 1 END"
 
+  // ---- S5 FF CSV fixture (shared by query + oracle; see q_s5_ff_csv) ----
+
+  private val FfFixturePath = "/tmp/graft_ff_fixture.csv"
+  private val FfFixtureCsv =
+    """This file mirrors the Ken-French data library daily-factor layout
+      |Daily factors in percent; the annual section at the bottom is dropped
+      |,SMB,HML,RF,CMA,RMW
+      |20171228,0.11,-0.22,0.009,0.05,0.15
+      |20171229,0.10,-0.20,0.010,0.04,0.16
+      |20180102,0.25,0.30,0.010,-0.10,0.05
+      |20180103,-0.15,0.40,0.010,0.20,-0.25
+      |20180104,0.05,-0.10,0.010,0.00,0.30
+      |Annual Factors: January-December
+      |2018,1.00,2.00,0.50,0.30,0.10
+      |""".stripMargin
+
+  /** Laplace-expansion determinant over symbolic SQL entries — used by the
+    * q_m5_full oracle to spell the 5x5 Cramer solve as plain arithmetic.
+    * DuckDB evaluates it with IEEE semantics; the Spark side solves the
+    * same normal equations via QR (commons-math), identical to ~1e-13
+    * relative, which micro-rounding absorbs. */
+  private def sqlDet(m: Vector[Vector[String]]): String =
+    if (m.size == 1) m(0)(0)
+    else {
+      val terms = m(0).indices.map { j =>
+        val minor = m.tail.map(row => row.patch(j, Nil, 1))
+        s"(${m(0)(j)} * ${sqlDet(minor)})"
+      }
+      terms.zipWithIndex.tail.foldLeft(terms.head) { case (acc, (t, j)) =>
+        if (j % 2 == 1) s"($acc - $t)" else s"($acc + $t)"
+      }
+    }
+
+  /** Symbolic X'X (moment names m<i><j>, i<=j) for 4 regressors+intercept. */
+  private val M5FullXtX: Vector[Vector[String]] =
+    Vector.tabulate(5, 5)((i, j) =>
+      s"m${math.min(i, j)}${math.max(i, j)}")
+  private val M5FullRhs: Vector[String] =
+    Vector.tabulate(5)(i => s"r$i")
+  /** Cramer numerator: X'X with column `j` replaced by the RHS. */
+  private def m5FullNum(j: Int): String =
+    sqlDet(M5FullXtX.zipWithIndex.map { case (row, i) =>
+      row.updated(j, M5FullRhs(i))
+    })
+
   // ---- driver contract ----------------------------------------------------
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the EP1
@@ -658,12 +703,15 @@ object SparkEntry {
     // --- LLM ops: MinHash signatures (no SQL oracle: xxhash64). The raw
     //     array<bigint> is folded to ONE scalar per row: array columns are
     //     unsortable by the driver's pandas row comparator (round-1 crash),
-    //     and the md5 of the joined signature pins every element anyway ---
+    //     and the md5 of the joined signature pins every element anyway.
+    //     Null slots (empty shingle set) map to an explicit sentinel before
+    //     the join — concat_ws silently DROPS nulls, which would make
+    //     signatures differing only in null positions collide ---
     "q_minhash_sig" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
         md5(concat_ws(",",
-          Dedup.minHashSignature(col("text"), n = 3, k = 16)
-            .cast("array<string>"))).as("sig_md5"))
+          transform(Dedup.minHashSignature(col("text"), n = 3, k = 16),
+            e => coalesce(e.cast("string"), lit("null"))))).as("sig_md5"))
     }),
 
     // --- LLM ops: MinHash+LSH banded candidate pairs (rows-only) ---
@@ -677,9 +725,13 @@ object SparkEntry {
     //     maxDist=3 -> classic 4x16-bit pigeonhole: recall 1.0 by
     //     construction AND 16-bit bucket keys keep candidate volume
     //     ~n^2/65536 per chunk. Larger d is supported by the operator
-    //     ((d+1)-chunk blocking) but narrows keys to 64/(d+1) bits — at
-    //     d=10 that meant 6-bit keys and a near-quadratic candidate blowup
-    //     (71s-class bench regressions at sf0.1); keep gate d small. ---
+    //     ((d+1)-chunk blocking) but narrows keys to 64/(d+1) bits and
+    //     degrades toward O(n^2/2^width) candidates. NOTE: the gate ran
+    //     d=10 through round 2 (r1 2.98s / r2 ~3s at sf0.1 — the r2 71s
+    //     entry was q_dedup_jaccard's cache pollution, not simhash);
+    //     d=3 since round 3 is a WORKLOAD change (pairs at hamming 4..10
+    //     no longer emitted), so r3+ bench times for this query are not
+    //     comparable to r1/r2. ---
     "q_simhash_pairs" -> ((s, dir) => {
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxDist = 3)
@@ -753,6 +805,156 @@ object SparkEntry {
           transform(col("embedding"), x => x.cast("double")).as("vec"))
       Similarity.nearDupPairs(emb, "vec_id", "vec", 0.95)
         .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine_micro"))
+    }),
+
+    // --- M6: t-values + adjusted R^2 for the M5 simple OLS, closed-form
+    //     power sums on both sides (chunk_pipeline.py:201-243) ---
+    "q_m6_tvalues" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val g = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * x).as("sxx"),
+        sum(x * y).as("sxy"), sum(y * y).as("syy"))
+      val sxxC = col("sxx") - col("sx") * col("sx") / col("n")
+      val tss = col("syy") - col("sy") * col("sy") / col("n")
+      val slope = (col("sxy") - col("sx") * col("sy") / col("n")) / sxxC
+      val icept = (col("sy") - slope * col("sx")) / col("n")
+      val rss = col("syy") - icept * col("sy") - slope * col("sxy")
+      val sigma2 = rss / (col("n") - 2)
+      g.select(col("l_returnflag"),
+        r6(slope / sqrt(sigma2 / sxxC)).as("t_slope_micro"),
+        r6(icept / sqrt(sigma2 * col("sxx") / (col("n") * sxxC)))
+          .as("t_icept_micro"),
+        r6(lit(1.0) - (rss / tss) * (col("n") - 1) / (col("n") - 2))
+          .as("adj_r2_micro"),
+        col("n").cast("long").as("n"))
+    }),
+
+    // --- A4 aggressiveness variant: conditional weighted OI by the
+    //     reference's agg_low/agg_mid/agg_high selection
+    //     (order_imbalance.py:419-432): low = passively-priced given the
+    //     predicted direction, mid = exactly at the half-spread, high =
+    //     aggressively priced. pred_dir from linenumber parity, agg_ratio
+    //     in [0,1] from the discount ---
+    "q_a4_agg_oi" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("pred_dir",
+          when(col("l_linenumber") % 2 === 0, 1).otherwise(-1))
+        .withColumn("agg_ratio", col("l_discount") * 10.0)
+      val low = (col("pred_dir") === 1 && col("agg_ratio") < 0.5) ||
+        (col("pred_dir") === -1 && col("agg_ratio") > 0.5)
+      val mid = col("agg_ratio") === 0.5
+      val high = (col("pred_dir") === 1 && col("agg_ratio") > 0.5) ||
+        (col("pred_dir") === -1 && col("agg_ratio") < 0.5)
+      def woi(cond: Column, name: String): Column = {
+        val num = sum(when(cond, col("l_extendedprice") *
+          (lit(1.0) - lit(2.0) * col("l_discount"))).otherwise(0.0))
+        val den = sum(when(cond, col("l_extendedprice")).otherwise(0.0))
+        r6(num / when(den =!= 0.0, den)).as(name)
+      }
+      li.groupBy(col("l_returnflag")).agg(
+        woi(low, "oi_agg_low_micro"), woi(mid, "oi_agg_mid_micro"),
+        woi(high, "oi_agg_high_micro"))
+    }),
+
+    // --- P5: sentinel-quote validity filter (EDA.ipynb cell 25; LOBSTER
+    //     one-sided-book sentinels +/-9999999999). Quotes synthesized
+    //     deterministically; Microstructure.validQuote does the tagging ---
+    "q_p5_sentinel" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+        .withColumn("ask", when(col("event_id") % 97 === 0,
+          lit(9999999999L).cast("double")).otherwise(col("value") + 1.0))
+        .withColumn("bid", when(col("event_id") % 89 === 0,
+          lit(-9999999999L).cast("double")).otherwise(col("value") - 1.0))
+      ev.filter(Microstructure.validQuote(col("ask"), col("bid")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+    }),
+
+    // --- P8: outside-spread direction remap
+    //     (prediction_ML_pipeline.py:247-262): agg_ratio <= 0 -> forced buy
+    //     (dir 1, prob 1), >= 1 -> forced sell (dir -1, prob 0), inside the
+    //     spread keeps the model output. agg_ratio lands in
+    //     {-0.5, 0, 0.5, 1} by construction, covering every branch ---
+    "q_p8_outside_spread" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+        .withColumn("bid", col("value"))
+        .withColumn("ask", col("value") + 2.0)
+        .withColumn("price",
+          col("value") - 1.0 + (col("event_id") % 4).cast("double"))
+      val tagged = ev.withColumn("agg_ratio",
+        Microstructure.aggRatio(col("price"), col("ask"), col("bid")))
+      tagged.select(col("event_id"),
+        when(col("agg_ratio") <= 0, 1).when(col("agg_ratio") >= 1, -1)
+          .otherwise(side(col("event_type"))).cast("long").as("pred_dir"),
+        r6(when(col("agg_ratio") <= 0, 1.0).when(col("agg_ratio") >= 1, 0.0)
+          .otherwise(0.5)).as("pred_prob_micro"))
+    }),
+
+    // --- J1: positional 1:1 alignment of two parallel streams (the
+    //     reference aligns message/orderbook files row-by-row,
+    //     Ingest.scala J1): i-th click joined to i-th view per user ---
+    "q_j1_align" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+      def stream(t: String, p: String): DataFrame = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        ev.filter(col("event_type") === t)
+          .select(col("user_id"), col("event_id").as(s"${p}_id"),
+            col("value").as(s"${p}_value"),
+            row_number().over(w).cast("long").as("rn"))
+      }
+      stream("click", "m").join(stream("view", "q"), Seq("user_id", "rn"))
+        .select(col("user_id"), col("rn"), col("m_id"), col("q_id"),
+          r6(col("m_value") - col("q_value")).as("diff_micro"))
+    }),
+
+    // --- S5: Fama-French factor CSV parse (order_imbalance.py:116-129).
+    //     The driver ships no CSV table, so the gate writes a fixed
+    //     Ken-French-layout fixture (banners, yyyyMMdd dates, trailing
+    //     annual section) and both engines parse THE SAME FILE ---
+    "q_s5_ff_csv" -> ((s, dir) => {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(FfFixturePath),
+        FfFixtureCsv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.sources.AuxSources.ffFactorsCsv(s, FfFixturePath)
+        .select(col("date"), col("SMB").as("smb"), col("HML").as("hml"),
+          col("RF").as("rf"), col("CMA").as("cma"), col("RMW").as("rmw"))
+    }),
+
+    // --- M5 full design matrix (EP1, chunk_pipeline.py:271-304): daily
+    //     returns regressed on OI + two factor columns + momentum lag,
+    //     composed through Returns.addFactors + Regression.olsByGroup.
+    //     Spark solves via QR on distributed power sums; the oracle solves
+    //     the same normal equations via literal Cramer expansion ---
+    "q_m5_full" -> ((s, dir) => {
+      val daily = eventsNs(s, dir)
+        .withColumn("day", (col("ts_ns") / lit(DAY)).cast("long"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(side(col("event_type")) * col("value")).as("ret"),
+          sum(col("value")).as("vsum"))
+        .withColumn("oi", col("ret") / when(col("vsum") =!= 0.0, col("vsum")))
+        .withColumn("date", col("day"))
+      // deterministic per-day factor table (FF stand-in), broadcast-joined
+      // through the same operator the EP1 pipeline uses
+      val ff = daily.select(col("date")).distinct()
+        .withColumn("f1", ((col("date") % 5) - 2) / 10.0)
+        .withColumn("f2", ((col("date") % 7) - 3) / 100.0)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val panel = graft.domain.Returns.addFactors(daily, ff)
+        .withColumn("mom", lag(col("ret"), 1).over(w))
+        .withColumn("fut_ret", lead(col("ret"), 1).over(w))
+        .filter(col("fut_ret").isNotNull && col("oi").isNotNull &&
+          col("mom").isNotNull)
+      val fit = Regression.olsByGroup(panel, "fut_ret",
+        Seq("oi", "f1", "f2", "mom"), Nil).head
+      def micro(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+      import s.implicits._
+      Seq((micro(fit.intercept), micro(fit.coefs(0)), micro(fit.coefs(1)),
+        micro(fit.coefs(2)), micro(fit.coefs(3)), fit.n))
+        .toDF("b0_micro", "b_oi_micro", "b_f1_micro", "b_f2_micro",
+          "b_mom_micro", "n")
     })
   )
 
@@ -1264,6 +1466,129 @@ object SparkEntry {
          |  ${R6("list_sum(list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i])) / (sqrt(list_sum(list_transform(a.vec, x -> x*x))) * sqrt(list_sum(list_transform(b.vec, x -> x*x))))")} AS cosine_micro
          |FROM v a, v b
          |WHERE a.vec_id < b.vec_id
-         |  AND list_sum(list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i])) / (sqrt(list_sum(list_transform(a.vec, x -> x*x))) * sqrt(list_sum(list_transform(b.vec, x -> x*x)))) >= 0.95""".stripMargin
+         |  AND list_sum(list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i])) / (sqrt(list_sum(list_transform(a.vec, x -> x*x))) * sqrt(list_sum(list_transform(b.vec, x -> x*x)))) >= 0.95""".stripMargin,
+
+    "q_m6_tvalues" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag, COUNT(*)::DOUBLE AS n,
+         |    SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+         |    SUM(l_quantity*l_quantity) AS sxx,
+         |    SUM(l_quantity*l_extendedprice) AS sxy,
+         |    SUM(l_extendedprice*l_extendedprice) AS syy
+         |  FROM lineitem GROUP BY 1),
+         |d AS (SELECT *, sxx - sx*sx/n AS sxx_c, syy - sy*sy/n AS tss FROM g),
+         |b AS (SELECT *, (sxy - sx*sy/n) / sxx_c AS slope FROM d),
+         |i AS (SELECT *, (sy - slope*sx) / n AS icept FROM b),
+         |r AS (SELECT *, syy - icept*sy - slope*sxy AS rss FROM i)
+         |SELECT l_returnflag,
+         |  ${R6("slope / sqrt((rss/(n-2)) / sxx_c)")} AS t_slope_micro,
+         |  ${R6("icept / sqrt((rss/(n-2)) * sxx / (n * sxx_c))")} AS t_icept_micro,
+         |  ${R6("1.0 - (rss/tss) * (n-1) / (n-2)")} AS adj_r2_micro,
+         |  CAST(n AS BIGINT) AS n
+         |FROM r""".stripMargin,
+
+    "q_a4_agg_oi" ->
+      s"""WITH t AS (
+         |  SELECT l_returnflag, l_extendedprice, l_discount,
+         |    CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE -1 END AS pred_dir,
+         |    l_discount * 10.0 AS agg_ratio
+         |  FROM lineitem)
+         |SELECT l_returnflag,
+         |  ${R6("SUM(CASE WHEN (pred_dir = 1 AND agg_ratio < 0.5) OR (pred_dir = -1 AND agg_ratio > 0.5) THEN l_extendedprice*(1.0-2.0*l_discount) ELSE 0.0 END) / NULLIF(SUM(CASE WHEN (pred_dir = 1 AND agg_ratio < 0.5) OR (pred_dir = -1 AND agg_ratio > 0.5) THEN l_extendedprice ELSE 0.0 END), 0)")} AS oi_agg_low_micro,
+         |  ${R6("SUM(CASE WHEN agg_ratio = 0.5 THEN l_extendedprice*(1.0-2.0*l_discount) ELSE 0.0 END) / NULLIF(SUM(CASE WHEN agg_ratio = 0.5 THEN l_extendedprice ELSE 0.0 END), 0)")} AS oi_agg_mid_micro,
+         |  ${R6("SUM(CASE WHEN (pred_dir = 1 AND agg_ratio > 0.5) OR (pred_dir = -1 AND agg_ratio < 0.5) THEN l_extendedprice*(1.0-2.0*l_discount) ELSE 0.0 END) / NULLIF(SUM(CASE WHEN (pred_dir = 1 AND agg_ratio > 0.5) OR (pred_dir = -1 AND agg_ratio < 0.5) THEN l_extendedprice ELSE 0.0 END), 0)")} AS oi_agg_high_micro
+         |FROM t GROUP BY 1""".stripMargin,
+
+    "q_p5_sentinel" ->
+      s"""WITH e AS ($EventsNs),
+         |q AS (SELECT *,
+         |  CASE WHEN event_id % 97 = 0 THEN CAST(9999999999 AS DOUBLE)
+         |       ELSE value + 1.0 END AS ask,
+         |  CASE WHEN event_id % 89 = 0 THEN CAST(-9999999999 AS DOUBLE)
+         |       ELSE value - 1.0 END AS bid
+         |  FROM e)
+         |SELECT event_type, COUNT(*) AS n, ${MoneySum("value")} AS sum_value
+         |FROM q WHERE ask <> 9999999999 AND bid <> -9999999999
+         |GROUP BY 1""".stripMargin,
+
+    "q_p8_outside_spread" ->
+      s"""WITH e AS ($EventsNs),
+         |t AS (SELECT event_id, event_type, value,
+         |  value - 1.0 + (event_id % 4) AS price,
+         |  value + 2.0 AS ask, value AS bid FROM e),
+         |r AS (SELECT event_id, event_type,
+         |  CASE WHEN ask - bid <> 0 THEN (price - bid) / (ask - bid) END AS agg_ratio
+         |  FROM t)
+         |SELECT event_id,
+         |  CAST(CASE WHEN agg_ratio <= 0 THEN 1 WHEN agg_ratio >= 1 THEN -1
+         |       ELSE ($Side) END AS BIGINT) AS pred_dir,
+         |  ${R6("CASE WHEN agg_ratio <= 0 THEN 1.0 WHEN agg_ratio >= 1 THEN 0.0 ELSE 0.5 END")} AS pred_prob_micro
+         |FROM r""".stripMargin,
+
+    "q_j1_align" ->
+      s"""WITH e AS ($EventsNs),
+         |m AS (SELECT user_id, event_id AS m_id, value AS m_value,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS rn
+         |  FROM e WHERE event_type = 'click'),
+         |q AS (SELECT user_id, event_id AS q_id, value AS q_value,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS rn
+         |  FROM e WHERE event_type = 'view')
+         |SELECT m.user_id, m.rn, m_id, q_id,
+         |  ${R6("m_value - q_value")} AS diff_micro
+         |FROM m JOIN q ON m.user_id = q.user_id AND m.rn = q.rn""".stripMargin,
+
+    "q_s5_ff_csv" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$FfFixturePath', header=false,
+         |    columns={'date_str': 'VARCHAR', 'smb': 'VARCHAR',
+         |             'hml': 'VARCHAR', 'rf': 'VARCHAR',
+         |             'cma': 'VARCHAR', 'rmw': 'VARCHAR'},
+         |    null_padding=true, ignore_errors=true, delim=',', quote='"',
+         |    auto_detect=false)),
+         |p AS (
+         |  SELECT CAST(strptime(trim(date_str), '%Y%m%d') AS DATE) AS date,
+         |    CAST(smb AS DOUBLE) AS smb, CAST(hml AS DOUBLE) AS hml,
+         |    CAST(rf AS DOUBLE) AS rf, CAST(cma AS DOUBLE) AS cma,
+         |    CAST(rmw AS DOUBLE) AS rmw
+         |  FROM raw
+         |  WHERE length(trim(date_str)) = 8
+         |    AND TRY_CAST(trim(date_str) AS BIGINT) IS NOT NULL)
+         |SELECT * FROM p WHERE date >= DATE '2018-01-01'""".stripMargin,
+
+    "q_m5_full" ->
+      s"""WITH e AS ($EventsNs),
+         |daily AS (
+         |  SELECT user_id, ts_ns // ${DAY} AS day,
+         |    SUM(($Side) * value) AS ret, SUM(value) AS vsum
+         |  FROM e GROUP BY 1, 2),
+         |p0 AS (
+         |  SELECT user_id, day, ret,
+         |    ret / NULLIF(vsum, 0) AS oi,
+         |    ((day % 5) - 2) / 10.0 AS f1,
+         |    ((day % 7) - 3) / 100.0 AS f2,
+         |    LAG(ret) OVER w AS mom,
+         |    LEAD(ret) OVER w AS fut_ret
+         |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         |p AS (SELECT * FROM p0
+         |  WHERE fut_ret IS NOT NULL AND oi IS NOT NULL AND mom IS NOT NULL),
+         |g AS (
+         |  SELECT COUNT(*)::DOUBLE AS m00,
+         |    SUM(oi) AS m01, SUM(f1) AS m02, SUM(f2) AS m03, SUM(mom) AS m04,
+         |    SUM(oi*oi) AS m11, SUM(oi*f1) AS m12, SUM(oi*f2) AS m13,
+         |    SUM(oi*mom) AS m14, SUM(f1*f1) AS m22, SUM(f1*f2) AS m23,
+         |    SUM(f1*mom) AS m24, SUM(f2*f2) AS m33, SUM(f2*mom) AS m34,
+         |    SUM(mom*mom) AS m44,
+         |    SUM(fut_ret) AS r0, SUM(oi*fut_ret) AS r1, SUM(f1*fut_ret) AS r2,
+         |    SUM(f2*fut_ret) AS r3, SUM(mom*fut_ret) AS r4,
+         |    COUNT(*) AS n
+         |  FROM p)
+         |SELECT
+         |  ${R6(s"(${m5FullNum(0)}) / (${sqlDet(M5FullXtX)})")} AS b0_micro,
+         |  ${R6(s"(${m5FullNum(1)}) / (${sqlDet(M5FullXtX)})")} AS b_oi_micro,
+         |  ${R6(s"(${m5FullNum(2)}) / (${sqlDet(M5FullXtX)})")} AS b_f1_micro,
+         |  ${R6(s"(${m5FullNum(3)}) / (${sqlDet(M5FullXtX)})")} AS b_f2_micro,
+         |  ${R6(s"(${m5FullNum(4)}) / (${sqlDet(M5FullXtX)})")} AS b_mom_micro,
+         |  CAST(n AS BIGINT) AS n
+         |FROM g""".stripMargin
   )
 }

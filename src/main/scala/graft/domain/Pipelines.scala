@@ -32,7 +32,7 @@ object Pipelines {
       else featured.withColumn("pred_prob",
         when(col("direction") === -1, 0.0).otherwise(1.0))
     val panel = Oi.densifyPanel(Oi.panel(withProb, deltaNs, kind), deltaNs)
-    val withRet = Returns.addLogReturns(panel)
+    val withRet = Returns.addLogReturns(panel, deltaNs = deltaNs)
     val oiCol = s"order_imbalance_$kind"
     val y = if (predictive) "fut_log_ret" else "log_ret"
     val fitInput = withRet.filter(col(y).isNotNull && col(oiCol).isNotNull)
@@ -51,7 +51,8 @@ object Pipelines {
         when(col("direction") === -1, 0.0).otherwise(1.0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     deltaNs.map { d =>
-      d -> Returns.addLogReturns(Oi.densifyPanel(Oi.panel(featured, d, kind), d))
+      d -> Returns.addLogReturns(
+        Oi.densifyPanel(Oi.panel(featured, d, kind), d), deltaNs = d)
     }.toMap
   }
 

@@ -30,12 +30,20 @@ object Returns {
     if (perDay) byTickerDay else byTicker
 
   /** Log return over the bin (last/first midprice) plus contemporaneous
-    * and next-bin (future) returns (`order_imbalance.py:90-93`). */
+    * and next-bin (future) returns (`order_imbalance.py:90-93`).
+    *
+    * `deltaNs` is the panel's bin width: intraday panels (deltaNs > 0)
+    * lead PER DAY (see object doc); a DAILY panel (deltaNs <= 0, one row
+    * per (ticker, date)) has exactly one row in each (ticker, date)
+    * window, so a per-day lead would silently yield an all-null
+    * fut_log_ret — the next-day lead IS the intended semantics there, and
+    * the operator picks the per-ticker window automatically. */
   def addLogReturns(panel: DataFrame,
                     firstCol: String = "first_midprice",
                     lastCol: String = "last_midprice",
-                    perDay: Boolean = true): DataFrame = {
-    val w = futWindow(perDay)
+                    perDay: Boolean = true,
+                    deltaNs: Long = 1L): DataFrame = {
+    val w = futWindow(perDay && deltaNs > 0)
     panel
       .withColumn("log_ret",
         when(col(firstCol) > 0 && col(lastCol) > 0,

@@ -207,21 +207,31 @@ object Dedup {
     * (e.g. language/source) first; Manku-style rotated multi-block tables
     * are the next step beyond that. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, allowWide: Boolean = false): DataFrame = {
     // persisted for the same projection-collapse reason as minHashLshPairs
     val sigs = df.select(col(idCol).as("id"),
         simHash64(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    simHashPairsFromSigs(sigs, maxDist)
+    simHashPairsFromSigs(sigs, maxDist, allowWide)
   }
 
   /** Pair generation over a precomputed `(id, sig)` frame (see
     * [[simHashPairs]] for the guarantee). Exposed separately so recall can
     * be validated on adversarial bit patterns and so pipelines that
-    * persist signatures can reuse them. */
-  def simHashPairsFromSigs(sigs: DataFrame, maxDist: Int): DataFrame = {
+    * persist signatures can reuse them.
+    *
+    * `allowWide` gates wide distances: beyond maxDist=7 the chunk keys
+    * narrow under 8 bits and candidate volume degrades toward
+    * O(n^2 / 2^width) — a silent scale cliff, so it must be opted into. */
+  def simHashPairsFromSigs(sigs: DataFrame, maxDist: Int,
+                           allowWide: Boolean = false): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       s"maxDist must be in [0, 63], got $maxDist")
+    require(allowWide || 64 / (maxDist + 1) >= 8,
+      s"maxDist=$maxDist narrows chunk keys to ${64 / (maxDist + 1)} bits " +
+        "(< 8): candidate volume degrades toward O(n^2) at corpus scale. " +
+        "Pre-block on a coarse partition or pass allowWide=true to " +
+        "override deliberately.")
     val nChunks = maxDist + 1
     // chunk c covers bits [64c/n, 64(c+1)/n) — disjoint, exhaustive, sizes
     // differ by at most one bit

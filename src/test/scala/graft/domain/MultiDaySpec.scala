@@ -84,13 +84,22 @@ class MultiDaySpec extends SparkSpec {
     }
   }
 
-  test("daily panel across days feeds a ClOp-style regression") {
+  test("daily panel across days feeds a ClOp-style regression; deltaNs<=0 " +
+    "picks the per-ticker window so fut_log_ret is the NEXT DAY's return") {
     val featured = Features.addMicrostructure(days)
       .withColumn("pred_prob", lit(0.5))
     val daily = Oi.panel(featured, 0L, "vis")
     assert(daily.count() == 4)
-    val withRet = Returns.addLogReturns(daily)
+    val withRet = Returns.addLogReturns(daily, deltaNs = 0L)
     // day-level log_ret defined wherever both first/last midprice exist
     assert(withRet.filter(col("log_ret").isNotNull).count() == 4)
+    // a daily panel has ONE row per (ticker, date): a per-day lead would
+    // null out every fut_log_ret; the threaded deltaNs must pick the
+    // per-ticker window so days 1..3 carry the next day's return
+    assert(withRet.filter(col("fut_log_ret").isNotNull).count() == 3)
+    // and the old default (intraday semantics) on the same frame WOULD
+    // have been all-null — the regression ADVICE #2 guarded against
+    assert(Returns.addLogReturns(daily)
+      .filter(col("fut_log_ret").isNotNull).count() == 0)
   }
 }

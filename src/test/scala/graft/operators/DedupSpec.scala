@@ -112,7 +112,8 @@ class DedupSpec extends SparkSpec {
       (ia, sa) <- raw; (ib, sb) <- raw
       if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 10
     } yield (ia, ib)).toSet
-    val blocked = Dedup.simHashPairsFromSigs(sigs, maxDist = 10)
+    val blocked = Dedup.simHashPairsFromSigs(sigs, maxDist = 10,
+        allowWide = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // pairs exist at every distance 1..13; 10 < 13 so some are excluded
     assert(brute.nonEmpty && brute != (for {
@@ -137,8 +138,21 @@ class DedupSpec extends SparkSpec {
       (ia, sa) <- raw; (ib, sb) <- raw
       if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 10
     } yield (ia, ib)).toSet
-    val blocked = Dedup.simHashPairs(d, "doc_id", "text", maxDist = 10)
+    val blocked = Dedup.simHashPairs(d, "doc_id", "text", maxDist = 10,
+        allowWide = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked == brute)
+  }
+
+  test("simHashPairsFromSigs guards wide maxDist: d=10 (6-bit keys) " +
+    "throws unless allowWide is set; d=7 (8-bit keys) passes") {
+    val sigs = df("id BIGINT, sig BIGINT", Row(1L, 7L), Row(2L, 8L))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simHashPairsFromSigs(sigs, maxDist = 10)
+    }
+    assert(e.getMessage.contains("allowWide"))
+    // boundary: 64/(7+1) = 8 bits is the narrowest allowed without opt-in
+    Dedup.simHashPairsFromSigs(sigs, maxDist = 7).collect()
+    Dedup.simHashPairsFromSigs(sigs, maxDist = 10, allowWide = true).collect()
   }
 }
