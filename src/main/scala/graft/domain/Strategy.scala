@@ -142,6 +142,28 @@ object Strategy {
       .select((panel.columns.map(col) :+ col("signal")): _*)
   }
 
+  /** Trailing top-performer selection (`ClOp_analysis.ipynb` cells 8-10:
+    * top-N tickers by trailing 20-day PnL): per (ticker, date), sum the
+    * PnL of the previous `lookback` sessions (exclusive — no lookahead),
+    * rank cross-sectionally per date (W4 row_number semantics, ties by
+    * ticker), keep ranks <= n. Output feeds [[portfolio]] or a restricted
+    * signal universe. Two window shuffles: one per-ticker rolling sum, one
+    * per-date rank — both O(tickers x days), panel-size independent. */
+  def trailingTopPerformers(dailyPnl: DataFrame, lookback: Int, n: Int,
+                            pnlCol: String = "pnl"): DataFrame = {
+    val trail = Window.partitionBy(col("ticker")).orderBy(col("date"))
+      .rowsBetween(-lookback, -1)
+    val trailing = dailyPnl
+      .withColumn("trailing_pnl", sum(col(pnlCol)).over(trail))
+      .withColumn("__n_trail", count(col(pnlCol)).over(trail))
+      .filter(col("__n_trail") === lookback) // full windows only
+      .drop("__n_trail")
+    val rk = Window.partitionBy(col("date"))
+      .orderBy(col("trailing_pnl").desc, col("ticker"))
+    trailing.withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= n)
+  }
+
   /** M10: Sharpe test over a daily PnL series per group + M12 PPT. */
   def strategyStats(dailyPnl: DataFrame, groupCols: Seq[String],
                     pnlCol: String = "pnl"): DataFrame = {

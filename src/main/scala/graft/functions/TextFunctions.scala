@@ -99,24 +99,18 @@ object TextFunctions {
     "en" -> Seq(" the ", " and ", " is ", " of ", " to ", " that ",
       " with ", " for "))
 
-  /** Language-ID heuristic: script-range shares first (zh/ja/ru/ko), then
-    * marker n-gram voting for the Latin-script set. Pure Column
-    * expression — a linear regex scan per language, no UDF. */
-  def langId(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    val n = length(text).cast("double")
+  /** Shared argmax-over-language-scores tail of the langId variants.
+    * The share denominator is clamped to 1 so empty text yields zero
+    * scores and the "en" fallback instead of an ANSI divide-by-zero. */
+  private def langIdFromScores(text: Column,
+                               score: Seq[String] => Column): Column = {
+    val n = greatest(length(text).cast("double"), lit(1.0))
     def share(ranges: String): Column =
       length(regexp_replace(text, s"[^$ranges]", "")).cast("double") / n
     val cjk = share("\\x{4e00}-\\x{9fff}")
     val kana = share("\\x{3040}-\\x{30ff}")
     val hangul = share("\\x{ac00}-\\x{d7af}")
     val cyrillic = share("\\x{0400}-\\x{04ff}")
-    def score(markers: Seq[String]): Column =
-      markers.map { m =>
-        // occurrences of marker m = (len - len(remove m)) / len(m)
-        ((length(padded) - length(regexp_replace(padded,
-          java.util.regex.Pattern.quote(m), ""))) / lit(m.length))
-      }.reduce(_ + _)
     val scored = langMarkers.map { case (l, ms) => (l, score(ms)) }
     val best = scored.tail.foldLeft(
       struct(scored.head._2.as("s"), lit(scored.head._1).as("l"))) {
@@ -130,5 +124,39 @@ object TextFunctions {
       .when(cyrillic > 0.2, "ru")
       .when(best.getField("s") > 0, best.getField("l"))
       .otherwise("en").as("lang_id")
+  }
+
+  /** Language-ID heuristic: script-range shares first (zh/ja/ru/ko), then
+    * marker n-gram voting for the Latin-script set. Pure Column
+    * expression — no UDF.
+    *
+    * Each language's markers are ONE lookahead-alternation regex counted
+    * in a single scan (`(?=(m1|m2|...))` matches are zero-width, so
+    * overlapping marker hits each count — e.g. " und und " scores 2 where
+    * per-marker non-overlapping removal scored 1; the argmax is
+    * insensitive to that, and the differential spec pins old == new on a
+    * multilingual corpus). 10 regex passes per row total (6 languages + 4
+    * script ranges) instead of the ~64 of the per-marker form. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    def score(markers: Seq[String]): Column =
+      regexp_count(padded, lit(markers
+        .map(java.util.regex.Pattern.quote)
+        .mkString("(?=(", "|", "))"))).cast("double")
+    langIdFromScores(text, score)
+  }
+
+  /** Per-marker multi-pass scorer (~64 regex passes/row) — the semantic
+    * reference [[langId]] is measured against in TextFunctionsSpec; kept
+    * for that differential only, not for production scans. */
+  private[graft] def langIdMultiPass(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    def score(markers: Seq[String]): Column =
+      markers.map { m =>
+        // occurrences of marker m = (len - len(remove m)) / len(m)
+        ((length(padded) - length(regexp_replace(padded,
+          java.util.regex.Pattern.quote(m), ""))) / lit(m.length))
+      }.reduce(_ + _)
+    langIdFromScores(text, score)
   }
 }

@@ -139,6 +139,32 @@ class ReturnsAndStrategySpec extends SparkSpec {
     }
   }
 
+  test("trailingTopPerformers: top-N by trailing PnL, exclusive window, " +
+    "hand-computed fixture") {
+    // ticker daily PnL over 5 days; lookback 2, top 1:
+    //   A: 1, 1, 1, 1, 1     trailing(d3)=2, (d4)=2, (d5)=2
+    //   B: 0, 3, 0, 3, 0     trailing(d3)=3, (d4)=3, (d5)=3
+    //   C: 4, 0, 0, 0, 9     trailing(d3)=4, (d4)=0, (d5)=0
+    // winners: d3 -> C (4), d4 -> B (3), d5 -> B (3); C's day-5 PnL spike
+    // must NOT leak into day 5's selection (exclusive window)
+    val pnls = Map("A" -> Seq(1.0, 1.0, 1.0, 1.0, 1.0),
+      "B" -> Seq(0.0, 3.0, 0.0, 3.0, 0.0),
+      "C" -> Seq(4.0, 0.0, 0.0, 0.0, 9.0))
+    val rows = for {
+      (t, ps) <- pnls.toSeq; (p, i) <- ps.zipWithIndex
+    } yield Row(t, java.sql.Date.valueOf(s"2024-03-0${i + 1}"), p)
+    val d = df("ticker STRING, date DATE, pnl DOUBLE", rows: _*)
+    val out = Strategy.trailingTopPerformers(d, lookback = 2, n = 1)
+      .select(col("date").cast("string"), col("ticker"),
+        col("trailing_pnl"), col("rank"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(out == Map(
+      "2024-03-03" -> (("C", 4.0)),
+      "2024-03-04" -> (("B", 3.0)),
+      "2024-03-05" -> (("B", 3.0))))
+  }
+
   test("strategyStats: sharpe + p-value per group") {
     val pnl = df("g STRING, pnl DOUBLE",
       (1 to 30).map(i => Row("s1", 0.01 + 0.001 * (i % 5))): _*)

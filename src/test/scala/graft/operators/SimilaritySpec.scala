@@ -97,6 +97,35 @@ class SimilaritySpec extends SparkSpec {
     assertApprox(out(0)._3, 1.0)
   }
 
+  test("lshTopK recall@3 >= 0.9 vs bruteForceTopK on a clustered corpus " +
+    "at default bands (4x8)") {
+    // 20 clusters x 5 members, 16 dims, ~0.03 rad intra-cluster angle:
+    // per-plane disagreement p ~ 0.01 -> per-band match ~0.93 -> miss
+    // probability (1-0.93)^4 ~ 2e-5 per true neighbor; seeded, so the
+    // measured recall is deterministic
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 20).flatMap { c =>
+      val center = Array.fill(16)(rng.nextGaussian())
+      (0 until 5).map { m =>
+        (c * 5 + m).toLong -> center.map(_ + rng.nextGaussian() * 0.02).toSeq
+      }
+    }
+    val d = vecs(rows: _*)
+    val k = 3
+    def topSets(out: Array[Row]): Map[Long, Set[Long]] = out
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val truth = topSets(Similarity
+      .bruteForceTopK(d, d, "id", "id", "v", "v", k).collect())
+    val got = topSets(Similarity
+      .lshTopK(d, d, "id", "id", "v", "v", k, dims = 16).collect())
+    val recalls = truth.map { case (q, ts) =>
+      got.getOrElse(q, Set.empty[Long]).intersect(ts).size.toDouble / ts.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, f"recall@$k = $recall%.3f")
+  }
+
   test("srpSignature: identical vectors identical, scale-invariant") {
     val d = vecs(1L -> Seq(1.0, 2.0, 3.0), 2L -> Seq(2.0, 4.0, 6.0),
       3L -> Seq(-1.0, -2.0, -3.0))
