@@ -90,6 +90,18 @@ object SparkEntry {
       |2018,1.00,2.00,0.50,0.30,0.10
       |""".stripMargin
 
+  // ---- S8 gzip CSV fixture (shared by query + oracle) ----
+
+  private val GzFixturePath = "/tmp/graft_prices_fixture.csv.gz"
+  private val GzFixtureCsv =
+    """AAPL,190.5,100
+      |MSFT,410.25,50
+      |GOOG,170.0,80
+      |AMZN,185.75,60
+      |META,505.5,30
+      |NVDA,880.0,20
+      |""".stripMargin
+
   /** Laplace-expansion determinant over symbolic SQL entries — used by the
     * q_m5_full oracle to spell the 5x5 Cramer solve as plain arithmetic.
     * DuckDB evaluates it with IEEE semantics; the Spark side solves the
@@ -955,6 +967,148 @@ object SparkEntry {
         micro(fit.coefs(2)), micro(fit.coefs(3)), fit.n))
         .toDF("b0_micro", "b_oi_micro", "b_f1_micro", "b_f2_micro",
           "b_mom_micro", "n")
+    }),
+
+    // --- P7: NaN/±inf scrub (chunk_pipeline.py:325-326 semantics: bad
+    //     values -> 0.0; dirt synthesized deterministically) ---
+    "q_p7_scrub" -> ((s, dir) => {
+      val dirty = eventsNs(s, dir).withColumn("v",
+        when(col("event_id") % 101 === 0, lit(Double.NaN))
+          .when(col("event_id") % 103 === 0, lit(Double.PositiveInfinity))
+          .when(col("event_id") % 107 === 0, lit(Double.NegativeInfinity))
+          .otherwise(col("value")))
+      val flagged = dirty.withColumn("bad",
+        isnan(col("v")) || abs(col("v")) === Double.PositiveInfinity)
+      flagged
+        .withColumn("v",
+          when(col("bad"), 0.0).otherwise(coalesce(col("v"), lit(0.0))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_scrubbed"),
+          moneySum(col("v")).as("sum_clean"))
+    }),
+
+    // --- P9: month-cutoff filter: keep calendar months (UTC) up to the
+    //     midpoint of the observed range — a real filter at sf>=0.01 and
+    //     still non-degenerate when one month spans the whole SF ---
+    "q_p9_month_cutoff" -> ((s, dir) => {
+      val t = eventsNs(s, dir)
+        // integer µs division (double division would round ns near 2^53)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("y", year(timestamp_micros(col("ts_us"))).cast("long"))
+        .withColumn("m", month(timestamp_micros(col("ts_us"))).cast("long"))
+        .withColumn("ym", col("y") * 12 + col("m"))
+      val mx = t.agg(expr("(min(ym) + max(ym)) div 2").as("ym_cut"))
+      t.crossJoin(broadcast(mx))
+        .filter(col("ym") <= col("ym_cut"))
+        .groupBy(col("y"), col("m"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+    }),
+
+    // --- J4: binned-panel equi-join — per-user bin OI joined to the
+    //     all-users (market) bin OI at the same delta (Oi.scala J4 shape).
+    //     Decimal sums inside the ratio: exact, order-independent ---
+    "q_j4_binned_panel" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+        .withColumn("bin_ns", TimeBins.floorNs(col("ts_ns"), H * 6))
+      def oi(df: DataFrame, keys: Seq[Column], name: String): DataFrame = {
+        val num = sum((side(col("event_type")) * col("value"))
+          .cast("decimal(18,4)")).cast("double")
+        val den = sum(col("value").cast("decimal(18,4)")).cast("double")
+        df.groupBy(keys: _*)
+          .agg((num / when(den =!= 0.0, den)).as(name))
+      }
+      val user = oi(ev, Seq(col("bin_ns"), col("user_id")), "user_oi")
+      val mkt = oi(ev, Seq(col("bin_ns")), "mkt_oi")
+      user.join(mkt, Seq("bin_ns"))
+        .select(col("bin_ns"), col("user_id"),
+          r6(col("user_oi")).as("user_oi_micro"),
+          r6(col("mkt_oi")).as("mkt_oi_micro"))
+    }),
+
+    // --- A15: incremental OLS moments — olsByGroup's one-pass power-sum
+    //     accumulation per group; oracle solves the same closed form ---
+    "q_a15_inc_ols" -> ((s, dir) => {
+      val input = eventsNs(s, dir).withColumn("x",
+        (col("ts_ns") % lit(86400L * 1000000000L)).cast("double") / lit(1e9))
+      val fits = Regression.olsByGroup(input, "value", Seq("x"),
+        Seq("event_type"))
+      def micro(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+      import s.implicits._
+      fits.map(f => (f.group(0).asInstanceOf[String], micro(f.coefs(0)),
+          micro(f.intercept), f.n))
+        .toDF("event_type", "slope_micro", "icept_micro", "n")
+    }),
+
+    // --- S8: gzip CSV source (native .gz codec on both engines; fixture
+    //     written by the gate, parsed by both) ---
+    "q_s8_gzip_csv" -> ((s, dir) => {
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(GzFixturePath))
+      out.write(GzFixtureCsv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      s.read.schema("ticker STRING, price DOUBLE, qty BIGINT")
+        .option("header", "false").csv(GzFixturePath)
+    }),
+
+    // --- S9: CSV sink round-trip — writeCsv (header, overwrite-per-folder,
+    //     prediction_ML_pipeline.py:366-374), read back by both engines ---
+    "q_s9_csv_sink" -> ((s, dir) => {
+      val path = "/tmp/graft_csv_sink"
+      val agg = eventsNs(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      // one part file: the oracle's glob must not see empty parts
+      graft.sources.AuxSources.writeCsv(agg.coalesce(1), path)
+      s.read.schema("event_type STRING, n BIGINT")
+        .option("header", "true").csv(path)
+    }),
+
+    // --- S11: trading calendar (weekdays minus holidays, generated
+    //     distributedly; trading_strategy.py:114-120) ---
+    "q_s11_trading_calendar" -> ((s, dir) => {
+      graft.sources.AuxSources.tradingDays(s, "2024-01-01", "2024-06-30",
+        Seq("2024-01-15", "2024-02-19"))
+    }),
+
+    // --- M9: confusion matrix (EDA_ML.ipynb cells 11-16) over a
+    //     deterministic prediction rule ---
+    "q_m9_confusion" -> ((s, dir) => {
+      val preds = eventsNs(s, dir)
+        .withColumn("actual", side(col("event_type")).cast("long"))
+        .withColumn("pred",
+          when(col("event_id") % 3 === 0, -1L).otherwise(1L))
+      graft.ml.DirectionModel.confusionMatrix(preds, "actual", "pred")
+    }),
+
+    // --- M13: per-row regression diagnostics (leverage, standardized
+    //     residual, Cook's D; order_imbalance.py:603-670). The fit scalars
+    //     are computed with the SAME closed-form arithmetic as the oracle
+    //     (shared-bit inputs), then Regression.diagnostics does the
+    //     distributed per-row pass ---
+    "q_m13_diagnostics" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val g = li.agg(count(lit(1)).cast("double").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * x).as("sxx"),
+        sum(x * y).as("sxy"), sum(y * y).as("syy")).collect()(0)
+      val (n, sx, sy, sxx, sxy, syy) = (g.getDouble(0), g.getDouble(1),
+        g.getDouble(2), g.getDouble(3), g.getDouble(4), g.getDouble(5))
+      // identical op order to the oracle SQL (bit-equal given equal sums)
+      val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+      val icept = (sy - slope * sx) / n
+      val det = n * sxx - sx * sx
+      val sigma2 = (syy - icept * sy - slope * sxy) / (n - 2)
+      val fit = Regression.OlsFit(Nil, icept, Array(slope), Array.empty,
+        Double.NaN, Double.NaN, Double.NaN, n.toLong,
+        xtxInv = Array(sxx / det, -sx / det, -sx / det, n / det),
+        sigma2 = sigma2)
+      Regression.diagnostics(li, "l_extendedprice", Seq("l_quantity"), fit)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          r6(col("residual")).as("residual_micro"),
+          r6(col("leverage") * 1e3).as("leverage_milli_micro"),
+          r6(col("std_residual")).as("std_resid_micro"),
+          r6(col("cooks_d") * 1e3).as("cooks_milli_micro"))
     })
   )
 
@@ -1589,6 +1743,122 @@ object SparkEntry {
          |  ${R6(s"(${m5FullNum(3)}) / (${sqlDet(M5FullXtX)})")} AS b_f2_micro,
          |  ${R6(s"(${m5FullNum(4)}) / (${sqlDet(M5FullXtX)})")} AS b_mom_micro,
          |  CAST(n AS BIGINT) AS n
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+
+    "q_p7_scrub" ->
+      s"""WITH e AS ($EventsNs),
+         |dirty AS (
+         |  SELECT event_type,
+         |    CASE WHEN event_id % 101 = 0 THEN 'NaN'::DOUBLE
+         |         WHEN event_id % 103 = 0 THEN 'Infinity'::DOUBLE
+         |         WHEN event_id % 107 = 0 THEN '-Infinity'::DOUBLE
+         |         ELSE value END AS v
+         |  FROM e),
+         |flagged AS (
+         |  SELECT event_type,
+         |    isnan(v) OR abs(v) = 'Infinity'::DOUBLE AS bad, v
+         |  FROM dirty)
+         |SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+         |  ${MoneySum("CASE WHEN bad THEN 0.0 ELSE COALESCE(v, 0.0) END")} AS sum_clean
+         |FROM flagged GROUP BY 1""".stripMargin,
+
+    "q_p9_month_cutoff" ->
+      s"""WITH e AS ($EventsNs),
+         |t AS (
+         |  SELECT CAST(year(make_timestamp(ts_ns // 1000)) AS BIGINT) AS y,
+         |    CAST(month(make_timestamp(ts_ns // 1000)) AS BIGINT) AS m,
+         |    value
+         |  FROM e),
+         |mx AS (SELECT (MIN(y * 12 + m) + MAX(y * 12 + m)) // 2 AS ym_cut
+         |  FROM t)
+         |SELECT y, m, COUNT(*) AS n, ${MoneySum("value")} AS sum_value
+         |FROM t, mx WHERE y * 12 + m <= ym_cut
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_j4_binned_panel" ->
+      s"""WITH e AS ($EventsNs),
+         |b AS (SELECT ${FloorNs("ts_ns", H * 6)} AS bin_ns, user_id,
+         |  event_type, value FROM e),
+         |u AS (
+         |  SELECT bin_ns, user_id,
+         |    CAST(SUM(CAST(($Side) * value AS DECIMAL(18,4))) AS DOUBLE) /
+         |      NULLIF(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 0) AS user_oi
+         |  FROM b GROUP BY 1, 2),
+         |m AS (
+         |  SELECT bin_ns,
+         |    CAST(SUM(CAST(($Side) * value AS DECIMAL(18,4))) AS DOUBLE) /
+         |      NULLIF(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 0) AS mkt_oi
+         |  FROM b GROUP BY 1)
+         |SELECT u.bin_ns, u.user_id, ${R6("user_oi")} AS user_oi_micro,
+         |  ${R6("mkt_oi")} AS mkt_oi_micro
+         |FROM u JOIN m ON u.bin_ns = m.bin_ns""".stripMargin,
+
+    "q_a15_inc_ols" ->
+      s"""WITH e AS ($EventsNs),
+         |t AS (SELECT event_type, value,
+         |  (ts_ns % ${86400L * 1000000000L})::DOUBLE / 1e9 AS x FROM e),
+         |g AS (
+         |  SELECT event_type, COUNT(*)::DOUBLE AS n, SUM(x) AS sx,
+         |    SUM(value) AS sy, SUM(x*x) AS sxx, SUM(x*value) AS sxy
+         |  FROM t GROUP BY 1),
+         |b AS (SELECT *, (sxy - sx*sy/n) / (sxx - sx*sx/n) AS slope FROM g)
+         |SELECT event_type, ${R6("slope")} AS slope_micro,
+         |  ${R6("(sy - slope*sx) / n")} AS icept_micro,
+         |  CAST(n AS BIGINT) AS n
+         |FROM b""".stripMargin,
+
+    "q_s8_gzip_csv" ->
+      s"""SELECT ticker, price, qty
+         |FROM read_csv('$GzFixturePath', header=false,
+         |  columns={'ticker': 'VARCHAR', 'price': 'DOUBLE', 'qty': 'BIGINT'},
+         |  delim=',', quote='"', auto_detect=false,
+         |  compression='gzip')""".stripMargin,
+
+    "q_s9_csv_sink" ->
+      s"""SELECT event_type, n
+         |FROM read_csv('/tmp/graft_csv_sink/*.csv', header=true,
+         |  columns={'event_type': 'VARCHAR', 'n': 'BIGINT'},
+         |  delim=',', quote='"', auto_detect=false)""".stripMargin,
+
+    "q_s11_trading_calendar" ->
+      s"""SELECT CAST(d AS DATE) AS date,
+         |  (dayofweek(d) BETWEEN 1 AND 5) AND CAST(d AS DATE) NOT IN
+         |    (DATE '2024-01-15', DATE '2024-02-19') AS is_session
+         |FROM generate_series(DATE '2024-01-01', DATE '2024-06-30',
+         |  INTERVAL 1 DAY) t(d)""".stripMargin,
+
+    "q_m9_confusion" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT CAST($Side AS BIGINT) AS actual,
+         |  CAST(CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS BIGINT) AS pred,
+         |  COUNT(*) AS n
+         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q_m13_diagnostics" ->
+      s"""WITH g AS (
+         |  SELECT COUNT(*)::DOUBLE AS n, SUM(l_quantity) AS sx,
+         |    SUM(l_extendedprice) AS sy, SUM(l_quantity*l_quantity) AS sxx,
+         |    SUM(l_quantity*l_extendedprice) AS sxy,
+         |    SUM(l_extendedprice*l_extendedprice) AS syy
+         |  FROM lineitem),
+         |f AS (SELECT *, (sxy - sx*sy/n) / (sxx - sx*sx/n) AS slope,
+         |  n*sxx - sx*sx AS det FROM g),
+         |i AS (SELECT *, (sy - slope*sx) / n AS icept FROM f),
+         |s AS (SELECT *, (syy - icept*sy - slope*sxy) / (n - 2) AS sigma2
+         |  FROM i),
+         |d AS (
+         |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |    l_extendedprice - (icept + (l_quantity * slope)) AS residual,
+         |    ((sxx/det + (l_quantity * (-sx/det))) + (l_quantity * (-sx/det)))
+         |      + ((l_quantity * l_quantity) * (n/det)) AS leverage,
+         |    sigma2
+         |  FROM lineitem, s)
+         |SELECT l_orderkey, l_linenumber,
+         |  ${R6("residual")} AS residual_micro,
+         |  ${R6("leverage * 1e3")} AS leverage_milli_micro,
+         |  ${R6("residual / sqrt(sigma2 * (1.0 - leverage))")} AS std_resid_micro,
+         |  ${R6("(residual * residual * leverage / (((2 * sigma2) * (1.0 - leverage)) * (1.0 - leverage))) * 1e3")} AS cooks_milli_micro
+         |FROM d""".stripMargin
   )
 }

@@ -112,6 +112,50 @@ object DirectionModel {
     (tr, te)
   }
 
+  /** M9: confusion matrix as a (label, prediction, n) frame
+    * (`EDA_ML.ipynb` cells 11-16) — one groupBy, nothing collected. */
+  def confusionMatrix(predictions: DataFrame,
+                      labelCol: String = "label",
+                      predCol: String = "prediction"): DataFrame =
+    predictions.groupBy(col(labelCol), col(predCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** M9: per-class precision / recall / F1 from the confusion counts
+    * (sklearn classification_report shape). Window sums over the tiny
+    * confusion frame — O(classes^2) rows, trivially driver-safe. */
+  def classificationReport(predictions: DataFrame,
+                           labelCol: String = "label",
+                           predCol: String = "prediction"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cm = confusionMatrix(predictions, labelCol, predCol)
+    val predTotal = sum(col("n")).over(Window.partitionBy(col(predCol)))
+    val labelTotal = sum(col("n")).over(Window.partitionBy(col(labelCol)))
+    cm.withColumn("__pt", predTotal).withColumn("__lt", labelTotal)
+      .filter(col(labelCol) === col(predCol))
+      .select(col(labelCol).as("class"),
+        (col("n") / col("__pt")).as("precision"),
+        (col("n") / col("__lt")).as("recall"),
+        col("n").as("tp"), col("__lt").as("support"))
+      .withColumn("f1",
+        lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall")))
+  }
+
+  /** M9: named feature importances of the fitted tree stage
+    * (`direction_analysis.ipynb` cells 40-43). */
+  def featureImportances(model: PipelineModel,
+                         cols: Seq[String] = DefaultFeatures)
+      : Seq[(String, Double)] = {
+    import org.apache.spark.ml.classification.{GBTClassificationModel,
+      RandomForestClassificationModel}
+    val imp = model.stages.reverse.collectFirst {
+      case m: GBTClassificationModel => m.featureImportances
+      case m: RandomForestClassificationModel => m.featureImportances
+    }.getOrElse(throw new IllegalArgumentException(
+      "pipeline has no tree-ensemble stage with importances"))
+    cols.zip(imp.toArray)
+  }
+
   /** M9: accuracy + AUC evaluation report. */
   def evaluate(predictions: DataFrame): (Double, Double) = {
     val withPredCol =

@@ -122,15 +122,15 @@ object Multimodal {
   }
 
   /** Frame-sample a video payload into one row per sampled frame
-    * (explode — the schema contract for video -> image fan-out). */
+    * (posexplode — the schema contract for video -> image fan-out). The
+    * frame index comes straight from the array position: deterministic,
+    * no window shuffle, no reliance on row order. */
   def sampleFrames(df: DataFrame, n: Int,
                    contentCol: String = "content"): DataFrame = {
     val sf = udf((content: Array[Byte]) =>
       StubCodec.sampleFrames(content, n))
-    df.withColumn("frame", explode(sf(col(contentCol))))
-      .withColumn("frame_index",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("path")).orderBy(monotonically_increasing_id()))
-          .cast("long") - 1)
+    df.select(col("*"),
+      posexplode(sf(col(contentCol))).as(Seq("frame_index", "frame")))
+      .withColumn("frame_index", col("frame_index").cast("long"))
   }
 }

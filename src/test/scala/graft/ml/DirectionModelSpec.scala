@@ -43,6 +43,37 @@ class DirectionModelSpec extends SparkSpec {
     assert(acc > 0.55, s"train accuracy $acc")
   }
 
+  test("M9 reporting: confusion matrix counts, per-class report on a " +
+    "hand fixture, feature importances named and normalized") {
+    import org.apache.spark.sql.Row
+    // hand fixture: labels/preds chosen so precision != recall
+    //   class 1: tp=2, fp=1 (pred 1, label 0), fn=1 -> p=2/3, r=2/3
+    //   class 0: tp=3, fp=1, fn=1
+    val preds = df("label DOUBLE, prediction DOUBLE",
+      Row(1.0, 1.0), Row(1.0, 1.0), Row(1.0, 0.0),
+      Row(0.0, 0.0), Row(0.0, 0.0), Row(0.0, 0.0), Row(0.0, 1.0))
+    val cm = DirectionModel.confusionMatrix(preds).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(cm == Map((1.0, 1.0) -> 2L, (1.0, 0.0) -> 1L,
+      (0.0, 0.0) -> 3L, (0.0, 1.0) -> 1L))
+    val rep = DirectionModel.classificationReport(preds).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getAs[Double]("precision"), r.getAs[Double]("recall")))).toMap
+    assertApprox(rep(1.0)._1, 2.0 / 3.0)
+    assertApprox(rep(1.0)._2, 2.0 / 3.0)
+    assertApprox(rep(0.0)._1, 3.0 / 4.0)
+    assertApprox(rep(0.0)._2, 3.0 / 4.0)
+    // importances from a real fitted GBT: one weight per feature, a
+    // probability vector over features
+    val prepped = DirectionModel.prepareTraining(features)
+    val model = DirectionModel.gbtPipeline(maxIter = 3, maxDepth = 3)
+      .fit(prepped)
+    val imp = DirectionModel.featureImportances(model)
+    assert(imp.map(_._1) == DirectionModel.DefaultFeatures)
+    assert(imp.forall(_._2 >= 0.0))
+    assertApprox(imp.map(_._2).sum, 1.0, 1e-6)
+  }
+
   test("logistic pipeline runs and emits calibrated-ish probabilities") {
     val prepped = DirectionModel.prepareTraining(features)
     val model = DirectionModel.logisticPipeline().fit(prepped)
