@@ -1109,6 +1109,54 @@ object SparkEntry {
           r6(col("leverage") * 1e3).as("leverage_milli_micro"),
           r6(col("std_residual")).as("std_resid_micro"),
           r6(col("cooks_d") * 1e3).as("cooks_milli_micro"))
+    }),
+
+    // --- W9 PACF: Durbin-Levinson on the per-series ACF vector
+    //     (Stats.pacfFromAcf, driver-side over 150 tiny rows); the oracle
+    //     spells the k=2 recursion closed-form ---
+    "q_w9_pacf" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val withLags = eventsNs(s, dir).select(col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("l1"),
+        lag(col("value"), 2).over(w).as("l2"))
+      val acfs = withLags.groupBy(col("user_id")).agg(
+        corr(col("value"), col("l1")).as("acf1"),
+        corr(col("value"), col("l2")).as("acf2")).collect()
+      def micro(v: Double): Option[Long] =
+        if (v.isNaN) None else Some(math.floor(v * 1e6 + 0.5).toLong)
+      import s.implicits._
+      acfs.toSeq.map { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) (r.getLong(0), None, None)
+        else {
+          val p = Stats.pacfFromAcf(Seq(r.getDouble(1), r.getDouble(2)))
+          (r.getLong(0), micro(p(0)), micro(p(1)))
+        }
+      }.toDF("user_id", "pacf1_micro", "pacf2_micro")
+    }),
+
+    // --- S6 + market-excess returns: per-user bin panel vs the all-users
+    //     ("SPY") bin panel through Returns.addLogReturns +
+    //     Returns.addExcessVsSpy ---
+    "q_s6_excess_vs_spy" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+        .withColumn("bin_ns", TimeBins.floorNs(col("ts_ns"), H * 6))
+      def binPanel(df: DataFrame, keys: Seq[Column]): DataFrame =
+        df.groupBy(keys: _*).agg(
+          min_by(col("value"), struct(col("ts_ns"), col("event_id")))
+            .as("first_midprice"),
+          max_by(col("value"), struct(col("ts_ns"), col("event_id")))
+            .as("last_midprice"))
+      val user = binPanel(ev, Seq(col("user_id"), col("bin_ns")))
+        .withColumn("ticker", col("user_id"))
+        .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+      val spy = binPanel(ev, Seq(col("bin_ns")))
+      val panel = graft.domain.Returns.addLogReturns(user)
+      graft.domain.Returns.addExcessVsSpy(panel, spy)
+        .select(col("user_id"), col("bin_ns"),
+          r6(col("log_ret")).as("log_ret_micro"),
+          r6(col("excess_ret")).as("excess_micro"),
+          r6(col("fut_excess_ret")).as("fut_excess_micro"))
     })
   )
 
@@ -1859,6 +1907,51 @@ object SparkEntry {
          |  ${R6("leverage * 1e3")} AS leverage_milli_micro,
          |  ${R6("residual / sqrt(sigma2 * (1.0 - leverage))")} AS std_resid_micro,
          |  ${R6("(residual * residual * leverage / (((2 * sigma2) * (1.0 - leverage)) * (1.0 - leverage))) * 1e3")} AS cooks_milli_micro
-         |FROM d""".stripMargin
+         |FROM d""".stripMargin,
+
+    "q_w9_pacf" ->
+      s"""WITH e AS ($EventsNs),
+         |l AS (SELECT user_id, value,
+         |  LAG(value, 1) OVER w AS l1, LAG(value, 2) OVER w AS l2
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+         |a AS (SELECT user_id, corr(value, l1) AS acf1, corr(value, l2) AS acf2
+         |  FROM l GROUP BY 1)
+         |SELECT user_id, ${R6("acf1")} AS pacf1_micro,
+         |  ${R6("CASE WHEN (1.0 - acf1*acf1) = 0 THEN 0.0 ELSE (acf2 - acf1*acf1) / (1.0 - acf1*acf1) END")} AS pacf2_micro
+         |FROM a""".stripMargin,
+
+    "q_s6_excess_vs_spy" ->
+      s"""WITH e AS ($EventsNs),
+         |b AS (SELECT user_id, ${FloorNs("ts_ns", H * 6)} AS bin_ns, ts_ns,
+         |  event_id, value FROM e),
+         |rn AS (SELECT user_id, bin_ns, value,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id, bin_ns
+         |    ORDER BY ts_ns, event_id) AS ra,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id, bin_ns
+         |    ORDER BY ts_ns DESC, event_id DESC) AS rd
+         |  FROM b),
+         |u AS (SELECT user_id, bin_ns,
+         |  MAX(CASE WHEN ra = 1 THEN value END) AS fm,
+         |  MAX(CASE WHEN rd = 1 THEN value END) AS lm
+         |  FROM rn GROUP BY 1, 2),
+         |srn AS (SELECT bin_ns, value,
+         |  ROW_NUMBER() OVER (PARTITION BY bin_ns ORDER BY ts_ns, event_id) AS ra,
+         |  ROW_NUMBER() OVER (PARTITION BY bin_ns
+         |    ORDER BY ts_ns DESC, event_id DESC) AS rd
+         |  FROM b),
+         |sp AS (SELECT bin_ns,
+         |  MAX(CASE WHEN ra = 1 THEN value END) AS sfm,
+         |  MAX(CASE WHEN rd = 1 THEN value END) AS slm
+         |  FROM srn GROUP BY 1),
+         |p AS (SELECT user_id, u.bin_ns AS bin_ns,
+         |  CASE WHEN fm > 0 AND lm > 0 THEN ln(lm / fm) END AS log_ret,
+         |  CASE WHEN sfm > 0 AND slm > 0 THEN ln(slm / sfm) END AS spy_ret
+         |  FROM u JOIN sp ON u.bin_ns = sp.bin_ns),
+         |x AS (SELECT user_id, bin_ns, log_ret,
+         |  log_ret - spy_ret AS excess_ret FROM p)
+         |SELECT user_id, bin_ns, ${R6("log_ret")} AS log_ret_micro,
+         |  ${R6("excess_ret")} AS excess_micro,
+         |  ${R6("LEAD(excess_ret) OVER (PARTITION BY user_id ORDER BY bin_ns)")} AS fut_excess_micro
+         |FROM x""".stripMargin
   )
 }

@@ -59,4 +59,51 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("lag") && p.contains("lead"))
     assert(n <= 2, s"window fan-out (saw $n Window nodes):\n" + p.take(1500))
   }
+
+  private def occurrences(p: String, needle: String): Int =
+    p.sliding(needle.length).count(_ == needle)
+
+  test("rollingRefitSignals: panel aggregates map-side once; the day-level " +
+    "betas broadcast back (no sort-merge join of the panel)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    val rows = for (d <- 10 to 16; b <- 1 to 3) yield
+      Row("T", java.sql.Date.valueOf(s"2024-01-$d"), b.toLong,
+        d * 0.1 + b, d * 0.2 - b)
+    val panel = df(
+      "ticker STRING, date DATE, bin_ns BIGINT, x DOUBLE, y DOUBLE", rows: _*)
+    val p = graft.domain.Strategy
+      .rollingRefitSignals(panel, "y", Seq("x"), lookback = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "betas must broadcast-join back onto the panel:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "panel side must not sort-merge:\n" + p.take(1500))
+    assert(p.contains("partial_sum"),
+      "day moments must combine map-side:\n" + p.take(1500))
+  }
+
+  test("trailingTopPerformers: two window shuffles, nothing else") {
+    import org.apache.spark.sql.Row
+    val rows = for (t <- Seq("A", "B"); d <- 1 to 5) yield
+      Row(t, java.sql.Date.valueOf(s"2024-03-0$d"), d * 1.0)
+    val pnl = df("ticker STRING, date DATE, pnl DOUBLE", rows: _*)
+    val p = graft.domain.Strategy.trailingTopPerformers(pnl, 2, 1)
+      .queryExecution.executedPlan.toString
+    assert(occurrences(p, "Exchange hashpartitioning") == 2,
+      "expected exactly the trailing-sum and rank shuffles:\n" + p.take(1500))
+    assert(!p.contains("Join"), "no join belongs in this plan")
+  }
+
+  test("nearDupPairs bucketed path: band-bucket equi-join, never a " +
+    "cartesian / broadcast nested loop") {
+    import org.apache.spark.sql.Row
+    val vecs = df("id BIGINT, v ARRAY<DOUBLE>",
+      (1 to 6).map(i => Row(i.toLong, Seq(i * 1.0, 1.0, 0.5))): _*)
+    val p = graft.operators.Similarity
+      .nearDupPairs(vecs, "id", "v", 0.95, broadcastLimit = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
 }
