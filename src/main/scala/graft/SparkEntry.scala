@@ -90,6 +90,9 @@ object SparkEntry {
       |2018,1.00,2.00,0.50,0.30,0.10
       |""".stripMargin
 
+  /** S4 multi-file glob fixture dir (shared by query + oracle). */
+  private val MultiCsvDir = "/tmp/graft_multi_csv"
+
   // ---- S8 gzip CSV fixture (shared by query + oracle) ----
 
   private val GzFixturePath = "/tmp/graft_prices_fixture.csv.gz"
@@ -764,6 +767,19 @@ object SparkEntry {
           r6(col("cosine")).as("cosine_micro"))
     }),
 
+    // --- LLM ops: IVF-bucketed ANN (rows-only: xxhash64 centroid seeding
+    //     has no DuckDB twin; recall vs brute force spec-pinned) ---
+    "q_ivf_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "vec", "vec", k = 3, nCells = 8, nProbe = 3)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"),
+          r6(col("cosine")).as("cosine_micro"))
+    }),
+
     // --- LLM ops: composite quality score + BPE-ish token count
     //     (rows-only: regex classes differ between engines) ---
     "q_text_quality" -> ((s, dir) => {
@@ -1157,6 +1173,53 @@ object SparkEntry {
           r6(col("log_ret")).as("log_ret_micro"),
           r6(col("excess_ret")).as("excess_micro"),
           r6(col("fut_excess_ret")).as("fut_excess_micro"))
+    }),
+
+    // --- P1: rename / assign (column projection algebra) ---
+    "q_p1_rename" -> ((s, dir) => {
+      eventsNs(s, dir)
+        .withColumnRenamed("event_id", "id")
+        .withColumn("value_x2", col("value") * 2.0)
+        .select(col("id"), col("user_id"), col("value_x2"))
+    }),
+
+    // --- S4: multi-file concat scan — glob union of two CSV parts, file
+    //     provenance from the filename on both engines ---
+    "q_s4_multifile" -> ((s, dir) => {
+      val d = new java.io.File(MultiCsvDir)
+      d.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$MultiCsvDir/a.csv"),
+        "1,alpha\n2,beta\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$MultiCsvDir/b.csv"),
+        "3,gamma\n4,delta\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s.read.schema("id BIGINT, name STRING").option("header", "false")
+        .csv(MultiCsvDir)
+        .withColumn("src",
+          regexp_extract(input_file_name(), "([ab])\\.csv", 1))
+    }),
+
+    // --- S7: daily-bars ClOp/ClCl composition (Returns.addClOp) — bars
+    //     synthesized as per-(user, day) open/close from the event stream ---
+    "q_s7_clop" -> ((s, dir) => {
+      val ev = eventsNs(s, dir).withColumn("day", expr(s"ts_ns div $DAY"))
+      val bars = ev.groupBy(col("user_id"), col("day")).agg(
+          min_by(col("value"), struct(col("ts_ns"), col("event_id")))
+            .as("open"),
+          max_by(col("value"), struct(col("ts_ns"), col("event_id")))
+            .as("close"))
+        .select(col("user_id").as("ticker"), col("day").as("date"),
+          col("open"), col("close"))
+      val panel = ev.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ticker", col("user_id"))
+        .withColumn("date", col("day"))
+      graft.domain.Returns.addClOp(panel, bars)
+        .select(col("user_id"), col("day"), col("n"),
+          r6(col("ClOp")).as("clop_micro"),
+          r6(col("ClCl")).as("clcl_micro"),
+          r6(col("fut_ClOp")).as("fut_clop_micro"))
     })
   )
 
@@ -1952,6 +2015,45 @@ object SparkEntry {
          |SELECT user_id, bin_ns, ${R6("log_ret")} AS log_ret_micro,
          |  ${R6("excess_ret")} AS excess_micro,
          |  ${R6("LEAD(excess_ret) OVER (PARTITION BY user_id ORDER BY bin_ns)")} AS fut_excess_micro
-         |FROM x""".stripMargin
+         |FROM x""".stripMargin,
+
+    "q_p1_rename" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT event_id AS id, user_id, value * 2.0 AS value_x2
+         |FROM e""".stripMargin,
+
+    "q_s4_multifile" ->
+      s"""SELECT id, name, regexp_extract(filename, '([ab])\\.csv', 1) AS src
+         |FROM read_csv('$MultiCsvDir/*.csv', header=false,
+         |  columns={'id': 'BIGINT', 'name': 'VARCHAR'},
+         |  delim=',', quote='"', auto_detect=false, filename=true)""".stripMargin,
+
+    "q_s7_clop" ->
+      s"""WITH e AS ($EventsNs),
+         |d AS (SELECT user_id, ts_ns // ${DAY} AS day, ts_ns, event_id,
+         |  value FROM e),
+         |rn AS (SELECT user_id, day, value,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id, day
+         |    ORDER BY ts_ns, event_id) AS ra,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id, day
+         |    ORDER BY ts_ns DESC, event_id DESC) AS rd
+         |  FROM d),
+         |bars AS (SELECT user_id, day,
+         |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
+         |  MAX(CASE WHEN rd = 1 THEN value END) AS close
+         |  FROM rn GROUP BY 1, 2),
+         |w AS (SELECT user_id, day, open, close,
+         |  LAG(close) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
+         |  FROM bars),
+         |c AS (SELECT user_id, day,
+         |  CASE WHEN prev_close > 0 THEN ln(open / prev_close) END AS clop,
+         |  CASE WHEN prev_close > 0 THEN ln(close / prev_close) END AS clcl
+         |  FROM w),
+         |c2 AS (SELECT *, LEAD(clop) OVER (PARTITION BY user_id
+         |  ORDER BY day) AS fut_clop FROM c),
+         |n AS (SELECT user_id, day, COUNT(*) AS n FROM d GROUP BY 1, 2)
+         |SELECT n.user_id, n.day, n.n, ${R6("clop")} AS clop_micro,
+         |  ${R6("clcl")} AS clcl_micro, ${R6("fut_clop")} AS fut_clop_micro
+         |FROM n JOIN c2 ON n.user_id = c2.user_id AND n.day = c2.day""".stripMargin
   )
 }

@@ -116,6 +116,66 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids
+    * partitions the corpus into cells; each query probes its `nProbe`
+    * nearest cells and scores ONLY those corpus rows — candidate volume
+    * ~ corpus * nProbe / nCells instead of the full cross product. The
+    * complementary scale path to [[lshTopK]]: IVF prunes by geometric
+    * locality (good for clustered embedding spaces), SRP-LSH by random
+    * projection (distribution-free).
+    *
+    * Centroids are `nCells` corpus rows picked by smallest xxhash64(id,
+    * seed) — a deterministic k-means|| seeding stand-in so specs and
+    * reruns reproduce bit-for-bit; the assignment/probe/search machinery
+    * is unchanged if real trained centroids are supplied upstream. Driver
+    * materializes only O(nCells x dims) doubles. Recall < 1 by
+    * construction: a true neighbor assigned to an unprobed cell is missed
+    * — raise `nProbe` toward `nCells` to trade cost for recall. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+              cId: String, qVec: String, cVec: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L)
+      : DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe ($nProbe) must be in [1, nCells=$nCells]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(cId).cast("long").as("corpus_id"),
+      col(cVec).cast("array<double>").as("__cv"))
+    val q = queries.select(col(qId).cast("long").as("query_id"),
+      col(qVec).cast("array<double>").as("__qv"))
+    val cents = c.withColumn("__h", xxhash64(col("corpus_id"), lit(seed)))
+      .orderBy(col("__h"), col("corpus_id")).limit(nCells)
+      .select(col("__cv")).as[Array[Double]].collect()
+    val bc = spark.sparkContext.broadcast(cents)
+    def sims(v: Seq[Double]): Array[Double] = {
+      val cs = bc.value
+      Array.tabulate(cs.length)(i => exactCosine(v,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(cs(i)))
+        .getOrElse(Double.NegativeInfinity))
+    }
+    val assign = udf((v: Seq[Double]) => {
+      val s = sims(v)
+      var best = 0; var i = 1
+      while (i < s.length) { if (s(i) > s(best)) best = i; i += 1 }
+      best
+    })
+    val probes = udf((v: Seq[Double]) =>
+      sims(v).zipWithIndex.sortBy(t => (-t._1, t._2))
+        .take(nProbe).map(_._2).toSeq)
+    val cCells = c.withColumn("cell", assign(col("__cv")))
+    val qCells = q.withColumn("cell", explode(probes(col("__qv"))))
+    val verify = udf((a: Seq[Double], b: Seq[Double]) => exactCosine(a, b))
+    val scored = qCells.join(cCells, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        verify(col("__qv"), col("__cv")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .distinct() // a pair can meet in several probed cells
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact pairwise cosine: primitive while-loop (left-to-right summation,
     * bit-identical to the SQL `aggregate` fold and the DuckDB oracle),
     * ~50x faster than interpreted higher-order array expressions. Returns

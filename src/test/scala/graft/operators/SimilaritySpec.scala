@@ -126,6 +126,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"recall@$k = $recall%.3f")
   }
 
+  test("ivfTopK recall@3 >= 0.9 vs bruteForceTopK on the clustered corpus; " +
+    "nProbe=nCells degenerates to exact") {
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 20).flatMap { c =>
+      val center = Array.fill(16)(rng.nextGaussian())
+      (0 until 5).map { m =>
+        (c * 5 + m).toLong -> center.map(_ + rng.nextGaussian() * 0.02).toSeq
+      }
+    }
+    val d = vecs(rows: _*)
+    val k = 3
+    def topSets(out: Array[Row]): Map[Long, Set[Long]] = out
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val truth = topSets(Similarity
+      .bruteForceTopK(d, d, "id", "id", "v", "v", k).collect())
+    val ivf = topSets(Similarity
+      .ivfTopK(d, d, "id", "id", "v", "v", k, nCells = 12, nProbe = 4)
+      .collect())
+    val recalls = truth.map { case (q, ts) =>
+      ivf.getOrElse(q, Set.empty[Long]).intersect(ts).size.toDouble / ts.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, f"IVF recall@$k = $recall%.3f")
+    // probing every cell = scanning the whole corpus = exact
+    val full = topSets(Similarity
+      .ivfTopK(d, d, "id", "id", "v", "v", k, nCells = 8, nProbe = 8)
+      .collect())
+    assert(full == truth)
+  }
+
   test("srpSignature: identical vectors identical, scale-invariant") {
     val d = vecs(1L -> Seq(1.0, 2.0, 3.0), 2L -> Seq(2.0, 4.0, 6.0),
       3L -> Seq(-1.0, -2.0, -3.0))
