@@ -149,9 +149,9 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(cents)
     def sims(v: Seq[Double]): Array[Double] = {
       val cs = bc.value
-      Array.tabulate(cs.length)(i => exactCosine(v,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(cs(i)))
-        .getOrElse(Double.NegativeInfinity))
+      val arr = if (v == null) null else v.toArray
+      Array.tabulate(cs.length)(i =>
+        exactCosine(arr, cs(i)).getOrElse(Double.NegativeInfinity))
     }
     val assign = udf((v: Seq[Double]) => {
       val s = sims(v)
@@ -164,7 +164,9 @@ object Similarity {
         .take(nProbe).map(_._2).toSeq)
     val cCells = c.withColumn("cell", assign(col("__cv")))
     val qCells = q.withColumn("cell", explode(probes(col("__qv"))))
-    val verify = udf((a: Seq[Double], b: Seq[Double]) => exactCosine(a, b))
+    val verify = udf((a: Seq[Double], b: Seq[Double]) =>
+      exactCosine(if (a == null) null else a.toArray,
+        if (b == null) null else b.toArray))
     val scored = qCells.join(cCells, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
@@ -176,11 +178,14 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Exact pairwise cosine: primitive while-loop (left-to-right summation,
-    * bit-identical to the SQL `aggregate` fold and the DuckDB oracle),
-    * ~50x faster than interpreted higher-order array expressions. Returns
-    * None on length mismatch or zero norm. */
-  private def exactCosine(va: Seq[Double], vb: Seq[Double]): Option[Double] =
+  /** Exact pairwise cosine: primitive-array while-loop (left-to-right
+    * summation, bit-identical to the SQL `aggregate` fold and the DuckDB
+    * oracle), ~50x faster than interpreted higher-order array expressions.
+    * Takes Array[Double] so the hot loop stays unboxed — callers holding
+    * Seq convert ONCE per vector, not per element. Returns None on length
+    * mismatch or zero norm. */
+  private def exactCosine(va: Array[Double], vb: Array[Double])
+      : Option[Double] =
     if (va == null || vb == null || va.length != vb.length) None
     else {
       val d = va.length
@@ -276,7 +281,8 @@ object Similarity {
     val b = banded.select(col("band"), col("bucket"),
       col("id").as("id_b"), col("v").as("__vb"))
     val verify = udf((va: Seq[Double], vb: Seq[Double]) =>
-      exactCosine(va, vb))
+      exactCosine(if (va == null) null else va.toArray,
+        if (vb == null) null else vb.toArray))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
