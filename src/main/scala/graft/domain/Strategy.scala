@@ -153,9 +153,13 @@ object Strategy {
                             pnlCol: String = "pnl"): DataFrame = {
     val trail = Window.partitionBy(col("ticker")).orderBy(col("date"))
       .rowsBetween(-lookback, -1)
+    // count(lit(1)) counts window ROWS, not non-null PnL: a null-PnL day
+    // inside a full lookback window is treated as an explicitly skipped
+    // observation (contributes 0 to the trailing sum) rather than silently
+    // ejecting the ticker from that date's ranking universe
     val trailing = dailyPnl
       .withColumn("trailing_pnl", sum(col(pnlCol)).over(trail))
-      .withColumn("__n_trail", count(col(pnlCol)).over(trail))
+      .withColumn("__n_trail", count(lit(1)).over(trail))
       .filter(col("__n_trail") === lookback) // full windows only
       .drop("__n_trail")
     val rk = Window.partitionBy(col("date"))

@@ -121,24 +121,39 @@ object DirectionModel {
       .agg(count(lit(1)).as("n"))
 
   /** M9: per-class precision / recall / F1 from the confusion counts
-    * (sklearn classification_report shape). Window sums over the tiny
-    * confusion frame — O(classes^2) rows, trivially driver-safe. */
+    * (sklearn classification_report shape, including its zero conventions:
+    * a class never predicted correctly still appears, with precision 0
+    * when it was never predicted, recall 0 when it has no true rows, and
+    * f1 0 when precision + recall is 0). The class list is the union of
+    * observed labels and observed predictions, so no class silently drops
+    * out of the report. Three tiny aggregations over the O(classes^2)
+    * confusion frame — trivially driver-safe. */
   def classificationReport(predictions: DataFrame,
                            labelCol: String = "label",
                            predCol: String = "prediction"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cm = confusionMatrix(predictions, labelCol, predCol)
-    val predTotal = sum(col("n")).over(Window.partitionBy(col(predCol)))
-    val labelTotal = sum(col("n")).over(Window.partitionBy(col(labelCol)))
-    cm.withColumn("__pt", predTotal).withColumn("__lt", labelTotal)
-      .filter(col(labelCol) === col(predCol))
-      .select(col(labelCol).as("class"),
-        (col("n") / col("__pt")).as("precision"),
-        (col("n") / col("__lt")).as("recall"),
-        col("n").as("tp"), col("__lt").as("support"))
+    val labelTotals = cm.groupBy(col(labelCol).as("class"))
+      .agg(sum(col("n")).as("support"))
+    val predTotals = cm.groupBy(col(predCol).as("class"))
+      .agg(sum(col("n")).as("__pt"))
+    val diag = cm.filter(col(labelCol) === col(predCol))
+      .select(col(labelCol).as("class"), col("n").as("tp"))
+    labelTotals.join(predTotals, Seq("class"), "full_outer")
+      .join(diag, Seq("class"), "left_outer")
+      .select(col("class"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("__pt"), lit(0L)).as("__pt"))
+      .select(col("class"),
+        when(col("__pt") > 0, col("tp") / col("__pt"))
+          .otherwise(lit(0.0)).as("precision"),
+        when(col("support") > 0, col("tp") / col("support"))
+          .otherwise(lit(0.0)).as("recall"),
+        col("tp"), col("support"))
       .withColumn("f1",
-        lit(2.0) * col("precision") * col("recall") /
-          (col("precision") + col("recall")))
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0)))
   }
 
   /** M9: named feature importances of the fitted tree stage

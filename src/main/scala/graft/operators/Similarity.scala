@@ -78,6 +78,29 @@ object Similarity {
     bits.reduce[Column]((a, b) => a.bitwiseOR(b)).as("srp_sig")
   }
 
+  /** Per-band SRP bucket array: band b's bucket packs the sign bits of
+    * planes [b*bitsPerBand, (b+1)*bitsPerBand). Each hyperplane's dot
+    * product feeds exactly ONE band, so there is no shared signature
+    * subexpression for Catalyst's projection collapse to inline b times —
+    * the total work is the same nPlanes dot products as [[srpSignature]],
+    * with no persist barrier and therefore no cached blocks left behind
+    * in long-lived sessions. A self-join over the banded frame recomputes
+    * the signatures once per side (2x compute, ~nPlanes*dims FMA per row)
+    * — deliberately traded for a stateless plan with zero memory
+    * footprint at 100 TB corpus scale. */
+  private def srpBandBuckets(vec: Column, bands: Int, bitsPerBand: Int,
+                             dims: Int, seed: Long): Column = {
+    val ps = planes(bands * bitsPerBand, dims, seed)
+    array((0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        val planeLit = array(ps(b * bitsPerBand + i).map(lit): _*)
+        val d = aggregate(zip_with(vec, planeLit, (x, w) => x * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce[Column]((x, y) => x.bitwiseOR(y))
+    }: _*)
+  }
+
   /** IVF-style LSH-bucketed ANN: bucket corpus and queries by SRP signature
     * bands; score only pairs sharing a band bucket; top-k per query.
     * Recall < 1 by construction; `bands`/`bitsPerBand` trade recall vs
@@ -87,21 +110,15 @@ object Similarity {
               cId: String, qVec: String, cVec: String, k: Int, dims: Int,
               bands: Int = 4, bitsPerBand: Int = 8, seed: Long = 42L)
       : DataFrame = {
-    val nPlanes = bands * bitsPerBand
     def banded(df: DataFrame, id: String, vec: String, side: String)
-        : DataFrame = {
-      val sig = srpSignature(col(vec), nPlanes, dims, seed)
-      // persisted barrier: projection collapse would otherwise inline the
-      // nPlanes-dot-product signature into every band extraction
-      df.select(col(id).as(s"${side}_id"), col(vec).as(s"__${side}v"),
-          sig.as("__sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        : DataFrame =
+      // per-band plane slices ([[srpBandBuckets]]): no shared signature
+      // expression, so no persist barrier — and no cached blocks leaked
+      // into long-lived sessions (the old pattern never unpersisted)
+      df.select(col(id).as(s"${side}_id"), col(vec).as(s"__${side}v"))
         .select(col(s"${side}_id"), col(s"__${side}v"),
-          posexplode(array((0 until bands).map(b =>
-            shiftright(col("__sig"), b * bitsPerBand)
-              .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*))
-            .as(Seq("band", "bucket")))
-    }
+          posexplode(srpBandBuckets(col(s"__${side}v"), bands, bitsPerBand,
+            dims, seed)).as(Seq("band", "bucket")))
     val qB = banded(queries, qId, qVec, "query")
     val cB = banded(corpus, cId, cVec, "corpus")
     val cand = qB.join(cB, Seq("band", "bucket"))
@@ -225,7 +242,13 @@ object Similarity {
                    seed: Long = 42L): DataFrame = {
     val vecs = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    if (vecs.count() <= broadcastLimit) nearDupPairsExact(vecs, threshold)
+    // bounded probe: scan at most broadcastLimit+1 rows to pick the path
+    // instead of a full count() pass over the corpus. Project to a
+    // constant first so the limit never moves embedding arrays — only
+    // 1-byte rows reach the single-partition global limit.
+    val probe = math.min(broadcastLimit + 1L, Int.MaxValue.toLong).toInt
+    if (vecs.select(lit(1).as("one")).limit(probe).count() <= broadcastLimit)
+      nearDupPairsExact(vecs, threshold)
     else nearDupPairsBucketed(vecs, threshold, bands, bitsPerBand, seed)
   }
 
@@ -257,33 +280,38 @@ object Similarity {
     }.toDF("id_a", "id_b", "cosine")
   }
 
+  /** Scale path: SRP band buckets -> candidate pairs -> exact verify.
+    * The bucket join key includes the vector LENGTH (`__dim`): exactCosine
+    * only ever matches equal-length vectors, and without the key every
+    * vector shorter than the modal dims would get null-padded dot products
+    * (zip_with null-pads -> null -> sign bit 0) and pile into one hot
+    * all-zero bucket per band. With the key, ragged rows are only paired
+    * within their own length group (degenerating to within-group all-pairs
+    * verify for those minorities — exactly the candidate set the exact
+    * path can match); null vectors drop out via the null join key, which
+    * matches exactCosine(null, _) = None. */
   private def nearDupPairsBucketed(vecs: DataFrame, threshold: Double,
                                    bands: Int, bitsPerBand: Int,
                                    seed: Long): DataFrame = {
     require(bands * bitsPerBand <= 64,
       s"SRP signature is one 64-bit word: bands ($bands) * bitsPerBand " +
         s"($bitsPerBand) must be <= 64")
-    val nPlanes = bands * bitsPerBand
-    val dims = vecs.agg(max(size(col("v")))).first().getInt(0) // 1-row fetch
-    val sig = vecs
-      .select(col("id"), col("v"),
-        srpSignature(col("v"), nPlanes, dims, seed).as("__sig"))
-      // persisted barrier: projection collapse would otherwise inline the
-      // nPlanes-dot-product signature into every band extraction
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("id"), col("v"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("__sig"), b * bitsPerBand)
-          .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*))
+    val dimsRow = vecs.agg(max(size(col("v")))).first() // 1-row fetch
+    require(!dimsRow.isNullAt(0),
+      "nearDupPairsBucketed: corpus has no non-null vectors to sign")
+    val dims = dimsRow.getInt(0)
+    val banded = vecs.select(col("id"), col("v"),
+      size(col("v")).as("__dim"),
+      posexplode(srpBandBuckets(col("v"), bands, bitsPerBand, dims, seed))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
+    val a = banded.select(col("band"), col("bucket"), col("__dim"),
       col("id").as("id_a"), col("v").as("__va"))
-    val b = banded.select(col("band"), col("bucket"),
+    val b = banded.select(col("band"), col("bucket"), col("__dim"),
       col("id").as("id_b"), col("v").as("__vb"))
     val verify = udf((va: Seq[Double], vb: Seq[Double]) =>
       exactCosine(if (va == null) null else va.toArray,
         if (vb == null) null else vb.toArray))
-    a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("band", "bucket", "__dim"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
       .distinct()

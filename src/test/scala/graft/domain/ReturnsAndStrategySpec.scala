@@ -165,6 +165,25 @@ class ReturnsAndStrategySpec extends SparkSpec {
       "2024-03-05" -> (("B", 3.0))))
   }
 
+  test("trailingTopPerformers: a null PnL day is a skipped observation, " +
+    "not a universe ejection") {
+    // B's day-2 PnL is null; at day 3 its 2-row window is still FULL, so
+    // B stays in the ranking with trailing = 3.0 (null contributes 0) and
+    // beats A's 2.0 — a count(pnlCol) window would have ejected B
+    val rows = Seq(
+      Row("A", java.sql.Date.valueOf("2024-03-01"), 1.0),
+      Row("A", java.sql.Date.valueOf("2024-03-02"), 1.0),
+      Row("A", java.sql.Date.valueOf("2024-03-03"), 1.0),
+      Row("B", java.sql.Date.valueOf("2024-03-01"), 3.0),
+      Row("B", java.sql.Date.valueOf("2024-03-02"), null),
+      Row("B", java.sql.Date.valueOf("2024-03-03"), 0.0))
+    val d = df("ticker STRING, date DATE, pnl DOUBLE", rows: _*)
+    val out = Strategy.trailingTopPerformers(d, lookback = 2, n = 1)
+      .select(col("ticker"), col("trailing_pnl")).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "B" && out.head.getDouble(1) == 3.0)
+  }
+
   test("strategyStats: sharpe + p-value per group") {
     val pnl = df("g STRING, pnl DOUBLE",
       (1 to 30).map(i => Row("s1", 0.01 + 0.001 * (i % 5))): _*)

@@ -43,6 +43,28 @@ class DirectionModelSpec extends SparkSpec {
     assert(acc > 0.55, s"train accuracy $acc")
   }
 
+  test("M9 report: classes with zero true positives still appear, with " +
+    "sklearn's zero conventions") {
+    import org.apache.spark.sql.Row
+    // class 2 is labeled but never predicted correctly (or at all);
+    // class 1 is predicted once but never labeled
+    val preds = df("label DOUBLE, prediction DOUBLE",
+      Row(0.0, 0.0), Row(0.0, 0.0), Row(2.0, 0.0), Row(2.0, 1.0))
+    val rep = DirectionModel.classificationReport(preds).collect()
+      .map(r => r.getDouble(0) -> r).toMap
+    assert(rep.keySet == Set(0.0, 1.0, 2.0))
+    assert(rep(2.0).getAs[Long]("tp") == 0L)
+    assert(rep(2.0).getAs[Long]("support") == 2L)
+    assert(rep(2.0).getAs[Double]("precision") == 0.0)
+    assert(rep(2.0).getAs[Double]("recall") == 0.0)
+    assert(rep(2.0).getAs[Double]("f1") == 0.0)
+    assert(rep(1.0).getAs[Long]("support") == 0L)
+    assert(rep(1.0).getAs[Double]("precision") == 0.0) // tp 0 of 1 predicted
+    assert(rep(1.0).getAs[Double]("recall") == 0.0)    // no true rows
+    assertApprox(rep(0.0).getAs[Double]("precision"), 2.0 / 3.0)
+    assertApprox(rep(0.0).getAs[Double]("recall"), 1.0)
+  }
+
   test("M9 reporting: confusion matrix counts, per-class report on a " +
     "hand fixture, feature importances named and normalized") {
     import org.apache.spark.sql.Row

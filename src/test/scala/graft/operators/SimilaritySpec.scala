@@ -85,6 +85,26 @@ class SimilaritySpec extends SparkSpec {
     bucketed.foreach(r => assert(r.getDouble(2) == exactCos(key(r))))
   }
 
+  test("nearDupPairs bucketed path: ragged and null vectors match the " +
+    "exact path (equal-length groups only), all-null corpus fails fast") {
+    val d = df("id BIGINT, v ARRAY<DOUBLE>",
+      Row(1L, Seq(1.0, 2.0, 3.0, 4.0)), Row(2L, Seq(1.0, 2.0, 3.0, 4.0)),
+      Row(3L, Seq(1.0, 2.0)), Row(4L, Seq(1.0, 2.0)), // short dup pair
+      Row(5L, Seq(-5.0, 1.0)), Row(6L, null))
+    def key(r: Row) = (r.getLong(0), r.getLong(1))
+    val exact = Similarity.nearDupPairs(d, "id", "v", 0.999).collect()
+    val bucketed = Similarity
+      .nearDupPairs(d, "id", "v", 0.999, broadcastLimit = 0L).collect()
+    // the short pair (3,4) must be found by BOTH paths; cross-dim pairs
+    // and the null row never appear (exactCosine length/null contract)
+    assert(exact.map(key).toSet == Set((1L, 2L), (3L, 4L)))
+    assert(bucketed.map(key).toSet == exact.map(key).toSet)
+    val allNull = df("id BIGINT, v ARRAY<DOUBLE>", Row(1L, null), Row(2L, null))
+    intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(allNull, "id", "v", 0.9, broadcastLimit = 0L)
+    }
+  }
+
   test("lshTopK finds identical vectors (recall on exact dups)") {
     val d = vecs(
       1L -> Seq(1.0, 2.0, 3.0, 4.0), 2L -> Seq(1.0, 2.0, 3.0, 4.0),
