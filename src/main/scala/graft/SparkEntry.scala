@@ -40,6 +40,11 @@ object SparkEntry {
   private def MoneySum(e: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** DuckDB twin of [[Sampling.bucketHash]] — the same positive-BIGINT
+    * multiplicative-hash arithmetic, so sampling gates are bit-exact. */
+  private def HashSql(key: String, seed: Long): String =
+    s"(((($key + $seed) % 2147483648) * 2654435761) // 65536) % 1048576"
+
   /** events with ts as epoch-nanos long (column `ts_ns`), truncated to
     * whole microseconds: DuckDB (the oracle) reads parquet TIMESTAMP(NANOS)
     * as µs TIMESTAMP, so sub-µs nanos exist only on the Spark side —
@@ -1220,6 +1225,74 @@ object SparkEntry {
           r6(col("ClOp")).as("clop_micro"),
           r6(col("ClCl")).as("clcl_micro"),
           r6(col("fut_ClOp")).as("fut_clop_micro"))
+    }),
+
+    // --- LLM ops: deterministic hash sampling — layout/rerun-stable
+    //     Bernoulli sample (portable integer arithmetic; Sampling.scala) ---
+    "q_sample_bernoulli" -> ((s, dir) => {
+      Sampling.bernoulliSample(Tables.documents(s, dir), "doc_id", 0.1,
+          seed = 1L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // --- LLM ops: exact-N-per-stratum deterministic reservoir ---
+    "q_sample_stratified" -> ((s, dir) => {
+      Sampling.stratifiedExactN(Tables.documents(s, dir), Seq("lang"),
+          "doc_id", n = 10, seed = 2L)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // --- LLM ops / M4 scale path: deterministic train/test hash split ---
+    "q_split_hash" -> ((s, dir) => {
+      Sampling.hashSplitTag(Tables.documents(s, dir), "doc_id", 0.25,
+          seed = 3L)
+        .groupBy(col("is_test"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    }),
+
+    // --- LLM ops: weighted pretrain source mixing in one pass ---
+    "q_mix_sources" -> ((s, dir) => {
+      Sampling.mixSources(Tables.documents(s, dir), "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+          "doc_id", seed = 4L)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    }),
+
+    // --- LLM ops: concat-then-chunk sequence packing (distributed
+    //     two-level prefix sum; Packing.scala). n_chars stands in for the
+    //     token count — any per-row cost column works ---
+    "q_pack_chunks" -> ((s, dir) => {
+      val packed = Packing.concatChunks(Tables.documents(s, dir), "doc_id",
+        "n_chars", budget = 16384L, nShards = 16)
+      Packing.chunkStats(packed, "n_chars", budget = 16384L)
+    }),
+
+    // --- M9: full per-class classification report (zero-TP classes
+    //     included, sklearn zero conventions) ---
+    "q_m9_report" -> ((s, dir) => {
+      val preds = eventsNs(s, dir)
+        .withColumn("actual", side(col("event_type")).cast("long"))
+        .withColumn("pred",
+          when(col("event_id") % 3 === 0, -1L).otherwise(1L))
+      graft.ml.DirectionModel.classificationReport(preds, "actual", "pred")
+        .select(col("class"), r6(col("precision")).as("precision_micro"),
+          r6(col("recall")).as("recall_micro"), col("tp"), col("support"),
+          r6(col("f1")).as("f1_micro"))
+    }),
+
+    // --- W4+W5 composition: trailing top-performer selection
+    //     (ClOp_analysis.ipynb cells 8-10 shape: top-N by trailing PnL,
+    //     exclusive window — no lookahead) ---
+    "q_trailing_topk" -> ((s, dir) => {
+      val daily = eventsNs(s, dir)
+        .withColumn("day", (col("ts_ns") / lit(DAY)).cast("long"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(moneySum(col("value")).as("pnl"))
+      val panel = daily.select(col("user_id").as("ticker"),
+        col("day").as("date"), col("pnl"))
+      graft.domain.Strategy.trailingTopPerformers(panel, lookback = 3, n = 2)
+        .select(col("ticker").as("user_id"), col("date").as("day"),
+          r6(col("trailing_pnl")).as("trailing_micro"), col("rank"))
     })
   )
 
@@ -2054,6 +2127,89 @@ object SparkEntry {
          |n AS (SELECT user_id, day, COUNT(*) AS n FROM d GROUP BY 1, 2)
          |SELECT n.user_id, n.day, n.n, ${R6("clop")} AS clop_micro,
          |  ${R6("clcl")} AS clcl_micro, ${R6("fut_clop")} AS fut_clop_micro
-         |FROM n JOIN c2 ON n.user_id = c2.user_id AND n.day = c2.day""".stripMargin
+         |FROM n JOIN c2 ON n.user_id = c2.user_id AND n.day = c2.day""".stripMargin,
+
+    "q_sample_bernoulli" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${HashSql("doc_id", 1L)} < ${Sampling.threshold(0.1)}""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY ${HashSql("doc_id", 2L)}, doc_id) AS rk
+         |  FROM documents) WHERE rk <= 10""".stripMargin,
+
+    "q_split_hash" ->
+      s"""SELECT ${HashSql("doc_id", 3L)} < ${Sampling.threshold(0.25)}
+         |    AS is_test,
+         |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_mix_sources" ->
+      s"""SELECT source, COUNT(*) AS n FROM documents
+         |WHERE ${HashSql("doc_id", 4L)} < CASE source
+         |  WHEN 'src0' THEN ${Sampling.threshold(1.0)}
+         |  WHEN 'src1' THEN ${Sampling.threshold(0.5)}
+         |  WHEN 'src2' THEN ${Sampling.threshold(0.25)}
+         |  WHEN 'src3' THEN ${Sampling.threshold(0.1)}
+         |  ELSE 0 END
+         |GROUP BY 1""".stripMargin,
+
+    "q_pack_chunks" ->
+      s"""WITH k AS (SELECT doc_id, n_chars,
+         |  ${HashSql("doc_id", 0L)} AS h FROM documents),
+         |p AS (SELECT doc_id, n_chars,
+         |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS pfx
+         |  FROM k)
+         |SELECT pfx // 16384 AS chunk_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS tokens,
+         |  GREATEST(0, CAST(MAX(pfx % 16384 + n_chars) AS BIGINT) - 16384)
+         |    AS spill
+         |FROM p GROUP BY 1""".stripMargin,
+
+    "q_m9_report" ->
+      s"""WITH e AS ($EventsNs),
+         |pr AS (SELECT CAST($Side AS BIGINT) AS actual,
+         |  CAST(CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS BIGINT)
+         |    AS pred FROM e),
+         |cm AS (SELECT actual, pred, COUNT(*) AS n FROM pr GROUP BY 1, 2),
+         |lt AS (SELECT actual AS class, CAST(SUM(n) AS BIGINT) AS support
+         |  FROM cm GROUP BY 1),
+         |pt AS (SELECT pred AS class, CAST(SUM(n) AS BIGINT) AS ptot
+         |  FROM cm GROUP BY 1),
+         |dg AS (SELECT actual AS class, n AS tp FROM cm
+         |  WHERE actual = pred),
+         |j AS (SELECT COALESCE(lt.class, pt.class) AS class,
+         |  COALESCE(dg.tp, 0) AS tp, COALESCE(lt.support, 0) AS support,
+         |  COALESCE(pt.ptot, 0) AS ptot
+         |  FROM lt FULL OUTER JOIN pt ON lt.class = pt.class
+         |  LEFT JOIN dg ON COALESCE(lt.class, pt.class) = dg.class),
+         |m AS (SELECT class, tp, support,
+         |  CASE WHEN ptot > 0 THEN CAST(tp AS DOUBLE) / ptot
+         |    ELSE 0.0 END AS precision,
+         |  CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support
+         |    ELSE 0.0 END AS recall FROM j)
+         |SELECT class, ${R6("precision")} AS precision_micro,
+         |  ${R6("recall")} AS recall_micro, tp, support,
+         |  ${R6("CASE WHEN precision + recall > 0 THEN 2.0 * precision * recall / (precision + recall) ELSE 0.0 END")}
+         |    AS f1_micro
+         |FROM m""".stripMargin,
+
+    "q_trailing_topk" ->
+      s"""WITH e AS ($EventsNs),
+         |daily AS (SELECT user_id, ts_ns // ${DAY} AS day,
+         |  ${MoneySum("value")} AS pnl FROM e GROUP BY 1, 2),
+         |t AS (SELECT user_id, day,
+         |  SUM(pnl) OVER w AS trailing_pnl, COUNT(*) OVER w AS n_w
+         |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+         |r AS (SELECT user_id, day, trailing_pnl,
+         |  ROW_NUMBER() OVER (PARTITION BY day
+         |    ORDER BY trailing_pnl DESC, user_id) AS rank
+         |  FROM t WHERE n_w = 3)
+         |SELECT user_id, day, ${R6("trailing_pnl")} AS trailing_micro,
+         |  CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 2""".stripMargin
   )
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concat-then-chunk sequence packing for pretraining pipelines: order the
+  * corpus deterministically, imagine the token streams concatenated, and
+  * cut the stream at every `budget` tokens — each document lands in
+  * chunk `floor(exclusive_prefix_tokens / budget)` at offset
+  * `prefix mod budget`. This is the standard "concatenate and chunk"
+  * packing (documents may straddle a cut; the trainer splits them), and
+  * unlike greedy bin-packing it is embarrassingly parallel once the
+  * prefix sums exist.
+  *
+  * The global exclusive prefix sum is the scale problem: a single
+  * `Window.orderBy` with no partition key funnels 100 TB through one task.
+  * [[concatChunks]] instead runs the classic two-level distributed scan:
+  *   1. shard by a RANGE of the deterministic order key (shard = h div w,
+  *      monotone in h, so shard order == global order),
+  *   2. within-shard exclusive running sum (parallel window per shard),
+  *   3. per-shard totals -> exclusive running offsets (a `nShards`-row
+  *      frame, window over the tiny side only),
+  *   4. broadcast the offsets back: prefix = shard_offset + within_shard.
+  * Equal to the single global window by construction, with the only
+  * full-data shuffle being the per-shard window.
+  */
+object Packing {
+
+  /** Assign every row a pack chunk id and intra-chunk offset.
+    *
+    * @param tokenCol per-row token (or any cost) count, non-negative
+    * @param budget   tokens per chunk
+    * @param nShards  prefix-sum fan-out; must divide [[Sampling.HashRange]]
+    */
+  def concatChunks(df: DataFrame, idCol: String, tokenCol: String,
+                   budget: Long, seed: Long = 0L,
+                   nShards: Int = 256): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nShards > 0 && Sampling.HashRange % nShards == 0,
+      s"nShards ($nShards) must divide ${Sampling.HashRange}")
+    val width = Sampling.HashRange / nShards
+    val keyed = df.select(col(idCol), col(tokenCol),
+        Sampling.bucketHash(col(idCol), seed).as("__h"))
+      .withColumn("__shard", expr(s"__h div $width"))
+    val inShard = Window.partitionBy(col("__shard"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = keyed.withColumn("__within",
+      coalesce(sum(col(tokenCol)).over(inShard), lit(0L)))
+    val shardOrder = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("__shard"))
+      .agg(sum(col(tokenCol)).as("__total"))
+      .withColumn("__offset",
+        coalesce(sum(col("__total")).over(shardOrder), lit(0L)))
+      .select(col("__shard"), col("__offset"))
+    within.join(broadcast(offsets), Seq("__shard"))
+      .withColumn("__prefix", col("__offset") + col("__within"))
+      .select(col(idCol), col(tokenCol),
+        expr(s"__prefix div $budget").as("chunk_id"),
+        pmod(col("__prefix"), lit(budget)).as("chunk_offset"))
+  }
+
+  /** Per-chunk packing report: document count, token total, and the spill
+    * past the budget boundary (the tokens the trainer splits off into the
+    * next chunk; always < the last document's length). */
+  def chunkStats(packed: DataFrame, tokenCol: String,
+                 budget: Long): DataFrame =
+    packed.groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("tokens"),
+        greatest(lit(0L),
+          max(col("chunk_offset") + col(tokenCol)) - lit(budget))
+          .as("spill"))
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and splitting for large-scale
+  * training-data pipelines.
+  *
+  * Spark's own `df.sample` / `randomSplit` draw per-partition pseudo-random
+  * streams: the selected set changes when the frame is recomputed, when
+  * the partition layout changes (AQE, coalesce, different input splits),
+  * or when an executor retries a task. At 100 TB that nondeterminism is a
+  * correctness hazard — a train/test split must not depend on physical
+  * layout, and a rerun must reproduce the same sample bit-for-bit.
+  *
+  * Everything here keys off a content hash of a stable row key instead:
+  *   a    = (key + seed) mod 2^31
+  *   h    = ((a * 2654435761) >> 16) mod 2^20        (Knuth multiplicative
+  *          hash; the middle bits of the 51-bit product are well-mixed)
+  * `h` is uniform on [0, 2^20) and every step is plain positive-BIGINT
+  * arithmetic — no engine-specific hash function — so the exact same
+  * expression runs in any SQL engine (the DuckDB oracle gates do), and
+  * the sample is a pure function of (key, seed).
+  *
+  * Scale notes: [[bernoulliSample]] / [[hashSplitTag]] are pure row-local
+  * filters/projections — no shuffle, fully pushed into the scan.
+  * [[stratifiedExactN]] is one window shuffle on the strata key.
+  */
+object Sampling {
+
+  /** Hash range: 2^20 buckets (~1e-6 sampling-fraction granularity). */
+  val HashRange: Long = 1L << 20
+
+  /** The portable bucket hash in [0, HashRange). Keys must be non-negative
+    * (doc/event ids); `pmod` guards the Spark side anyway. */
+  def bucketHash(key: Column, seed: Long = 0L): Column =
+    pmod(shiftright(
+      pmod(key.cast("long") + lit(seed), lit(2147483648L)) *
+        lit(2654435761L), 16), lit(HashRange))
+
+  /** [[bucketHash]] scaled to a unit double in [0, 1). */
+  def unitHash(key: Column, seed: Long = 0L): Column =
+    bucketHash(key, seed).cast("double") / lit(HashRange.toDouble)
+
+  /** Integer acceptance threshold for a fraction (round-half-up). */
+  def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0, 1], got $fraction")
+    math.floor(fraction * HashRange + 0.5).toLong
+  }
+
+  /** Deterministic Bernoulli sample: keep rows with hash below the
+    * fraction threshold. Stable across reruns, retries, and repartitioning
+    * (unlike `df.sample`); disjoint seeds give independent samples. */
+  def bernoulliSample(df: DataFrame, keyCol: String, fraction: Double,
+                      seed: Long = 0L): DataFrame =
+    df.filter(bucketHash(col(keyCol), seed) < lit(threshold(fraction)))
+
+  /** Deterministic train/test tag (the M4 scale path: `randomSplit`
+    * resamples on every recompute; this never does). `tagCol` is true for
+    * the test rows (~`testFraction` of the keys). */
+  def hashSplitTag(df: DataFrame, keyCol: String, testFraction: Double,
+                   seed: Long = 0L, tagCol: String = "is_test"): DataFrame =
+    df.withColumn(tagCol,
+      bucketHash(col(keyCol), seed) < lit(threshold(testFraction)))
+
+  /** Exact-N-per-stratum sample — a deterministic reservoir: the `n` rows
+    * with the smallest (hash, key) per stratum. One window shuffle; ties
+    * impossible (key breaks them). */
+  def stratifiedExactN(df: DataFrame, strataCols: Seq[String],
+                       keyCol: String, n: Int, seed: Long = 0L): DataFrame = {
+    require(strataCols.nonEmpty, "stratifiedExactN needs at least one stratum column")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(bucketHash(col(keyCol), seed), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n).drop("__rk")
+  }
+
+  /** Weighted source mixing: per-source Bernoulli rates in one pass (the
+    * "sample source A at 10%, B at 100%, drop the rest" pretrain-mix
+    * shape). Row-local filter, no shuffle. */
+  def mixSources(df: DataFrame, sourceCol: String,
+                 rates: Map[String, Double], keyCol: String,
+                 seed: Long = 0L): DataFrame = {
+    require(rates.nonEmpty, "mixSources needs at least one source rate")
+    val thr = rates.foldLeft(lit(0L)) { case (acc, (src, rate)) =>
+      when(col(sourceCol) === lit(src), lit(threshold(rate))).otherwise(acc)
+    }
+    df.filter(bucketHash(col(keyCol), seed) < thr)
+  }
+}

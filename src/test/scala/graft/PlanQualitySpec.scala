@@ -95,6 +95,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), "no join belongs in this plan")
   }
 
+  test("bernoulliSample / hashSplitTag: row-local, zero exchanges") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val pSample = graft.operators.Sampling
+      .bernoulliSample(docs, "doc_id", 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!pSample.contains("Exchange"),
+      "a Bernoulli hash sample must not shuffle:\n" + pSample.take(1000))
+    val pSplit = graft.operators.Sampling
+      .hashSplitTag(docs, "doc_id", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!pSplit.contains("Exchange"),
+      "a hash split tag must not shuffle:\n" + pSplit.take(1000))
+  }
+
+  test("concatChunks: the only full-data shuffle is the per-shard window; " +
+    "shard offsets come back as a broadcast join") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val p = graft.operators.Packing
+      .concatChunks(docs, "doc_id", "n_chars", budget = 4096L, nShards = 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "shard offsets must broadcast, not shuffle the corpus:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // full-data exchanges: the per-shard window partitioning (the
+    // offsets-side exchanges are over an nShards-row aggregate)
+    assert(occurrences(p, "Exchange hashpartitioning(__shard") <= 2,
+      p.take(2000))
+  }
+
   test("nearDupPairs bucketed path: band-bucket equi-join, never a " +
     "cartesian / broadcast nested loop") {
     import org.apache.spark.sql.Row
