@@ -36,24 +36,33 @@ object Dedup {
   /** Word-shingle sets: distinct n-grams of tokens per doc (the unit for
     * Jaccard/MinHash). n=1 gives bag-of-words.
     *
-    * The token array is BOUND once via a 1-element `transform` (lambda
-    * variables are materialized values): referencing the split expression
-    * directly inside the index lambda would re-run the regex tokenization
-    * once per shingle — higher-order lambdas are interpreted with no
-    * common-subexpression elimination (measured 40x slower). Docs shorter
-    * than n tokens yield an empty set (guarded: Spark's `sequence` counts
-    * DOWN for inverted bounds). */
+    * n >= 2 runs the native codegen'd kernel
+    * [[graft.plans.ShinglesExpr]] — one sliding-window while-loop per row
+    * with a LinkedHashSet for first-occurrence distinct order, bit-equal
+    * to the interpreted twin [[shinglesHof]] (DedupSpec). Docs shorter
+    * than n tokens yield an empty set; so does a null doc. */
   def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
     val toks = TextFunctions.tokens(lower(text))
     if (n == 1) array_distinct(toks)
-    else {
-      val perDoc = transform(array(toks), t =>
-        when(size(t) >= n,
-          array_distinct(transform(sequence(lit(0), size(t) - n),
-            i => concat_ws(" ", slice(t, i + 1, lit(n))))))
-          .otherwise(array().cast("array<string>")))
-      element_at(perDoc, 1)
-    }
+    else GraftColumnBridge.column(graft.plans.ShinglesExpr(
+      GraftColumnBridge.expression(toks), n))
+  }
+
+  /** Interpreted higher-order twin of [[shingles]] (n >= 2), kept for
+    * differential verification of the native kernel (DedupSpec asserts
+    * exact equality). The token array is BOUND once via a 1-element
+    * `transform` (lambda variables are materialized values): referencing
+    * the split expression directly inside the index lambda would re-run
+    * the regex tokenization once per shingle (measured 40x slower). */
+  private[graft] def shinglesHof(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val perDoc = transform(array(toks), t =>
+      when(size(t) >= n,
+        array_distinct(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+        .otherwise(array().cast("array<string>")))
+    element_at(perDoc, 1)
   }
 
   /** n-gram Jaccard near-dup pairs >= threshold — EXACT, with prefix
@@ -117,12 +126,26 @@ object Dedup {
 
   /** MinHash signatures: k independent permutation approximations;
     * signature[i] = min over shingles of xxhash64(seed_i, h(shingle)).
-    * ONE aggregate pass carries all k running minimums in an array
-    * accumulator — higher-order lambdas are interpreted with no common
-    * subexpression elimination, so k separate array_min terms would
-    * re-evaluate the (expensive) shingling k times. Empty shingle sets
+    * Computed by the native codegen'd kernel
+    * [[graft.plans.MinHashSigExpr]] — one primitive while-loop per row,
+    * zero per-shingle allocations, no interpreted-lambda seam (round 5;
+    * bit-equal to the HOF twin below by DedupSpec). Empty shingle sets
     * yield all-null signatures. Linear scan, no shuffle. */
   def minHashSignature(text: Column, n: Int, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.MinHashSigExpr(
+        GraftColumnBridge.expression(shingles(text, n)), k))
+      .as("minhash_sig")
+  }
+
+  /** Interpreted higher-order twin of [[minHashSignature]], kept for
+    * differential verification of the native expression (DedupSpec
+    * asserts bit equality). ONE aggregate pass carries all k running
+    * minimums in an array accumulator — but every fold step still
+    * allocates a k-element array per shingle, which is why the native
+    * kernel replaced it in the hot path. */
+  private[graft] def minHashSignatureHof(text: Column, n: Int,
+                                         k: Int): Column = {
     val hashes = transform(shingles(text, n), s => xxhash64(s))
     val init = array((0 until k).map(_ => lit(Long.MaxValue)): _*)
     aggregate(hashes, init,
@@ -185,12 +208,24 @@ object Dedup {
 
   /** 64-bit SimHash of the token stream: per-token xxhash64; fingerprint
     * bit j = sign of the sum over tokens of bit_j(hash)∈{-1,+1}. Near-dups
-    * have small Hamming distance. ONE aggregate pass carrying an array of
-    * 64 vote counters, assembled to a long in the finish lambda — lambda
-    * variables are bound values, so nothing is re-evaluated (64 separate
-    * bit-aggregates would re-hash the token array 64x in the interpreted
-    * higher-order path). */
+    * have small Hamming distance. Computed by the native codegen'd kernel
+    * [[graft.plans.SimHash64Expr]] — one primitive while-loop per row
+    * with a stack vote array, zero per-token allocations (round 5;
+    * bit-equal to the HOF twin below by DedupSpec). */
   def simHash64(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val toks = TextFunctions.tokens(lower(text))
+    GraftColumnBridge.column(graft.plans.SimHash64Expr(
+        GraftColumnBridge.expression(toks)))
+      .as("simhash64")
+  }
+
+  /** Interpreted higher-order twin of [[simHash64]], kept for
+    * differential verification of the native expression (DedupSpec
+    * asserts bit equality): ONE aggregate pass carrying an array of
+    * 64 vote counters, assembled to a long in the finish lambda — but
+    * each fold step still allocates a 64-element array per token. */
+  private[graft] def simHash64Hof(text: Column): Column = {
     val toks = TextFunctions.tokens(lower(text))
     val hashes = transform(toks, t => xxhash64(t))
     val init = array((0 until 64).map(_ => lit(0L)): _*)

@@ -1,0 +1,223 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression,
+  XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType,
+  LongType, StringType}
+
+/** Native Catalyst expressions for the dedup signature scans — the
+  * hottest per-row loops of the 100 TB text-dedup path.
+  *
+  * The higher-order-function formulations in `Dedup.simHash64` /
+  * `Dedup.minHashSignature` are correct but interpreted: every token
+  * re-enters the lambda interpreter and every fold step allocates a fresh
+  * 64- (resp. k-) element array, so the signature scan costs
+  * O(tokens * width) allocations per document. These expressions run the
+  * same arithmetic as one primitive while-loop per row (zero allocations
+  * for simhash, one output array for minhash) and generate a single
+  * static call under whole-stage codegen — no codegen-fallback seam, no
+  * Row boxing (the [[NormalCdf]] pattern).
+  *
+  * Bit parity with the HOF twins is load-bearing (the q_minhash_sig gate
+  * md5-folds signatures; DedupSpec asserts native == HOF): per-token
+  * hashes replicate `xxhash64(tok)` = XxHash64(seed 42) over a STRING,
+  * and per-slot minhash draws replicate `xxhash64(lit(i), h)` = fold
+  * hash(i: INT, seed 42) then hash(h: LONG, ·), via the same
+  * [[XxHash64Function]] Spark's own expression evaluates with. A null
+  * token contributes the seed (42) exactly as a null xxhash64 child is
+  * skipped; an empty token array yields simhash 0 / an all-null minhash
+  * signature; a null array yields null (UnaryExpression contract).
+  */
+object HashSignatures {
+
+  private final val Seed = 42L
+
+  /** Per-row simhash kernel (called from generated code). */
+  def simhash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) Seed
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, Seed)
+      var j = 0
+      while (j < 64) {
+        votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** Per-row minhash kernel (called from generated code). */
+  def minhash(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val acc = new Array[Long](k)
+    java.util.Arrays.fill(acc, Long.MaxValue)
+    // hoisted per-slot seeds: xxhash64(lit(i), h) folds the INT literal
+    // first, so hash(i, INT, 42) is a constant per slot
+    val slotSeed = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      slotSeed(j) = XxHash64Function.hash(j, IntegerType, Seed)
+      j += 1
+    }
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) Seed
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, Seed)
+      j = 0
+      while (j < k) {
+        val hj = XxHash64Function.hash(h, LongType, slotSeed(j))
+        if (hj < acc(j)) acc(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    j = 0
+    while (j < k) {
+      out(j) = if (acc(j) == Long.MaxValue) null
+               else java.lang.Long.valueOf(acc(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private[plans] def requireStringArray(dt: DataType, name: String)
+      : TypeCheckResult = dt match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires ARRAY<STRING>, got ${other.sql}")
+  }
+
+  private val SpaceSep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Per-row distinct word-n-gram kernel (called from generated code).
+    * Replicates the HOF formulation exactly: windows of n tokens joined
+    * with " " (null tokens skipped, as concat_ws does), first-occurrence
+    * order (as array_distinct does), an empty array when the doc has
+    * fewer than n tokens AND when the input array is null (the HOF's
+    * when/otherwise falls through to the empty branch on null). */
+  def shingles(arr: ArrayData, n: Int): ArrayData = {
+    if (arr == null) return new GenericArrayData(Array.empty[Any])
+    val tokens = arr.numElements()
+    if (tokens < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i <= tokens - n) {
+      var j = 0
+      while (j < n) {
+        window(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String
+        .concatWs(SpaceSep, window: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** simhash64 over a token array: fingerprint bit j = sign of the sum over
+  * tokens of bit_j(xxhash64(token)) in {-1,+1}. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashSignatures.requireStringArray(child.dataType, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    HashSignatures.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashSignatures.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHash64Expr = copy(child = newChild)
+}
+
+/** k-slot minhash signature over a shingle array: slot i carries
+  * min over shingles of xxhash64(i, xxhash64(shingle)); empty input gives
+  * an all-null signature. */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+  require(k > 0, s"minhash signature width must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashSignatures.requireStringArray(child.dataType, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    HashSignatures.minhash(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.HashSignatures.minhash($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSigExpr = copy(child = newChild)
+}
+
+/** Distinct word-n-gram shingle set over a token array — the scan cost
+  * that dominates the Jaccard/MinHash dedup family. NOT null-propagating:
+  * a null token array yields an EMPTY shingle set, matching the HOF
+  * twin's when/otherwise fall-through (Dedup.shinglesHof), so the
+  * expression is never null and needs custom codegen instead of
+  * defineCodeGen. */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashSignatures.requireStringArray(child.dataType, prettyName)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_shingles"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    HashSignatures.shingles(
+      if (v == null) null else v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code +
+      code"""
+        $javaType ${ev.value} = graft.plans.HashSignatures.shingles(
+          ${c.isNull} ? null : ${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShinglesExpr = copy(child = newChild)
+}

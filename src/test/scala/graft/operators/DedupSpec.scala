@@ -67,6 +67,34 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
   }
 
+  test("native signature kernels == interpreted HOF twins bit-for-bit " +
+    "(incl. empty, single-token, punctuation, and null docs)") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "", 4L -> "one",
+      5L -> "punct! marks? and, spacing   tabs\tnewlines",
+      6L -> null,
+      7L -> ("repeated tokens " * 40))
+    val sim = d.select(col("doc_id"), Dedup.simHash64(col("text")).as("n"),
+        Dedup.simHash64Hof(col("text")).as("h"))
+      .collect()
+    sim.foreach(r => assert(r.get(1) == r.get(2),
+      s"simhash mismatch for doc ${r.getLong(0)}: ${r.get(1)} vs ${r.get(2)}"))
+    val mh = d.select(col("doc_id"),
+        Dedup.minHashSignature(col("text"), n = 3, k = 16).as("n"),
+        Dedup.minHashSignatureHof(col("text"), n = 3, k = 16).as("h"))
+      .collect()
+    mh.foreach(r => assert(r.get(1) == r.get(2),
+      s"minhash mismatch for doc ${r.getLong(0)}: ${r.get(1)} vs ${r.get(2)}"))
+    val sh = d.select(col("doc_id"),
+        Dedup.shingles(col("text"), 3).as("n"),
+        Dedup.shinglesHof(col("text"), 3).as("h"))
+      .collect()
+    sh.foreach(r => assert(r.get(1) == r.get(2),
+      s"shingles mismatch for doc ${r.getLong(0)}: ${r.get(1)} vs ${r.get(2)}"))
+  }
+
   test("simHash: identical texts equal, near-identical close in Hamming") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(1L -> base, 2L -> base,
