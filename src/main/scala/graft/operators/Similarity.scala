@@ -14,8 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two Array[Float/Double] columns. */
+  /** Cosine similarity between two Array[Float/Double] columns — the
+    * native codegen'd kernel [[graft.plans.CosineExpr]]: one fused
+    * primitive loop per pair instead of three interpreted folds, with the
+    * same left-to-right summation (bit-equal to [[cosineHof]] by
+    * SimilaritySpec, and to the DuckDB oracle). */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.CosineExpr(
+        GraftColumnBridge.expression(a.cast("array<double>")),
+        GraftColumnBridge.expression(b.cast("array<double>"))))
+      .as("cosine")
+  }
+
+  /** Interpreted higher-order twin of [[cosine]], kept for differential
+    * verification of the native kernel (SimilaritySpec asserts bit
+    * equality). */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))

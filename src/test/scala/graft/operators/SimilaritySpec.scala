@@ -24,6 +24,22 @@ class SimilaritySpec extends SparkSpec {
     assertApprox(c, -1.0)
   }
 
+  test("native cosine kernel == interpreted HOF twin bit-for-bit " +
+    "(incl. ragged, zero-norm, null-element, and null vectors)") {
+    val d = df("a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+      Row(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      Row(Seq(0.1, -0.7), Seq(0.3, 0.9)),
+      Row(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),   // ragged
+      Row(Seq(0.0, 0.0), Seq(1.0, 1.0)),        // zero norm
+      Row(Seq(1.0, null), Seq(1.0, 2.0)),       // null element
+      Row(null, Seq(1.0, 2.0)))                 // null vector
+    val out = d.select(Similarity.cosine(col("a"), col("b")).as("n"),
+      Similarity.cosineHof(col("a"), col("b")).as("h")).collect()
+    out.foreach(r => assert(r.get(0) == r.get(1),
+      s"cosine mismatch: ${r.get(0)} vs ${r.get(1)}"))
+    assert(out.count(_.isNullAt(0)) == 4)
+  }
+
   test("cosine hand value") {
     val d = vecs(1L -> Seq(1.0, 2.0, 3.0), 2L -> Seq(4.0, 5.0, 6.0))
     val c = d.as("a").crossJoin(d.as("b"))
