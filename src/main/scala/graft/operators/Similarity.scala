@@ -94,17 +94,28 @@ object Similarity {
   }
 
   /** Per-band SRP bucket array: band b's bucket packs the sign bits of
-    * planes [b*bitsPerBand, (b+1)*bitsPerBand). Each hyperplane's dot
-    * product feeds exactly ONE band, so there is no shared signature
-    * subexpression for Catalyst's projection collapse to inline b times —
-    * the total work is the same nPlanes dot products as [[srpSignature]],
-    * with no persist barrier and therefore no cached blocks left behind
-    * in long-lived sessions. A self-join over the banded frame recomputes
-    * the signatures once per side (2x compute, ~nPlanes*dims FMA per row)
-    * — deliberately traded for a stateless plan with zero memory
-    * footprint at 100 TB corpus scale. */
-  private def srpBandBuckets(vec: Column, bands: Int, bitsPerBand: Int,
-                             dims: Int, seed: Long): Column = {
+    * planes [b*bitsPerBand, (b+1)*bitsPerBand). Native codegen'd kernel
+    * ([[graft.plans.SrpBandBucketsExpr]]): one fused loop over all
+    * nPlanes dot products per row, bit-equal to the interpreted twin
+    * below (SimilaritySpec). No shared subexpression, no persist barrier,
+    * no cached blocks in long-lived sessions; a self-join over the banded
+    * frame recomputes signatures once per side — deliberately traded for
+    * a stateless plan with zero memory footprint at 100 TB corpus scale. */
+  private[graft] def srpBandBuckets(vec: Column, bands: Int,
+                                    bitsPerBand: Int, dims: Int,
+                                    seed: Long): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val ps = planes(bands * bitsPerBand, dims, seed)
+    GraftColumnBridge.column(graft.plans.SrpBandBucketsExpr(
+      GraftColumnBridge.expression(vec.cast("array<double>")),
+      ps.flatten.toSeq, dims, bands, bitsPerBand))
+  }
+
+  /** Interpreted higher-order twin of [[srpBandBuckets]], kept for
+    * differential verification (SimilaritySpec asserts bit equality). */
+  private[graft] def srpBandBucketsHof(vec: Column, bands: Int,
+                                       bitsPerBand: Int, dims: Int,
+                                       seed: Long): Column = {
     val ps = planes(bands * bitsPerBand, dims, seed)
     array((0 until bands).map { b =>
       (0 until bitsPerBand).map { i =>

@@ -23,6 +23,39 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * isNull store instead of defineCodeGen. */
 object VectorKernels {
 
+  /** Per-row SRP band-bucket kernel (called from generated code).
+    * `planes` is row-major (nPlanes x dims). Mirrors the HOF per-plane
+    * fold exactly: a null vector, a length mismatch with the plane
+    * literal, or any null element makes every dot product null
+    * (zip_with null-pads), and the when(d >= 0) guard then drops every
+    * bit to 0 — so those rows land in bucket 0 of every band. */
+  def srpBuckets(vec: ArrayData, planes: Array[Double], dims: Int,
+                 bands: Int, bitsPerBand: Int): ArrayData = {
+    val out = new Array[Any](bands)
+    val degenerate = vec == null || vec.numElements() != dims || {
+      var i = 0; var hasNull = false
+      while (i < dims && !hasNull) { hasNull = vec.isNullAt(i); i += 1 }
+      hasNull
+    }
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      if (!degenerate) {
+        var i = 0
+        while (i < bitsPerBand) {
+          val base = (b * bitsPerBand + i) * dims
+          var d = 0.0; var j = 0
+          while (j < dims) { d += vec.getDouble(j) * planes(base + j); j += 1 }
+          if (d >= 0) bucket |= (1L << i)
+          i += 1
+        }
+      }
+      out(b) = java.lang.Long.valueOf(bucket)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a == null || b == null) return null
     val n = a.numElements()
@@ -38,6 +71,63 @@ object VectorKernels {
       java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
     else null
   }
+}
+
+/** SRP band-bucket array over an embedding column: band b's bucket packs
+  * the sign bits of its own plane slice. Planes are carried FLATTENED as
+  * a Seq (case-class structural equality keeps plan canonicalization
+  * sound; an Array field would compare by reference) and bound to a
+  * primitive array once per executor. Never null: degenerate rows (null /
+  * ragged / null-element vectors) get bucket 0 in every band, exactly
+  * like the HOF when-guard fall-through — so custom codegen, not
+  * defineCodeGen. */
+case class SrpBandBucketsExpr(child: Expression, planes: Seq[Double],
+                              dims: Int, bands: Int, bitsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  require(planes.length == bands * bitsPerBand * dims,
+    s"planes must be (bands*bitsPerBand)x(dims) flattened: " +
+      s"${planes.length} != ${bands * bitsPerBand} * $dims")
+
+  @transient private lazy val planeArr: Array[Double] = planes.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<DOUBLE>, got ${other.sql}")
+    }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_srp_buckets"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    VectorKernels.srpBuckets(
+      if (v == null) null else v.asInstanceOf[ArrayData],
+      planeArr, dims, bands, bitsPerBand)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val planesRef = ctx.addReferenceObj("graftSrpPlanes", planeArr,
+      "double[]")
+    val c = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code +
+      code"""
+        $javaType ${ev.value} = graft.plans.VectorKernels.srpBuckets(
+          ${c.isNull} ? null : ${c.value}, $planesRef, $dims, $bands,
+          $bitsPerBand);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SrpBandBucketsExpr = copy(child = newChild)
 }
 
 case class CosineExpr(left: Expression, right: Expression)

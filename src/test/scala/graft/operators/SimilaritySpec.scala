@@ -121,6 +121,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native SRP band-bucket kernel == interpreted HOF twin " +
+    "(incl. ragged, null-element, and null vectors -> bucket 0)") {
+    val d = df("id BIGINT, v ARRAY<DOUBLE>",
+      Row(1L, Seq(1.0, -2.0, 3.0, 0.5)), Row(2L, Seq(-1.0, 0.0, 2.0, -3.0)),
+      Row(3L, Seq(1.0, 2.0)),            // ragged (shorter than dims)
+      Row(4L, Seq(1.0, null, 3.0, 0.5)), // null element
+      Row(5L, null))                     // null vector
+    val out = d.select(col("id"),
+        Similarity.srpBandBuckets(col("v"), 4, 8, 4, 42L).as("n"),
+        Similarity.srpBandBucketsHof(col("v"), 4, 8, 4, 42L).as("h"))
+      .collect()
+    out.foreach(r => assert(r.get(1) == r.get(2),
+      s"srp mismatch for id ${r.getLong(0)}: ${r.get(1)} vs ${r.get(2)}"))
+    // degenerate rows land in bucket 0 of every band (both paths)
+    out.filter(r => r.getLong(0) >= 3L).foreach(r =>
+      assert(r.getAs[Seq[Long]]("n").forall(_ == 0L)))
+  }
+
   test("lshTopK finds identical vectors (recall on exact dups)") {
     val d = vecs(
       1L -> Seq(1.0, 2.0, 3.0, 4.0), 2L -> Seq(1.0, 2.0, 3.0, 4.0),
