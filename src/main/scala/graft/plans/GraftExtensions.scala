@@ -4,24 +4,32 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression,
-  ExpressionInfo}
+  ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * Catalyst expressions as SQL functions. Activate with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
   * programmatically via `SparkSession.builder.withExtensions(new
-  * GraftExtensions)` — after which `SELECT graft_norm_cdf(z)` works in
-  * SQL and `expr("graft_norm_cdf(z)")` in the DataFrame API.
+  * GraftExtensions)` — after which `SELECT graft_norm_cdf(z)`,
+  * `graft_simhash64(tokens)`, `graft_shingles(tokens, 3)`,
+  * `graft_minhash_sig(shingles, 32)`, `graft_cosine(a, b)` and
+  * `graft_srp_buckets(...)` (via the Scala API) work in SQL and in
+  * `expr(...)` strings.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.normCdfDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn argument $pos must be an INT literal, got $other")
+  }
 
   val normCdfDescriptor: FunctionDescription = (
     FunctionIdentifier("graft_norm_cdf"),
@@ -32,10 +40,49 @@ object GraftExtensions {
       NormalCdf(children.head)
     })
 
+  val simHashDescriptor: FunctionDescription = (
+    FunctionIdentifier("graft_simhash64"),
+    new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"graft_simhash64 expects 1 argument (token array), got ${children.size}")
+      SimHash64Expr(children.head)
+    })
+
+  val shinglesDescriptor: FunctionDescription = (
+    FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"graft_shingles expects (token array, n), got ${children.size} args")
+      ShinglesExpr(children.head, intArg(children(1), "graft_shingles", 2))
+    })
+
+  val minHashDescriptor: FunctionDescription = (
+    FunctionIdentifier("graft_minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"graft_minhash_sig expects (shingle array, k), got ${children.size} args")
+      MinHashSigExpr(children.head, intArg(children(1), "graft_minhash_sig", 2))
+    })
+
+  val cosineDescriptor: FunctionDescription = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineExpr].getName, "graft_cosine"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"graft_cosine expects 2 array arguments, got ${children.size}")
+      CosineExpr(children.head, children(1))
+    })
+
+  val descriptors: Seq[FunctionDescription] = Seq(normCdfDescriptor,
+    simHashDescriptor, shinglesDescriptor, minHashDescriptor,
+    cosineDescriptor)
+
   /** Register on an existing session (tests / REPL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = normCdfDescriptor
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -6,6 +6,26 @@ import graft.SparkSpec
 
 class NormalCdfSpec extends SparkSpec {
 
+  test("all graft_* SQL functions register and evaluate (extension " +
+    "function surface)") {
+    GraftExtensions.register(spark)
+    val d = df("doc STRING, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+      Row("the quick brown fox the quick", Seq(1.0, 2.0), Seq(2.0, 4.0)))
+    d.createOrReplaceTempView("fn_t")
+    val r = spark.sql(
+      """SELECT
+        |  graft_simhash64(split(lower(doc), '\\s+')) AS sh,
+        |  graft_shingles(split(lower(doc), '\\s+'), 3) AS grams,
+        |  graft_minhash_sig(graft_shingles(split(lower(doc), '\\s+'), 3), 8)
+        |    AS mh,
+        |  graft_cosine(a, b) AS cos
+        |FROM fn_t""".stripMargin).collect()(0)
+    assert(r.getLong(0) != 0L)
+    assert(r.getSeq[String](1).contains("the quick brown"))
+    assert(r.getSeq[java.lang.Long](2).length == 8)
+    assertApprox(r.getAs[Double]("cos"), 1.0, 1e-14)
+  }
+
   test("native expression matches known Phi values and stays in codegen") {
     GraftExtensions.register(spark)
     val d = df("z DOUBLE", Seq(-3.0, -1.96, 0.0, 1.0, 1.96, 3.0).map(Row(_)): _*)
