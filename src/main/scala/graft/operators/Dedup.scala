@@ -44,7 +44,10 @@ object Dedup {
   def shingles(text: Column, n: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     val toks = TextFunctions.tokens(lower(text))
-    if (n == 1) array_distinct(toks)
+    // n=1 coalesces to empty on null text so every width shares one
+    // contract: a null doc has an empty shingle set, never null
+    if (n == 1)
+      coalesce(array_distinct(toks), array().cast("array<string>"))
     else GraftColumnBridge.column(graft.plans.ShinglesExpr(
       GraftColumnBridge.expression(toks), n))
   }
