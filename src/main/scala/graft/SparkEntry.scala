@@ -1280,6 +1280,23 @@ object SparkEntry {
           r6(col("f1")).as("f1_micro"))
     }),
 
+    // --- LLM ops: group-scoped packing — chunks never mix languages,
+    //     chunk ids restart per group ---
+    "q_pack_by_lang" -> ((s, dir) => {
+      Packing.concatChunks(Tables.documents(s, dir), "doc_id", "n_chars",
+          budget = 16384L, nShards = 16, groupCols = Seq("lang"))
+        .groupBy(col("lang"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tokens"))
+    }),
+
+    // --- P6 sibling: winsorization (clip at exact percentiles, keep all
+    //     rows — the outlier treatment bandFilter's drop variant implies) ---
+    "q_winsorize" -> ((s, dir) => {
+      val e = eventsNs(s, dir)
+      Quantiles.winsorize(e, "value", 0.05, 0.95, outCol = "value_w")
+        .select(col("event_id"), r6(col("value_w")).as("value_w_micro"))
+    }),
+
     // --- W4+W5 composition: trailing top-performer selection
     //     (ClOp_analysis.ipynb cells 8-10 shape: top-N by trailing PnL,
     //     exclusive window — no lookahead) ---
@@ -2196,6 +2213,27 @@ object SparkEntry {
          |  ${R6("CASE WHEN precision + recall > 0 THEN 2.0 * precision * recall / (precision + recall) ELSE 0.0 END")}
          |    AS f1_micro
          |FROM m""".stripMargin,
+
+    "q_pack_by_lang" ->
+      s"""WITH k AS (SELECT doc_id, lang, n_chars,
+         |  ${HashSql("doc_id", 0L)} AS h FROM documents),
+         |p AS (SELECT doc_id, lang, n_chars,
+         |  CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+         |    ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS pfx
+         |  FROM k)
+         |SELECT lang, pfx // 16384 AS chunk_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS tokens
+         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "q_winsorize" ->
+      s"""WITH e AS ($EventsNs),
+         |b AS (SELECT quantile_cont(value, 0.05) AS lo,
+         |  quantile_cont(value, 0.95) AS hi FROM e)
+         |SELECT event_id,
+         |  ${R6("LEAST(GREATEST(value, lo), hi)")} AS value_w_micro
+         |FROM e, b""".stripMargin,
 
     "q_trailing_topk" ->
       s"""WITH e AS ($EventsNs),

@@ -29,37 +29,47 @@ object Packing {
 
   /** Assign every row a pack chunk id and intra-chunk offset.
     *
-    * @param tokenCol per-row token (or any cost) count, non-negative
-    * @param budget   tokens per chunk
-    * @param nShards  prefix-sum fan-out; must divide [[Sampling.HashRange]]
+    * @param tokenCol  per-row token (or any cost) count, non-negative
+    * @param budget    tokens per chunk
+    * @param nShards   prefix-sum fan-out; must divide [[Sampling.HashRange]]
+    * @param groupCols optional scope columns (language, source, ...):
+    *                  chunks never span groups and `chunk_id` restarts at
+    *                  0 per group — the "don't mix languages in a context
+    *                  window" pretrain constraint. The prefix sum runs
+    *                  per (group, shard); shard offsets stay a tiny
+    *                  broadcast (groups x nShards rows).
     */
   def concatChunks(df: DataFrame, idCol: String, tokenCol: String,
                    budget: Long, seed: Long = 0L,
-                   nShards: Int = 256): DataFrame = {
+                   nShards: Int = 256,
+                   groupCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(nShards > 0 && Sampling.HashRange % nShards == 0,
       s"nShards ($nShards) must divide ${Sampling.HashRange}")
     val width = Sampling.HashRange / nShards
-    val keyed = df.select(col(idCol), col(tokenCol),
-        Sampling.bucketHash(col(idCol), seed).as("__h"))
+    val gCols = groupCols.map(col)
+    val keyed = df.select((col(idCol) +: col(tokenCol) +: gCols) :+
+        Sampling.bucketHash(col(idCol), seed).as("__h"): _*)
       .withColumn("__shard", expr(s"__h div $width"))
-    val inShard = Window.partitionBy(col("__shard"))
+    val inShard = Window.partitionBy(gCols :+ col("__shard"): _*)
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = keyed.withColumn("__within",
       coalesce(sum(col(tokenCol)).over(inShard), lit(0L)))
-    val shardOrder = Window.orderBy(col("__shard"))
+    val shardOrder = (if (groupCols.isEmpty) Window.partitionBy()
+                      else Window.partitionBy(gCols: _*))
+      .orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy(col("__shard"))
+    val offsets = keyed.groupBy(gCols :+ col("__shard"): _*)
       .agg(sum(col(tokenCol)).as("__total"))
       .withColumn("__offset",
         coalesce(sum(col("__total")).over(shardOrder), lit(0L)))
-      .select(col("__shard"), col("__offset"))
-    within.join(broadcast(offsets), Seq("__shard"))
+      .select(gCols :+ col("__shard") :+ col("__offset"): _*)
+    within.join(broadcast(offsets), groupCols :+ "__shard")
       .withColumn("__prefix", col("__offset") + col("__within"))
-      .select(col(idCol), col(tokenCol),
-        expr(s"__prefix div $budget").as("chunk_id"),
-        pmod(col("__prefix"), lit(budget)).as("chunk_offset"))
+      .select((gCols :+ col(idCol) :+ col(tokenCol)) :+
+        expr(s"__prefix div $budget").as("chunk_id") :+
+        pmod(col("__prefix"), lit(budget)).as("chunk_offset"): _*)
   }
 
   /** Per-chunk packing report: document count, token total, and the spill

@@ -41,6 +41,20 @@ object Quantiles {
     }
   }
 
+  /** Winsorization: clip `valueCol` at its [lo, hi] exact percentiles —
+    * the outlier treatment for feature columns that keeps row count
+    * (unlike [[bandFilter]], which drops the tails). Bounds come from the
+    * distributed [[exactPercentiles]] (two driver doubles), then the clip
+    * is a row-local `least/greatest` — no extra shuffle. */
+  def winsorize(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                outCol: String = ""): DataFrame = {
+    require(lo <= hi, s"winsorize bounds inverted: $lo > $hi")
+    val target = if (outCol.isEmpty) s"${valueCol}_wins" else outCol
+    val Seq(l, h) = exactPercentiles(df, valueCol, Seq(lo, hi))
+    df.withColumn(target,
+      least(greatest(col(valueCol).cast("double"), lit(l)), lit(h)))
+  }
+
   def bandFilter(df: DataFrame, valueCol: String, lo: Double, hi: Double,
                  by: Seq[String] = Nil): DataFrame = {
     val bounds =

@@ -29,6 +29,29 @@ class PackingSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("concatChunks with groupCols: chunks never span groups, and each " +
+    "group packs exactly as it would alone") {
+    val d = df("doc_id BIGINT, tokens BIGINT, g STRING",
+      (1 to 3000).map(i =>
+        Row(i.toLong, (i % 97 + 3).toLong, s"g${i % 3}")): _*)
+    val packed = Packing.concatChunks(d, "doc_id", "tokens",
+        budget = 1024L, nShards = 16, groupCols = Seq("g"))
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getString(0), r.getLong(3), r.getLong(4))))
+      .toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val alone = Packing.concatChunks(
+          d.filter(col("g") === g), "doc_id", "tokens",
+          budget = 1024L, nShards = 16)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      alone.foreach { case (id, (chunk, off)) =>
+        assert(packed(id) == ((g, chunk, off)),
+          s"doc $id in $g: grouped ${packed(id)} vs alone ($chunk, $off)")
+      }
+    }
+  }
+
   test("concatChunks + chunkStats: chunks are budget-dense (every chunk " +
     "but the last starts full), offsets stay below budget") {
     val d = docs(2000)

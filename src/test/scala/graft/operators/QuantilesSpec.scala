@@ -25,4 +25,17 @@ class QuantilesSpec extends SparkSpec {
     assert(byG("a").head >= 3.0 && byG("a").last <= 8.0)
     assert(byG("b").head >= 300.0 && byG("b").last <= 800.0)
   }
+
+  test("winsorize clips at exact percentiles, keeps every row") {
+    import org.apache.spark.sql.Row
+    // values 1..11: q10 = 2.0, q90 = 10.0 (exact ranks, no interpolation)
+    val d = df("id BIGINT, v DOUBLE",
+      (1 to 11).map(i => Row(i.toLong, i.toDouble)): _*)
+    val out = Quantiles.winsorize(d, "v", 0.1, 0.9).orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("v_wins")).toMap
+    assert(out.size == 11)
+    assert(out(1L) == 2.0 && out(2L) == 2.0)    // lower tail clipped
+    assert(out(10L) == 10.0 && out(11L) == 10.0) // upper tail clipped
+    assert(out(5L) == 5.0 && out(9L) == 9.0)    // interior untouched
+  }
 }
