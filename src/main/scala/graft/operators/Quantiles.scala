@@ -55,21 +55,27 @@ object Quantiles {
       least(greatest(col(valueCol).cast("double"), lit(l)), lit(h)))
   }
 
+  /** Keep rows inside the exact [lo, hi] quantile band.
+    *
+    * Ungrouped: bounds come from the distributed [[exactPercentiles]]
+    * sort (two driver doubles), then a row-local filter — the built-in
+    * `percentile` aggregate would buffer EVERY value in one reducer, the
+    * 100 TB anti-pattern this module exists to avoid. Grouped: per-group
+    * `percentile` aggregates, whose buffers are bounded by the per-group
+    * value count (ticker-day sized here — MBs, not the corpus); for
+    * groups beyond that, pre-aggregate or approx_percentile. */
   def bandFilter(df: DataFrame, valueCol: String, lo: Double, hi: Double,
                  by: Seq[String] = Nil): DataFrame = {
-    val bounds =
-      if (by.isEmpty)
-        df.agg(expr(s"percentile($valueCol, $lo)").as("__lo"),
-               expr(s"percentile($valueCol, $hi)").as("__hi"))
-      else
-        df.groupBy(by.map(col): _*)
-          .agg(expr(s"percentile($valueCol, $lo)").as("__lo"),
-               expr(s"percentile($valueCol, $hi)").as("__hi"))
-    val joined =
-      if (by.isEmpty) df.crossJoin(broadcast(bounds))
-      else df.join(broadcast(bounds), by)
-    joined
-      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
-      .drop("__lo", "__hi")
+    if (by.isEmpty) {
+      val Seq(l, h) = exactPercentiles(df, valueCol, Seq(lo, hi))
+      df.filter(col(valueCol) >= l && col(valueCol) <= h)
+    } else {
+      val bounds = df.groupBy(by.map(col): _*)
+        .agg(expr(s"percentile($valueCol, $lo)").as("__lo"),
+             expr(s"percentile($valueCol, $hi)").as("__hi"))
+      df.join(broadcast(bounds), by)
+        .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+        .drop("__lo", "__hi")
+    }
   }
 }
