@@ -207,13 +207,11 @@ object Similarity {
         .take(nProbe).map(_._2).toSeq)
     val cCells = c.withColumn("cell", assign(col("__cv")))
     val qCells = q.withColumn("cell", explode(probes(col("__qv"))))
-    val verify = udf((a: Seq[Double], b: Seq[Double]) =>
-      exactCosine(if (a == null) null else a.toArray,
-        if (b == null) null else b.toArray))
     val scored = qCells.join(cCells, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
+      // native CosineExpr: same primitive loop as exactCosine, no UDF seam
       .select(col("query_id"), col("corpus_id"),
-        verify(col("__qv"), col("__cv")).as("cosine"))
+        cosine(col("__qv"), col("__cv")).as("cosine"))
       .filter(col("cosine").isNotNull)
       .distinct() // a pair can meet in several probed cells
     val w = Window.partitionBy(col("query_id"))
@@ -334,15 +332,13 @@ object Similarity {
       col("id").as("id_a"), col("v").as("__va"))
     val b = banded.select(col("band"), col("bucket"), col("__dim"),
       col("id").as("id_b"), col("v").as("__vb"))
-    val verify = udf((va: Seq[Double], vb: Seq[Double]) =>
-      exactCosine(if (va == null) null else va.toArray,
-        if (vb == null) null else vb.toArray))
     a.join(b, Seq("band", "bucket", "__dim"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
       .distinct()
+      // native CosineExpr: same primitive loop as exactCosine, no UDF seam
       .select(col("id_a"), col("id_b"),
-        verify(col("__va"), col("__vb")).as("cosine"))
+        cosine(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine").isNotNull && col("cosine") >= threshold)
   }
 }
