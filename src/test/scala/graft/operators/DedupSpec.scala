@@ -95,6 +95,30 @@ class DedupSpec extends SparkSpec {
       s"shingles mismatch for doc ${r.getLong(0)}: ${r.get(1)} vs ${r.get(2)}"))
   }
 
+  test("native kernels == HOF twins on a 200-doc seeded random corpus") {
+    val rng = new scala.util.Random(1234)
+    val words = Vector("alpha", "beta", "Gamma", "DELTA", "e5", "zeta!",
+      "eta", "theta,", "iota", "k", "lambda", "mu-nu", "", "  ")
+    val rows = (1 to 200).map { i =>
+      val len = rng.nextInt(30)
+      i.toLong -> Seq.fill(len)(words(rng.nextInt(words.size))).mkString(" ")
+    }
+    val d = docs(rows: _*)
+    val out = d.select(col("doc_id"),
+        Dedup.simHash64(col("text")).as("s_n"),
+        Dedup.simHash64Hof(col("text")).as("s_h"),
+        Dedup.shingles(col("text"), 2).as("g_n"),
+        Dedup.shinglesHof(col("text"), 2).as("g_h"),
+        Dedup.minHashSignature(col("text"), n = 2, k = 24).as("m_n"),
+        Dedup.minHashSignatureHof(col("text"), n = 2, k = 24).as("m_h"))
+      .collect()
+    out.foreach { r =>
+      assert(r.get(1) == r.get(2), s"simhash diverged for doc ${r.getLong(0)}")
+      assert(r.get(3) == r.get(4), s"shingles diverged for doc ${r.getLong(0)}")
+      assert(r.get(5) == r.get(6), s"minhash diverged for doc ${r.getLong(0)}")
+    }
+  }
+
   test("simHash: identical texts equal, near-identical close in Hamming") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(1L -> base, 2L -> base,

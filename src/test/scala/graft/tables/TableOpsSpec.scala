@@ -31,6 +31,27 @@ class TableOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0, 4L -> 4.0))
   }
 
+  test("merge with schema evolution: a new update column joins the " +
+    "schema, pre-existing rows read null, round-trips through parquet") {
+    val root = tmp()
+    TableOps.overwrite(base(), root)
+    val updates = df("id BIGINT, ticker STRING, v DOUBLE, score DOUBLE",
+      Row(2L, "A", 20.0, 0.9), Row(4L, "C", 4.0, 0.7))
+    TableOps.merge(spark, root, updates, Seq("id"))
+    val out = TableOps.read(spark, root)
+    assert(out.columns.contains("score"))
+    assert(out.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType,
+      s"evolved column must keep the update side's type, got " +
+        s"${out.schema("score").dataType}")
+    val scores = out.orderBy(col("id")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("score"))) None
+         else Some(r.getDouble(r.fieldIndex("score"))))).toMap
+    assert(scores == Map(1L -> None, 2L -> Some(0.9), 3L -> None,
+      4L -> Some(0.7)))
+  }
+
   test("time travel reads an old snapshot") {
     val root = tmp()
     TableOps.overwrite(base(), root)
