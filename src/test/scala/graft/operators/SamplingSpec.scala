@@ -23,6 +23,19 @@ class SamplingSpec extends SparkSpec {
     assert(!h1.sameElements(hSeeded))
   }
 
+  test("bucketHash: uniform over coarse buckets on sequential ids (the " +
+    "adversarial input for multiplicative hashing)") {
+    val d = ids(20000)
+    val counts = d.select((Sampling.bucketHash(col("id")) %
+        lit(20L)).as("b"))
+      .groupBy("b").count().collect().map(_.getLong(1))
+    assert(counts.length == 20)
+    val mean = 20000.0 / 20
+    counts.foreach(c =>
+      assert(math.abs(c - mean) < mean * 0.2,
+        s"bucket count $c deviates >20% from $mean: ${counts.toSeq}"))
+  }
+
   test("bernoulliSample: ~fraction kept, stable under repartitioning, " +
     "disjoint from the complement") {
     val d = ids(10000)
