@@ -1280,6 +1280,17 @@ object SparkEntry {
           r6(col("f1")).as("f1_micro"))
     }),
 
+    // --- LLM ops: pattern redaction (PII/boilerplate scrub shape) with a
+    //     per-doc audit count; word-boundary regex stays in the RE2-
+    //     compatible subset so Spark (Java regex) and DuckDB (RE2) agree ---
+    "q_text_redact" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        md5(TextFunctions.redact(col("text"), "\\btable\\b", "<TBL>"))
+          .as("redacted_md5"),
+        TextFunctions.matchCount(col("text"), "\\btable\\b").cast("long")
+          .as("n_matches"))
+    }),
+
     // --- LLM ops: group-scoped packing — chunks never mix languages,
     //     chunk ids restart per group ---
     "q_pack_by_lang" -> ((s, dir) => {
@@ -2213,6 +2224,14 @@ object SparkEntry {
          |  ${R6("CASE WHEN precision + recall > 0 THEN 2.0 * precision * recall / (precision + recall) ELSE 0.0 END")}
          |    AS f1_micro
          |FROM m""".stripMargin,
+
+    "q_text_redact" ->
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(text, '\\btable\\b', '<TBL>', 'g'))
+         |    AS redacted_md5,
+         |  CAST(length(regexp_extract_all(text, '\\btable\\b')) AS BIGINT)
+         |    AS n_matches
+         |FROM documents""".stripMargin,
 
     "q_pack_by_lang" ->
       s"""WITH k AS (SELECT doc_id, lang, n_chars,

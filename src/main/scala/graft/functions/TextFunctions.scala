@@ -65,6 +65,20 @@ object TextFunctions {
         - punctPenalty - upperPenalty)).as("quality_score")
   }
 
+  /** Training-corpus scrubbing: replace every match of `pattern` with a
+    * tag (PII/boilerplate redaction — emails, URLs, IDs). Global replace,
+    * codegen'd `regexp_replace`; patterns should stay within the
+    * RE2-compatible subset (no backreferences/lookaround) so the same
+    * pattern runs on any SQL engine — the q_text_redact gate proves the
+    * dialect-parity on DuckDB. */
+  def redact(text: Column, pattern: String, replacement: String): Column =
+    regexp_replace(text, pattern, replacement).as("redacted")
+
+  /** Match count for a redaction pattern (audit column: how much was
+    * scrubbed per doc). */
+  def matchCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).as("n_matches")
+
   /** Bag-of-words fingerprint: md5 of the sorted distinct token set.
     * Canonical (order/whitespace-insensitive) near-exact-dup key; two docs
     * that permute the same words collide. */

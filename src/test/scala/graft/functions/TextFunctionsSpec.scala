@@ -43,6 +43,24 @@ class TextFunctionsSpec extends SparkSpec {
     assertApprox(r.getDouble(1), 2.0 / 7.0)
   }
 
+  test("redact: global word-boundary replacement + audit count") {
+    import org.apache.spark.sql.Row
+    val d = df("t STRING",
+      Row("email me at bob@x.io or ann@y.org thanks"),
+      Row("no addresses here"),
+      Row(null))
+    val pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val out = d.select(
+        TextFunctions.redact(col("t"), pat, "<EMAIL>").as("r"),
+        TextFunctions.matchCount(col("t"), pat).as("n"))
+      .collect()
+    assert(out(0).getString(0) == "email me at <EMAIL> or <EMAIL> thanks")
+    assert(out(0).getInt(1) == 2)
+    assert(out(1).getString(0) == "no addresses here")
+    assert(out(1).getInt(1) == 0)
+    assert(out(2).isNullAt(0))
+  }
+
   test("qualityScore: prose scores higher than spam") {
     val prose = "The quick brown fox jumps over the lazy dog and then " +
       "it runs to the river where the water is cold and clear in the morning"
