@@ -48,6 +48,17 @@ class SamplingSpec extends SparkSpec {
     assert(keptShuffled == kept, "sample must not depend on layout")
   }
 
+  test("bernoulliSample: same-seed samples nest (10% subset of 30%) — " +
+    "growing a sample never resamples") {
+    val d = ids(10000)
+    val small = Sampling.bernoulliSample(d, "id", 0.1, seed = 3L)
+      .collect().map(_.getLong(0)).toSet
+    val big = Sampling.bernoulliSample(d, "id", 0.3, seed = 3L)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big),
+      s"${(small -- big).size} rows left the sample when it grew")
+  }
+
   test("hashSplitTag: test/train partition the keys at ~testFraction") {
     val d = ids(10000)
     val tagged = Sampling.hashSplitTag(d, "id", 0.2, seed = 5L)
