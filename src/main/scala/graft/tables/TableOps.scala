@@ -131,6 +131,51 @@ object TableOps {
               partitionBy: Seq[String] = Nil): Int =
     commit(read(spark, root).repartition(targetFiles), root, partitionBy)
 
+  /** Z-order clustering (rewrite_data_files sort-strategy analog):
+    * rewrite the current snapshot ordered by the Morton interleave of the
+    * cluster columns' bucket codes, range-partitioned into `targetFiles`
+    * files — each file then covers a narrow range of EVERY cluster column
+    * at once, so parquet min/max stats prune multi-dimensional predicates
+    * (data skipping), not just the leading sort column.
+    *
+    * Buckets are linear `width_bucket` codes between each column's
+    * min/max (one aggregate pass, driver holds 2 doubles per column);
+    * the interleave is plain shift/mask arithmetic in codegen. Nulls
+    * bucket to 0 and cluster together at the low end. */
+  def clusterBy(spark: SparkSession, root: String, cols: Seq[String],
+                bits: Int = 8, targetFiles: Int = 8,
+                partitionBy: Seq[String] = Nil): Int = {
+    require(cols.nonEmpty, "clusterBy needs at least one column")
+    require(bits >= 1 && bits * cols.size <= 60,
+      s"bits ($bits) * columns (${cols.size}) must stay within a long")
+    val t = read(spark, root)
+    val aggCols = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"__lo_$c"),
+        max(col(c).cast("double")).as(s"__hi_$c")))
+    val stats = t.agg(aggCols.head, aggCols.tail: _*).first()
+    val n = 1 << bits
+    val bucketCols = cols.map { c =>
+      val lo = stats.getAs[Double](s"__lo_$c")
+      val hi = stats.getAs[Double](s"__hi_$c")
+      // width_bucket gives 1..n inside [lo,hi] and 0/n+1 outside; clamp
+      // to [0, n-1] and send nulls to 0
+      coalesce(
+        least(greatest(
+          width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(n))
+            - lit(1), lit(0)), lit(n - 1)).cast("long"),
+        lit(0L))
+    }
+    val k = cols.size
+    val morton = (for {
+      (b, j) <- bucketCols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce[org.apache.spark.sql.Column]((a, b) => a.bitwiseOR(b))
+    val keyed = t.withColumn("__z", morton)
+    commit(keyed.repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z").drop("__z"), root, partitionBy)
+  }
+
   /** Expire old snapshots, keeping the most recent `keep`. */
   def expireSnapshots(root: String, keep: Int = 2): Seq[Int] = {
     val vs = versions(root)

@@ -96,6 +96,38 @@ class TableOpsSpec extends SparkSpec {
     assert(TableOps.read(spark, root).count() == 3)
   }
 
+  test("clusterBy: every file covers a narrow range of BOTH cluster " +
+    "columns (multi-dimensional data skipping), content preserved") {
+    import org.apache.spark.sql.functions.input_file_name
+    val root = tmp()
+    // two independent uniform dimensions — the case a single-column sort
+    // cannot cluster on both
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 4000).map(i =>
+      Row(i.toLong, rng.nextDouble() * 100.0, rng.nextDouble() * 100.0))
+    TableOps.overwrite(df("id BIGINT, x DOUBLE, y DOUBLE", rows: _*), root)
+    TableOps.clusterBy(spark, root, Seq("x", "y"), bits = 8,
+      targetFiles = 16)
+    val out = TableOps.read(spark, root)
+    assert(out.count() == 4000)
+    assert(out.agg(org.apache.spark.sql.functions.sum(col("id")))
+      .head().getLong(0) == (1 to 4000).map(_.toLong).sum)
+    val ranges = out.withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((org.apache.spark.sql.functions.max(col("x")) -
+        org.apache.spark.sql.functions.min(col("x"))).as("rx"),
+        (org.apache.spark.sql.functions.max(col("y")) -
+          org.apache.spark.sql.functions.min(col("y"))).as("ry"))
+      .collect()
+    assert(ranges.length > 4, "expected multiple output files")
+    val avgRx = ranges.map(_.getDouble(1)).sum / ranges.length
+    val avgRy = ranges.map(_.getDouble(2)).sum / ranges.length
+    // 16 z-range files over 2 uniform dims: each file's per-dim extent
+    // should be well under the full 100 range on BOTH dims
+    assert(avgRx < 60.0, s"x not clustered: avg per-file range $avgRx")
+    assert(avgRy < 60.0, s"y not clustered: avg per-file range $avgRy")
+  }
+
   test("readers never see a partial table (pointer swap is atomic)") {
     val root = tmp()
     TableOps.overwrite(base(), root)
