@@ -785,8 +785,16 @@ object SparkEntry {
           r6(col("cosine")).as("cosine_micro"))
     }),
 
+    // --- LLM ops: the composite quality score alone IS oracle-portable
+    //     (split/list/char-class regex only — no lookahead); the bpe-ish
+    //     token count stays rows-only in q_text_quality below ---
+    "q_quality_score" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        r6(TextFunctions.qualityScore(col("text"))).as("quality_micro"))
+    }),
+
     // --- LLM ops: composite quality score + BPE-ish token count
-    //     (rows-only: regex classes differ between engines) ---
+    //     (rows-only: the (?=...) lookahead has no RE2 equivalent) ---
     "q_text_quality" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
         r6(TextFunctions.qualityScore(col("text"))).as("quality_micro"),
@@ -2224,6 +2232,36 @@ object SparkEntry {
          |  ${R6("CASE WHEN precision + recall > 0 THEN 2.0 * precision * recall / (precision + recall) ELSE 0.0 END")}
          |    AS f1_micro
          |FROM m""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(trim(text), '\\s+') AS toks,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(ltoks, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','are','was',
+         |       'it','that','this','for','on','with','as','at','by','be'],
+         |      x))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(length(regexp_replace(text,
+         |      '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         |      AS DOUBLE) / length(text) AS upper_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id,
+         |    GREATEST(0.0, LEAST(1.0,
+         |      0.5 * (LEAST(nt / 50.0, 1.0) *
+         |        CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END)
+         |      + 0.5 * LEAST(stop_ratio * 4.0, 1.0)
+         |      - LEAST(punct_ratio * 2.0, 0.5)
+         |      - LEAST(upper_ratio * 2.0, 0.5))) AS quality
+         |  FROM m)
+         |SELECT doc_id, ${R6("quality")} AS quality_micro FROM q""".stripMargin,
 
     "q_text_redact" ->
       s"""SELECT doc_id,
