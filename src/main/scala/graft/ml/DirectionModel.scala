@@ -126,34 +126,50 @@ object DirectionModel {
     * when it was never predicted, recall 0 when it has no true rows, and
     * f1 0 when precision + recall is 0). The class list is the union of
     * observed labels and observed predictions, so no class silently drops
-    * out of the report. Three tiny aggregations over the O(classes^2)
-    * confusion frame — trivially driver-safe. */
+    * out of the report.
+    *
+    * ONE aggregation scan of the predictions: the O(classes^2) confusion
+    * counts are collected and the report is assembled driver-side (the
+    * olsByGroup pattern — referencing the confusion subplan from several
+    * derived frames would rescan the full predictions once per
+    * reference). */
   def classificationReport(predictions: DataFrame,
                            labelCol: String = "label",
                            predCol: String = "prediction"): DataFrame = {
     val cm = confusionMatrix(predictions, labelCol, predCol)
-    val labelTotals = cm.groupBy(col(labelCol).as("class"))
-      .agg(sum(col("n")).as("support"))
-    val predTotals = cm.groupBy(col(predCol).as("class"))
-      .agg(sum(col("n")).as("__pt"))
-    val diag = cm.filter(col(labelCol) === col(predCol))
-      .select(col(labelCol).as("class"), col("n").as("tp"))
-    labelTotals.join(predTotals, Seq("class"), "full_outer")
-      .join(diag, Seq("class"), "left_outer")
-      .select(col("class"),
-        coalesce(col("tp"), lit(0L)).as("tp"),
-        coalesce(col("support"), lit(0L)).as("support"),
-        coalesce(col("__pt"), lit(0L)).as("__pt"))
-      .select(col("class"),
-        when(col("__pt") > 0, col("tp") / col("__pt"))
-          .otherwise(lit(0.0)).as("precision"),
-        when(col("support") > 0, col("tp") / col("support"))
-          .otherwise(lit(0.0)).as("recall"),
-        col("tp"), col("support"))
-      .withColumn("f1",
-        when(col("precision") + col("recall") > 0,
-          lit(2.0) * col("precision") * col("recall") /
-            (col("precision") + col("recall"))).otherwise(lit(0.0)))
+    val spark = predictions.sparkSession
+    val rows = cm.collect() // classes^2 rows
+    val support = rows.groupBy(_.get(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val ptot = rows.groupBy(_.get(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val tp = rows.filter(r => r.get(0) == r.get(1))
+      .map(r => r.get(0) -> r.getLong(2)).toMap
+    val classes = (support.keySet ++ ptot.keySet).toSeq
+    val out = classes.map { c =>
+      val t = tp.getOrElse(c, 0L)
+      val s = support.getOrElse(c, 0L)
+      val p = ptot.getOrElse(c, 0L)
+      val prec = if (p > 0) t.toDouble / p else 0.0
+      val rec = if (s > 0) t.toDouble / s else 0.0
+      val f1 = if (prec + rec > 0) 2.0 * prec * rec / (prec + rec) else 0.0
+      org.apache.spark.sql.Row(c, prec, rec, t, s, f1)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("class",
+        cm.schema(labelCol).dataType),
+      org.apache.spark.sql.types.StructField("precision",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("recall",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("tp",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("support",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("f1",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
   }
 
   /** M9: named feature importances of the fitted tree stage

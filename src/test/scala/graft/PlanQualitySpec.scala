@@ -109,6 +109,20 @@ class PlanQualitySpec extends SparkSpec {
       "a hash split tag must not shuffle:\n" + pSplit.take(1000))
   }
 
+  test("stratifiedExactN: exactly the one strata-window shuffle; " +
+    "mixSources: zero shuffles") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val pStrat = graft.operators.Sampling
+      .stratifiedExactN(docs, Seq("lang"), "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(occurrences(pStrat, "Exchange hashpartitioning") == 1,
+      pStrat.take(1200))
+    val pMix = graft.operators.Sampling
+      .mixSources(docs, "source", Map("src0" -> 0.5), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!pMix.contains("Exchange"), pMix.take(1000))
+  }
+
   test("concatChunks: the only full-data shuffle is the per-shard window; " +
     "shard offsets come back as a broadcast join") {
     val docs = graft.core.Tables.documents(spark, sf)
