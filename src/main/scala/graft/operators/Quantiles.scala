@@ -62,17 +62,22 @@ object Quantiles {
     * `percentile` aggregate would buffer EVERY value in one reducer, the
     * 100 TB anti-pattern this module exists to avoid. Grouped: per-group
     * `percentile` aggregates, whose buffers are bounded by the per-group
-    * value count (ticker-day sized here — MBs, not the corpus); for
-    * groups beyond that, pre-aggregate or approx_percentile. */
+    * value count (ticker-day sized here — MBs, not the corpus); pass
+    * `approx = true` for groups beyond that (approx_percentile's KLL-style
+    * sketch is constant-memory per group; band edges then carry the
+    * sketch's rank-error epsilon). */
   def bandFilter(df: DataFrame, valueCol: String, lo: Double, hi: Double,
-                 by: Seq[String] = Nil): DataFrame = {
+                 by: Seq[String] = Nil, approx: Boolean = false,
+                 accuracy: Int = 10000): DataFrame = {
     if (by.isEmpty) {
       val Seq(l, h) = exactPercentiles(df, valueCol, Seq(lo, hi))
       df.filter(col(valueCol) >= l && col(valueCol) <= h)
     } else {
+      val pctFn = if (approx) s"approx_percentile($valueCol, %s, $accuracy)"
+                  else s"percentile($valueCol, %s)"
       val bounds = df.groupBy(by.map(col): _*)
-        .agg(expr(s"percentile($valueCol, $lo)").as("__lo"),
-             expr(s"percentile($valueCol, $hi)").as("__hi"))
+        .agg(expr(pctFn.format(lo)).as("__lo"),
+             expr(pctFn.format(hi)).as("__hi"))
       df.join(broadcast(bounds), by)
         .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
         .drop("__lo", "__hi")

@@ -26,6 +26,22 @@ class QuantilesSpec extends SparkSpec {
     assert(byG("b").head >= 300.0 && byG("b").last <= 800.0)
   }
 
+  test("bandFilter approx path: sketch bounds keep the same interior " +
+    "rows as exact on a well-separated distribution") {
+    import org.apache.spark.sql.Row
+    val d = df("g STRING, v DOUBLE",
+      (1 to 500).map(i => Row("a", i.toDouble)): _*)
+    val exact = Quantiles.bandFilter(d, "v", 0.1, 0.9, by = Seq("g"))
+      .collect().map(_.getDouble(1)).toSet
+    val approx = Quantiles.bandFilter(d, "v", 0.1, 0.9, by = Seq("g"),
+        approx = true).collect().map(_.getDouble(1)).toSet
+    // the sketch returns actual elements where exact INTERPOLATES between
+    // ranks, so each band edge can admit/drop at most one boundary row
+    val diff = (exact -- approx) ++ (approx -- exact)
+    assert(diff.size <= 2, s"boundary drift too large: $diff")
+    assert((exact & approx).size >= exact.size - 2)
+  }
+
   test("winsorize clips at exact percentiles, keeps every row") {
     import org.apache.spark.sql.Row
     // values 1..11: q10 = 2.0, q90 = 10.0 (exact ranks, no interpolation)
