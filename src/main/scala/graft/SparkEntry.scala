@@ -1258,6 +1258,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     }),
 
+    // --- LLM ops: per-row weighted acceptance sampling (quality-weighted
+    //     downsampling; weight derived from doc length here) ---
+    "q_weighted_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("w", least(col("n_chars") / lit(3000.0), lit(1.0)))
+      Sampling.weightedSample(d, "doc_id", "w", seed = 6L)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // --- LLM ops / M4: three-way train/val/test split from one draw ---
+    "q_split3" -> ((s, dir) => {
+      Sampling.hashSplit3Tag(Tables.documents(s, dir), "doc_id",
+          testFraction = 0.1, valFraction = 0.2, seed = 7L)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    }),
+
+    // --- LLM ops: deterministic epoch replication counts (Llama-style
+    //     data-mix upweighting; the explode itself is row-local) ---
+    "q_upsample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("w", col("n_chars") / lit(2000.0))
+      d.select(col("doc_id"),
+        Sampling.epochCopies(col("doc_id"), col("w"), seed = 8L)
+          .as("copies"))
+    }),
+
     // --- LLM ops: weighted pretrain source mixing in one pass ---
     "q_mix_sources" -> ((s, dir) => {
       Sampling.mixSources(Tables.documents(s, dir), "source",
@@ -2180,6 +2207,32 @@ object SparkEntry {
          |    AS is_test,
          |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE ${HashSql("doc_id", 6L)} <
+         |  CAST(floor(LEAST(GREATEST(n_chars / 3000.0, 0.0), 1.0)
+         |    * 1048576.0 + 0.5) AS BIGINT)""".stripMargin,
+
+    "q_split3" ->
+      s"""SELECT CASE
+         |    WHEN ${HashSql("doc_id", 7L)} < ${Sampling.threshold(0.1)}
+         |      THEN 'test'
+         |    WHEN ${HashSql("doc_id", 7L)} < ${Sampling.threshold(0.3)}
+         |      THEN 'val'
+         |    ELSE 'train' END AS split,
+         |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_upsample" ->
+      s"""WITH w AS (SELECT doc_id, n_chars / 2000.0 AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(floor(GREATEST(w, 0.0)) AS BIGINT) +
+         |  CASE WHEN ${HashSql("doc_id", 8L)} <
+         |    CAST(floor((GREATEST(w, 0.0) - floor(GREATEST(w, 0.0)))
+         |      * 1048576.0 + 0.5) AS BIGINT)
+         |  THEN 1 ELSE 0 END AS copies
+         |FROM w""".stripMargin,
 
     "q_mix_sources" ->
       s"""SELECT source, COUNT(*) AS n FROM documents

@@ -89,4 +89,70 @@ object Sampling {
     }
     df.filter(bucketHash(col(keyCol), seed) < thr)
   }
+
+  /** Per-row weighted acceptance sampling: keep a row with probability
+    * `weightCol` (clamped to [0, 1]) — quality-weighted downsampling in
+    * one deterministic row-local pass. The acceptance threshold uses the
+    * same floor(w * 2^20 + 0.5) integer arithmetic as [[threshold]], so
+    * it is engine-portable. Null weights drop the row. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     seed: Long = 0L): DataFrame = {
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)),
+      lit(1.0))
+    val thr = floor(w * lit(HashRange.toDouble) + lit(0.5)).cast("long")
+    df.filter(bucketHash(col(keyCol), seed) < thr)
+  }
+
+  /** Three-way train/validation/test tag from one hash draw: disjoint
+    * bucket ranges, so the splits are exactly exhaustive and any two
+    * fractions pin the third. Returns `splitCol` in {'test','val',
+    * 'train'}. */
+  def hashSplit3Tag(df: DataFrame, keyCol: String, testFraction: Double,
+                    valFraction: Double, seed: Long = 0L,
+                    splitCol: String = "split"): DataFrame = {
+    require(testFraction + valFraction <= 1.0,
+      s"test + val fractions exceed 1: $testFraction + $valFraction")
+    val h = bucketHash(col(keyCol), seed)
+    val t1 = threshold(testFraction)
+    val t2 = threshold(testFraction + valFraction)
+    df.withColumn(splitCol,
+      when(h < lit(t1), lit("test"))
+        .when(h < lit(t2), lit("val"))
+        .otherwise(lit("train")))
+  }
+
+  /** Deterministic epoch replication (Llama-style data-mix upweighting):
+    * a row with weight w appears floor(w) times plus one more with
+    * probability frac(w) — expectation exactly w epochs, decided by the
+    * same portable hash, so reruns replicate identically. Weights < 0
+    * are treated as 0; null weights yield zero copies. The explode is
+    * row-local (a Generate, no shuffle); copies carry `copyCol` =
+    * 1..n_copies for downstream de-correlation (e.g. seeding augmentation
+    * per copy). */
+  def upsampleEpochs(df: DataFrame, keyCol: String, weightCol: String,
+                     seed: Long = 0L, copyCol: String = "epoch_copy")
+      : DataFrame = {
+    val w = greatest(col(weightCol).cast("double"), lit(0.0))
+    val base = floor(w).cast("long")
+    val fracThr = floor((w - floor(w)) * lit(HashRange.toDouble) + lit(0.5))
+      .cast("long")
+    val extra = (bucketHash(col(keyCol), seed) < fracThr).cast("long")
+    val copies = coalesce(base + extra, lit(0L))
+    // guard: Spark's sequence COUNTS DOWN for inverted bounds, so zero
+    // copies must map to an empty array (row dropped), not [1, 0]
+    df.withColumn(copyCol, explode(
+      when(copies >= 1, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
+  /** Copy count of [[upsampleEpochs]] without the explode — the
+    * SQL-checkable face (and a cheap audit column). */
+  def epochCopies(keyCol: Column, weightCol: Column,
+                  seed: Long = 0L): Column = {
+    val w = greatest(weightCol.cast("double"), lit(0.0))
+    val fracThr = floor((w - floor(w)) * lit(HashRange.toDouble) + lit(0.5))
+      .cast("long")
+    coalesce(floor(w).cast("long") +
+      (bucketHash(keyCol, seed) < fracThr).cast("long"), lit(0L))
+  }
 }

@@ -79,6 +79,65 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("weightedSample: acceptance tracks the per-row weight, " +
+    "w=1 keeps, w=0 and null drop") {
+    val d = df("id BIGINT, w DOUBLE",
+      ((1 to 4000).map(i => Row(i.toLong, 0.25)) ++
+       (4001 to 5000).map(i => Row(i.toLong, 1.0)) ++
+       (5001 to 6000).map(i => Row(i.toLong, 0.0)) ++
+       (6001 to 6100).map(i => Row(i.toLong, null))): _*)
+    val kept = Sampling.weightedSample(d, "id", "w")
+      .groupBy(col("w")).count().collect()
+      .map(r => (if (r.isNullAt(0)) -1.0 else r.getDouble(0)) ->
+        r.getLong(1)).toMap
+    assert(kept(1.0) == 1000L)
+    assert(kept.getOrElse(0.0, 0L) == 0L && kept.getOrElse(-1.0, 0L) == 0L)
+    assert(kept(0.25) > 850 && kept(0.25) < 1150, s"got ${kept(0.25)}")
+  }
+
+  test("hashSplit3Tag: exhaustive disjoint splits at ~the fractions, " +
+    "consistent with the 2-way tag at the same seed") {
+    val d = ids(10000)
+    val tagged = Sampling.hashSplit3Tag(d, "id", 0.1, 0.2, seed = 11L)
+    val counts = tagged.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L)
+    assert(counts("test") > 800 && counts("test") < 1200)
+    assert(counts("val") > 1700 && counts("val") < 2300)
+    // the 3-way 'test' range IS the 2-way test split (same hash draw)
+    val twoWay = Sampling.hashSplitTag(d, "id", 0.1, seed = 11L)
+      .filter(col("is_test")).collect().map(_.getLong(0)).toSet
+    val threeWay = tagged.filter(col("split") === "test")
+      .collect().map(_.getLong(0)).toSet
+    assert(twoWay == threeWay)
+  }
+
+  test("upsampleEpochs: copies = floor(w) + Bernoulli(frac(w)), " +
+    "expectation ~w, copy index 1..n, zero-weight rows vanish") {
+    val d = df("id BIGINT, w DOUBLE",
+      ((1 to 2000).map(i => Row(i.toLong, 2.5)) ++
+       (2001 to 2100).map(i => Row(i.toLong, 0.0)) ++
+       (2101 to 2200).map(i => Row(i.toLong, 1.0))): _*)
+    val up = Sampling.upsampleEpochs(d, "id", "w")
+    val perDoc = up.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((2101L to 2200L).forall(perDoc(_) == 1L))
+    assert((2001L to 2100L).forall(!perDoc.contains(_)))
+    val w25 = (1L to 2000L).map(perDoc(_))
+    assert(w25.forall(c => c == 2L || c == 3L))
+    val meanCopies = w25.sum.toDouble / w25.size
+    assert(meanCopies > 2.4 && meanCopies < 2.6, s"mean $meanCopies")
+    // copy index runs 1..n per doc
+    val maxIdx = up.filter(col("id") === 1L)
+      .agg(max(col("epoch_copy")), count(lit(1))).collect()(0)
+    assert(maxIdx.getLong(0) == maxIdx.getLong(1))
+    // matches the SQL-checkable copy-count column
+    val audited = d.select(col("id"),
+        Sampling.epochCopies(col("id"), col("w")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.foreach { case (id, n) => assert(audited(id) == n) }
+  }
+
   test("mixSources: per-source rates (0 drops, 1 keeps all)") {
     val d = ids(3000) // 1000 web, 2000 book
     val mixed = Sampling.mixSources(d, "source",
