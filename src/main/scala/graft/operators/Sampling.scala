@@ -32,6 +32,22 @@ object Sampling {
   /** Hash range: 2^20 buckets (~1e-6 sampling-fraction granularity). */
   val HashRange: Long = 1L << 20
 
+  /** Guard against the silent-empty trap: a non-numeric key column would
+    * cast to null, hash to null, and fail every `hash < threshold`
+    * filter — dropping ALL rows without an error. Every keyed operator
+    * here validates the key's type up front instead. */
+  private[operators] def requireIntegralKey(df: DataFrame,
+                                            keyCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"Sampling key column '$keyCol' must be an integral id, got " +
+          s"${other.sql} — hash a surrogate (e.g. monotonically stable " +
+          "numeric id or xxhash64 of the natural key) first")
+    }
+  }
+
   /** The portable bucket hash in [0, HashRange). Keys must be non-negative
     * (doc/event ids); `pmod` guards the Spark side anyway. */
   def bucketHash(key: Column, seed: Long = 0L): Column =
@@ -54,16 +70,20 @@ object Sampling {
     * fraction threshold. Stable across reruns, retries, and repartitioning
     * (unlike `df.sample`); disjoint seeds give independent samples. */
   def bernoulliSample(df: DataFrame, keyCol: String, fraction: Double,
-                      seed: Long = 0L): DataFrame =
+                      seed: Long = 0L): DataFrame = {
+    requireIntegralKey(df, keyCol)
     df.filter(bucketHash(col(keyCol), seed) < lit(threshold(fraction)))
+  }
 
   /** Deterministic train/test tag (the M4 scale path: `randomSplit`
     * resamples on every recompute; this never does). `tagCol` is true for
     * the test rows (~`testFraction` of the keys). */
   def hashSplitTag(df: DataFrame, keyCol: String, testFraction: Double,
-                   seed: Long = 0L, tagCol: String = "is_test"): DataFrame =
+                   seed: Long = 0L, tagCol: String = "is_test"): DataFrame = {
+    requireIntegralKey(df, keyCol)
     df.withColumn(tagCol,
       bucketHash(col(keyCol), seed) < lit(threshold(testFraction)))
+  }
 
   /** Exact-N-per-stratum sample — a deterministic reservoir: the `n` rows
     * with the smallest (hash, key) per stratum. One window shuffle; ties
@@ -71,6 +91,7 @@ object Sampling {
   def stratifiedExactN(df: DataFrame, strataCols: Seq[String],
                        keyCol: String, n: Int, seed: Long = 0L): DataFrame = {
     require(strataCols.nonEmpty, "stratifiedExactN needs at least one stratum column")
+    requireIntegralKey(df, keyCol)
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(bucketHash(col(keyCol), seed), col(keyCol))
     df.withColumn("__rk", row_number().over(w))
@@ -84,6 +105,7 @@ object Sampling {
                  rates: Map[String, Double], keyCol: String,
                  seed: Long = 0L): DataFrame = {
     require(rates.nonEmpty, "mixSources needs at least one source rate")
+    requireIntegralKey(df, keyCol)
     val thr = rates.foldLeft(lit(0L)) { case (acc, (src, rate)) =>
       when(col(sourceCol) === lit(src), lit(threshold(rate))).otherwise(acc)
     }
@@ -97,6 +119,7 @@ object Sampling {
     * it is engine-portable. Null weights drop the row. */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      seed: Long = 0L): DataFrame = {
+    requireIntegralKey(df, keyCol)
     val w = least(greatest(col(weightCol).cast("double"), lit(0.0)),
       lit(1.0))
     val thr = floor(w * lit(HashRange.toDouble) + lit(0.5)).cast("long")
@@ -112,6 +135,7 @@ object Sampling {
                     splitCol: String = "split"): DataFrame = {
     require(testFraction + valFraction <= 1.0,
       s"test + val fractions exceed 1: $testFraction + $valFraction")
+    requireIntegralKey(df, keyCol)
     val h = bucketHash(col(keyCol), seed)
     val t1 = threshold(testFraction)
     val t2 = threshold(testFraction + valFraction)
@@ -132,6 +156,7 @@ object Sampling {
   def upsampleEpochs(df: DataFrame, keyCol: String, weightCol: String,
                      seed: Long = 0L, copyCol: String = "epoch_copy")
       : DataFrame = {
+    requireIntegralKey(df, keyCol)
     val w = greatest(col(weightCol).cast("double"), lit(0.0))
     val base = floor(w).cast("long")
     val fracThr = floor((w - floor(w)) * lit(HashRange.toDouble) + lit(0.5))

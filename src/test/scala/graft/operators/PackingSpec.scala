@@ -29,6 +29,17 @@ class PackingSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("concatChunks: chunk assignment is layout-independent " +
+    "(repartitioned input packs identically)") {
+    val d = docs(3000)
+    def packedMap(in: org.apache.spark.sql.DataFrame) =
+      Packing.concatChunks(in, "doc_id", "tokens", budget = 2048L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+    assert(packedMap(d.repartition(13)) == packedMap(d),
+      "packing must be a pure function of (id, tokens), not layout")
+  }
+
   test("concatChunks with groupCols: chunks never span groups, and each " +
     "group packs exactly as it would alone") {
     val d = df("doc_id BIGINT, tokens BIGINT, g STRING",

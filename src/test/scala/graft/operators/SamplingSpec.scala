@@ -138,6 +138,18 @@ class SamplingSpec extends SparkSpec {
     perDoc.foreach { case (id, n) => assert(audited(id) == n) }
   }
 
+  test("non-integral key columns fail fast instead of silently " +
+    "sampling nothing") {
+    val d = df("name STRING, source STRING", Row("a", "web"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.bernoulliSample(d, "name", 0.5)
+    }
+    assert(e.getMessage.contains("integral"))
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit3Tag(d, "name", 0.1, 0.2)
+    }
+  }
+
   test("mixSources: per-source rates (0 drops, 1 keeps all)") {
     val d = ids(3000) // 1000 web, 2000 book
     val mixed = Sampling.mixSources(d, "source",
