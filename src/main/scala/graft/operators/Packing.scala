@@ -74,10 +74,12 @@ object Packing {
 
   /** Per-chunk packing report: document count, token total, and the spill
     * past the budget boundary (the tokens the trainer splits off into the
-    * next chunk; always < the last document's length). */
-  def chunkStats(packed: DataFrame, tokenCol: String,
-                 budget: Long): DataFrame =
-    packed.groupBy(col("chunk_id"))
+    * next chunk; always < the last document's length). Pass the same
+    * `groupCols` given to [[concatChunks]] — chunk ids restart per group,
+    * so the report keys on (group, chunk). */
+  def chunkStats(packed: DataFrame, tokenCol: String, budget: Long,
+                 groupCols: Seq[String] = Nil): DataFrame =
+    packed.groupBy(groupCols.map(col) :+ col("chunk_id"): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCol)).as("tokens"),
         greatest(lit(0L),

@@ -76,9 +76,33 @@ object GraftExtensions {
       CosineExpr(children.head, children(1))
     })
 
+  val bucketHashDescriptor: FunctionDescription = (
+    FunctionIdentifier("graft_bucket_hash"),
+    new ExpressionInfo("graft.operators.Sampling", "graft_bucket_hash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 2,
+        s"graft_bucket_hash expects (key[, seed]), got ${children.size} args")
+      val seed = if (children.size == 2) children(1) match {
+        case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
+        case other => throw new IllegalArgumentException(
+          s"graft_bucket_hash seed must be an integer literal, got $other")
+      } else 0L
+      // concrete catalyst nodes (a functions._ Column would carry
+      // UnresolvedFunction nodes the registry path never analyzes);
+      // NormalCdfSpec pins this tree == Sampling.bucketHash bit-for-bit
+      import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Multiply,
+        Pmod, ShiftRight}
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val a = Pmod(Add(Cast(children.head, LongType),
+        Literal(seed, LongType)), Literal(2147483648L, LongType))
+      Pmod(ShiftRight(Multiply(a, Literal(2654435761L, LongType)),
+        Literal(16, IntegerType)), Literal(1048576L, LongType))
+    })
+
   val descriptors: Seq[FunctionDescription] = Seq(normCdfDescriptor,
     simHashDescriptor, shinglesDescriptor, minHashDescriptor,
-    cosineDescriptor)
+    cosineDescriptor, bucketHashDescriptor)
 
   /** Register on an existing session (tests / REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -24,6 +24,15 @@ class NormalCdfSpec extends SparkSpec {
     assert(r.getSeq[String](1).contains("the quick brown"))
     assert(r.getSeq[java.lang.Long](2).length == 8)
     assertApprox(r.getAs[Double]("cos"), 1.0, 1e-14)
+    // the sampling hash from SQL matches the Scala Column API
+    val h = spark.sql(
+      "SELECT graft_bucket_hash(42, 7) AS h1, graft_bucket_hash(42) AS h0")
+      .collect()(0)
+    val expect = df("k BIGINT", Row(42L))
+      .select(graft.operators.Sampling.bucketHash(col("k"), 7L),
+        graft.operators.Sampling.bucketHash(col("k"))).collect()(0)
+    assert(h.getLong(0) == expect.getLong(0))
+    assert(h.getLong(1) == expect.getLong(1))
   }
 
   test("native expression matches known Phi values and stays in codegen") {
