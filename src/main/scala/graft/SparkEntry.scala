@@ -1315,6 +1315,19 @@ object SparkEntry {
           r6(col("f1")).as("f1_micro"))
     }),
 
+    // --- LLM ops: the composed curation pipeline (exact dedup -> quality
+    //     gate -> deterministic sample -> MinHash-LSH near-dup removal ->
+    //     group-scoped packing). Rows-only: the near-dup stage is
+    //     xxhash64-based, which DuckDB cannot reproduce ---
+    "q_curate" -> ((s, dir) => {
+      Curation.curate(Tables.documents(s, dir), "doc_id", "text",
+          "n_chars", Curation.Config(minQuality = 0.2, sampleRate = 0.9,
+            nearDupJaccard = 0.9, packBudget = 16384L, seed = 5L,
+            groupCols = Seq("lang")))
+        .select(col("doc_id"), col("lang"), col("chunk_id"),
+          col("chunk_offset"), r6(col("quality_score")).as("quality_micro"))
+    }),
+
     // --- LLM ops: pattern redaction (PII/boilerplate scrub shape) with a
     //     per-doc audit count; word-boundary regex stays in the RE2-
     //     compatible subset so Spark (Java regex) and DuckDB (RE2) agree ---

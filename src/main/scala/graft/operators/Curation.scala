@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The composed corpus-curation pipeline a pretraining run actually
+  * executes — each stage is an operator this library already verifies in
+  * isolation, chained in the canonical order so the expensive stages see
+  * the fewest rows:
+  *
+  *   1. exact dedup (cheapest, biggest row reduction first),
+  *   2. quality gate (row-local scoring, no shuffle),
+  *   3. deterministic sampling (row-local; rerun/layout-stable),
+  *   4. near-dup removal (bucketed MinHash-LSH candidates; the one
+  *      genuinely pairwise stage runs on the smallest surviving set),
+  *   5. group-scoped sequence packing (chunks never mix groups).
+  *
+  * Everything is deterministic — same inputs and config, bit-identical
+  * output on any cluster layout — which is the property that makes a
+  * 100 TB curation run reproducible and resumable.
+  */
+object Curation {
+
+  /** @param minQuality   keep docs with qualityScore >= this
+    * @param sampleRate   deterministic Bernoulli keep rate after filters
+    * @param nearDupJaccard drop the higher-id doc of any pair whose
+    *                     estimated Jaccard (MinHash-LSH) >= this; <= 0
+    *                     disables the stage
+    * @param packBudget   tokens (cost units) per training chunk
+    * @param groupCols    packing scope (e.g. language) — chunks never
+    *                     span groups
+    */
+  final case class Config(minQuality: Double = 0.3,
+                          sampleRate: Double = 1.0,
+                          nearDupJaccard: Double = 0.8,
+                          packBudget: Long = 16384L,
+                          seed: Long = 0L,
+                          groupCols: Seq[String] = Nil)
+
+  /** Run the pipeline over a corpus with (idCol, textCol, costCol)
+    * columns. Returns the packed corpus: surviving rows with
+    * `quality_score`, `chunk_id`, `chunk_offset`. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             costCol: String, cfg: Config = Config()): DataFrame = {
+    val deduped = Dedup.exact(docs, textCol, idCol)
+    val scored = deduped.withColumn("quality_score",
+      TextFunctions.qualityScore(col(textCol)))
+    val filtered = scored.filter(col("quality_score") >= cfg.minQuality)
+    val sampled =
+      if (cfg.sampleRate >= 1.0) filtered
+      else Sampling.bernoulliSample(filtered, idCol, cfg.sampleRate,
+        cfg.seed)
+    val unique =
+      if (cfg.nearDupJaccard <= 0.0) sampled
+      else {
+        val pairs = Dedup.minHashLshPairs(sampled, idCol, textCol)
+          .filter(col("est_jaccard") >= cfg.nearDupJaccard)
+          .select(col("id_b").as(idCol)) // keep the smaller id of a pair
+        sampled.join(pairs, Seq(idCol), "left_anti")
+      }
+    Packing.concatChunks(unique.select(
+        (col(idCol) +: col(costCol) +: cfg.groupCols.map(col)): _*),
+      idCol, costCol, cfg.packBudget, cfg.seed,
+      groupCols = cfg.groupCols)
+      .join(unique.select(col(idCol), col(textCol), col("quality_score")),
+        Seq(idCol))
+  }
+
+  /** Stage-by-stage survivor counts — the audit a curation run reports.
+    * Runs the same lazy stages with count actions; use on samples or
+    * accept the extra passes. */
+  def funnel(docs: DataFrame, idCol: String, textCol: String,
+             cfg: Config = Config()): Seq[(String, Long)] = {
+    val deduped = Dedup.exact(docs, textCol, idCol)
+    val filtered = deduped.filter(
+      TextFunctions.qualityScore(col(textCol)) >= cfg.minQuality)
+    val sampled =
+      if (cfg.sampleRate >= 1.0) filtered
+      else Sampling.bernoulliSample(filtered, idCol, cfg.sampleRate,
+        cfg.seed)
+    Seq("input" -> docs.count(), "exact_dedup" -> deduped.count(),
+      "quality_gate" -> filtered.count(), "sampled" -> sampled.count())
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+
+  // corpus: good prose (some exact dups + one near-dup pair), spam, and
+  // a short fragment
+  private def corpus() = {
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs back to the barn where it sleeps for a while in the hay " +
+      "as the sun sets over the quiet farm and the evening settles in"
+    val nearDup = prose.replace("quiet", "silent")
+    val spam = "BUY!!! NOW!!! CLICK!!! WIN!!! FREE!!! $$$ !!!"
+    // 20 genuinely distinct prose docs: disjoint-ish word draws keep
+    // pairwise Jaccard far below the near-dup threshold
+    val vocab = Vector("orchard", "river", "mountain", "harbor", "meadow",
+      "lantern", "willow", "garden", "valley", "bridge", "winter",
+      "summer", "morning", "evening", "harvest", "village", "market",
+      "forest", "stone", "cloud", "sparrow", "meandering", "gentle",
+      "quiet", "golden", "distant", "weathered", "peaceful", "rolling",
+      "shimmering")
+    val rng = new scala.util.Random(99)
+    val distinct = (1 to 20).map { i =>
+      val body = Seq.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      Row(i.toLong, s"the story $i begins as $body and it ends there")
+    }
+    val rows = distinct ++
+      Seq(Row(21L, prose), Row(22L, prose), Row(23L, prose), // exact dups
+        Row(24L, nearDup), Row(25L, spam), Row(26L, "tiny"))
+    df("doc_id BIGINT, text STRING", rows: _*)
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+  }
+
+  test("curate: dedups, gates quality, drops near-dups, packs — " +
+    "deterministically") {
+    val cfg = Curation.Config(minQuality = 0.3, sampleRate = 1.0,
+      nearDupJaccard = 0.8, packBudget = 256L, groupCols = Seq("lang"))
+    val out = Curation.curate(corpus(), "doc_id", "text", "n_chars", cfg)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(22L) && !ids.contains(23L), "exact dups dropped")
+    assert(ids.contains(21L), "first copy kept")
+    assert(!ids.contains(25L), "spam gated by quality")
+    assert(!ids.contains(26L), "fragment gated by quality")
+    assert(!ids.contains(24L) || !ids.contains(21L),
+      "near-dup pair collapsed to one survivor")
+    assert((1L to 20L).forall(ids.contains), "unique prose survives")
+    // packed columns present and chunk offsets within budget
+    assert(out.columns.toSet.intersect(
+      Set("chunk_id", "chunk_offset", "quality_score")).size == 3)
+    assert(out.filter(col("chunk_offset") >= 256L).count() == 0)
+    // deterministic: a second run over a repartitioned input is identical
+    val again = Curation.curate(corpus().repartition(7), "doc_id", "text",
+        "n_chars", cfg)
+      .select("doc_id", "chunk_id", "chunk_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = out.select("doc_id", "chunk_id", "chunk_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == first)
+  }
+
+  test("funnel reports monotone survivor counts") {
+    val f = Curation.funnel(corpus(), "doc_id", "text").toMap
+    assert(f("input") == 26L)
+    assert(f("exact_dedup") == 24L) // 22, 23 collapse into 21
+    assert(f("quality_gate") < f("exact_dedup"))
+    assert(f("sampled") == f("quality_gate")) // rate 1.0
+  }
+}
