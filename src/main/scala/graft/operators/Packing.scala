@@ -38,17 +38,27 @@ object Packing {
     *                  window" pretrain constraint. The prefix sum runs
     *                  per (group, shard); shard offsets stay a tiny
     *                  broadcast (groups x nShards rows).
+    * @param carryCols payload columns (text, quality, ...) passed through
+    *                  unchanged. They ride the per-shard window shuffle —
+    *                  the one full-data exchange this operator already
+    *                  pays — which at corpus scale beats re-joining the
+    *                  payload afterwards (a second shuffle plus a second
+    *                  execution of whatever produced `df`).
     */
   def concatChunks(df: DataFrame, idCol: String, tokenCol: String,
                    budget: Long, seed: Long = 0L,
                    nShards: Int = 256,
-                   groupCols: Seq[String] = Nil): DataFrame = {
+                   groupCols: Seq[String] = Nil,
+                   carryCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(nShards > 0 && Sampling.HashRange % nShards == 0,
       s"nShards ($nShards) must divide ${Sampling.HashRange}")
+    Sampling.requireIntegralKey(df, idCol) // a string id would hash to
+    // null __shard and the offsets join would silently drop every row
     val width = Sampling.HashRange / nShards
     val gCols = groupCols.map(col)
-    val keyed = df.select((col(idCol) +: col(tokenCol) +: gCols) :+
+    val cCols = carryCols.map(col)
+    val keyed = df.select((col(idCol) +: col(tokenCol) +: (gCols ++ cCols)) :+
         Sampling.bucketHash(col(idCol), seed).as("__h"): _*)
       .withColumn("__shard", expr(s"__h div $width"))
     val inShard = Window.partitionBy(gCols :+ col("__shard"): _*)
@@ -67,7 +77,7 @@ object Packing {
       .select(gCols :+ col("__shard") :+ col("__offset"): _*)
     within.join(broadcast(offsets), groupCols :+ "__shard")
       .withColumn("__prefix", col("__offset") + col("__within"))
-      .select((gCols :+ col(idCol) :+ col(tokenCol)) :+
+      .select((gCols :+ col(idCol) :+ col(tokenCol)) ++ cCols :+
         expr(s"__prefix div $budget").as("chunk_id") :+
         pmod(col("__prefix"), lit(budget)).as("chunk_offset"): _*)
   }

@@ -48,8 +48,10 @@ object Sampling {
     }
   }
 
-  /** The portable bucket hash in [0, HashRange). Keys must be non-negative
-    * (doc/event ids); `pmod` guards the Spark side anyway. */
+  /** The portable bucket hash in [0, HashRange). Any long key works:
+    * `pmod` keeps the Spark side non-negative, and the documented SQL
+    * twin uses the positive-mod form `(x % m + m) % m` so sign-of-dividend
+    * engines (DuckDB, PostgreSQL) agree bit-for-bit on negative keys. */
   def bucketHash(key: Column, seed: Long = 0L): Column =
     pmod(shiftright(
       pmod(key.cast("long") + lit(seed), lit(2147483648L)) *

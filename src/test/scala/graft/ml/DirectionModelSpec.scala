@@ -65,6 +65,22 @@ class DirectionModelSpec extends SparkSpec {
     assertApprox(rep(0.0).getAs[Double]("recall"), 1.0)
   }
 
+  test("M9 report: predictions of a different numeric type than labels " +
+    "are cast, not double-counted or schema-corrupted") {
+    import org.apache.spark.sql.Row
+    // IntegerType predictions against DoubleType labels: 1 and 1.0 must
+    // be ONE class, and prediction-only classes must fit the label type
+    val preds = df("label DOUBLE, prediction INT",
+      Row(1.0, 1), Row(1.0, 1), Row(0.0, 1), Row(1.0, 2))
+    val rep = DirectionModel.classificationReport(preds)
+    val byClass = rep.collect().map(r => r.getDouble(0) -> r).toMap
+    assert(byClass.keySet == Set(0.0, 1.0, 2.0))
+    assert(byClass(1.0).getAs[Long]("tp") == 2L)
+    assert(byClass(1.0).getAs[Long]("support") == 3L)
+    assertApprox(byClass(1.0).getAs[Double]("precision"), 2.0 / 3.0)
+    assert(byClass(2.0).getAs[Long]("support") == 0L) // prediction-only
+  }
+
   test("M9 reporting: confusion matrix counts, per-class report on a " +
     "hand fixture, feature importances named and normalized") {
     import org.apache.spark.sql.Row

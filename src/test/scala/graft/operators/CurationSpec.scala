@@ -62,11 +62,27 @@ class CurationSpec extends SparkSpec {
     assert(again == first)
   }
 
-  test("funnel reports monotone survivor counts") {
+  test("funnel reports monotone survivor counts through every " +
+    "row-changing stage, and `packed` matches what curate emits") {
     val f = Curation.funnel(corpus(), "doc_id", "text").toMap
     assert(f("input") == 26L)
     assert(f("exact_dedup") == 24L) // 22, 23 collapse into 21
     assert(f("quality_gate") < f("exact_dedup"))
     assert(f("sampled") == f("quality_gate")) // rate 1.0
+    assert(f("near_dup") == f("sampled") - 1) // the prose near-dup pair
+    val curated = Curation.curate(corpus(), "doc_id", "text", "n_chars",
+      Curation.Config(packBudget = 256L)).count()
+    assert(f("packed") == curated,
+      s"funnel packed ${f("packed")} != curate rows $curated")
+  }
+
+  test("curate fails fast on a non-integral id column instead of " +
+    "silently emptying the corpus") {
+    val d = df("doc_id STRING, text STRING, n_chars INT",
+      Row("a", "some reasonable text", 20))
+    val e = intercept[IllegalArgumentException] {
+      Curation.curate(d, "doc_id", "text", "n_chars")
+    }
+    assert(e.getMessage.contains("integral"))
   }
 }

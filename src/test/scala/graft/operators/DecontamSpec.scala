@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DecontamSpec extends SparkSpec {
+
+  // benchmark: one eval question. Docs: 1 contains it verbatim, 2 shares
+  // a clause, 3 is clean, 4 is too short for any 3-gram, 5 is null.
+  private val benchText = "what is the capital of france and when was it founded"
+
+  private def bench() = df("q STRING", Row(benchText))
+
+  private def docs() = df("doc_id BIGINT, text STRING",
+    Row(1L, s"some prose then $benchText and more prose after"),
+    Row(2L, "nobody knows the capital of france and the reason why"),
+    Row(3L, "a completely unrelated document about gardening in spring"),
+    Row(4L, "too short"),
+    Row(5L, null))
+
+  test("contaminationScores counts distinct shared 3-grams per doc and " +
+    "omits clean docs") {
+    val scores = Decontam.contaminationScores(docs(), bench(), "doc_id",
+        "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 embeds the full 10-token question: all 8 of its 3-grams plus
+    // the 4 straddling ones ("prose then what", "then what is",
+    // "it founded and", "founded and more") — only the contained 8 match
+    assert(scores(1L) == 8L, s"doc 1 overlap ${scores.get(1L)}")
+    // doc 2 shares exactly "the capital of", "capital of france",
+    // "of france and"
+    assert(scores(2L) == 3L, s"doc 2 overlap ${scores.get(2L)}")
+    assert(!scores.contains(3L) && !scores.contains(4L) &&
+      !scores.contains(5L), s"clean docs leaked into $scores")
+  }
+
+  test("overlap_frac scales by the doc's own distinct n-gram count") {
+    val fracs = Decontam.contaminationScores(docs(), bench(), "doc_id",
+        "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 1: 12 tokens of padding + 10 question tokens = 16 distinct
+    // 3-grams (18 positions, all distinct... computed below); assert via
+    // reconstruction instead of a magic number
+    val nGrams1 = docs().filter(col("doc_id") === 1L)
+      .select(size(Dedup.shingles(col("text"), 3))).head().getInt(0)
+    assertApprox(fracs(1L), 8.0 / nGrams1)
+    assert(fracs(2L) > 0.0 && fracs(2L) < 1.0)
+  }
+
+  test("decontaminate drops docs at/above minOverlap and keeps the rest " +
+    "(null and short docs always survive)") {
+    val kept = Decontam.decontaminate(docs(), bench(), "doc_id", "text",
+        n = 3, minOverlap = 4L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L, 5L)) // only doc 1 reaches 4 shared
+    val strict = Decontam.decontaminate(docs(), bench(), "doc_id", "text",
+        n = 3, minOverlap = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(3L, 4L, 5L))
+  }
+
+  test("shuffle-join path (broadcastBench = false) is identical") {
+    val a = Decontam.contaminationScores(docs(), bench(), "doc_id", "text",
+        n = 3, broadcastBench = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Decontam.contaminationScores(docs(), bench(), "doc_id", "text",
+        n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+}

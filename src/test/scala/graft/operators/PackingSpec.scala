@@ -85,4 +85,31 @@ class PackingSpec extends SparkSpec {
     assert(idsSeen.length == floorChunks ||
       idsSeen.length == math.ceil(totalTokens.toDouble / budget).toInt)
   }
+
+  test("concatChunks: carryCols ride through unchanged and the packing " +
+    "is identical with or without them") {
+    val d = docs(1000).withColumn("payload",
+      concat(lit("text-"), col("doc_id")))
+    val bare = Packing.concatChunks(d, "doc_id", "tokens", budget = 512L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val carried = Packing.concatChunks(d, "doc_id", "tokens",
+      budget = 512L, carryCols = Seq("payload"))
+    val rows = carried.collect().map(r =>
+      r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    rows.foreach { case (id, (payload, chunk, off)) =>
+      assert(payload == s"text-$id", s"payload corrupted for $id")
+      assert(bare(id) == ((chunk, off)),
+        s"carrying a column changed the packing of $id")
+    }
+  }
+
+  test("concatChunks fails fast on a non-integral id (a string id would " +
+    "hash to null shards and silently drop every row)") {
+    val d = df("doc_id STRING, tokens BIGINT", Row("a", 5L))
+    val e = intercept[IllegalArgumentException] {
+      Packing.concatChunks(d, "doc_id", "tokens", budget = 512L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

@@ -150,6 +150,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("bucketHash: negative keys agree with the sign-of-dividend SQL " +
+    "twin (positive-mod form), stay in range") {
+    // DuckDB/PostgreSQL `%` keeps the dividend's sign; the documented SQL
+    // twin (SparkEntry.HashSql) wraps it as (x % m + m) % m. Scala's `%`
+    // has the same sign-of-dividend semantics, so this models the oracle
+    // engine exactly.
+    def sqlTwin(key: Long, seed: Long): Long = {
+      val m = 2147483648L
+      val a = ((key + seed) % m + m) % m
+      ((a * 2654435761L) / 65536L) % 1048576L
+    }
+    val keys = Seq(-1L, -42L, -2147483648L, -9999999999L, 0L, 1L,
+      2147483647L, 9999999999L)
+    val d = df("id BIGINT", keys.map(Row(_)): _*)
+    for (seed <- Seq(0L, 7L)) {
+      val spark = d.select(col("id"),
+          Sampling.bucketHash(col("id"), seed).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      keys.foreach { k =>
+        assert(spark(k) == sqlTwin(k, seed),
+          s"key $k seed $seed: spark ${spark(k)} != sql ${sqlTwin(k, seed)}")
+        assert(spark(k) >= 0 && spark(k) < Sampling.HashRange)
+      }
+    }
+  }
+
   test("mixSources: per-source rates (0 drops, 1 keeps all)") {
     val d = ids(3000) // 1000 web, 2000 book
     val mixed = Sampling.mixSources(d, "source",
