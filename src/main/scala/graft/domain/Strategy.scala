@@ -104,7 +104,12 @@ object Strategy {
     val daySums = panel.groupBy(col("date"))
       .agg(dayAggs.head, dayAggs.tail: _*)
 
-    val w = Window.orderBy(col("date")).rowsBetween(-lookback, -1)
+    // constant partition key: this window runs over the O(days) day-moment
+    // frame (~250 rows/year regardless of panel size), so one partition is
+    // intended — lit(0) states that and silences the "No Partition Defined"
+    // warning a global orderBy would log
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("date")).rowsBetween(-lookback, -1)
     // null day-moments (all-null regressor day) roll up like the single-pass
     // sum would: skipped by sum, 0.0 into the solve (olsByGroup's getAs)
     val rolled = daySums.select(

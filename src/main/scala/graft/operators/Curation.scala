@@ -79,29 +79,56 @@ object Curation {
   /** Stage-by-stage survivor counts — the audit a curation run reports,
     * covering every row-changing stage of [[curate]] (packing preserves
     * rows, so the near-dup count IS the packed row count; it is still
-    * reported under both names so the funnel reads end-to-end). Runs the
-    * same lazy stages with count actions; use on samples or accept the
-    * extra passes. */
+    * reported under both names so the funnel reads end-to-end).
+    *
+    * Runs in at most TWO Spark actions: the row-local stages (dedup
+    * winner, quality gate, sample) are conditional sums over one pass —
+    * the dedup-winner flag rides the same md5-partition window
+    * [[Dedup.exact]] uses, so the counts are definitionally the stage
+    * counts — and only the genuinely pairwise LSH stage (when enabled)
+    * pays a second action. */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config()): Seq[(String, Long)] = {
-    val deduped = Dedup.exact(docs, textCol, idCol)
-    val filtered = deduped.filter(
-      TextFunctions.qualityScore(col(textCol)) >= cfg.minQuality)
-    val sampled =
-      if (cfg.sampleRate >= 1.0) filtered
-      else Sampling.bernoulliSample(filtered, idCol, cfg.sampleRate,
-        cfg.seed)
-    val unique =
-      if (cfg.nearDupJaccard <= 0.0) sampled
+    import org.apache.spark.sql.expressions.Window
+    Sampling.requireIntegralKey(docs, idCol)
+    // same winner rule as Dedup.exact: smallest id per text-md5 group
+    val winner = row_number().over(
+      Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))) === 1
+    val qual = TextFunctions.qualityScore(col(textCol)) >= cfg.minQuality
+    val sampleKeep =
+      if (cfg.sampleRate >= 1.0) lit(true)
+      else Sampling.bucketHash(col(idCol), cfg.seed) <
+        lit(Sampling.threshold(cfg.sampleRate))
+    val row = docs
+      .withColumn("__dedup", winner)
+      .withColumn("__qual", col("__dedup") && qual)
+      .withColumn("__samp", col("__qual") && sampleKeep)
+      .agg(count(lit(1)).as("input"),
+        sum(when(col("__dedup"), 1L).otherwise(0L)).as("exact_dedup"),
+        sum(when(col("__qual"), 1L).otherwise(0L)).as("quality_gate"),
+        sum(when(col("__samp"), 1L).otherwise(0L)).as("sampled"))
+      .head()
+    val sampledCount = row.getLong(3)
+    val nearDup =
+      if (cfg.nearDupJaccard <= 0.0) sampledCount
       else {
+        // rebuild the surviving-sample frame lazily for the one pairwise
+        // stage; this is the funnel's second (and last) action
+        val sampled = {
+          val deduped = Dedup.exact(docs, textCol, idCol)
+          val filtered = deduped.filter(
+            TextFunctions.qualityScore(col(textCol)) >= cfg.minQuality)
+          if (cfg.sampleRate >= 1.0) filtered
+          else Sampling.bernoulliSample(filtered, idCol, cfg.sampleRate,
+            cfg.seed)
+        }
         val pairs = Dedup.minHashLshPairs(sampled, idCol, textCol)
           .filter(col("est_jaccard") >= cfg.nearDupJaccard)
           .select(col("id_b").as(idCol))
-        sampled.join(pairs, Seq(idCol), "left_anti")
+        sampled.join(pairs, Seq(idCol), "left_anti").count()
       }
-    val nearDup = unique.count()
-    Seq("input" -> docs.count(), "exact_dedup" -> deduped.count(),
-      "quality_gate" -> filtered.count(), "sampled" -> sampled.count(),
+    Seq("input" -> row.getLong(0), "exact_dedup" -> row.getLong(1),
+      "quality_gate" -> row.getLong(2), "sampled" -> sampledCount,
       "near_dup" -> nearDup, "packed" -> nearDup)
   }
 }

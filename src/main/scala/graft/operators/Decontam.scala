@@ -30,18 +30,24 @@ object Decontam {
     * shared with the benchmark set, and that count scaled by the doc's
     * own distinct-n-gram total (`overlap_frac`, 0 when the doc has no
     * n-grams). Docs with zero overlap are omitted — at corpus scale the
-    * result is a small frame of suspects, not a full-corpus column. */
+    * result is a small frame of suspects, not a full-corpus column.
+    *
+    * `benchTextCol` names the eval set's text column — an eval frame
+    * legitimately has a different schema than the corpus ("question" vs
+    * "text"); it defaults to `textCol`. */
   def contaminationScores(docs: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String,
+                          benchTextCol: String = null,
                           n: Int = 3,
                           broadcastBench: Boolean = true): DataFrame = {
     require(n >= 1, s"n-gram width must be >= 1, got $n")
+    val benchText = Option(benchTextCol).getOrElse(textCol)
     val grams = docs.select(col(idCol),
         Dedup.shingles(col(textCol), n).as("__grams"))
       .select(col(idCol), size(col("__grams")).as("__n_grams"),
         explode(col("__grams")).as("__gram"))
     val benchGrams0 = bench
-      .select(explode(Dedup.shingles(col(textCol), n)).as("__gram"))
+      .select(explode(Dedup.shingles(col(benchText), n)).as("__gram"))
       .distinct()
     val benchGrams =
       if (broadcastBench) broadcast(benchGrams0) else benchGrams0
@@ -61,10 +67,11 @@ object Decontam {
     * small suspects frame, so the corpus passes through untouched. */
   def decontaminate(docs: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String,
+                    benchTextCol: String = null,
                     n: Int = 3, minOverlap: Long = 1L,
                     broadcastBench: Boolean = true): DataFrame = {
-    val flagged = contaminationScores(docs, bench, idCol, textCol, n,
-        broadcastBench)
+    val flagged = contaminationScores(docs, bench, idCol, textCol,
+        benchTextCol, n, broadcastBench)
       .filter(col("n_overlap") >= minOverlap)
       .select(col(idCol))
     docs.join(broadcast(flagged), Seq(idCol), "left_anti")

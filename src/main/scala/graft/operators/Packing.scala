@@ -66,7 +66,11 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = keyed.withColumn("__within",
       coalesce(sum(col(tokenCol)).over(inShard), lit(0L)))
-    val shardOrder = (if (groupCols.isEmpty) Window.partitionBy()
+    // lit(0) partition key: the offsets frame is O(groups x nShards) rows
+    // no matter the corpus size, so the single partition is intended — the
+    // constant key states that and silences the "No Partition Defined"
+    // warning an empty partitionBy would log
+    val shardOrder = (if (groupCols.isEmpty) Window.partitionBy(lit(0))
                       else Window.partitionBy(gCols: _*))
       .orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -15,19 +15,91 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** EXACT linear-interpolated percentiles of a single ungrouped column,
-    * computed with a distributed range-partitioned sort instead of the
-    * built-in `percentile` aggregate (which buffers every value in ONE
-    * reducer — the 100 TB anti-pattern). Two jobs: count, then sort +
-    * select the two bracketing ranks per quantile. Interpolation formula
-    * matches Spark/pandas/DuckDB `quantile_cont`:
+  /** EXACT linear-interpolated percentiles of a single ungrouped column
+    * without the built-in `percentile` aggregate (which buffers every
+    * value in ONE reducer — the 100 TB anti-pattern) and without an RDD
+    * sort (whose boxed multi-job lineage recomputes the scan ~5 times).
+    *
+    * Bracket-then-refine, three narrow whole-stage-codegen passes:
+    *   1. one aggregation: row count + `approx_percentile` sketch values
+    *      at (q ± slack) for every target quantile — the brackets;
+    *   2. one aggregation: per-bracket "values strictly below" counts;
+    *   3. one filtered groupBy: the (value, count) histogram of the few
+    *      rows inside any bracket, collected to the driver, where the
+    *      exact bracketing ranks floor/ceil((n-1)*q) resolve by
+    *      cumulative count and interpolate.
+    * The sketch's rank error is <= n/accuracy, so each bracket holds
+    * O(n/accuracy) distinct values (tens at the default 1e5; raise the
+    * accuracy with n to keep the driver slice small). If a bracket ever
+    * fails to cover its ranks (verified at runtime), the computation
+    * falls back to the distributed-sort path — exactness is
+    * unconditional, never sketch-dependent. Interpolation matches
+    * Spark/pandas/DuckDB `quantile_cont`:
     * v = lo + (hi - lo) * frac at rank h = (n-1)*q. */
   def exactPercentiles(df: DataFrame, valueCol: String, qs: Seq[Double])
       : Seq[Double] = {
-    val rdd = df.select(col(valueCol).cast("double")).na.drop()
-      .rdd.map(_.getDouble(0))
-    val n = rdd.count()
+    require(qs.nonEmpty, "exactPercentiles: no quantiles requested")
+    val v = df.select(col(valueCol).cast("double").as("__v")).na.drop()
+    val acc = 100000
+    val slack = 4.0 / acc
+    val qLo = qs.map(q => math.max(0.0, q - slack))
+    val qHi = qs.map(q => math.min(1.0, q + slack))
+    val sketch = v.agg(
+      count(col("__v")).as("__n"),
+      expr(s"approx_percentile(__v, array(${qLo.mkString(", ")}), $acc)"),
+      expr(s"approx_percentile(__v, array(${qHi.mkString(", ")}), $acc)")
+    ).head()
+    val n = sketch.getLong(0)
     require(n > 0, s"exactPercentiles: no non-null values in $valueCol")
+    val los = sketch.getSeq[Double](1)
+    val his = sketch.getSeq[Double](2)
+    val below = {
+      val aggs = los.zipWithIndex.map { case (l, i) =>
+        sum(when(col("__v") < l, 1L).otherwise(0L)).as(s"__b$i") }
+      val r = v.agg(aggs.head, aggs.tail: _*).head()
+      los.indices.map(i => r.getLong(i))
+    }
+    val inAny = los.zip(his).map { case (l, h) =>
+      col("__v") >= l && col("__v") <= h }.reduce(_ || _)
+    val hist = v.filter(inAny).groupBy(col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    // value at 0-based global rank k, resolved inside bracket i; None when
+    // the sketch's bracket missed the rank (degenerate distribution)
+    def valueAt(i: Int, k: Long): Option[Double] =
+      if (k < below(i)) None
+      else {
+        var cum = below(i)
+        var res = Option.empty[Double]
+        val it = hist.iterator
+          .filter { case (value, _) => value >= los(i) && value <= his(i) }
+        while (res.isEmpty && it.hasNext) {
+          val (value, c) = it.next()
+          if (k < cum + c) res = Some(value) else cum += c
+        }
+        res
+      }
+    val resolved = qs.zipWithIndex.map { case (q, i) =>
+      val h = (n - 1) * q
+      for (lo <- valueAt(i, math.floor(h).toLong);
+           hi <- valueAt(i, math.ceil(h).toLong))
+        yield lo + (hi - lo) * (h - math.floor(h))
+    }
+    if (resolved.forall(_.isDefined)) resolved.map(_.get)
+    else sortedRankPercentiles(v, qs)
+  }
+
+  /** Distributed range-partitioned-sort exactness fallback (and the
+    * differential reference for the bracket path): count, sort, pick the
+    * two bracketing ranks per quantile. Multi-job and boxed — only runs
+    * when a degenerate distribution defeats [[exactPercentiles]]'
+    * sketch brackets. */
+  private[operators] def sortedRankPercentiles(v: DataFrame,
+                                               qs: Seq[Double])
+      : Seq[Double] = {
+    val rdd = v.rdd.map(_.getDouble(0))
+    val n = rdd.count()
+    require(n > 0, "sortedRankPercentiles: empty input")
     val hs = qs.map(q => (n - 1) * q)
     val wanted = hs.flatMap(h =>
       Seq(math.floor(h).toLong, math.ceil(h).toLong)).toSet

@@ -22,12 +22,12 @@ class DecontamSpec extends SparkSpec {
   test("contaminationScores counts distinct shared 3-grams per doc and " +
     "omits clean docs") {
     val scores = Decontam.contaminationScores(docs(), bench(), "doc_id",
-        "text", n = 3)
+        "text", benchTextCol = "q", n = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // doc 1 embeds the full 10-token question: all 8 of its 3-grams plus
+    // doc 1 embeds the full 11-token question: all 9 of its 3-grams plus
     // the 4 straddling ones ("prose then what", "then what is",
-    // "it founded and", "founded and more") — only the contained 8 match
-    assert(scores(1L) == 8L, s"doc 1 overlap ${scores.get(1L)}")
+    // "it founded and", "founded and more") — only the contained 9 match
+    assert(scores(1L) == 9L, s"doc 1 overlap ${scores.get(1L)}")
     // doc 2 shares exactly "the capital of", "capital of france",
     // "of france and"
     assert(scores(2L) == 3L, s"doc 2 overlap ${scores.get(2L)}")
@@ -37,35 +37,35 @@ class DecontamSpec extends SparkSpec {
 
   test("overlap_frac scales by the doc's own distinct n-gram count") {
     val fracs = Decontam.contaminationScores(docs(), bench(), "doc_id",
-        "text", n = 3)
+        "text", benchTextCol = "q", n = 3)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     // doc 1: 12 tokens of padding + 10 question tokens = 16 distinct
     // 3-grams (18 positions, all distinct... computed below); assert via
     // reconstruction instead of a magic number
     val nGrams1 = docs().filter(col("doc_id") === 1L)
       .select(size(Dedup.shingles(col("text"), 3))).head().getInt(0)
-    assertApprox(fracs(1L), 8.0 / nGrams1)
+    assertApprox(fracs(1L), 9.0 / nGrams1)
     assert(fracs(2L) > 0.0 && fracs(2L) < 1.0)
   }
 
   test("decontaminate drops docs at/above minOverlap and keeps the rest " +
     "(null and short docs always survive)") {
     val kept = Decontam.decontaminate(docs(), bench(), "doc_id", "text",
-        n = 3, minOverlap = 4L)
+        benchTextCol = "q", n = 3, minOverlap = 4L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L, 4L, 5L)) // only doc 1 reaches 4 shared
     val strict = Decontam.decontaminate(docs(), bench(), "doc_id", "text",
-        n = 3, minOverlap = 1L)
+        benchTextCol = "q", n = 3, minOverlap = 1L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(strict == Set(3L, 4L, 5L))
   }
 
   test("shuffle-join path (broadcastBench = false) is identical") {
     val a = Decontam.contaminationScores(docs(), bench(), "doc_id", "text",
-        n = 3, broadcastBench = false)
+        benchTextCol = "q", n = 3, broadcastBench = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val b = Decontam.contaminationScores(docs(), bench(), "doc_id", "text",
-        n = 3)
+        benchTextCol = "q", n = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }

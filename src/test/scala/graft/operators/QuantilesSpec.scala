@@ -42,6 +42,36 @@ class QuantilesSpec extends SparkSpec {
     assert((exact & approx).size >= exact.size - 2)
   }
 
+  private def sortRef(d: org.apache.spark.sql.DataFrame, c: String,
+                      qs: Seq[Double]): Seq[Double] =
+    Quantiles.sortedRankPercentiles(
+      d.select(col(c).cast("double").as("__v")).na.drop(), qs)
+
+  test("exactPercentiles bracket path matches the distributed-sort " +
+    "reference on a noisy duplicate-heavy distribution") {
+    val rnd = new scala.util.Random(42)
+    val d = df("v DOUBLE",
+      (1 to 5000).map(_ =>
+        Row(math.floor(rnd.nextGaussian() * 100) / 7.0)): _*)
+    val qs = Seq(0.0, 0.01, 0.25, 0.5, 0.975, 1.0)
+    Quantiles.exactPercentiles(d, "v", qs).zip(sortRef(d, "v", qs))
+      .foreach { case (fast, ref) => assertApprox(fast, ref) }
+  }
+
+  test("exactPercentiles survives constant and single-heavy-value " +
+    "columns (the degenerate-sketch edge)") {
+    val const = df("v DOUBLE", (1 to 100).map(_ => Row(5.0)): _*)
+    assert(Quantiles.exactPercentiles(const, "v", Seq(0.1, 0.9)) ==
+      Seq(5.0, 5.0))
+    // 90% of mass on one value: brackets collapse onto the heavy value
+    val heavy = df("v DOUBLE",
+      ((1 to 900).map(_ => Row(1.0)) ++
+        (1 to 100).map(i => Row(100.0 + i))): _*)
+    val qs = Seq(0.05, 0.5, 0.89, 0.95)
+    Quantiles.exactPercentiles(heavy, "v", qs).zip(sortRef(heavy, "v", qs))
+      .foreach { case (fast, ref) => assertApprox(fast, ref) }
+  }
+
   test("winsorize clips at exact percentiles, keeps every row") {
     import org.apache.spark.sql.Row
     // values 1..11: q10 = 2.0, q90 = 10.0 (exact ranks, no interpolation)
