@@ -1333,6 +1333,36 @@ object SparkEntry {
           col("chunk_offset"), r6(col("quality_score")).as("quality_micro"))
     }),
 
+    // --- LLM ops: oracle-checkable curation sibling — the same composed
+    //     pipeline with the near-dup (xxhash64 LSH) stage OFF, so every
+    //     remaining stage (md5 dedup winner, quality gate, hash sample,
+    //     prefix-sum packing) has an exact DuckDB twin and the gate is a
+    //     full hash match instead of rows-only ---
+    "q_curate_sql" -> ((s, dir) => {
+      Curation.curate(Tables.documents(s, dir), "doc_id", "text",
+          "n_chars", Curation.Config(minQuality = 0.2, sampleRate = 0.9,
+            nearDupJaccard = 0.0, packBudget = 16384L, seed = 5L,
+            groupCols = Seq("lang")))
+        .select(col("doc_id"), col("lang"), col("chunk_id"),
+          col("chunk_offset"), r6(col("quality_score")).as("quality_micro"))
+    }),
+
+    // --- LLM ops: benchmark decontamination — distinct shared 3-grams
+    //     between each corpus doc and a held-out eval slice (every 53rd
+    //     doc id plays the "benchmark" with its own text-column name).
+    //     One broadcast semi-join over exploded corpus n-grams; fully
+    //     SQL-expressible, so this is a real hash-match gate ---
+    "q_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(53L)) === 0)
+        .select(col("text").as("q"))
+      Decontam.contaminationScores(
+          docs.filter(pmod(col("doc_id"), lit(53L)) =!= 0), bench,
+          "doc_id", "text", benchTextCol = "q", n = 3)
+        .select(col("doc_id"), col("n_overlap"),
+          r6(col("overlap_frac")).as("overlap_frac_micro"))
+    }),
+
     // --- LLM ops: pattern redaction (PII/boilerplate scrub shape) with a
     //     per-doc audit count; word-boundary regex stays in the RE2-
     //     compatible subset so Spark (Java regex) and DuckDB (RE2) agree ---
