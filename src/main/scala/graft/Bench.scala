@@ -44,25 +44,39 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
     }
 
+    // min-of-N per query: single-shot times at these scale factors swing
+    // up to 4x run-to-run from GC/JIT/page-cache noise (r5->r6 showed 4x
+    // on untouched operators), which made per-round regression detection
+    // worthless; the minimum is the stable estimator of a query's actual
+    // cost (noise only ever ADDS time)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // outside the timer: a query's own persist cost is measured above,
-      // but its cached blocks must not degrade the NEXT query (round-2
-      // bench showed cross-query GC pressure inflating unrelated queries)
-      spark.sharedState.cacheManager.clearCache()
+      val dt = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val d = (System.nanoTime() - t0) / 1e9
+        // outside the timer: a query's own persist cost is measured above,
+        // but its cached blocks must not degrade the NEXT run (round-2
+        // bench showed cross-query GC pressure inflating unrelated queries)
+        spark.sharedState.cacheManager.clearCache()
+        d
+      }.min
       name -> dt
     }
     def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     // full per-query breakdown to a file (the one-line contract below is
-    // size-limited; this keeps every number for local regression diffs)
+    // size-limited; this keeps every number for local regression diffs).
+    // "env" records what the numbers were measured on — round-7 showed
+    // two runs of identical code 2-3x apart across sessions, so a bench
+    // artifact without its environment is not comparable to anything
+    val env = s""""reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${Runtime.getRuntime.maxMemory() / (1 << 30)}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},$env,"queries":$full,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
 

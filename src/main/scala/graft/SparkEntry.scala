@@ -84,6 +84,27 @@ object SparkEntry {
   private val Side =
     "CASE WHEN event_type IN ('click','view','purchase') THEN -1 ELSE 1 END"
 
+  /** Planted-signal training frame for the M1-M3 gates: `f_sig`'s sign IS
+    * the direction label by construction (plus two hash-noise features),
+    * so any working trainer clears an 0.8 accuracy bar — the reference's
+    * own sanity check (chunk_pipeline.py:82). Every piece is
+    * deterministic and layout-independent: a CONSTANT event-id cap (gate
+    * cost and counts don't scale with SF), the portable hash split, and
+    * hash-derived noise. */
+  private val MlGateCols = Seq("f_sig", "f_n1", "f_n2")
+  private def mlPlanted(s: SparkSession, dir: String): DataFrame = {
+    val base = eventsNs(s, dir)
+      .filter(col("event_id") < 2048L)
+      .withColumn("direction", side(col("event_type")))
+      .withColumn("f_sig",
+        col("direction") * (abs(col("value")) + lit(1.0)))
+      .withColumn("f_n1", Sampling.unitHash(col("event_id"), 9L))
+      .withColumn("f_n2", pmod(col("event_id"), lit(7L)).cast("double"))
+    Sampling.hashSplitTag(
+      graft.ml.DirectionModel.prepareTraining(base, MlGateCols),
+      "event_id", 0.25, seed = 42L)
+  }
+
   // ---- S5 FF CSV fixture (shared by query + oracle; see q_s5_ff_csv) ----
 
   private val FfFixturePath = "/tmp/graft_ff_fixture.csv"
@@ -1404,6 +1425,93 @@ object SparkEntry {
       graft.domain.Strategy.trailingTopPerformers(panel, lookback = 3, n = 2)
         .select(col("ticker").as("user_id"), col("date").as("day"),
           r6(col("trailing_pnl")).as("trailing_micro"), col("rank"))
+    }),
+
+    // --- M1: GBT training gate — fixed-seed fit on a planted-signal
+    //     frame (the reference's own sanity bar: the model must learn a
+    //     signal that is in the data by construction,
+    //     chunk_pipeline.py:82). Rows-only: training is not
+    //     SQL-expressible; the gate pins (n_train, n_test,
+    //     accuracy >= 0.8), all deterministic — hash split, constant
+    //     event cap, subsample 1.0 ---
+    "q_m1_gbt" -> ((s, dir) => {
+      val d = mlPlanted(s, dir)
+      val train = d.filter(!col("is_test"))
+      val nTrain = train.count()
+      val model = graft.ml.DirectionModel.gbtPipeline(MlGateCols,
+        maxDepth = 3, maxIter = 5, subsample = 1.0).fit(train)
+      val preds = graft.ml.DirectionModel.attachPredictions(
+        model, d.filter(col("is_test")))
+      preds.agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred_dir") === col("direction"), 1L)
+            .otherwise(0L)).as("__correct"))
+        .select(lit("gbt").as("model"), lit(nTrain).as("n_train"),
+          col("n_test"),
+          (col("__correct") >= col("n_test") * lit(0.8))
+            .as("beats_planted"))
+    }),
+
+    // --- M2: prediction + label-remap contract — pred_dir lands in
+    //     {-1, +1} with both classes present (the planted signal is
+    //     two-sided) and pred_prob stays in the unit interval ---
+    "q_m2_predict" -> ((s, dir) => {
+      val d = mlPlanted(s, dir)
+      val model = graft.ml.DirectionModel.logisticPipeline(MlGateCols)
+        .fit(d.filter(!col("is_test")))
+      val preds = graft.ml.DirectionModel.attachPredictions(
+        model, d.filter(col("is_test")))
+      preds.groupBy(col("pred_dir"))
+        .agg(count(lit(1)).as("n"), min(col("pred_prob")).as("__pmin"),
+          max(col("pred_prob")).as("__pmax"))
+        .select(col("pred_dir"), col("n"),
+          (col("__pmin") >= 0.0 && col("__pmax") <= 1.0)
+            .as("prob_in_unit"))
+    }),
+
+    // --- M3: RF grid-CV + LR — one-point grid and 2 folds keep the CV
+    //     machinery (the operator under test) without the full search's
+    //     benchmark cost; both models must beat the planted threshold ---
+    "q_m3_rf_lr" -> ((s, dir) => {
+      val d = mlPlanted(s, dir)
+      val train = d.filter(!col("is_test"))
+      val test = d.filter(col("is_test"))
+      val rf = graft.ml.DirectionModel.rfCrossValidated(MlGateCols,
+          folds = 2, numTrees = Array(10), maxDepths = Array(3))
+        .fit(train).bestModel
+        .asInstanceOf[org.apache.spark.ml.PipelineModel]
+      val lr = graft.ml.DirectionModel.logisticPipeline(MlGateCols)
+        .fit(train)
+      def gate(model: org.apache.spark.ml.PipelineModel, name: String) =
+        graft.ml.DirectionModel.attachPredictions(model, test)
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("pred_dir") === col("direction"), 1L)
+              .otherwise(0L)).as("__correct"))
+          .select(lit(name).as("model"), col("n_test"),
+            (col("__correct") >= col("n_test") * lit(0.8))
+              .as("beats_planted"))
+      gate(rf, "rf").unionByName(gate(lr, "lr"))
+    }),
+
+    // --- LLM ops: the curation funnel audit as a declarative
+    //     (stage, survivors) frame — LSH off, so every stage count has an
+    //     exact DuckDB twin and the whole audit hash-matches ---
+    "q_funnel" -> ((s, dir) => {
+      Curation.funnelDf(Tables.documents(s, dir), "doc_id", "text",
+        Curation.Config(minQuality = 0.2, sampleRate = 0.9,
+          nearDupJaccard = 0.0, seed = 5L))
+    }),
+
+    // --- LLM ops: decontamination DROP face — the corpus that survives
+    //     removing docs sharing >= 2 distinct 3-grams with the eval set;
+    //     count + id checksum, fully SQL-expressible ---
+    "q_decontam_drop" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(53L)) === 0)
+        .select(col("text").as("q"))
+      Decontam.decontaminate(
+          docs.filter(pmod(col("doc_id"), lit(53L)) =!= 0), bench,
+          "doc_id", "text", benchTextCol = "q", n = 3, minOverlap = 2L)
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     })
   )
 
@@ -2406,6 +2514,161 @@ object SparkEntry {
          |    ORDER BY trailing_pnl DESC, user_id) AS rank
          |  FROM t WHERE n_w = 3)
          |SELECT user_id, day, ${R6("trailing_pnl")} AS trailing_micro,
-         |  CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 2""".stripMargin
+         |  CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 2""".stripMargin,
+
+    // the full curation pipeline with the LSH stage off: every remaining
+    // stage (md5 dedup winner, quality score, hash sample, per-lang
+    // prefix-sum packing) has an exact DuckDB twin — quality-score CTEs
+    // identical to q_quality_score's, sampling/packing hash identical to
+    // q_sample_bernoulli/q_pack_by_lang's
+    "q_curate_sql" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+         |      AS rk
+         |  FROM documents),
+         |d AS (SELECT doc_id, lang, n_chars, text FROM w WHERE rk = 1),
+         |t AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |    string_split_regex(trim(text), '\\s+') AS toks,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+         |  FROM d),
+         |m AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(len(toks) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(ltoks, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','are','was',
+         |       'it','that','this','for','on','with','as','at','by','be'],
+         |      x))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(length(regexp_replace(text,
+         |      '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         |      AS DOUBLE) / length(text) AS upper_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    GREATEST(0.0, LEAST(1.0,
+         |      0.5 * (LEAST(nt / 50.0, 1.0) *
+         |        CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END)
+         |      + 0.5 * LEAST(stop_ratio * 4.0, 1.0)
+         |      - LEAST(punct_ratio * 2.0, 0.5)
+         |      - LEAST(upper_ratio * 2.0, 0.5))) AS quality
+         |  FROM m),
+         |s AS (
+         |  SELECT doc_id, lang, n_chars, quality,
+         |    ${HashSql("doc_id", 5L)} AS h
+         |  FROM q
+         |  WHERE quality >= 0.2
+         |    AND ${HashSql("doc_id", 5L)} < ${Sampling.threshold(0.9)}),
+         |p AS (
+         |  SELECT doc_id, lang, quality,
+         |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS pfx
+         |  FROM s)
+         |SELECT doc_id, lang, pfx // 16384 AS chunk_id,
+         |  pfx % 16384 AS chunk_offset, ${R6("quality")} AS quality_micro
+         |FROM p""".stripMargin,
+
+    // benchmark decontamination: same 3-gram definition as
+    // q_dedup_jaccard's shingle CTEs; bench grams are DISTINCT and each
+    // doc's shingle set is a set, so the inner join's per-doc hit count
+    // IS the distinct-overlap count
+    "q_decontam" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> array_to_string(t[i:i+2], ' '))) AS shset
+         |  FROM toks),
+         |bench AS (
+         |  SELECT DISTINCT unnest(shset) AS gram FROM sh
+         |  WHERE doc_id % 53 = 0),
+         |corpus AS (
+         |  SELECT doc_id, len(shset) AS n_grams, unnest(shset) AS gram
+         |  FROM sh WHERE doc_id % 53 <> 0),
+         |ov AS (
+         |  SELECT c.doc_id, c.n_grams, COUNT(*) AS n_overlap
+         |  FROM corpus c JOIN bench b ON c.gram = b.gram
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, n_overlap,
+         |  ${R6("n_overlap::DOUBLE / n_grams")} AS overlap_frac_micro
+         |FROM ov""".stripMargin,
+
+    // funnel audit with LSH off: the near_dup/packed stages ARE the
+    // sampled count (packing preserves rows)
+    "q_funnel" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, text,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+         |      AS rk
+         |  FROM documents),
+         |d AS (SELECT doc_id, text FROM w WHERE rk = 1),
+         |t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(trim(text), '\\s+') AS toks,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+         |  FROM d),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(ltoks, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','are','was',
+         |       'it','that','this','for','on','with','as','at','by','be'],
+         |      x))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(length(regexp_replace(text,
+         |      '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         |      AS DOUBLE) / length(text) AS upper_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id,
+         |    GREATEST(0.0, LEAST(1.0,
+         |      0.5 * (LEAST(nt / 50.0, 1.0) *
+         |        CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END)
+         |      + 0.5 * LEAST(stop_ratio * 4.0, 1.0)
+         |      - LEAST(punct_ratio * 2.0, 0.5)
+         |      - LEAST(upper_ratio * 2.0, 0.5))) AS quality
+         |  FROM m),
+         |f AS (SELECT doc_id FROM q WHERE quality >= 0.2),
+         |s AS (SELECT doc_id FROM f
+         |  WHERE ${HashSql("doc_id", 5L)} < ${Sampling.threshold(0.9)})
+         |SELECT 'input' AS stage,
+         |  (SELECT COUNT(*) FROM documents) AS survivors
+         |UNION ALL SELECT 'exact_dedup', (SELECT COUNT(*) FROM d)
+         |UNION ALL SELECT 'quality_gate', (SELECT COUNT(*) FROM f)
+         |UNION ALL SELECT 'sampled', (SELECT COUNT(*) FROM s)
+         |UNION ALL SELECT 'near_dup', (SELECT COUNT(*) FROM s)
+         |UNION ALL SELECT 'packed', (SELECT COUNT(*) FROM s)""".stripMargin,
+
+    // decontamination drop face: survivors after removing docs sharing
+    // >= 2 distinct 3-grams with the eval slice
+    "q_decontam_drop" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> array_to_string(t[i:i+2], ' '))) AS shset
+         |  FROM toks),
+         |bench AS (
+         |  SELECT DISTINCT unnest(shset) AS gram FROM sh
+         |  WHERE doc_id % 53 = 0),
+         |corpus AS (
+         |  SELECT doc_id, unnest(shset) AS gram
+         |  FROM sh WHERE doc_id % 53 <> 0),
+         |flagged AS (
+         |  SELECT c.doc_id FROM corpus c JOIN bench b ON c.gram = b.gram
+         |  GROUP BY 1 HAVING COUNT(*) >= 2)
+         |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM documents
+         |WHERE doc_id % 53 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin
   )
 }

@@ -61,9 +61,14 @@ object DirectionModel {
   }
 
   /** M3: RandomForest / LogisticRegression with cross-validated grids
-    * (`prediction_ML_pipeline.py:265-302`). */
+    * (`prediction_ML_pipeline.py:265-302`). The grid is parameterized so
+    * a smoke gate can run a 1-point grid where the reference's full
+    * 2x2 search would dominate a benchmark pass. */
   def rfCrossValidated(cols: Seq[String] = DefaultFeatures,
-                       folds: Int = 3): CrossValidator = {
+                       folds: Int = 3,
+                       numTrees: Array[Int] = Array(50, 100),
+                       maxDepths: Array[Int] = Array(5, 10))
+      : CrossValidator = {
     val assembler = new VectorAssembler()
       .setInputCols(cols.toArray).setOutputCol("features")
       .setHandleInvalid("keep")
@@ -71,8 +76,8 @@ object DirectionModel {
       .setLabelCol("label").setFeaturesCol("features")
     val pipe = new Pipeline().setStages(Array(assembler, rf))
     val grid = new ParamGridBuilder()
-      .addGrid(rf.numTrees, Array(50, 100))
-      .addGrid(rf.maxDepth, Array(5, 10))
+      .addGrid(rf.numTrees, numTrees)
+      .addGrid(rf.maxDepth, maxDepths)
       .build()
     new CrossValidator().setEstimator(pipe)
       .setEvaluator(new BinaryClassificationEvaluator()

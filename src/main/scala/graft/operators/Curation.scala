@@ -89,6 +89,47 @@ object Curation {
     * pays a second action. */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config()): Seq[(String, Long)] = {
+    val row = stageCounts(docs, idCol, textCol, cfg).head()
+    val sampledCount = row.getLong(3)
+    val nearDup =
+      if (cfg.nearDupJaccard <= 0.0) sampledCount
+      // the one pairwise stage is the funnel's second (and last) action
+      else lshSurvivors(docs, idCol, textCol, cfg).count()
+    Seq("input" -> row.getLong(0), "exact_dedup" -> row.getLong(1),
+      "quality_gate" -> row.getLong(2), "sampled" -> sampledCount,
+      "near_dup" -> nearDup, "packed" -> nearDup)
+  }
+
+  /** [[funnel]] as a declarative (stage, survivors) frame — the
+    * oracle-checkable face: with the LSH stage off, every stage count is
+    * plain SQL, so a driver gate can hash-match the whole audit against
+    * DuckDB. One lazy plan; collecting it is ONE action even when the
+    * LSH subplan is included. */
+  def funnelDf(docs: DataFrame, idCol: String, textCol: String,
+               cfg: Config = Config()): DataFrame = {
+    val counts = stageCounts(docs, idCol, textCol, cfg)
+    val rowLocal = counts.selectExpr(
+      "stack(4, 'input', input, 'exact_dedup', exact_dedup, " +
+        "'quality_gate', quality_gate, 'sampled', sampled) " +
+        "AS (stage, survivors)")
+    val tail =
+      if (cfg.nearDupJaccard <= 0.0)
+        counts.selectExpr(
+          "stack(2, 'near_dup', sampled, 'packed', sampled) " +
+            "AS (stage, survivors)")
+      else lshSurvivors(docs, idCol, textCol, cfg)
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("stack(2, 'near_dup', n, 'packed', n) " +
+          "AS (stage, survivors)")
+    rowLocal.unionByName(tail)
+  }
+
+  /** One-pass conditional-sum counts of the row-local stages (one row:
+    * input, exact_dedup, quality_gate, sampled). The dedup-winner flag
+    * rides the same md5-partition window [[Dedup.exact]] uses, so the
+    * counts are definitionally the stage counts. */
+  private def stageCounts(docs: DataFrame, idCol: String, textCol: String,
+                          cfg: Config): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Sampling.requireIntegralKey(docs, idCol)
     // same winner rule as Dedup.exact: smallest id per text-md5 group
@@ -99,7 +140,7 @@ object Curation {
       if (cfg.sampleRate >= 1.0) lit(true)
       else Sampling.bucketHash(col(idCol), cfg.seed) <
         lit(Sampling.threshold(cfg.sampleRate))
-    val row = docs
+    docs
       .withColumn("__dedup", winner)
       .withColumn("__qual", col("__dedup") && qual)
       .withColumn("__samp", col("__qual") && sampleKeep)
@@ -107,28 +148,22 @@ object Curation {
         sum(when(col("__dedup"), 1L).otherwise(0L)).as("exact_dedup"),
         sum(when(col("__qual"), 1L).otherwise(0L)).as("quality_gate"),
         sum(when(col("__samp"), 1L).otherwise(0L)).as("sampled"))
-      .head()
-    val sampledCount = row.getLong(3)
-    val nearDup =
-      if (cfg.nearDupJaccard <= 0.0) sampledCount
-      else {
-        // rebuild the surviving-sample frame lazily for the one pairwise
-        // stage; this is the funnel's second (and last) action
-        val sampled = {
-          val deduped = Dedup.exact(docs, textCol, idCol)
-          val filtered = deduped.filter(
-            TextFunctions.qualityScore(col(textCol)) >= cfg.minQuality)
-          if (cfg.sampleRate >= 1.0) filtered
-          else Sampling.bernoulliSample(filtered, idCol, cfg.sampleRate,
-            cfg.seed)
-        }
-        val pairs = Dedup.minHashLshPairs(sampled, idCol, textCol)
-          .filter(col("est_jaccard") >= cfg.nearDupJaccard)
-          .select(col("id_b").as(idCol))
-        sampled.join(pairs, Seq(idCol), "left_anti").count()
-      }
-    Seq("input" -> row.getLong(0), "exact_dedup" -> row.getLong(1),
-      "quality_gate" -> row.getLong(2), "sampled" -> sampledCount,
-      "near_dup" -> nearDup, "packed" -> nearDup)
+  }
+
+  /** The frame surviving dedup -> quality -> sample -> LSH anti-join
+    * (lazy; the pairwise stage [[funnel]]/[[funnelDf]] price separately). */
+  private def lshSurvivors(docs: DataFrame, idCol: String, textCol: String,
+                           cfg: Config): DataFrame = {
+    val deduped = Dedup.exact(docs, textCol, idCol)
+    val filtered = deduped.filter(
+      TextFunctions.qualityScore(col(textCol)) >= cfg.minQuality)
+    val sampled =
+      if (cfg.sampleRate >= 1.0) filtered
+      else Sampling.bernoulliSample(filtered, idCol, cfg.sampleRate,
+        cfg.seed)
+    val pairs = Dedup.minHashLshPairs(sampled, idCol, textCol)
+      .filter(col("est_jaccard") >= cfg.nearDupJaccard)
+      .select(col("id_b").as(idCol))
+    sampled.join(pairs, Seq(idCol), "left_anti")
   }
 }

@@ -29,18 +29,20 @@ object Quantiles {
     *      exact bracketing ranks floor/ceil((n-1)*q) resolve by
     *      cumulative count and interpolate.
     * The sketch's rank error is <= n/accuracy, so each bracket holds
-    * O(n/accuracy) distinct values (tens at the default 1e5; raise the
-    * accuracy with n to keep the driver slice small). If a bracket ever
-    * fails to cover its ranks (verified at runtime), the computation
-    * falls back to the distributed-sort path — exactness is
+    * O(n/accuracy) distinct values (tens at the default 1e5) and the
+    * driver slice is O(#quantiles * n/accuracy) — scale `accuracy`
+    * with n (e.g. n/1000) to keep it bounded at corpus sizes. If a
+    * bracket ever fails to cover its ranks (verified at runtime), the
+    * computation falls back to the distributed-sort path — exactness is
     * unconditional, never sketch-dependent. Interpolation matches
     * Spark/pandas/DuckDB `quantile_cont`:
     * v = lo + (hi - lo) * frac at rank h = (n-1)*q. */
-  def exactPercentiles(df: DataFrame, valueCol: String, qs: Seq[Double])
-      : Seq[Double] = {
+  def exactPercentiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+                       accuracy: Int = 100000): Seq[Double] = {
     require(qs.nonEmpty, "exactPercentiles: no quantiles requested")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
     val v = df.select(col(valueCol).cast("double").as("__v")).na.drop()
-    val acc = 100000
+    val acc = accuracy
     val slack = 4.0 / acc
     val qLo = qs.map(q => math.max(0.0, q - slack))
     val qHi = qs.map(q => math.min(1.0, q + slack))
@@ -119,10 +121,10 @@ object Quantiles {
     * distributed [[exactPercentiles]] (two driver doubles), then the clip
     * is a row-local `least/greatest` — no extra shuffle. */
   def winsorize(df: DataFrame, valueCol: String, lo: Double, hi: Double,
-                outCol: String = ""): DataFrame = {
+                outCol: String = "", accuracy: Int = 100000): DataFrame = {
     require(lo <= hi, s"winsorize bounds inverted: $lo > $hi")
     val target = if (outCol.isEmpty) s"${valueCol}_wins" else outCol
-    val Seq(l, h) = exactPercentiles(df, valueCol, Seq(lo, hi))
+    val Seq(l, h) = exactPercentiles(df, valueCol, Seq(lo, hi), accuracy)
     df.withColumn(target,
       least(greatest(col(valueCol).cast("double"), lit(l)), lit(h)))
   }

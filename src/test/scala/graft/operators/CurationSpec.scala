@@ -76,6 +76,18 @@ class CurationSpec extends SparkSpec {
       s"funnel packed ${f("packed")} != curate rows $curated")
   }
 
+  test("funnelDf matches funnel stage-for-stage, with the LSH stage " +
+    "on and off") {
+    for (cfg <- Seq(Curation.Config(), // LSH on (default 0.8)
+                    Curation.Config(nearDupJaccard = 0.0, sampleRate = 0.9,
+                      seed = 5L))) {
+      val seq = Curation.funnel(corpus(), "doc_id", "text", cfg).toMap
+      val frame = Curation.funnelDf(corpus(), "doc_id", "text", cfg)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(frame == seq, s"funnelDf != funnel for $cfg")
+    }
+  }
+
   test("curate fails fast on a non-integral id column instead of " +
     "silently emptying the corpus") {
     val d = df("doc_id STRING, text STRING, n_chars INT",

@@ -72,6 +72,16 @@ class QuantilesSpec extends SparkSpec {
       .foreach { case (fast, ref) => assertApprox(fast, ref) }
   }
 
+  test("exactPercentiles accuracy parameter: a coarse sketch still " +
+    "resolves exact values (wider brackets or sort fallback)") {
+    val d = df("v DOUBLE", (1 to 2000).map(i => Row(i.toDouble)): _*)
+    val qs = Seq(0.1, 0.5, 0.9)
+    // accuracy=200 gives rank error ~n/200 = 10 — brackets stay exact
+    Quantiles.exactPercentiles(d, "v", qs, accuracy = 200)
+      .zip(sortRef(d, "v", qs))
+      .foreach { case (fast, ref) => assertApprox(fast, ref) }
+  }
+
   test("winsorize clips at exact percentiles, keeps every row") {
     import org.apache.spark.sql.Row
     // values 1..11: q10 = 2.0, q90 = 10.0 (exact ranks, no interpolation)
