@@ -1512,6 +1512,25 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(53L)) =!= 0), bench,
           "doc_id", "text", benchTextCol = "q", n = 3, minOverlap = 2L)
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
+    // --- LLM ops: smooth TF-IDF (sklearn convention) for a query term
+    //     set — inverted-index shape, term filter inside the explode ---
+    "q_tfidf" -> ((s, dir) => {
+      Retrieval.tfIdf(Tables.documents(s, dir), "doc_id", "text",
+          Seq("table", "spark", "vector"))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          r6(col("tfidf")).as("tfidf_micro"))
+    }),
+
+    // --- LLM ops: BM25 top-k keyword search — the lexical retrieval
+    //     complement to q_ann_cosine; per-doc scores decimal-summed so
+    //     the top-k cut is bit-stable across engines ---
+    "q_bm25" -> ((s, dir) => {
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          Seq("table", "scan", "join", "vector"), k = 15)
+        .select(col("doc_id"), col("n_terms"),
+          r6(col("score")).as("score_micro"))
     })
   )
 
@@ -2669,6 +2688,56 @@ object SparkEntry {
          |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          |FROM documents
          |WHERE doc_id % 53 <> 0
-         |  AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin
+         |  AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+
+    // smooth TF-IDF: idf = ln((1+N)/(1+df)) + 1, per-term df as a window
+    // count over the (doc, term) postings — mirrors Retrieval.tfIdf
+    "q_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |hits AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM hits
+         |  WHERE term IN ('table', 'spark', 'vector') GROUP BY 1, 2),
+         |wdf AS (
+         |  SELECT doc_id, term, tf,
+         |    COUNT(*) OVER (PARTITION BY term) AS df
+         |  FROM tf),
+         |n AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT doc_id, term, tf, df,
+         |  ${R6("tf * (ln((1.0 + n) / (1.0 + df)) + 1.0)")} AS tfidf_micro
+         |FROM wdf, n""".stripMargin,
+
+    // BM25: identical operation order to Retrieval.bm25TopK (left-assoc
+    // arithmetic, (1.2 + 1.0) computed not pre-folded, DECIMAL(18,8)
+    // term-score sum) so the scores — and the top-k cut they decide —
+    // are bit-identical
+    "q_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |stats AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM toks),
+         |hits AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term
+         |  FROM toks),
+         |tf AS (
+         |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits
+         |  WHERE term IN ('table', 'scan', 'join', 'vector')
+         |  GROUP BY 1, 2, 3),
+         |wdf AS (
+         |  SELECT doc_id, dl, term, tf,
+         |    COUNT(*) OVER (PARTITION BY term) AS df
+         |  FROM tf),
+         |sc AS (
+         |  SELECT doc_id,
+         |    (ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1.0)))
+         |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+         |  FROM wdf, stats),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_terms,
+         |    CAST(SUM(CAST(s AS DECIMAL(18,8))) AS DOUBLE) AS score
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, n_terms, ${R6("score")} AS score_micro
+         |FROM agg ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
   )
 }

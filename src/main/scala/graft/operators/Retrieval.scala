@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Keyword retrieval over a document corpus: inverted-index postings,
+  * smooth TF-IDF, and BM25 top-k search — the lexical complement to the
+  * embedding ANN family (Similarity.scala). A training-data pipeline
+  * uses these for corpus search, source triage, and keyword-conditioned
+  * filtering where an embedding index is overkill.
+  *
+  * Scale design: everything is the inverted-index join shape; nothing is
+  * ever pairwise. The query-term filter is a literal IN predicate applied
+  * row-locally inside the token explode — BEFORE any shuffle — so a
+  * query only ever shuffles its (doc, query-term) hits, never the
+  * corpus-wide posting list. Per-term document frequency rides a window
+  * over the already-aggregated postings (one sort shuffle on term, no
+  * second execution of the tokenize subplan). Corpus statistics (N,
+  * avgdl) are a broadcast 1-row frame; they re-scan only the projected
+  * text column, which at corpus scale is cheaper than persisting the
+  * tokenized corpus. Top-k is TakeOrdered — never a global window.
+  *
+  * Tokens are `\s+` splits of the trimmed, lowercased text — the same
+  * definition as the dedup/shingle family, with exact DuckDB twins.
+  */
+object Retrieval {
+
+  /** Inverted-index postings (doc, term, tf) — term frequency is the
+    * raw occurrence count. `terms` narrows to a query set row-locally
+    * (empty = the full index build: one explode + one shuffle). */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String] = Nil): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val hit =
+      if (terms.isEmpty) tok else tok.filter(col("term").isin(terms: _*))
+    hit.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** Smooth TF-IDF (the sklearn convention, so scores are comparable to
+    * the de-facto standard): idf = ln((1+N)/(1+df)) + 1,
+    * tfidf = tf * idf. One row per (doc, term). */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String,
+            terms: Seq[String] = Nil): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val tf = postings(docs, idCol, textCol, terms)
+    // df as a window count over the (doc, term) postings: one sort
+    // shuffle on term; a groupBy-then-join would re-execute the whole
+    // tokenize subplan for the second reference
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    withDf.crossJoin(broadcast(n))
+      .withColumn("__idf",
+        log((lit(1.0) + col("__n")) / (lit(1.0) + col("df"))) + lit(1.0))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * col("__idf")).as("tfidf"))
+  }
+
+  /** BM25 top-k documents for a bag of query terms (Robertson/Sparck
+    * Jones idf with the standard +1 floor; k1/b defaults are the
+    * conventional 1.2/0.75).
+    *
+    * Per-document term scores are summed through DECIMAL(18,8) — decimal
+    * addition is exact and order-independent, so the score (and the
+    * top-k cut it decides) is bit-stable across partitionings and
+    * engines (the repo's moneySum rule). Ties break on the id. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query term set")
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("__toks"))
+    val stats = toks.agg(count(lit(1)).as("__n"),
+      avg(size(col("__toks"))).as("__avgdl"))
+    val hits = toks.select(col(idCol), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val withDf = hits.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy(col("__term"))))
+    val scored = withDf.crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)) + lit(1.0)))
+      .withColumn("__s",
+        col("__idf") * (col("__tf") * lit(k1 + 1.0)) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__s").cast("decimal(18,8)")).cast("double").as("score"))
+      .sort(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

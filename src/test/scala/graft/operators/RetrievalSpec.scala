@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+
+  // N = 3 docs, avgdl = (3 + 2 + 4) / 3 = 3.0
+  private def corpus() = df("doc_id BIGINT, text STRING",
+    Row(1L, "apple banana apple"),
+    Row(2L, "banana cherry"),
+    Row(3L, "cherry cherry cherry apple"))
+
+  test("postings: raw per-doc term frequencies, query filter applied " +
+    "before aggregation") {
+    val p = Retrieval.postings(corpus(), "doc_id", "text",
+        Seq("apple", "cherry"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(p == Set((1L, "apple", 2L), (3L, "apple", 1L),
+      (2L, "cherry", 1L), (3L, "cherry", 3L)))
+  }
+
+  test("tfIdf matches the sklearn smooth-idf formula") {
+    val rows = Retrieval.tfIdf(corpus(), "doc_id", "text", Seq("apple"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    val idf = math.log((1.0 + 3.0) / (1.0 + 2.0)) + 1.0
+    assert(rows.keySet == Set(1L, 3L))
+    assert(rows(1L)._1 == 2L && rows(1L)._2 == 2L)
+    assertApprox(rows(1L)._3, 2.0 * idf)
+    assertApprox(rows(3L)._3, 1.0 * idf)
+  }
+
+  test("bm25TopK matches the reference formula, ranks by score with id " +
+    "tie-break, and honors k") {
+    val (k1, b) = (1.2, 0.75)
+    val idf = math.log((3.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0) // df=2 both
+    def term(tf: Long, dl: Long): Double =
+      idf * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * dl / 3.0))
+    def dec8(x: Double): BigDecimal =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val expected = Map( // doc -> (n_terms, decimal-summed score)
+      1L -> (1L, dec8(term(2, 3)).toDouble),
+      2L -> (1L, dec8(term(1, 2)).toDouble),
+      3L -> (2L, (dec8(term(1, 4)) + dec8(term(3, 4))).toDouble))
+    val out = Retrieval.bm25TopK(corpus(), "doc_id", "text",
+        Seq("apple", "cherry"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 3)
+    out.foreach { case (id, nTerms, score) =>
+      assert(nTerms == expected(id)._1, s"doc $id n_terms")
+      assertApprox(score, expected(id)._2)
+    }
+    // descending by score (doc 3 hits two terms, one of them 3 times)
+    assert(out.head._1 == 3L)
+    assert(out.map(_._3).toSeq.sliding(2).forall {
+      case Seq(a, bb) => a >= bb; case _ => true })
+    // k truncates
+    assert(Retrieval.bm25TopK(corpus(), "doc_id", "text",
+      Seq("apple", "cherry"), k = 1).count() == 1)
+  }
+
+  test("bm25TopK: terms absent from the corpus contribute no rows; " +
+    "empty query fails fast") {
+    assert(Retrieval.bm25TopK(corpus(), "doc_id", "text",
+      Seq("durian"), k = 5).count() == 0)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus(), "doc_id", "text", Nil)
+    }
+  }
+}
