@@ -1531,6 +1531,34 @@ object SparkEntry {
           Seq("table", "scan", "join", "vector"), k = 15)
         .select(col("doc_id"), col("n_terms"),
           r6(col("score")).as("score_micro"))
+    }),
+
+    // --- LLM ops: embedding unit-normalization (row-local, double
+    //     arithmetic end-to-end) — long format for the oracle compare ---
+    "q_embed_normalize" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(Embeddings.normalizeL2(col("embedding"))))
+        .select(col("vec_id"), col("pos").as("dim"),
+          r6(col("col")).as("v_micro"))
+    }),
+
+    // --- LLM ops: per-label centroid (element-wise mean pooling,
+    //     decimal-summed so the mean is layout- and engine-exact) ---
+    "q_embed_meanpool" -> ((s, dir) => {
+      Embeddings.meanPoolLong(Tables.embeddings(s, dir), Seq("label"),
+          "embedding")
+        .select(col("label"), col("dim"), r6(col("mean")).as("mean_micro"))
+    }),
+
+    // --- LLM ops: PCA projection to 8 dims. Rows-only: component
+    //     signs/values depend on float summation order, so no
+    //     cross-engine oracle; semantics pinned in EmbeddingsSpec ---
+    "q_pca" -> ((s, dir) => {
+      Embeddings.pcaProject(Tables.embeddings(s, dir), Seq("vec_id"),
+          "embedding", k = 8)
+        .select(col("vec_id"), posexplode(col("projected")))
+        .select(col("vec_id"), col("pos").as("dim"), col("col").as("value"))
     })
   )
 
@@ -2738,6 +2766,37 @@ object SparkEntry {
          |    CAST(SUM(CAST(s AS DECIMAL(18,8))) AS DOUBLE) AS score
          |  FROM sc GROUP BY 1)
          |SELECT doc_id, n_terms, ${R6("score")} AS score_micro
-         |FROM agg ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+         |FROM agg ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // unit normalization: parallel unnests zip, dim is 0-based to match
+    // posexplode
+    "q_embed_normalize" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, vec,
+         |    sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+         |  FROM v)
+         |SELECT vec_id,
+         |  unnest(generate_series(0, len(vec) - 1)) AS dim,
+         |  unnest(list_transform(vec, x -> ${R6(
+             "CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END")})) AS v_micro
+         |FROM n""".stripMargin,
+
+    // per-label centroids: decimal-summed element-wise means
+    "q_embed_meanpool" ->
+      s"""WITH v AS (
+         |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT label,
+         |    unnest(generate_series(0, len(vec) - 1)) AS dim,
+         |    unnest(vec) AS val
+         |  FROM v)
+         |SELECT label, dim,
+         |  ${R6("CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)")}
+         |    AS mean_micro
+         |FROM e GROUP BY 1, 2""".stripMargin
   )
 }
