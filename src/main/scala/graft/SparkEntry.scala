@@ -1559,6 +1559,14 @@ object SparkEntry {
           "embedding", k = 8)
         .select(col("vec_id"), posexplode(col("projected")))
         .select(col("vec_id"), col("pos").as("dim"), col("col").as("value"))
+    }),
+
+    // --- LLM ops: content-defined chunking — md5-nibble boundaries make
+    //     the rule engine-portable, so the whole operator hash-matches ---
+    "q_cdc_chunks" -> ((s, dir) => {
+      Chunking.cdcChunks(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("chunk_md5"))
     })
   )
 
@@ -2797,6 +2805,32 @@ object SparkEntry {
          |SELECT label, dim,
          |  ${R6("CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)")}
          |    AS mean_micro
-         |FROM e GROUP BY 1, 2""".stripMargin
+         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // content-defined chunking: cut after tokens whose md5 starts with
+    // '0'; a token's chunk = boundaries strictly before it
+    "q_cdc_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, len(t) - 1)) AS pos,
+         |    unnest(t) AS tok
+         |  FROM (SELECT doc_id,
+         |      string_split_regex(trim(text), '\\s+') AS t
+         |    FROM documents)),
+         |b AS (
+         |  SELECT doc_id, pos, tok,
+         |    CASE WHEN substr(md5(tok), 1, 1) = '0' THEN 1 ELSE 0 END
+         |      AS is_b
+         |  FROM toks),
+         |c AS (
+         |  SELECT doc_id, pos, tok,
+         |    COALESCE(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS chunk_idx
+         |  FROM b)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  COUNT(*) AS n_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+         |FROM c GROUP BY 1, 2""".stripMargin
   )
 }

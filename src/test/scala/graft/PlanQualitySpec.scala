@@ -149,4 +149,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
+
+  test("q_bm25: corpus stats broadcast, top-k is TakeOrdered (no global " +
+    "sort), nothing sort-merges") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort:\n" + p.take(1500))
+    assert(p.contains("BroadcastExchange"),
+      "1-row stats frame must broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q_decontam: bench n-gram set broadcasts into a left-semi probe") {
+    val p = plan("q_decontam")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "decontam must probe a broadcast bench set map-side:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("embedding normalize is row-local (zero exchanges); mean pooling " +
+    "partial-aggregates before its one exchange") {
+    val pn = plan("q_embed_normalize")
+    assert(!pn.contains("Exchange hashpartitioning"),
+      "normalization must not shuffle:\n" + pn.take(1500))
+    val pm = plan("q_embed_meanpool")
+    assert(pm.contains("partial_sum"), pm.take(1500))
+    assert(occurrences(pm, "Exchange hashpartitioning") == 1,
+      "mean pooling must shuffle exactly once:\n" + pm.take(2000))
+  }
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ChunkingSpec extends SparkSpec {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def referenceChunks(text: String, nibbles: String)
+      : Seq[(Long, Seq[String])] = {
+    val toks = text.trim.split("\\s+").toSeq
+    var idx = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    toks.foreach { t =>
+      cur += t
+      if (nibbles.contains(md5Hex(t).head)) {
+        out += ((idx, cur.toSeq)); idx += 1
+        cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      }
+    }
+    if (cur.nonEmpty) out += ((idx, cur.toSeq))
+    out.toSeq
+  }
+
+  test("cdcChunks matches a driver-side reference fold: boundary after " +
+    "hash-selected tokens, 0-based chunk ids, content preserved") {
+    val text = "the quick brown fox jumps over the lazy dog and runs " +
+      "far into the green quiet forest tonight while stars shine"
+    val d = df("doc_id BIGINT, text STRING", Row(1L, text))
+    // widen the boundary set so a short fixture actually cuts
+    val nib = "0123"
+    val exp = referenceChunks(text, nib)
+    val got = Chunking.cdcChunks(d, "doc_id", "text", nib)
+      .orderBy("chunk_idx")
+      .collect()
+      .map(r => (r.getLong(1), r.getString(3), r.getLong(2)))
+    assert(got.length == exp.length,
+      s"chunk count ${got.length} != ${exp.length}")
+    got.zip(exp).foreach { case ((idx, txt, n), (eIdx, eToks)) =>
+      assert(idx == eIdx)
+      assert(txt == eToks.mkString(" "))
+      assert(n == eToks.length)
+    }
+  }
+
+  test("edit stability: changing a late token leaves earlier chunks' " +
+    "hashes untouched (the content-defined property)") {
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val edited = base.replace("tok190", "EDITED")
+    val d = df("doc_id BIGINT, text STRING",
+      Row(1L, base), Row(2L, edited))
+    val chunks = Chunking.cdcChunks(d, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    val baseChunks = chunks.filter(_._1._1 == 1L)
+      .map { case ((_, idx), h) => idx -> h }
+    val editChunks = chunks.filter(_._1._1 == 2L)
+      .map { case ((_, idx), h) => idx -> h }
+    // the edit lives in some chunk c; every chunk before c is identical
+    val firstDiff = baseChunks.keys.toSeq.sorted
+      .find(i => editChunks.get(i) != baseChunks.get(i))
+    assert(firstDiff.isDefined, "edit must change at least one chunk")
+    val c = firstDiff.get
+    assert(c > 0, "fixture too short: edit landed in the first chunk")
+    (0L until c).foreach { i =>
+      assert(editChunks(i) == baseChunks(i),
+        s"chunk $i changed although the edit is in chunk $c")
+    }
+  }
+
+  test("cdcChunks rejects non-hex boundary nibbles") {
+    val d = df("doc_id BIGINT, text STRING", Row(1L, "a b"))
+    intercept[IllegalArgumentException] {
+      Chunking.cdcChunks(d, "doc_id", "text", "XYZ")
+    }
+  }
+}
