@@ -94,7 +94,7 @@ object SparkEntry {
   private val MlGateCols = Seq("f_sig", "f_n1", "f_n2")
   private def mlPlanted(s: SparkSession, dir: String): DataFrame = {
     val base = eventsNs(s, dir)
-      .filter(col("event_id") < 2048L)
+      .filter(col("event_id") < 1024L)
       .withColumn("direction", side(col("event_type")))
       .withColumn("f_sig",
         col("direction") * (abs(col("value")) + lit(1.0)))
@@ -1567,6 +1567,25 @@ object SparkEntry {
       Chunking.cdcChunks(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
           col("chunk_md5"))
+    }),
+
+    // --- LLM ops: per-(source, lang) dataset card — volumes, exact-dup
+    //     load, quality mass, in ONE aggregation pass ---
+    "q_corpus_report" -> ((s, dir) => {
+      CorpusReport.report(Tables.documents(s, dir),
+          Seq("source", "lang"), "doc_id", "text")
+        .select(col("source"), col("lang"), col("n_docs"), col("tokens"),
+          col("chars"), col("n_exact_dups"),
+          r6(col("mean_quality")).as("mean_quality_micro"))
+    }),
+
+    // --- LLM ops: top distinctive terms per language (c-TF-IDF slice
+    //     characterization) ---
+    "q_top_terms" -> ((s, dir) => {
+      Retrieval.topTermsPerGroup(Tables.documents(s, dir), Seq("lang"),
+          "text", n = 5)
+        .select(col("lang"), col("term"), col("tf"), col("df_g"),
+          r6(col("score")).as("score_micro"), col("rank"))
     })
   )
 
@@ -2831,6 +2850,75 @@ object SparkEntry {
          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
          |  COUNT(*) AS n_tokens,
          |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
-         |FROM c GROUP BY 1, 2""".stripMargin
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // dataset card: dup flag = not the md5 group's winner; quality CTEs
+    // identical to q_quality_score's with group columns carried through
+    "q_corpus_report" ->
+      s"""WITH w AS (
+         |  SELECT source, lang, doc_id, text,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+         |      AS rk
+         |  FROM documents),
+         |t AS (
+         |  SELECT source, lang, rk, text,
+         |    string_split_regex(trim(text), '\\s+') AS toks,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+         |  FROM w),
+         |m AS (
+         |  SELECT source, lang, rk, text, toks,
+         |    CAST(len(toks) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(ltoks, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','are','was',
+         |       'it','that','this','for','on','with','as','at','by','be'],
+         |      x))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(length(regexp_replace(text,
+         |      '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         |      AS DOUBLE) / length(text) AS upper_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT source, lang, rk, text, toks,
+         |    GREATEST(0.0, LEAST(1.0,
+         |      0.5 * (LEAST(nt / 50.0, 1.0) *
+         |        CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END)
+         |      + 0.5 * LEAST(stop_ratio * 4.0, 1.0)
+         |      - LEAST(punct_ratio * 2.0, 0.5)
+         |      - LEAST(upper_ratio * 2.0, 0.5))) AS quality
+         |  FROM m)
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(toks)) AS BIGINT) AS tokens,
+         |  CAST(SUM(length(text)) AS BIGINT) AS chars,
+         |  CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact_dups,
+         |  ${R6("CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)")}
+         |    AS mean_quality_micro
+         |FROM q GROUP BY 1, 2""".stripMargin,
+
+    // c-TF-IDF distinctive terms per language
+    "q_top_terms" ->
+      s"""WITH e AS (
+         |  SELECT lang,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT lang, term, COUNT(*) AS tf FROM e GROUP BY 1, 2),
+         |wdf AS (
+         |  SELECT lang, term, tf,
+         |    COUNT(*) OVER (PARTITION BY term) AS df_g
+         |  FROM tf),
+         |g AS (SELECT COUNT(DISTINCT lang) AS g FROM documents),
+         |sc AS (
+         |  SELECT lang, term, tf, df_g,
+         |    tf * (ln((1.0 + g) / (1.0 + df_g)) + 1.0) AS score
+         |  FROM wdf, g),
+         |r AS (
+         |  SELECT lang, term, tf, df_g, score,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY score DESC, term) AS rank
+         |  FROM sc)
+         |SELECT lang, term, tf, df_g, ${R6("score")} AS score_micro,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin
   )
 }

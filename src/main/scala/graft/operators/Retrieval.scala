@@ -97,4 +97,36 @@ object Retrieval {
       .sort(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Top-n distinctive terms per group (language, source, ...) — the
+    * c-TF-IDF "what characterizes this slice" view a dataset card shows.
+    * Group term count x smooth inverse GROUP frequency
+    * (tf * (ln((1+G)/(1+df_g)) + 1), G = group count, df_g = groups
+    * containing the term). The per-term group-frequency window partitions
+    * hold at most G rows; the rank window partitions per group are
+    * vocabulary-bounded. Ties break on the term. */
+  def topTermsPerGroup(docs: DataFrame, groupCols: Seq[String],
+                       textCol: String, n: Int): DataFrame = {
+    require(groupCols.nonEmpty, "topTermsPerGroup needs group columns")
+    require(n > 0, s"topTermsPerGroup: n must be positive, got $n")
+    val g = docs.select(groupCols.map(col): _*).distinct()
+      .agg(count(lit(1)).as("__g"))
+    val tf = docs.select(groupCols.map(col) :+
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"): _*)
+      .groupBy(groupCols.map(col) :+ col("term"): _*)
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df_g",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    withDf.crossJoin(broadcast(g))
+      .withColumn("score", col("tf") *
+        (log((lit(1.0) + col("__g")) / (lit(1.0) + col("df_g"))) +
+          lit(1.0)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= n)
+      .select(groupCols.map(col) ++
+        Seq(col("term"), col("tf"), col("df_g"), col("score"),
+          col("rank")): _*)
+  }
 }

@@ -63,6 +63,22 @@ class RetrievalSpec extends SparkSpec {
       Seq("apple", "cherry"), k = 1).count() == 1)
   }
 
+  test("topTermsPerGroup: distinctive terms outrank shared ones at equal " +
+    "tf (c-TF-IDF), rank capped at n") {
+    val d = df("doc_id BIGINT, g STRING, text STRING",
+      Row(1L, "a", "zebra zebra the the"),
+      Row(2L, "b", "yak yak the the"))
+    val out = Retrieval.topTermsPerGroup(d, Seq("g"), "text", n = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // G = 2; unique term: tf 2, df_g 1 -> 2*(ln(3/2)+1) > shared 2*1
+    assert(out(("a", 1))._1 == "zebra" && out(("a", 1))._3 == 1L)
+    assert(out(("b", 1))._1 == "yak")
+    assert(out(("a", 2))._1 == "the" && out(("a", 2))._3 == 2L)
+    assert(out.size == 4, "rank must cap at n per group")
+  }
+
   test("bm25TopK: terms absent from the corpus contribute no rows; " +
     "empty query fails fast") {
     assert(Retrieval.bm25TopK(corpus(), "doc_id", "text",
