@@ -1586,6 +1586,18 @@ object SparkEntry {
           "text", n = 5)
         .select(col("lang"), col("term"), col("tf"), col("df_g"),
           r6(col("score")).as("score_micro"), col("rank"))
+    }),
+
+    // --- LLM ops: row-local decontamination tag (the zero-shuffle /
+    //     streaming-safe face of q_decontam; zero-overlap docs kept) ---
+    "q_decontam_tag" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(53L)) === 0)
+        .select(col("text").as("q"))
+      val grams = Decontam.benchGramSet(bench, "q")
+      Decontam.tagContamination(
+          docs.filter(pmod(col("doc_id"), lit(53L)) =!= 0), grams, "text")
+        .select(col("doc_id"), col("n_overlap"))
     })
   )
 
@@ -2919,6 +2931,23 @@ object SparkEntry {
          |  FROM sc)
          |SELECT lang, term, tf, df_g, ${R6("score")} AS score_micro,
          |  CAST(rank AS BIGINT) AS rank
-         |FROM r WHERE rank <= 5""".stripMargin
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // row-local tag face: per-doc |shingles ∩ bench shingles|, zero-
+    // overlap docs included
+    "q_decontam_tag" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> array_to_string(t[i:i+2], ' '))) AS shset
+         |  FROM toks),
+         |bl AS (
+         |  SELECT list(DISTINCT gram) AS bg FROM (
+         |    SELECT unnest(shset) AS gram FROM sh WHERE doc_id % 53 = 0))
+         |SELECT doc_id, len(list_intersect(shset, bg)) AS n_overlap
+         |FROM sh, bl WHERE doc_id % 53 <> 0""".stripMargin
   )
 }

@@ -76,4 +76,27 @@ object Decontam {
       .select(col(idCol))
     docs.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
+
+  /** The benchmark's distinct n-gram set, collected to the driver — the
+    * input [[tagContamination]] embeds. Bounded by the EVAL set's size
+    * (thousands of docs -> MBs of grams), never the corpus. */
+  def benchGramSet(bench: DataFrame, benchTextCol: String, n: Int = 3)
+      : Seq[String] =
+    bench.select(explode(Dedup.shingles(col(benchTextCol), n)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq
+
+  /** Row-local contamination tag: `n_overlap` = |doc grams ∩ bench
+    * grams| computed per row against an embedded gram set — ZERO
+    * shuffles, no aggregation state, so it runs verbatim on a
+    * Structured Streaming frame (the join+groupBy face
+    * [[contaminationScores]] cannot: stream aggregation needs
+    * watermarks and changes output mode). Every doc appears, including
+    * zero-overlap ones. Same n-gram definition as the join face;
+    * StreamingDecontamSpec pins stream == batch equality. */
+  def tagContamination(docs: DataFrame, benchGrams: Seq[String],
+                       textCol: String, n: Int = 3,
+                       outCol: String = "n_overlap"): DataFrame =
+    docs.withColumn(outCol,
+      size(array_intersect(Dedup.shingles(col(textCol), n),
+        lit(benchGrams.toArray))))
 }
