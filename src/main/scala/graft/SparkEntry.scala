@@ -1598,6 +1598,15 @@ object SparkEntry {
       Decontam.tagContamination(
           docs.filter(pmod(col("doc_id"), lit(53L)) =!= 0), grams, "text")
         .select(col("doc_id"), col("n_overlap"))
+    }),
+
+    // --- Skew machinery: two-stage salted aggregation must equal the
+    //     plain groupBy it spreads (decomposable aggregates over an
+    //     integral column — exact, so a full hash-match, with the salt
+    //     column's nondeterminism erased by the stage-2 recombine) ---
+    "q_salted_agg" -> ((s, dir) => {
+      SkewTools.saltedSumCount(Tables.documents(s, dir), Seq("lang"),
+        "n_chars", salts = 8)
     })
   )
 
@@ -2948,6 +2957,13 @@ object SparkEntry {
          |  SELECT list(DISTINCT gram) AS bg FROM (
          |    SELECT unnest(shset) AS gram FROM sh WHERE doc_id % 53 = 0))
          |SELECT doc_id, len(list_intersect(shset, bg)) AS n_overlap
-         |FROM sh, bl WHERE doc_id % 53 <> 0""".stripMargin
+         |FROM sh, bl WHERE doc_id % 53 <> 0""".stripMargin,
+
+    // the salted two-stage aggregation equals this plain GROUP BY
+    "q_salted_agg" ->
+      s"""SELECT lang, COUNT(*) AS n,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+         |  MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+         |FROM documents GROUP BY 1""".stripMargin
   )
 }
