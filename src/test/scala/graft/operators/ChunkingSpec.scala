@@ -73,6 +73,35 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("randomized differential: cdcChunks equals the reference fold on " +
+    "50 random documents (varied vocab sizes, repeated tokens, widths)") {
+    val rnd = new scala.util.Random(2024)
+    val docs = (1 to 50).map { i =>
+      val vocab = (1 to (1 + rnd.nextInt(30)))
+        .map(v => s"w${rnd.nextInt(40)}")
+      val nTok = 1 + rnd.nextInt(120)
+      Row(i.toLong, Seq.fill(nTok)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val d = df("doc_id BIGINT, text STRING", docs: _*)
+    val nib = "02ac"
+    val got = Chunking.cdcChunks(d, "doc_id", "text", nib)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(3), r.getLong(2))).toMap
+    docs.foreach { row =>
+      val (id, text) = (row.getLong(0), row.getString(1))
+      val exp = referenceChunks(text, nib)
+      exp.foreach { case (idx, toks) =>
+        val (txt, n) = got((id, idx))
+        assert(txt == toks.mkString(" "), s"doc $id chunk $idx text")
+        assert(n == toks.length, s"doc $id chunk $idx count")
+      }
+      assert(got.count(_._1._1 == id) == exp.length,
+        s"doc $id chunk count")
+    }
+  }
+
   test("cdcChunks rejects non-hex boundary nibbles") {
     val d = df("doc_id BIGINT, text STRING", Row(1L, "a b"))
     intercept[IllegalArgumentException] {
