@@ -1607,6 +1607,29 @@ object SparkEntry {
     "q_salted_agg" -> ((s, dir) => {
       SkewTools.saltedSumCount(Tables.documents(s, dir), Seq("lang"),
         "n_chars", salts = 8)
+    }),
+
+    // --- LLM ops: hybrid retrieval — BM25 lexical top-20 fused with
+    //     cosine vector top-20 (vec_id plays doc_id) by reciprocal-rank
+    //     fusion; both input rankings and the fusion are DuckDB-exact ---
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val lex = Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id",
+          "text", Seq("table", "scan", "join", "vector"), k = 20)
+        .withColumn("rank", row_number().over(
+          // constant key: ranking a <= 20-row frame is intentionally
+          // single-partition
+          Window.partitionBy(lit(0))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0),
+          emb, "vec_id", "vec_id", "vec", "vec", k = 20)
+        .select(col("corpus_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, sem), "doc_id", topK = 10)
+        .select(col("doc_id"), col("n_lists"),
+          r6(col("rrf_score")).as("rrf_micro"))
     })
   )
 
@@ -2964,6 +2987,65 @@ object SparkEntry {
       s"""SELECT lang, COUNT(*) AS n,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
          |  MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
-         |FROM documents GROUP BY 1""".stripMargin
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    // hybrid retrieval: the q_bm25 CTE chain (k=20, ranked) + the
+    // q_ann_cosine chain (query 0, k=20) fused by 1/(60+rank) with
+    // DECIMAL(18,12) contribution sums
+    "q_hybrid_rrf" ->
+      s"""WITH toksb AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |stats AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM toksb),
+         |hits AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term
+         |  FROM toksb),
+         |tfb AS (
+         |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits
+         |  WHERE term IN ('table', 'scan', 'join', 'vector')
+         |  GROUP BY 1, 2, 3),
+         |wdfb AS (
+         |  SELECT doc_id, dl, term, tf,
+         |    COUNT(*) OVER (PARTITION BY term) AS df
+         |  FROM tfb),
+         |scb AS (
+         |  SELECT doc_id,
+         |    (ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1.0)))
+         |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+         |  FROM wdfb, stats),
+         |aggb AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(s AS DECIMAL(18,8))) AS DOUBLE) AS score
+         |  FROM scb GROUP BY 1),
+         |lex AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM aggb ORDER BY score DESC, doc_id LIMIT 20),
+         |v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings),
+         |qv AS (SELECT vec AS q FROM v WHERE vec_id = 0),
+         |cosr AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    list_sum(list_transform(generate_series(1, len(q)),
+         |      i -> q[i] * c.vec[i])) /
+         |    (sqrt(list_sum(list_transform(q, x -> x*x))) *
+         |     sqrt(list_sum(list_transform(c.vec, x -> x*x)))) AS cosv
+         |  FROM v c, qv WHERE c.vec_id <> 0),
+         |sem AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY cosv DESC, doc_id) AS rank
+         |  FROM cosr ORDER BY cosv DESC, doc_id LIMIT 20),
+         |u AS (
+         |  SELECT doc_id, CAST(1.0 / (60.0 + rank) AS DECIMAL(18,12)) AS r
+         |  FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1.0 / (60.0 + rank) AS DECIMAL(18,12)) AS r
+         |  FROM sem),
+         |f AS (
+         |  SELECT doc_id, COUNT(*) AS n_lists,
+         |    CAST(SUM(r) AS DOUBLE) AS rrf
+         |  FROM u GROUP BY 1)
+         |SELECT doc_id, n_lists, ${R6("rrf")} AS rrf_micro
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   )
 }

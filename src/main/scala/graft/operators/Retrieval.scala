@@ -98,6 +98,30 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (lexical BM25 list + vector ANN list -> one ranking):
+    * score(doc) = sum over lists of 1 / (kRrf + rank), the rank-only
+    * formula that needs no score calibration between lists. Rankings are
+    * small per-query frames (top-k lists), so fusion is a union + one
+    * tiny aggregation; contributions sum through DECIMAL(18,12) so the
+    * fused order is bit-stable across engines. Ties break on the id. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+              rankCol: String = "rank", kRrf: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings to fuse")
+    require(kRrf > 0 && topK > 0, "rrfFuse: kRrf and topK must be positive")
+    rankings.map(_.select(col(idCol),
+        (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double")))
+          .as("__rrf")))
+      .reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"),
+        sum(col("__rrf").cast("decimal(18,12)")).cast("double")
+          .as("rrf_score"))
+      .sort(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Top-n distinctive terms per group (language, source, ...) — the
     * c-TF-IDF "what characterizes this slice" view a dataset card shows.
     * Group term count x smooth inverse GROUP frequency

@@ -63,6 +63,34 @@ class RetrievalSpec extends SparkSpec {
       Seq("apple", "cherry"), k = 1).count() == 1)
   }
 
+  test("rrfFuse: rank-only fusion matches the hand formula, rewards " +
+    "presence in both lists, ties break on id") {
+    val lex = df("doc_id BIGINT, rank INT",
+      Row(10L, 1), Row(20L, 2), Row(30L, 3))
+    val sem = df("doc_id BIGINT, rank INT",
+      Row(20L, 1), Row(40L, 2), Row(10L, 3))
+    def r(rank: Int): BigDecimal =
+      BigDecimal(1.0 / (60.0 + rank))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val expected = Map(
+      10L -> (2L, (r(1) + r(3)).toDouble),
+      20L -> (2L, (r(2) + r(1)).toDouble),
+      30L -> (1L, r(3).toDouble),
+      40L -> (1L, r(2).toDouble))
+    val out = Retrieval.rrfFuse(Seq(lex, sem), "doc_id", topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 4)
+    out.foreach { case (id, n, s) =>
+      assert(n == expected(id)._1, s"doc $id n_lists")
+      assertApprox(s, expected(id)._2)
+    }
+    // both-list docs outrank single-list docs; 20 (ranks 2+1) == 10
+    // (ranks 1+3) in formula? r(2)+r(1) > r(1)+r(3) -> 20 first
+    assert(out.head._1 == 20L && out(1)._1 == 10L)
+    assert(Retrieval.rrfFuse(Seq(lex, sem), "doc_id", topK = 2)
+      .count() == 2)
+  }
+
   test("topTermsPerGroup: distinctive terms outrank shared ones at equal " +
     "tf (c-TF-IDF), rank capped at n") {
     val d = df("doc_id BIGINT, g STRING, text STRING",
