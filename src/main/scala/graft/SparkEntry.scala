@@ -1630,6 +1630,14 @@ object SparkEntry {
       Retrieval.rrfFuse(Seq(lex, sem), "doc_id", topK = 10)
         .select(col("doc_id"), col("n_lists"),
           r6(col("rrf_score")).as("rrf_micro"))
+    }),
+
+    // --- LLM ops: CCNet-style perplexity filter — add-k unigram model
+    //     fit on the corpus, every doc scored by mean NLL ---
+    "q_lm_score" -> ((s, dir) => {
+      LmScore.scoreCorpus(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("mean_nll")).as("mean_nll_micro"))
     })
   )
 
@@ -3046,6 +3054,25 @@ object SparkEntry {
          |    CAST(SUM(r) AS DOUBLE) AS rrf
          |  FROM u GROUP BY 1)
          |SELECT doc_id, n_lists, ${R6("rrf")} AS rrf_micro
-         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // add-k unigram NLL: model = corpus term counts; per-token logprob
+    // left-joined back (same arithmetic order as LmScore.meanNll)
+    "q_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |model AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v
+         |  FROM model),
+         |sc AS (
+         |  SELECT t.doc_id,
+         |    -ln((COALESCE(m.cnt, 0) + 0.5) / (n + 0.5 * v)) AS nll
+         |  FROM toks t LEFT JOIN model m ON t.term = m.term, tot)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  ${R6("CAST(SUM(CAST(nll AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)")}
+         |    AS mean_nll_micro
+         |FROM sc GROUP BY 1""".stripMargin
   )
 }
