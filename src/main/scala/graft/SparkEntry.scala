@@ -1638,6 +1638,15 @@ object SparkEntry {
       LmScore.scoreCorpus(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
           r6(col("mean_nll")).as("mean_nll_micro"))
+    }),
+
+    // --- LLM ops: conditional bigram perplexity (unigram fallback on
+    //     first tokens) — the actual LM shape, one rung below KenLM ---
+    "q_lm_bigram" -> ((s, dir) => {
+      LmScore.bigramScoreCorpus(Tables.documents(s, dir), "doc_id",
+          "text")
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("mean_nll")).as("mean_nll_micro"))
     })
   )
 
@@ -3070,6 +3079,42 @@ object SparkEntry {
          |  SELECT t.doc_id,
          |    -ln((COALESCE(m.cnt, 0) + 0.5) / (n + 0.5 * v)) AS nll
          |  FROM toks t LEFT JOIN model m ON t.term = m.term, tot)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  ${R6("CAST(SUM(CAST(nll AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)")}
+         |    AS mean_nll_micro
+         |FROM sc GROUP BY 1""".stripMargin,
+
+    // conditional bigram NLL with unigram first-token fallback; LAG
+    // aligns each token with its predecessor inside the doc
+    "q_lm_bigram" ->
+      s"""WITH toks0 AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, len(t) - 1)) AS pos,
+         |    unnest(t) AS term
+         |  FROM (SELECT doc_id,
+         |      string_split_regex(trim(lower(text)), '\\s+') AS t
+         |    FROM documents)),
+         |toks AS (
+         |  SELECT doc_id, pos, term,
+         |    LAG(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM toks0),
+         |uni AS (SELECT term, COUNT(*) AS uc FROM toks GROUP BY 1),
+         |bi AS (SELECT prev, term, COUNT(*) AS bc FROM toks
+         |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(uc) AS BIGINT) AS n, COUNT(*) AS v
+         |  FROM uni),
+         |sc AS (
+         |  SELECT t.doc_id,
+         |    CASE WHEN t.prev IS NULL THEN
+         |      -ln((COALESCE(u.uc, 0) + 0.5) / (n + 0.5 * v))
+         |    ELSE
+         |      -ln((COALESCE(b.bc, 0) + 0.5) /
+         |        (COALESCE(p.uc, 0) + 0.5 * v))
+         |    END AS nll
+         |  FROM toks t
+         |  LEFT JOIN bi b ON t.prev = b.prev AND t.term = b.term
+         |  LEFT JOIN uni p ON t.prev = p.term
+         |  LEFT JOIN uni u ON t.term = u.term, tot)
          |SELECT doc_id, COUNT(*) AS n_tokens,
          |  ${R6("CAST(SUM(CAST(nll AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)")}
          |    AS mean_nll_micro

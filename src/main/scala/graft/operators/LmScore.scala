@@ -59,4 +59,53 @@ object LmScore {
   def scoreCorpus(docs: DataFrame, idCol: String, textCol: String,
                   k: Double = 0.5): DataFrame =
     meanNll(docs, idCol, textCol, unigramCounts(docs, textCol), k)
+
+  /** Conditional bigram NLL — the actual LM-shape perplexity (token
+    * probability conditioned on its predecessor), one rung below the
+    * KenLM the reference pipelines run:
+    *   p(t_i | t_{i-1}) = (c(t_{i-1} t_i) + k) / (c(t_{i-1}) + k * V)
+    * with the document's FIRST token scored by the add-k unigram model
+    * (the standard sentence-start fallback). Fit and score in one call
+    * (the model is corpus-internal, like [[scoreCorpus]]).
+    *
+    * Scale shape: predecessor alignment is a lag window partitioned by
+    * doc (bounded by doc length); bigram/unigram counts are term-keyed
+    * aggregations; scoring joins hits against the two count frames on
+    * their term keys — vocabulary-sized right sides, never the corpus. */
+  def bigramScoreCorpus(docs: DataFrame, idCol: String, textCol: String,
+                        k: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"bigramScoreCorpus: smoothing k must be positive, got $k")
+    val toks = docs.select(col(idCol),
+        posexplode(TextFunctions.tokens(lower(col(textCol)))))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__term")
+      .withColumn("__prev", lag(col("__term"), 1)
+        .over(Window.partitionBy(col(idCol)).orderBy(col("__pos"))))
+    val uni = toks.groupBy(col("__term")).agg(count(lit(1)).as("__uc"))
+    val bi = toks.filter(col("__prev").isNotNull)
+      .groupBy(col("__prev"), col("__term"))
+      .agg(count(lit(1)).as("__bc"))
+    val totals = uni.agg(sum(col("__uc")).as("__n"),
+      count(lit(1)).as("__v"))
+    val scored = toks
+      .join(bi, Seq("__prev", "__term"), "left")
+      .join(uni.withColumnRenamed("__term", "__prev")
+        .withColumnRenamed("__uc", "__pc"), Seq("__prev"), "left")
+      .join(uni, Seq("__term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        when(col("__prev").isNull,
+          // first token: unigram fallback
+          -log((coalesce(col("__uc"), lit(0L)) + lit(k)) /
+            (col("__n") + lit(k) * col("__v"))))
+        .otherwise(
+          -log((coalesce(col("__bc"), lit(0L)) + lit(k)) /
+            (coalesce(col("__pc"), lit(0L)) + lit(k) * col("__v"))))
+        .as("__nll"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("__nll").cast("decimal(18,9)")).cast("double") /
+          count(lit(1))).as("mean_nll"))
+  }
 }

@@ -42,6 +42,26 @@ class LmScoreSpec extends SparkSpec {
       ((dec9(lp(0)) + dec9(lp(3))) / 2).toDouble, 1e-8)
   }
 
+  test("bigramScoreCorpus matches the hand conditional formula with " +
+    "unigram fallback on first tokens") {
+    // corpus: "a b a b" + "b a" -> N=6, V=2, uni a=3 b=3, bi (a,b)=2 (b,a)=2
+    val d = df("doc_id BIGINT, text STRING",
+      Row(1L, "a b a b"), Row(2L, "b a"))
+    val k = 0.5
+    def dec9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val first = -math.log((3 + k) / (6 + k * 2))      // unigram a or b
+    val cond = -math.log((2 + k) / (3 + k * 2))       // any seen bigram
+    val out = LmScore.bigramScoreCorpus(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L)._1 == 4L && out(2L)._1 == 2L)
+    assertApprox(out(1L)._2,
+      ((dec9(first) + dec9(cond) * 3) / 4).toDouble, 1e-8)
+    assertApprox(out(2L)._2,
+      ((dec9(first) + dec9(cond)) / 2).toDouble, 1e-8)
+  }
+
   test("scores are stable under repartitioning (DECIMAL sums)") {
     val a = LmScore.scoreCorpus(corpus(), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
