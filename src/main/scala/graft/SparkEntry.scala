@@ -50,6 +50,32 @@ object SparkEntry {
     s"((((($key + $seed) % 2147483648 + 2147483648) % 2147483648)" +
       " * 2654435761) // 65536) % 1048576"
 
+  /** Shared CTE chain for the 3-gram / threshold-0.5 / source-blocked
+    * Jaccard duplicate pair set (the q_dedup_jaccard shape) ending in
+    * `dup_pairs(id_a, id_b)`. Spliced into the cluster-family oracles. */
+  private val JaccardDupCtes =
+    s"""toks AS (
+       |  SELECT doc_id, source,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |shs AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |      i -> array_to_string(t[i:i+2], ' '))) AS shset
+       |  FROM toks),
+       |sized AS (SELECT doc_id, source, shset, len(shset) AS sz FROM shs),
+       |exsh AS (SELECT doc_id, source, sz, unnest(shset) AS shingle
+       |         FROM sized),
+       |jp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sz AS size_a, b.sz AS size_b, COUNT(*) AS inter
+       |  FROM exsh a
+       |  JOIN exsh b ON a.source = b.source AND a.shingle = b.shingle
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+       |dup_pairs AS (
+       |  SELECT id_a, id_b FROM jp
+       |  WHERE inter::DOUBLE / (size_a + size_b - inter)::DOUBLE >= 0.5)""".stripMargin
+
   /** events with ts as epoch-nanos long (column `ts_ns`), truncated to
     * whole microseconds: DuckDB (the oracle) reads parquet TIMESTAMP(NANOS)
     * as µs TIMESTAMP, so sub-µs nanos exist only on the Spark side —
@@ -723,6 +749,34 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           n = 3, threshold = 0.5, blockCols = Seq("source"))
         .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard_micro"))
+    }),
+
+    // --- LLM ops: duplicate-cluster connected components over the exact
+    //     Jaccard pair set (alternating large-star/small-star; labels =
+    //     component-minimum doc_id; singletons labeled with their own id).
+    //     DuckDB oracle: recursive-CTE transitive closure + MIN — fine at
+    //     sf0.01 where clusters are small; the Spark side is the
+    //     O(log^2 n)-round scale path ---
+    "q_dup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, blockCols = Seq("source"))
+      val labels = DupClusters.connectedComponents(prs, "id_a", "id_b")
+      DupClusters.assignClusters(docs, "doc_id", labels)
+        .select(col("doc_id"), col("cluster_id"))
+    }),
+
+    // --- LLM ops: cluster-aware dedup — one representative per duplicate
+    //     component, chosen by quality score (ties -> smallest doc_id).
+    //     The transitive-chain-safe drop step real pipelines run after
+    //     LSH, not greedy pair deletion ---
+    "q_cluster_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, blockCols = Seq("source"))
+      DupClusters.dedupByCluster(docs, "doc_id", prs, "id_a", "id_b",
+          orderBy = Seq(r6(TextFunctions.qualityScore(col("text"))).desc))
+        .select(col("doc_id"), col("source"))
     }),
 
     // --- LLM ops: bag-of-words document fingerprint ---
@@ -2112,6 +2166,72 @@ object SparkEntry {
          |  ${R6("inter::DOUBLE / (size_a + size_b - inter)::DOUBLE")} AS jaccard_micro
          |FROM pairs
          |WHERE inter::DOUBLE / (size_a + size_b - inter)::DOUBLE >= 0.5""".stripMargin,
+
+    // Transitive closure by recursive CTE + MIN label: O(cluster^2) rows
+    // per component — an oracle-side-only cost; the Spark side is the
+    // O(log^2 n)-round star contraction.
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $JaccardDupCtes,
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup_pairs
+         |          UNION SELECT id_b, id_a FROM dup_pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN labels l USING (doc_id)""".stripMargin,
+
+    "q_cluster_dedup" ->
+      s"""WITH RECURSIVE $JaccardDupCtes,
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup_pairs
+         |          UNION SELECT id_b, id_a FROM dup_pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |qt_m AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+         |      AS nt,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)),
+         |      '\\s+'), x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','are','was',
+         |       'it','that','this','for','on','with','as','at','by','be'],
+         |      x))) AS DOUBLE)
+         |      / len(string_split_regex(trim(lower(text)), '\\s+'))
+         |      AS stop_ratio,
+         |    CAST(length(regexp_replace(text,
+         |      '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         |      AS DOUBLE) / length(text) AS upper_ratio
+         |  FROM documents),
+         |qt AS (
+         |  SELECT doc_id, ${R6(
+        """GREATEST(0.0, LEAST(1.0,
+          |      0.5 * (LEAST(nt / 50.0, 1.0) *
+          |        CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END)
+          |      + 0.5 * LEAST(stop_ratio * 4.0, 1.0)
+          |      - LEAST(punct_ratio * 2.0, 0.5)
+          |      - LEAST(upper_ratio * 2.0, 0.5)))""".stripMargin)}
+         |    AS quality_micro
+         |  FROM qt_m),
+         |lab AS (
+         |  SELECT d.doc_id, d.source,
+         |    COALESCE(l.cluster_id, d.doc_id) AS cid, qt.quality_micro
+         |  FROM documents d LEFT JOIN labels l USING (doc_id)
+         |  JOIN qt USING (doc_id)),
+         |rn AS (
+         |  SELECT doc_id, source, ROW_NUMBER() OVER (
+         |    PARTITION BY cid ORDER BY quality_micro DESC, doc_id) AS rk
+         |  FROM lab)
+         |SELECT doc_id, source FROM rn WHERE rk = 1""".stripMargin,
 
     "q_text_fingerprint" ->
       s"""SELECT doc_id,

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turns a near-duplicate PAIR table (the
+  * output of [[Dedup.jaccardPairs]], [[Dedup.minHashLshPairs]],
+  * [[Dedup.simHashPairs]] or [[Similarity.nearDupPairs]]) into connected
+  * components, so a pipeline can keep exactly one representative per
+  * duplicate cluster instead of greedily dropping pair members (which
+  * over-deletes on transitive chains A~B~C: dropping both B and C when
+  * only one representative of {A,B,C} should survive... or under-deletes,
+  * keeping B after A was already dropped for it).
+  *
+  * Algorithm: alternating Large-Star / Small-Star contraction (Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  * MapReduce and Beyond", SoCC 2014). Each round is two
+  * aggregate-and-join passes over the edge list; the edge set provably
+  * converges to star graphs rooted at each component's minimum id in
+  * O(log^2 n) rounds — NOT O(diameter) like naive label propagation, so
+  * a 10k-document edit chain costs ~14 rounds, not 10k. Every round is a
+  * pair of hash-shuffles on the (shrinking) edge list; nothing is ever
+  * collected to the driver and no per-node neighbor array is
+  * materialized (the per-group minimum comes from a partial-aggregating
+  * groupBy, so a viral document with 10M duplicate edges combines
+  * map-side instead of building a 10M-element collect_set).
+  *
+  * Lineage is truncated each round with an eager localCheckpoint —
+  * without it the iterated plan doubles per round and round 20 would
+  * replay round 1's shuffles.
+  *
+  * The reference greedily drops `df.duplicated()` rows after pandas
+  * merges (e.g. dissertation-iceberg/src/data_pipeline.py:61-66); this
+  * is the corpus-scale face of the same step for the transitive case.
+  */
+object DupClusters {
+
+  /** One Large-Star round: symmetrize, then for every node u with
+    * neighborhood G(u), m = min(G(u) + {u}), rewire each LARGER
+    * neighbor v > u to (v, m). Strictly decreases large-star-violating
+    * edges; keeps components intact (Kiveris et al., Lemma 1). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One Small-Star round: direct every edge toward its smaller
+    * endpoint (key = larger endpoint), then rewire each smaller
+    * neighbor — and u itself — to the group minimum. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val directed = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val mins = directed.groupBy("u").agg(min("v").as("m"))
+    directed.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Order-independent fingerprint of an edge set: (row count, XOR of
+    * per-edge hashes — overflow-proof under ANSI mode, and XOR
+    * cancellation can't bite because the set is distinct). Two
+    * consecutive identical fingerprints == fixpoint (modulo an
+    * astronomically unlikely 64-bit collision; the `maxIter` cap bounds
+    * the damage to a partially-contracted — still correct-by-component —
+    * labeling). One action per round. */
+  private def checksum(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(u, v))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Connected components of the undirected graph given as a pair table.
+    * Returns one row per node that appears in ANY pair:
+    * (id, cluster_id) with cluster_id = the minimum id in the node's
+    * component (so representatives are deterministic and the labeling is
+    * layout/rerun-stable). Nodes with no pairs are absent — join with
+    * `coalesce` (see [[assignClusters]]) to label them as singletons. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    var edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      edges = next
+      it += 1
+    }
+    // fixpoint = stars: every edge is (member, component-min). Roots only
+    // appear on the v side; give each one a self-label.
+    edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("id"), col("v").as("cluster_id")))
+      .distinct()
+  }
+
+  /** Attach `clusterCol` to `df`: the component minimum for paired rows,
+    * the row's own id for singletons. One broadcast-or-shuffle join
+    * against the (tiny relative to the corpus) label table. */
+  def assignClusters(df: DataFrame, idCol: String, labels: DataFrame,
+                     clusterCol: String = "cluster_id"): DataFrame = {
+    val l = labels.select(col("id").as("__cc_id"),
+      col("cluster_id").as("__cc_label"))
+    df.join(l, df(idCol) === col("__cc_id"), "left")
+      .withColumn(clusterCol, coalesce(col("__cc_label"), df(idCol)))
+      .drop("__cc_id", "__cc_label")
+  }
+
+  /** Cluster-aware dedup: resolve pairs to components, then keep ONE row
+    * per cluster — the first under `orderBy` (ties broken by ascending
+    * id, so the winner is deterministic). Unpaired rows always survive.
+    * This is the drop step real curation pipelines run after LSH:
+    * transitive closure first, then representative selection by quality,
+    * never greedy pair deletion. */
+  def dedupByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                     aCol: String, bCol: String,
+                     orderBy: Seq[org.apache.spark.sql.Column] = Nil)
+      : DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+    val tagged = assignClusters(df, idCol, labels, "__cc_cluster")
+    val w = Window.partitionBy(col("__cc_cluster"))
+      .orderBy(orderBy :+ col(idCol).asc: _*)
+    tagged.withColumn("__cc_rn", row_number().over(w))
+      .where(col("__cc_rn") === 1)
+      .drop("__cc_rn", "__cc_cluster")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DupClustersSpec extends SparkSpec {
+
+  private def pairs(rows: (Long, Long)*) =
+    df("id_a BIGINT, id_b BIGINT", rows.map(r => Row(r._1, r._2)): _*)
+
+  private def labelsOf(p: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    DupClusters.connectedComponents(p, "id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side union-find reference. */
+  private def bruteForce(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("two components and transitivity: A~B~C collapses to min label") {
+    val got = labelsOf(pairs(1L -> 2L, 2L -> 3L, 10L -> 11L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long chain (diameter 60) converges to one cluster") {
+    val chain = (0L until 60L).map(i => i -> (i + 1))
+    val got = labelsOf(pairs(chain: _*))
+    assert(got.size == 61 && got.values.forall(_ == 0L))
+  }
+
+  test("pair order / direction / duplicate edges do not matter") {
+    val a = labelsOf(pairs(3L -> 1L, 1L -> 2L, 2L -> 3L, 1L -> 3L))
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("empty pair table yields empty labels") {
+    assert(labelsOf(pairs()).isEmpty)
+  }
+
+  test("differential vs driver union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 80 + trial * 40
+      val edges = Seq.fill(n)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2)
+      val got = labelsOf(pairs(edges: _*))
+      assert(got == bruteForce(edges), s"trial $trial")
+    }
+  }
+
+  test("assignClusters labels singletons with their own id") {
+    val d = df("doc_id BIGINT, text STRING",
+      Row(1L, "a"), Row(2L, "b"), Row(3L, "c"), Row(9L, "solo"))
+    val labels = DupClusters.connectedComponents(
+      pairs(1L -> 2L, 2L -> 3L), "id_a", "id_b")
+    val got = DupClusters.assignClusters(d, "doc_id", labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("dedupByCluster keeps the best-ranked row per component") {
+    val d = df("doc_id BIGINT, quality DOUBLE",
+      Row(1L, 0.2), Row(2L, 0.9), Row(3L, 0.5), Row(9L, 0.1))
+    val kept = DupClusters.dedupByCluster(d, "doc_id",
+        pairs(1L -> 2L, 2L -> 3L), "id_a", "id_b",
+        orderBy = Seq(col("quality").desc))
+      .collect().map(_.getLong(0)).sorted
+    // cluster {1,2,3}: highest quality is doc 2; singleton 9 survives
+    assert(kept.sameElements(Array(2L, 9L)))
+  }
+
+  test("dedupByCluster tie on rank falls back to ascending id") {
+    val d = df("doc_id BIGINT, quality DOUBLE",
+      Row(5L, 0.5), Row(4L, 0.5))
+    val kept = DupClusters.dedupByCluster(d, "doc_id", pairs(4L -> 5L),
+        "id_a", "id_b", orderBy = Seq(col("quality").desc))
+      .collect().map(_.getLong(0))
+    assert(kept.sameElements(Array(4L)))
+  }
+}
