@@ -50,6 +50,39 @@ object SparkEntry {
     s"((((($key + $seed) % 2147483648 + 2147483648) % 2147483648)" +
       " * 2654435761) // 65536) % 1048576"
 
+  /** DuckDB twin of the q_seg_dedup_* gates: 3-token segmentation,
+    * corpus-wide counts, drop-or-keep-first, ordered reassembly. */
+  private def SegDedupSql(keepFirst: Boolean): String = {
+    val keep = if (keepFirst) "cnt < 2 OR rk = 1" else "cnt < 2"
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |segs AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0,
+       |      CAST(floor((len(toks) - 1) / 3.0) AS INT))) AS pos,
+       |    unnest(list_transform(generate_series(0,
+       |      CAST(floor((len(toks) - 1) / 3.0) AS INT)),
+       |      i -> array_to_string(toks[i*3+1 : i*3+3], ' '))) AS seg
+       |  FROM t WHERE len(toks) > 0),
+       |rk AS (
+       |  SELECT doc_id, pos, seg,
+       |    COUNT(*) OVER (PARTITION BY seg) AS cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY seg
+       |      ORDER BY doc_id, pos) AS rk
+       |  FROM segs),
+       |agg AS (
+       |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned,
+       |    COUNT(*) AS n_kept
+       |  FROM rk WHERE $keep GROUP BY doc_id)
+       |SELECT t.doc_id, md5(COALESCE(a.cleaned, '')) AS cleaned_md5,
+       |  CAST(CASE WHEN toks IS NULL THEN 0
+       |    ELSE CAST(floor((len(toks) - 1) / 3.0) AS INT) + 1 END
+       |    AS BIGINT) AS n_segments,
+       |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+       |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   /** Shared CTE chain for the 3-gram / threshold-0.5 / source-blocked
     * Jaccard duplicate pair set (the q_dedup_jaccard shape) ending in
     * `dup_pairs(id_a, id_b)`. Spliced into the cluster-family oracles. */
@@ -777,6 +810,28 @@ object SparkEntry {
       DupClusters.dedupByCluster(docs, "doc_id", prs, "id_a", "id_b",
           orderBy = Seq(r6(TextFunctions.qualityScore(col("text"))).desc))
         .select(col("doc_id"), col("source"))
+    }),
+
+    // --- LLM ops: corpus-level repeated-segment removal (the C4
+    //     "discard repeated lines" rule on 3-token segments — this corpus
+    //     has no line structure). Cleaned text pinned via md5 ---
+    "q_seg_dedup_drop" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dropRepeatedSegments(docs, "doc_id",
+          Dedup.tokenSegments(col("text"), 3))
+        .select(col("doc_id"), md5(col("cleaned")).as("cleaned_md5"),
+          col("n_segments"), col("n_kept"))
+    }),
+
+    // --- LLM ops: same, keep-first variant (smallest (doc_id, pos)
+    //     occurrence survives — the dedup that preserves one copy of
+    //     boilerplate instead of erasing it corpus-wide) ---
+    "q_seg_dedup_first" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dropRepeatedSegments(docs, "doc_id",
+          Dedup.tokenSegments(col("text"), 3), keepFirst = true)
+        .select(col("doc_id"), md5(col("cleaned")).as("cleaned_md5"),
+          col("n_segments"), col("n_kept"))
     }),
 
     // --- LLM ops: bag-of-words document fingerprint ---
@@ -2166,6 +2221,9 @@ object SparkEntry {
          |  ${R6("inter::DOUBLE / (size_a + size_b - inter)::DOUBLE")} AS jaccard_micro
          |FROM pairs
          |WHERE inter::DOUBLE / (size_a + size_b - inter)::DOUBLE >= 0.5""".stripMargin,
+
+    "q_seg_dedup_drop" -> SegDedupSql(keepFirst = false),
+    "q_seg_dedup_first" -> SegDedupSql(keepFirst = true),
 
     // Transitive closure by recursive CTE + MIN label: O(cluster^2) rows
     // per component — an oracle-side-only cost; the Spark side is the

@@ -310,4 +310,63 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Non-overlapping fixed-`k`-token segmentation of a document — the
+    * dedup unit for corpus-level repetition removal when the corpus has
+    * no natural line structure (the C4 unit is the line / 3-sentence
+    * span; reference's line-structured analog: LOBSTER rows). The last
+    * segment may be shorter. Null/empty text yields an empty array. */
+  def tokenSegments(text: Column, k: Int): Column = {
+    require(k > 0, s"segment width must be positive, got $k")
+    val toks = TextFunctions.tokens(text)
+    when(coalesce(size(toks), lit(0)) > 0,
+      transform(sequence(lit(0), floor((size(toks) - 1) / k).cast("int")),
+        i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-level repeated-segment removal (the C4 "discard any line
+    * that appears more than once" rule, generalized to any segment
+    * expression): a segment whose corpus-wide occurrence count reaches
+    * `minCopies` is dropped from EVERY document — or, with
+    * `keepFirst=true`, from every document except the deterministic
+    * first occurrence (smallest (id, position)). Documents are
+    * reassembled in original segment order; a fully-boilerplate doc
+    * survives with empty `cleaned` text so the caller decides whether
+    * to drop it.
+    *
+    * Output = input columns + `cleaned`, `n_segments`, `n_kept`.
+    *
+    * Scale: one partial-aggregating groupBy(segment) for corpus counts
+    * (map-side combine absorbs boilerplate skew — a segment repeated
+    * 100M times arrives at its reducer as per-partition subtotals, never
+    * 100M rows), one shuffle join of segments against their stats, one
+    * reassembly groupBy(id). No window over the corpus, nothing on the
+    * driver. */
+  def dropRepeatedSegments(df: DataFrame, idCol: String, segs: Column,
+                           minCopies: Int = 2, keepFirst: Boolean = false,
+                           joiner: String = " "): DataFrame = {
+    require(minCopies >= 2, s"minCopies must be >= 2, got $minCopies")
+    val segRows = df.select(col(idCol).as("__sd_id"), segs.as("__segs"))
+      .select(col("__sd_id"), posexplode(col("__segs")).as(Seq("pos", "seg")))
+    val stats = segRows.groupBy("seg").agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col("__sd_id"), col("pos"))).as("__first"))
+    val isFirst = struct(col("__sd_id"), col("pos")) === col("__first")
+    val keepCond =
+      if (keepFirst) col("__cnt") < minCopies || isFirst
+      else col("__cnt") < minCopies
+    val kept = segRows.join(stats, "seg").where(keepCond)
+      .groupBy(col("__sd_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), joiner).as("__cleaned"),
+        count(lit(1)).as("__n_kept"))
+    df.withColumn("n_segments", coalesce(size(segs), lit(0)).cast("long"))
+      .join(kept, df(idCol) === col("__sd_id"), "left")
+      .withColumn("cleaned", coalesce(col("__cleaned"), lit("")))
+      .withColumn("n_kept", coalesce(col("__n_kept"), lit(0L)))
+      .drop("__sd_id", "__cleaned", "__n_kept")
+  }
 }

@@ -207,4 +207,66 @@ class DedupSpec extends SparkSpec {
     Dedup.simHashPairsFromSigs(sigs, maxDist = 7).collect()
     Dedup.simHashPairsFromSigs(sigs, maxDist = 10, allowWide = true).collect()
   }
+
+  test("tokenSegments: fixed-k split, short tail, edge cases") {
+    val d = df("doc_id BIGINT, text STRING",
+      Row(1L, "a b c d e"), Row(2L, "a b"), Row(3L, "x"), Row(4L, null))
+    val got = d.select(col("doc_id"),
+        Dedup.tokenSegments(col("text"), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b", "c d", "e"))
+    assert(got(2L) == Seq("a b"))
+    assert(got(3L) == Seq("x"))
+    assert(got(4L).isEmpty)
+  }
+
+  test("dropRepeatedSegments: corpus-repeated segment removed everywhere") {
+    val d = df("doc_id BIGINT, text STRING",
+      Row(1L, "buy now a b"), Row(2L, "c d buy now"), Row(3L, "e f g h"))
+    val out = Dedup.dropRepeatedSegments(d, "doc_id",
+        Dedup.tokenSegments(col("text"), 2))
+      .select("doc_id", "cleaned", "n_segments", "n_kept").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // "buy now" appears in docs 1 and 2 -> dropped from both
+    assert(out(1L) == (("a b", 2L, 1L)))
+    assert(out(2L) == (("c d", 2L, 1L)))
+    assert(out(3L) == (("e f g h", 2L, 2L)))
+  }
+
+  test("dropRepeatedSegments keepFirst: smallest (id, pos) survives") {
+    val d = df("doc_id BIGINT, text STRING",
+      Row(2L, "x y buy now"), Row(1L, "buy now a b"), Row(3L, "buy now"))
+    val out = Dedup.dropRepeatedSegments(d, "doc_id",
+        Dedup.tokenSegments(col("text"), 2), keepFirst = true)
+      .select("doc_id", "cleaned").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // first occurrence = doc 1 pos 0
+    assert(out(1L) == "buy now a b")
+    assert(out(2L) == "x y")
+    assert(out(3L) == "")
+  }
+
+  test("dropRepeatedSegments: fully-boilerplate doc survives with empty " +
+    "cleaned text; reassembly preserves original order") {
+    val d = df("doc_id BIGINT, text STRING",
+      Row(1L, "p q"), Row(2L, "p q"), Row(3L, "m n p q z w"))
+    val out = Dedup.dropRepeatedSegments(d, "doc_id",
+        Dedup.tokenSegments(col("text"), 2))
+      .select("doc_id", "cleaned", "n_kept").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("", 0L)))
+    assert(out(2L) == (("", 0L)))
+    assert(out(3L) == (("m n z w", 2L)))
+  }
+
+  test("dropRepeatedSegments: minCopies=3 keeps a twice-repeated segment") {
+    val d = df("doc_id BIGINT, text STRING",
+      Row(1L, "p q"), Row(2L, "p q"))
+    val out = Dedup.dropRepeatedSegments(d, "doc_id",
+        Dedup.tokenSegments(col("text"), 2), minCopies = 3)
+      .select("doc_id", "n_kept").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+  }
 }
