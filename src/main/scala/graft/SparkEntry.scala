@@ -834,6 +834,18 @@ object SparkEntry {
           col("n_segments"), col("n_kept"))
     }),
 
+    // --- LLM ops: Gopher repetition filters (Rae et al. 2021 Table A1,
+    //     word-soup analogs): duplicate-token fraction, top-2-gram char
+    //     coverage, duplicated-3-gram char coverage ---
+    "q_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        r6(TextFunctions.dupTokenFrac(col("text"))).as("dup_token_micro"),
+        r6(TextFunctions.topNgramCharFrac(col("text"), 2))
+          .as("top_2gram_micro"),
+        r6(TextFunctions.dupNgramCharFrac(col("text"), 3))
+          .as("dup_3gram_micro"))
+    }),
+
     // --- LLM ops: bag-of-words document fingerprint ---
     "q_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
@@ -2224,6 +2236,36 @@ object SparkEntry {
 
     "q_seg_dedup_drop" -> SegDedupSql(keepFirst = false),
     "q_seg_dedup_first" -> SegDedupSql(keepFirst = true),
+
+    // generate_series(1, 0) is empty in DuckDB, so short docs fall out of
+    // the gram lists without CASE guards, mirroring Spark's when() guard
+    "q_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, text, toks,
+         |    list_transform(generate_series(1, len(toks) - 1),
+         |      i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+         |    list_transform(generate_series(1, len(toks) - 2),
+         |      i -> array_to_string(toks[i:i+2], ' ')) AS g3
+         |  FROM t)
+         |SELECT doc_id,
+         |  ${R6("CASE WHEN len(toks) > 0 THEN " +
+            "1.0 - len(list_distinct(toks))::DOUBLE / len(toks) " +
+            "ELSE 0.0 END")} AS dup_token_micro,
+         |  ${R6("CASE WHEN len(g2) > 0 THEN " +
+            "list_max(list_transform(list_distinct(g2), gr -> " +
+            "len(list_filter(g2, x -> x = gr)) * length(gr)))::DOUBLE " +
+            "/ length(text) ELSE 0.0 END")} AS top_2gram_micro,
+         |  ${R6("CASE WHEN len(g3) > 0 THEN " +
+            "list_sum(list_transform(list_distinct(g3), gr -> " +
+            "CASE WHEN len(list_filter(g3, x -> x = gr)) >= 2 THEN " +
+            "len(list_filter(g3, x -> x = gr)) * length(gr) " +
+            "ELSE 0 END))::DOUBLE / length(text) ELSE 0.0 END")}
+         |    AS dup_3gram_micro
+         |FROM g""".stripMargin,
 
     // Transitive closure by recursive CTE + MIN label: O(cluster^2) rows
     // per component — an oracle-side-only cost; the Spark side is the

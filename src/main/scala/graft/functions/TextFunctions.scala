@@ -65,6 +65,67 @@ object TextFunctions {
         - punctPenalty - upperPenalty)).as("quality_score")
   }
 
+  /** ALL token n-grams of a document, duplicates preserved, in order —
+    * the unit for the Gopher repetition filters (vs [[graft.operators
+    * .Dedup.shingles]], which is the DISTINCT set for Jaccard/MinHash).
+    * Shorter-than-n docs yield an empty array. The token array is bound
+    * once via a 1-element transform so the tokenizing regex runs once
+    * per row, not once per gram. */
+  def ngramsAll(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val perDoc = transform(array(tokens(text)), t =>
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+    element_at(perDoc, 1)
+  }
+
+  /** Duplicate-token fraction: 1 - distinct/total tokens. The word-soup
+    * analog of Gopher's duplicate-line fraction (Rae et al. 2021,
+    * Table A1) — high values mean keyword stuffing / degenerate
+    * repetition. 0.0 for empty docs. */
+  def dupTokenFrac(text: Column): Column = {
+    val perDoc = transform(array(tokens(text)), t =>
+      when(size(t) > 0, lit(1.0) -
+        size(array_distinct(t)).cast("double") / size(t))
+        .otherwise(lit(0.0)))
+    element_at(perDoc, 1).as("dup_token_frac")
+  }
+
+  /** Fraction of characters covered by the MOST frequent token n-gram
+    * (counted with overlaps): max over grams of occurrences x gram
+    * chars, over doc chars (Gopher's top-n-gram filter, n=2..4). Taking
+    * the max of the per-gram product needs no tie-break rule — ties
+    * have equal products. Per-row cost is O(grams x distinct grams),
+    * bounded by the max document length, never by corpus size. */
+  def topNgramCharFrac(text: Column, n: Int): Column = {
+    val perDoc = transform(array(ngramsAll(text, n)), gs =>
+      when(size(gs) > 0,
+        array_max(transform(array_distinct(gs), g =>
+          size(filter(gs, x => x === g)) * length(g))).cast("double") /
+          length(text))
+        .otherwise(lit(0.0)))
+    element_at(perDoc, 1).as(s"top_${n}gram_char_frac")
+  }
+
+  /** Fraction of characters inside REPEATED token n-grams: sum over
+    * distinct grams occurring >= 2 times of occurrences x gram chars,
+    * over doc chars (Gopher's duplicate-n-gram family, n=5..10).
+    * Overlapping occurrences are each counted — the cheap streaming
+    * upper bound (can exceed 1), same convention both engine sides. */
+  def dupNgramCharFrac(text: Column, n: Int): Column = {
+    val perDoc = transform(array(ngramsAll(text, n)), gs =>
+      when(size(gs) > 0,
+        aggregate(array_distinct(gs), lit(0L), (acc, g) => {
+          val cnt = size(filter(gs, x => x === g))
+          acc + when(cnt >= 2,
+            (cnt * length(g)).cast("long")).otherwise(lit(0L))
+        }).cast("double") / length(text))
+        .otherwise(lit(0.0)))
+    element_at(perDoc, 1).as(s"dup_${n}gram_char_frac")
+  }
+
   /** Training-corpus scrubbing: replace every match of `pattern` with a
     * tag (PII/boilerplate redaction — emails, URLs, IDs). Global replace,
     * codegen'd `regexp_replace`; patterns should stay within the

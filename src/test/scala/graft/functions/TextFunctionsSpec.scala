@@ -161,4 +161,59 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.getString(0) == "en")
     assert(out.getString(1) == "fr") // the reference form's known flaw
   }
+
+  test("ngramsAll keeps duplicates in order; short docs empty") {
+    val d = df("id INT, text STRING",
+      Row(1, "a b a b a"), Row(2, "only one"), Row(3, null))
+    val got = d.select(col("id"),
+        TextFunctions.ngramsAll(col("text"), 2).as("g")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(got(1) == Seq("a b", "b a", "a b", "b a"))
+    assert(got(2) == Seq("only one"))
+    assert(got(3).isEmpty) // null doc -> empty, same contract as shingles
+  }
+
+  test("dupTokenFrac: hand values") {
+    val d = df("id INT, text STRING",
+      Row(1, "a a a a"), Row(2, "a b c d"), Row(3, "a b a b"))
+    val got = d.select(col("id"),
+        TextFunctions.dupTokenFrac(col("text"))).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(approx(got(1), 0.75) && approx(got(2), 0.0) &&
+      approx(got(3), 0.5))
+  }
+
+  test("topNgramCharFrac: most frequent 2-gram, overlaps counted") {
+    // "a b a b a": 2-grams = [a b, b a, a b, b a]; top count 2, len 3,
+    // doc chars 9 -> 2*3/9
+    val d = df("id INT, text STRING", Row(1, "a b a b a"))
+    val got = d.select(
+      TextFunctions.topNgramCharFrac(col("text"), 2)).collect()(0)
+      .getDouble(0)
+    assert(approx(got, 6.0 / 9.0))
+  }
+
+  test("topNgramCharFrac: 0.0 for docs shorter than n") {
+    val d = df("id INT, text STRING", Row(1, "solo"))
+    val got = d.select(
+      TextFunctions.topNgramCharFrac(col("text"), 2)).collect()(0)
+      .getDouble(0)
+    assert(got == 0.0)
+  }
+
+  test("dupNgramCharFrac: only grams repeated >= 2 contribute") {
+    // "x y x y z": 2-grams [x y, y x, x y, y z]; repeated: "x y" (2x,
+    // len 3) -> 6; "y x"/"y z" single -> 0. doc chars 9 -> 6/9
+    val d = df("id INT, text STRING", Row(1, "x y x y z"))
+    val got = d.select(
+      TextFunctions.dupNgramCharFrac(col("text"), 2)).collect()(0)
+      .getDouble(0)
+    assert(approx(got, 6.0 / 9.0))
+    // no repeats at all -> 0.0
+    val d2 = df("id INT, text STRING", Row(1, "p q r s"))
+    val got2 = d2.select(
+      TextFunctions.dupNgramCharFrac(col("text"), 2)).collect()(0)
+      .getDouble(0)
+    assert(got2 == 0.0)
+  }
 }
