@@ -846,6 +846,25 @@ object SparkEntry {
           .as("dup_3gram_micro"))
     }),
 
+    // --- LLM ops: sqrt-temperature token-budget mixture plan (one
+    //     aggregation pass; integer-exact driver math over #sources
+    //     rows; epochs capped at 4) ---
+    "q_mixture_plan" -> ((s, dir) => {
+      Sampling.mixturePlan(Tables.documents(s, dir), "source", "n_chars",
+        budgetTokens = 50000L, alpha = 0.5, maxEpochs = 4.0)
+    }),
+
+    // --- LLM ops: the plan applied — deterministic epoch replication
+    //     per source (broadcast plan join + portable-hash fractional
+    //     copy; zero shuffles beyond the one-pass plan aggregation) ---
+    "q_mixture_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val plan = Sampling.mixturePlan(docs, "source", "n_chars",
+        budgetTokens = 50000L, alpha = 0.5, maxEpochs = 4.0)
+      Sampling.applyMixture(docs, "source", "doc_id", plan, seed = 9L)
+        .select(col("doc_id"), col("epoch_copy"))
+    }),
+
     // --- LLM ops: bag-of-words document fingerprint ---
     "q_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
@@ -2236,6 +2255,61 @@ object SparkEntry {
 
     "q_seg_dedup_drop" -> SegDedupSql(keepFirst = false),
     "q_seg_dedup_first" -> SegDedupSql(keepFirst = true),
+
+    // Integer-exact mixture-plan twin: s_micro = floor(sqrt(n)*1e6+0.5)
+    // (sqrt is IEEE-correctly-rounded on both engines), then HUGEINT
+    // round-half-up division (2*B*s*1e6 + n*S) // (2*n*S), capped at 4
+    // epochs — bit-identical to the BigInt driver math.
+    "q_mixture_plan" ->
+      s"""WITH c AS (
+         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |s AS (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(n_tokens) * 1e6 + 0.5) AS HUGEINT) AS sm
+         |  FROM c),
+         |tot AS (SELECT SUM(sm) AS stot FROM s)
+         |SELECT source, n_tokens,
+         |  CAST(CASE WHEN n_tokens <= 0 OR stot = 0 THEN 0
+         |    ELSE LEAST(
+         |      (2 * CAST(50000 AS HUGEINT) * sm * 1000000
+         |        + CAST(n_tokens AS HUGEINT) * stot)
+         |      // (2 * CAST(n_tokens AS HUGEINT) * stot),
+         |      CAST(4000000 AS HUGEINT)) END AS BIGINT) AS rate_micro
+         |FROM s, tot""".stripMargin,
+
+    "q_mixture_apply" ->
+      s"""WITH c AS (
+         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |s AS (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(n_tokens) * 1e6 + 0.5) AS HUGEINT) AS sm
+         |  FROM c),
+         |tot AS (SELECT SUM(sm) AS stot FROM s),
+         |plan AS (
+         |  SELECT source,
+         |    CAST(CASE WHEN n_tokens <= 0 OR stot = 0 THEN 0
+         |      ELSE LEAST(
+         |        (2 * CAST(50000 AS HUGEINT) * sm * 1000000
+         |          + CAST(n_tokens AS HUGEINT) * stot)
+         |        // (2 * CAST(n_tokens AS HUGEINT) * stot),
+         |        CAST(4000000 AS HUGEINT)) END AS BIGINT) AS rate_micro
+         |  FROM s, tot),
+         |r AS (
+         |  SELECT doc_id, p.rate_micro / 1000000.0 AS w
+         |  FROM documents d JOIN plan p USING (source)),
+         |cp AS (
+         |  SELECT doc_id,
+         |    CAST(floor(w) AS BIGINT) +
+         |    CASE WHEN ${HashSql("doc_id", 9L)} <
+         |      CAST(floor((w - floor(w)) * 1048576.0 + 0.5) AS BIGINT)
+         |    THEN 1 ELSE 0 END AS copies
+         |  FROM r)
+         |SELECT doc_id,
+         |  CAST(unnest(generate_series(1, copies)) AS BIGINT)
+         |    AS epoch_copy
+         |FROM cp WHERE copies >= 1""".stripMargin,
 
     // generate_series(1, 0) is empty in DuckDB, so short docs fall out of
     // the gram lists without CASE guards, mirroring Spark's when() guard

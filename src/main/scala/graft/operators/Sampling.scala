@@ -182,4 +182,76 @@ object Sampling {
     coalesce(floor(w).cast("long") +
       (bucketHash(keyCol, seed) < fracThr).cast("long"), lit(0L))
   }
+
+  /** Token-budget mixture plan — the pretraining "temperature sampling"
+    * recipe (multilingual-LM alpha-sampling shape): per-source weights
+    * w_s proportional to n_s^alpha, per-source epoch rate
+    * r_s = B * w_s / n_s for token budget B. alpha=1 keeps natural
+    * proportions, alpha=0 gives uniform source weights, 0.5 is the
+    * common square-root temperature. Rates above `maxEpochs` are capped
+    * (single-pass cap: the freed budget is NOT redistributed — callers
+    * wanting exact-B under caps should iterate).
+    *
+    * Exactly ONE aggregation pass over the corpus; the per-source math
+    * runs on the driver over #sources rows (bounded — a mixture has
+    * tens of sources, never millions) in integer arithmetic:
+    * s_micro = floor(n^alpha * 1e6 + 0.5), then
+    * rate_micro = round(B * s_micro * 1e6 / (n_s * S)) via BigInt, so
+    * the plan is bit-identical on any engine (for alpha=0.5,
+    * n^alpha = sqrt(n) is IEEE-correctly-rounded everywhere).
+    *
+    * Returns the plan frame (source, n_tokens, rate_micro), rate in
+    * epochs-per-row micro-units. */
+  def mixturePlan(df: DataFrame, sourceCol: String, tokenCol: String,
+                  budgetTokens: Long, alpha: Double = 0.5,
+                  maxEpochs: Double = 1e6): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0, 1], got $alpha")
+    require(maxEpochs > 0.0, s"maxEpochs must be positive, got $maxEpochs")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokenCol).cast("long")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    val sMicro = counts.map { case (_, n) =>
+      BigInt(math.floor(math.pow(math.max(n, 0L).toDouble, alpha) * 1e6
+        + 0.5).toLong)
+    }
+    val totalS = sMicro.sum
+    val capMicro = BigInt(math.floor(maxEpochs * 1e6 + 0.5).toLong)
+    val rows = counts.zip(sMicro).map { case ((src, n), s) =>
+      val rate =
+        if (totalS == 0 || n <= 0L) BigInt(0)
+        else {
+          val num = 2 * BigInt(budgetTokens) * s * 1000000 + BigInt(n) * totalS
+          val den = 2 * BigInt(n) * totalS
+          (num / den).min(capMicro) // round-half-up, then cap
+        }
+      (src, n, rate.toLong)
+    }
+    import spark.implicits._
+    spark.createDataset(rows.toSeq)
+      .toDF("source", "n_tokens", "rate_micro")
+  }
+
+  /** Apply a [[mixturePlan]]: broadcast the plan onto the corpus and
+    * replicate rows via [[upsampleEpochs]] (floor(rate) copies + one
+    * more with probability frac(rate), decided by the portable hash —
+    * expectation exactly rate epochs, rerun/layout-stable). Rows from
+    * sources absent from the plan get zero copies. Row-local after the
+    * broadcast join; no shuffle. */
+  def applyMixture(df: DataFrame, sourceCol: String, keyCol: String,
+                   plan: DataFrame, seed: Long = 0L,
+                   copyCol: String = "epoch_copy"): DataFrame = {
+    requireIntegralKey(df, keyCol)
+    val p = broadcast(plan.select(col("source").as("__mx_source"),
+      (col("rate_micro").cast("double") / 1e6).as("__mx_rate")))
+    val joined = df.join(p, df(sourceCol) === col("__mx_source"), "left")
+      .withColumn("__mx_rate", coalesce(col("__mx_rate"), lit(0.0)))
+      .drop("__mx_source")
+    upsampleEpochs(joined, keyCol, "__mx_rate", seed, copyCol)
+      .drop("__mx_rate")
+  }
 }

@@ -188,4 +188,72 @@ class SamplingSpec extends SparkSpec {
     val none = Sampling.mixSources(d, "source", Map("web" -> 0.0), "id")
     assert(none.count() == 0L)
   }
+
+  private def docs(rows: (Long, String, Long)*) =
+    df("id BIGINT, source STRING, toks BIGINT",
+      rows.map(r => Row(r._1, r._2, r._3)): _*)
+
+  test("mixturePlan alpha=0.5: hand-computed sqrt-temperature rates") {
+    // A: 100 tokens, B: 400 -> s = (10e6, 20e6), weights (1/3, 2/3);
+    // budget 250 -> rate_A = 250/3/100 = 0.8333(3) -> 833333 (rounds
+    // down), rate_B = 250*2/3/400 = 0.41666(7) -> 416667 (rounds up)
+    val plan = Sampling.mixturePlan(
+        docs((1L, "A", 100L), (2L, "B", 400L)),
+        "source", "toks", budgetTokens = 250L, alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(plan == Map("A" -> 833333L, "B" -> 416667L))
+  }
+
+  test("mixturePlan alpha=1: natural proportions give one uniform rate") {
+    val plan = Sampling.mixturePlan(
+        docs((1L, "A", 100L), (2L, "B", 400L)),
+        "source", "toks", budgetTokens = 250L, alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // every source keeps budget/total = 250/500 = 0.5 epochs
+    assert(plan == Map("A" -> 500000L, "B" -> 500000L))
+  }
+
+  test("mixturePlan: maxEpochs caps a tiny source's upsampling") {
+    val plan = Sampling.mixturePlan(
+        docs((1L, "A", 10L), (2L, "B", 1000L)),
+        "source", "toks", budgetTokens = 2000L, alpha = 0.5,
+        maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(plan("A") == 2000000L) // uncapped would be ~18 epochs
+    assert(plan("B") < 2000000L && plan("B") > 0L)
+  }
+
+  test("mixturePlan: zero-token source gets rate 0; token sums per " +
+    "source are reported") {
+    val plan = Sampling.mixturePlan(
+        docs((1L, "A", 0L), (2L, "B", 100L), (3L, "B", 200L)),
+        "source", "toks", budgetTokens = 100L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(plan("A") == ((0L, 0L)))
+    assert(plan("B")._1 == 300L && plan("B")._2 > 0L)
+  }
+
+  test("applyMixture: copies match epochCopies, reruns identical, " +
+    "absent source drops") {
+    val d = df("id BIGINT, source STRING, toks BIGINT",
+      (1 to 200).map(i =>
+        Row(i.toLong, if (i % 2 == 0) "A" else "ghost", 10L)): _*)
+    val plan = docs().sparkSession.createDataFrame(
+      java.util.List.of(Row("A", 1000L, 2500000L)),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "source STRING, n_tokens BIGINT, rate_micro BIGINT"))
+    val out = Sampling.applyMixture(d, "source", "id", plan, seed = 3L)
+    val counts = out.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ghost rows vanish; A rows appear 2 or 3 times, expectation 2.5
+    assert(counts.keys.forall(_ % 2 == 0))
+    assert(counts.values.forall(c => c == 2L || c == 3L))
+    val total = counts.values.sum.toDouble / counts.size
+    assert(total > 2.3 && total < 2.7)
+    val again = Sampling.applyMixture(d, "source", "id", plan, seed = 3L)
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
 }
