@@ -178,4 +178,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(occurrences(pm, "Exchange hashpartitioning") == 1,
       "mean pooling must shuffle exactly once:\n" + pm.take(2000))
   }
+
+  test("q_seg_dedup: corpus segment counts partial-aggregate map-side; " +
+    "no corpus-wide window, no sort-merge join on the segment stats") {
+    val p = plan("q_seg_dedup_drop")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "segment stats must combine map-side:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the min(struct) winner must come from the aggregate, not a
+    // window over the exploded corpus
+    assert(!p.contains("RunningWindowFunction"), p.take(1500))
+  }
+
+  test("q_repetition: Gopher signals are one row-local projection " +
+    "(zero exchanges)") {
+    val p = plan("q_repetition")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "repetition signals must not shuffle:\n" + p.take(1500))
+  }
+
+  test("q_mixture_apply: plan joins broadcast; replication is a " +
+    "row-local Generate, no shuffle after the plan aggregation") {
+    val p = plan("q_mixture_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      "mixture plan must broadcast onto the corpus:\n" + p.take(1500))
+    assert(p.contains("Generate"),
+      "epoch replication must be a Generate:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
 }
