@@ -865,6 +865,33 @@ object SparkEntry {
         .select(col("doc_id"), col("epoch_copy"))
     }),
 
+    // --- LLM ops: incremental exact dedup — a new ingest batch
+    //     (source != src0) deduped against the existing corpus snapshot
+    //     (source = src0) via its hash index, then within-batch ---
+    "q_incr_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = IncrementalDedup.exactIndex(
+        docs.filter(col("source") === "src0"), "text")
+      IncrementalDedup.dedupAgainst(
+          docs.filter(col("source") =!= "src0"), idx, "text", "doc_id")
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // --- LLM ops: incremental near-dup — batch MinHash sigs probed
+    //     against the corpus signature index via cross-frame LSH bands
+    //     (no oracle: xxhash64 signatures) ---
+    "q_incr_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def sigs(d: DataFrame) = d.select(col("doc_id").as("id"),
+        Dedup.minHashSignature(col("text"), n = 3, k = 32).as("sig"))
+      IncrementalDedup.nearDupAgainst(
+          sigs(docs.filter(col("source") =!= "src0")),
+          sigs(docs.filter(col("source") === "src0")),
+          bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
+        .select(col("new_id"), col("corpus_id"),
+          r6(col("est_jaccard")).as("est_jaccard_micro"))
+    }),
+
     // --- LLM ops: bag-of-words document fingerprint ---
     "q_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
@@ -2255,6 +2282,22 @@ object SparkEntry {
 
     "q_seg_dedup_drop" -> SegDedupSql(keepFirst = false),
     "q_seg_dedup_first" -> SegDedupSql(keepFirst = true),
+
+    "q_incr_dedup" ->
+      s"""WITH idx AS (
+         |  SELECT DISTINCT md5(text) AS text_md5 FROM documents
+         |  WHERE source = 'src0'),
+         |batch AS (
+         |  SELECT doc_id, source, md5(text) AS h FROM documents
+         |  WHERE source <> 'src0'),
+         |unseen AS (
+         |  SELECT b.* FROM batch b
+         |  WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.text_md5 = b.h)),
+         |rk AS (
+         |  SELECT doc_id, source, ROW_NUMBER() OVER (
+         |    PARTITION BY h ORDER BY doc_id) AS rk
+         |  FROM unseen)
+         |SELECT doc_id, source FROM rk WHERE rk = 1""".stripMargin,
 
     // Integer-exact mixture-plan twin: s_micro = floor(sqrt(n)*1e6+0.5)
     // (sqrt is IEEE-correctly-rounded on both engines), then HUGEINT
