@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Microstructure, Stats, TextFunctions}
 import graft.operators._
+import graft.sources.AuxSources
 
 /** Driver contract (see SURVEY.md §7 + the builder prompt): one `queries`
   * entry per implemented operator from SURVEY.md §2, each with equivalent
@@ -890,6 +891,28 @@ object SparkEntry {
           bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
         .select(col("new_id"), col("corpus_id"),
           r6(col("est_jaccard")).as("est_jaccard_micro"))
+    }),
+
+    // --- LLM ops: JSONL round-trip with corrupt-line accounting (the
+    //     pretraining interchange format; text + from_json read, so the
+    //     bad-line audit needs no corpus cache). Two injected garbage
+    //     lines must surface in the corrupt count, never as rows ---
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      AuxSources.writeJsonl(
+        docs.select(col("doc_id"), col("text"), col("lang"), col("source")),
+        out)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "zz_corrupt.json"),
+        "{\"doc_id\": oops}\nnot json either\n".getBytes("UTF-8"))
+      val back = AuxSources.readJsonl(s, out,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING")
+      val (good, bad) = AuxSources.jsonlSplit(back)
+      val nBad = bad.count()
+      good.select(col("doc_id"), md5(col("text")).as("text_md5"),
+        lit(nBad).as("n_corrupt"))
     }),
 
     // --- LLM ops: bag-of-words document fingerprint ---
@@ -2282,6 +2305,11 @@ object SparkEntry {
 
     "q_seg_dedup_drop" -> SegDedupSql(keepFirst = false),
     "q_seg_dedup_first" -> SegDedupSql(keepFirst = true),
+
+    "q_jsonl_roundtrip" ->
+      s"""SELECT doc_id, md5(text) AS text_md5,
+         |  CAST(2 AS BIGINT) AS n_corrupt
+         |FROM documents""".stripMargin,
 
     "q_incr_dedup" ->
       s"""WITH idx AS (

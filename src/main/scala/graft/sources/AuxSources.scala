@@ -87,4 +87,52 @@ object AuxSources {
       .drop("h")
       .select(Schema.dailyBars.fieldNames.map(col): _*)
   }
+
+  /** JSONL (newline-delimited JSON) corpus reader — the pretraining
+    * interchange format. Read as TEXT + one `from_json` parse rather
+    * than the json source: (a) the json source forbids projecting the
+    * corrupt-record column alone (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so
+    * a bad-line audit would need a 100 TB cache; (b) the same code runs
+    * verbatim under `readStream.text`. Explicit schema (inference would
+    * scan the corpus twice and silently widen types between crawls);
+    * malformed or type-mismatched lines land whole in
+    * `_corrupt_record` with data columns null instead of failing the
+    * job. Text reads are line-splittable — one 10 TB file still
+    * parallelizes by file range. */
+  def readJsonl(spark: SparkSession, path: String,
+                schemaDdl: String): DataFrame = {
+    val dataSchema = org.apache.spark.sql.types.StructType
+      .fromDDL(schemaDdl)
+    val parseSchema = dataSchema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val raw = spark.read.text(path).toDF("__line")
+      .where(length(col("__line")) > 0)
+      .select(col("__line"), from_json(col("__line"), parseSchema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("__j"))
+    val dataCols = dataSchema.fieldNames.toSeq
+      .map(n => col("__j").getField(n).as(n))
+    // belt and braces: a null struct (nothing parseable at all) also
+    // counts as corrupt, carrying the raw line
+    val corrupt = coalesce(col("__j").getField("_corrupt_record"),
+      when(col("__j").isNull, col("__line")))
+    raw.select(dataCols :+ corrupt.as("_corrupt_record"): _*)
+  }
+
+  /** Split a [[readJsonl]] frame into (good, corrupt): good rows drop
+    * the capture column; corrupt rows keep the raw line. A row is
+    * corrupt iff the capture column is non-null. */
+  def jsonlSplit(df: DataFrame): (DataFrame, DataFrame) = {
+    val good = df.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
+
+  /** JSONL sink (one line per row, overwrite). Gzip-compressible via
+    * the codec option upstream; kept uncompressed here for splittable
+    * re-reads. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }
