@@ -915,6 +915,21 @@ object SparkEntry {
         lit(nBad).as("n_corrupt"))
     }),
 
+    // --- LLM ops: the full modern curation pipeline, end-to-end under
+    //     one DuckDB hash-match: exact dedup -> corpus segment dedup ->
+    //     repetition gate -> quality gate -> sqrt-temperature mixture ---
+    "q_curate_full" -> ((s, dir) => {
+      Curation.curateFull(Tables.documents(s, dir), "doc_id", "text",
+          "source", Curation.FullConfig(segTokens = 3, segMinCopies = 2,
+            maxDupTokenFrac = 0.6, minQuality = 0.3,
+            budgetTokens = 50000L, alpha = 0.5, maxEpochs = 4.0,
+            seed = 0L))
+        .select(col("doc_id"), col("source"), col("epoch_copy"),
+          md5(col("cleaned")).as("cleaned_md5"),
+          r6(col("quality_score")).as("quality_micro"),
+          col("n_tokens_clean"))
+    }),
+
     // --- LLM ops: bag-of-words document fingerprint ---
     "q_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
@@ -2310,6 +2325,105 @@ object SparkEntry {
       s"""SELECT doc_id, md5(text) AS text_md5,
          |  CAST(2 AS BIGINT) AS n_corrupt
          |FROM documents""".stripMargin,
+
+    // The composed pipeline, stage by stage, in one WITH chain — each
+    // CTE mirrors an operator whose standalone gate already matches.
+    "q_curate_full" ->
+      s"""WITH winners AS (
+         |  SELECT doc_id, text, source FROM (
+         |    SELECT doc_id, text, source, ROW_NUMBER() OVER (
+         |      PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         |    FROM documents) WHERE rk = 1),
+         |t AS (
+         |  SELECT doc_id, source,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM winners),
+         |segs AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0,
+         |      CAST(floor((len(toks) - 1) / 3.0) AS INT))) AS pos,
+         |    unnest(list_transform(generate_series(0,
+         |      CAST(floor((len(toks) - 1) / 3.0) AS INT)),
+         |      i -> array_to_string(toks[i*3+1 : i*3+3], ' '))) AS seg
+         |  FROM t WHERE len(toks) > 0),
+         |segrk AS (
+         |  SELECT doc_id, pos, seg,
+         |    COUNT(*) OVER (PARTITION BY seg) AS cnt
+         |  FROM segs),
+         |agg AS (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned,
+         |    COUNT(*) AS n_kept
+         |  FROM segrk WHERE cnt < 2 GROUP BY doc_id),
+         |cl AS (
+         |  SELECT t.doc_id, t.source, a.cleaned
+         |  FROM t JOIN agg a USING (doc_id) WHERE a.n_kept > 0),
+         |ctoks AS (
+         |  SELECT doc_id, source, cleaned,
+         |    string_split_regex(trim(cleaned), '\\s+') AS ct,
+         |    string_split_regex(trim(lower(cleaned)), '\\s+') AS lct
+         |  FROM cl),
+         |rep AS (
+         |  SELECT * FROM ctoks
+         |  WHERE len(ct) = 0 OR
+         |    1.0 - len(list_distinct(ct))::DOUBLE / len(ct) <= 0.6),
+         |qm AS (
+         |  SELECT doc_id, source, cleaned, len(ct) AS ntc,
+         |    CAST(len(ct) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(lct, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','are','was',
+         |       'it','that','this','for','on','with','as','at','by','be'],
+         |      x))) AS DOUBLE) / len(lct) AS stop_ratio,
+         |    CAST(length(regexp_replace(cleaned,
+         |      '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+         |      / length(cleaned) AS punct_ratio,
+         |    CAST(length(regexp_replace(cleaned, '[^A-Z]', '', 'g'))
+         |      AS DOUBLE) / length(cleaned) AS upper_ratio
+         |  FROM rep),
+         |qs AS (
+         |  SELECT doc_id, source, cleaned, ntc,
+         |    GREATEST(0.0, LEAST(1.0,
+         |      0.5 * (LEAST(nt / 50.0, 1.0) *
+         |        CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END)
+         |      + 0.5 * LEAST(stop_ratio * 4.0, 1.0)
+         |      - LEAST(punct_ratio * 2.0, 0.5)
+         |      - LEAST(upper_ratio * 2.0, 0.5))) AS quality
+         |  FROM qm),
+         |gated AS (SELECT * FROM qs WHERE quality >= 0.3),
+         |c AS (
+         |  SELECT source, CAST(SUM(ntc) AS BIGINT) AS n_tokens
+         |  FROM gated GROUP BY 1),
+         |s AS (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(n_tokens) * 1e6 + 0.5) AS HUGEINT) AS sm
+         |  FROM c),
+         |tot AS (SELECT SUM(sm) AS stot FROM s),
+         |plan AS (
+         |  SELECT source,
+         |    CAST(CASE WHEN n_tokens <= 0 OR stot = 0 THEN 0
+         |      ELSE LEAST(
+         |        (2 * CAST(50000 AS HUGEINT) * sm * 1000000
+         |          + CAST(n_tokens AS HUGEINT) * stot)
+         |        // (2 * CAST(n_tokens AS HUGEINT) * stot),
+         |        CAST(4000000 AS HUGEINT)) END AS BIGINT) AS rate_micro
+         |  FROM s, tot),
+         |rr AS (
+         |  SELECT g.doc_id, g.source, g.cleaned, g.quality, g.ntc,
+         |    p.rate_micro / 1000000.0 AS w
+         |  FROM gated g JOIN plan p USING (source)),
+         |cp AS (
+         |  SELECT doc_id, source, cleaned, quality, ntc,
+         |    CAST(floor(w) AS BIGINT) +
+         |    CASE WHEN ${HashSql("doc_id", 0L)} <
+         |      CAST(floor((w - floor(w)) * 1048576.0 + 0.5) AS BIGINT)
+         |    THEN 1 ELSE 0 END AS copies
+         |  FROM rr)
+         |SELECT doc_id, source,
+         |  CAST(unnest(generate_series(1, copies)) AS BIGINT)
+         |    AS epoch_copy,
+         |  md5(cleaned) AS cleaned_md5,
+         |  ${R6("quality")} AS quality_micro,
+         |  CAST(ntc AS BIGINT) AS n_tokens_clean
+         |FROM cp WHERE copies >= 1""".stripMargin,
 
     "q_incr_dedup" ->
       s"""WITH idx AS (

@@ -166,4 +166,64 @@ object Curation {
       .select(col("id_b").as(idCol))
     sampled.join(pairs, Seq(idCol), "left_anti")
   }
+
+  /** Config for [[curateFull]], the round-8 pipeline: segment-level
+    * boilerplate removal + Gopher repetition gate + temperature mixing
+    * on top of the v1 stages. */
+  final case class FullConfig(segTokens: Int = 3, segMinCopies: Int = 2,
+                              maxDupTokenFrac: Double = 0.6,
+                              minQuality: Double = 0.3,
+                              budgetTokens: Long = 1000000L,
+                              alpha: Double = 0.5,
+                              maxEpochs: Double = 4.0,
+                              seed: Long = 0L)
+
+  /** The full modern curation pipeline — every stage an operator this
+    * library verifies in isolation, in the canonical order (cheapest,
+    * biggest reductions first; text-mutating stages before scoring so
+    * gates see what training will see):
+    *
+    *   1. exact dedup (smallest id wins),
+    *   2. corpus-level repeated-segment removal (the C4 rule —
+    *      boilerplate counted AFTER exact dedup so a viral doc's
+    *      thousand copies don't nuke its own content); docs left empty
+    *      are dropped,
+    *   3. Gopher repetition gate on the CLEANED text,
+    *   4. quality gate on the cleaned text,
+    *   5. sqrt-temperature token-budget mixture (plan from the
+    *      SURVIVING token mass, applied as deterministic epoch
+    *      replication).
+    *
+    * Returns one row per (doc, epoch_copy): id, source, cleaned text,
+    * quality score, cleaned token count. Deterministic end-to-end: same
+    * corpus + config = bit-identical output on any layout. */
+  def curateFull(docs: DataFrame, idCol: String, textCol: String,
+                 sourceCol: String, cfg: FullConfig = FullConfig())
+      : DataFrame = {
+    Sampling.requireIntegralKey(docs, idCol)
+    val deduped = Dedup.exact(docs, textCol, idCol)
+    val cleaned = Dedup.dropRepeatedSegments(deduped, idCol,
+        Dedup.tokenSegments(col(textCol), cfg.segTokens),
+        cfg.segMinCopies)
+      .filter(col("n_kept") > 0)
+    // persisted: the mixture PLAN is an eager aggregation over this frame
+    // and the APPLY scans it again — without the barrier the whole
+    // dedup -> segment-dedup -> gates subplan executes twice (the round-6
+    // curate double-execution lesson). Lifetime outlives the call, as
+    // with minHashLshPairs; Verify/Bench clear caches between queries.
+    val gated = cleaned
+      .filter(TextFunctions.dupTokenFrac(col("cleaned"))
+        <= cfg.maxDupTokenFrac)
+      .withColumn("quality_score",
+        TextFunctions.qualityScore(col("cleaned")))
+      .filter(col("quality_score") >= cfg.minQuality)
+      .withColumn("n_tokens_clean",
+        TextFunctions.nTokens(col("cleaned")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plan = Sampling.mixturePlan(gated, sourceCol, "n_tokens_clean",
+      cfg.budgetTokens, cfg.alpha, cfg.maxEpochs)
+    Sampling.applyMixture(gated, sourceCol, idCol, plan, cfg.seed)
+      .select(col(idCol), col(sourceCol), col("epoch_copy"),
+        col("cleaned"), col("quality_score"), col("n_tokens_clean"))
+  }
 }

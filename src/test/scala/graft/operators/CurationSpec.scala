@@ -97,4 +97,57 @@ class CurationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  private def fullCorpus() = {
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs back to the barn where it sleeps in the hay for a while"
+    val boiler = "subscribe to our newsletter today" // planted boilerplate
+    val rows = Seq(
+      Row(1L, s"$prose", "web"),
+      Row(2L, s"$prose", "web"), // exact dup of 1 -> dropped at stage 1
+      Row(3L, s"$boiler and the story of the river begins here with a " +
+        "quiet morning on the water as the boats drift by slowly", "web"),
+      Row(4L, s"$boiler and the tale of the mountain starts here with " +
+        "a cold evening near the summit as the wind picks up", "book"),
+      Row(5L, "spam spam spam spam spam spam spam spam spam spam", "web"),
+      Row(6L, "the golden orchard rests beyond the old stone bridge " +
+        "where the sparrows gather in the gentle morning light for a " +
+        "while and the village wakes to the sound of the market", "book"))
+    df("doc_id BIGINT, text STRING, source STRING", rows: _*)
+  }
+
+  test("curateFull: exact dup dropped, boilerplate segments removed " +
+    "from every doc, repetition gate kills the spam doc") {
+    val cfg = Curation.FullConfig(segTokens = 5, segMinCopies = 2,
+      maxDupTokenFrac = 0.5, minQuality = 0.2,
+      budgetTokens = 200L, alpha = 0.5, maxEpochs = 2.0)
+    val out = Curation.curateFull(fullCorpus(), "doc_id", "text",
+      "source", cfg)
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    // doc 2 is an exact dup of 1; doc 5 dies on dupTokenFrac (0.9)
+    assert(!byDoc.contains(2L) && !byDoc.contains(5L))
+    // the shared boilerplate 5-token prefix is gone from docs 3 and 4
+    for (id <- Seq(3L, 4L) if byDoc.contains(id)) {
+      val cleaned = byDoc(id).head.getString(3)
+      assert(!cleaned.contains("subscribe to our newsletter"),
+        s"doc $id kept boilerplate: $cleaned")
+    }
+    // epoch copies are 1..n per doc
+    byDoc.values.foreach { rows =>
+      val copies = rows.map(_.getLong(2)).sorted
+      assert(copies.sameElements(1L to copies.length))
+    }
+  }
+
+  test("curateFull is layout-stable: repartitioned corpus gives " +
+    "bit-identical output") {
+    val cfg = Curation.FullConfig(segTokens = 5, budgetTokens = 300L)
+    val a = Curation.curateFull(fullCorpus(), "doc_id", "text",
+        "source", cfg)
+      .collect().map(_.toString).sorted
+    val b = Curation.curateFull(fullCorpus().repartition(7), "doc_id",
+        "text", "source", cfg)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }
