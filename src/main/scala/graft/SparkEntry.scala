@@ -930,6 +930,32 @@ object SparkEntry {
           col("n_tokens_clean"))
     }),
 
+    // --- LLM ops: fastText-style quality classifier (rows-only ML
+    //     gate): train LR on hashed BoW against a planted label (the
+    //     quality heuristic at 0.6 — ~50/50 at these SFs), score the
+    //     held-out split with the PURE-COLUMN scorer, gate on accuracy.
+    //     Train/deploy share pmod(hash(token), n) by construction ---
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("label",
+        (TextFunctions.qualityScore(col("text")) >= 0.6).cast("double"))
+      val tagged = Sampling.hashSplitTag(docs, "doc_id", 0.3, seed = 12L)
+      val trainDf = tagged.filter(!col("is_test"))
+      val nTrain = trainDf.count()
+      val scorer = graft.ml.QualityClassifier.train(trainDf, "text", "label",
+        numFeatures = 512, maxIter = 30)
+      tagged.filter(col("is_test"))
+        .withColumn("__pred",
+          (graft.ml.QualityClassifier.scoreExpr(col("text"), scorer) >= 0.5)
+            .cast("double"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("__pred") === col("label"), 1L).otherwise(0L))
+            .as("__correct"))
+        .select(lit("hashed_bow_lr").as("model"),
+          lit(nTrain).as("n_train"), col("n_test"),
+          (col("__correct") >= col("n_test") * lit(0.7))
+            .as("beats_planted"))
+    }),
+
     // --- LLM ops: bag-of-words document fingerprint ---
     "q_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
