@@ -956,6 +956,27 @@ object SparkEntry {
             .as("beats_planted"))
     }),
 
+    // --- LLM ops: corpus snapshot diff + per-source churn (derived
+    //     old/new releases: old drops id%7==0, new drops id%5==0 and
+    //     edits id%3==0) ---
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+      val neu = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      CorpusDiff.diff(old, neu, "doc_id", "text")
+    }),
+
+    "q_corpus_churn" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+      val neu = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      CorpusDiff.churn(old, neu, "doc_id", "text", "source")
+    }),
+
     // --- LLM ops: bag-of-words document fingerprint ---
     "q_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
@@ -2450,6 +2471,42 @@ object SparkEntry {
          |  ${R6("quality")} AS quality_micro,
          |  CAST(ntc AS BIGINT) AS n_tokens_clean
          |FROM cp WHERE copies >= 1""".stripMargin,
+
+    "q_corpus_diff" ->
+      s"""WITH old AS (
+         |  SELECT doc_id, md5(text) AS old_md5 FROM documents
+         |  WHERE doc_id % 7 <> 0),
+         |neu AS (
+         |  SELECT doc_id,
+         |    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+         |      ELSE text END) AS new_md5
+         |  FROM documents WHERE doc_id % 5 <> 0)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |    WHEN n.doc_id IS NULL THEN 'removed'
+         |    WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+         |    ELSE 'changed' END AS status,
+         |  o.old_md5, n.new_md5
+         |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id""".stripMargin,
+
+    "q_corpus_churn" ->
+      s"""WITH old AS (
+         |  SELECT doc_id, source, md5(text) AS old_md5 FROM documents
+         |  WHERE doc_id % 7 <> 0),
+         |neu AS (
+         |  SELECT doc_id, source,
+         |    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+         |      ELSE text END) AS new_md5
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |d AS (
+         |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |    COALESCE(n.source, o.source) AS source,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |      WHEN n.doc_id IS NULL THEN 'removed'
+         |      WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+         |      ELSE 'changed' END AS status
+         |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+         |SELECT source, status, COUNT(*) AS n FROM d GROUP BY 1, 2""".stripMargin,
 
     "q_incr_dedup" ->
       s"""WITH idx AS (

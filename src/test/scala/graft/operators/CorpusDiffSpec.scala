@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+class CorpusDiffSpec extends SparkSpec {
+
+  private def snap(rows: (Long, String, String)*) =
+    df("doc_id BIGINT, text STRING, source STRING",
+      rows.map(r => Row(r._1, r._2, r._3)): _*)
+
+  test("diff: added / removed / changed / unchanged, all four") {
+    val old = snap((1L, "alpha", "web"), (2L, "beta", "web"),
+      (3L, "gamma", "book"))
+    val neu = snap((2L, "beta", "web"), (3L, "gamma EDITED", "book"),
+      (4L, "delta", "web"))
+    val got = CorpusDiff.diff(old, neu, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("churn: per-source counts; a doc that moves groups counts under " +
+    "its NEW group") {
+    val old = snap((1L, "a", "web"), (2L, "b", "web"), (3L, "c", "web"))
+    val neu = snap((1L, "a", "web"), (2L, "b", "book"), // moved groups
+      (4L, "d", "book"))
+    val got = CorpusDiff.churn(old, neu, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("web", "unchanged") -> 1L,
+      ("book", "unchanged") -> 1L, // doc 2, new group wins
+      ("web", "removed") -> 1L, // doc 3 rolls up under its old group
+      ("book", "added") -> 1L))
+  }
+
+  test("identical snapshots diff to all-unchanged") {
+    val s = snap((1L, "x", "w"), (2L, "y", "w"))
+    val st = CorpusDiff.diff(s, s, "doc_id", "text").collect()
+      .map(_.getString(1)).distinct
+    assert(st.sameElements(Array("unchanged")))
+  }
+}
