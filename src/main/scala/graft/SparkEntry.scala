@@ -1795,6 +1795,20 @@ object SparkEntry {
           r6(col("col")).as("v_micro"))
     }),
 
+    // --- LLM ops: scalar int8 quantization (per-vector affine codes;
+    //     the 4x-memory ANN-index compression). Codes pinned via md5 of
+    //     the joined byte values — bit-exact round-half-up both sides ---
+    "q_embed_quantize" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          Embeddings.quantizeInt8(col("embedding")).as("__qz"))
+        .select(col("vec_id"),
+          r6(col("__qz").getField("lo")).as("lo_micro"),
+          r6(col("__qz").getField("step")).as("step_micro"),
+          md5(concat_ws(",", transform(col("__qz").getField("q"),
+            c => c.cast("string")))).as("q_md5"))
+    }),
+
     // --- LLM ops: per-label centroid (element-wise mean pooling,
     //     decimal-summed so the mean is layout- and engine-exact) ---
     "q_embed_meanpool" -> ((s, dir) => {
@@ -3420,6 +3434,22 @@ object SparkEntry {
 
     // unit normalization: parallel unnests zip, dim is 0-based to match
     // posexplode
+    "q_embed_quantize" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings),
+         |m AS (
+         |  SELECT vec_id, vec, list_min(vec) AS mn,
+         |    (list_max(vec) - list_min(vec)) / 255.0 AS step
+         |  FROM v)
+         |SELECT vec_id, ${R6("mn")} AS lo_micro,
+         |  ${R6("step")} AS step_micro,
+         |  md5(array_to_string(list_transform(vec, x ->
+         |    CAST(CASE WHEN step = 0 THEN -128
+         |      ELSE CAST(floor((x - mn) / step + 0.5) AS BIGINT) - 128
+         |      END AS VARCHAR)), ',')) AS q_md5
+         |FROM m""".stripMargin,
+
     "q_embed_normalize" ->
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec

@@ -79,4 +79,39 @@ object Embeddings {
     model.transform(withVec)
       .select(idCols.map(col) :+ vector_to_array(col("__p")).as(outCol): _*)
   }
+
+  /** Scalar int8 quantization, per-vector min/max affine code — the 4x
+    * memory cut that makes a 10^10-vector ANN index executor-resident.
+    * Returns struct(lo, step, q: array<tinyint>) with
+    * x ~ lo + step * (q + 128). Codes use floor(u + 0.5) round-half-up
+    * so any engine reproduces them bit-for-bit from the same doubles.
+    * A constant vector (mx == mn) has step 0 and all-(-128) codes —
+    * dequantizes exactly to lo. The (min, max) pair is bound ONCE via a
+    * 1-element struct transform (the repo's HOF-binding idiom — an
+    * unbound reference would re-fold the array min/max per element).
+    * Row-local, zero shuffles; pure double arithmetic. */
+  def quantizeInt8(vec: Column): Column = {
+    val dv = transform(vec, _.cast("double"))
+    element_at(transform(
+      array(struct(array_min(dv).as("mn"), array_max(dv).as("mx"))),
+      b => {
+        val mn = b.getField("mn")
+        val step = ((b.getField("mx") - mn) / lit(255.0)).as("step")
+        struct(
+          mn.as("lo"),
+          step.as("step"),
+          transform(dv, x =>
+            when(step === 0.0, lit(-128).cast("byte"))
+              .otherwise((floor((x - mn) / step + lit(0.5)) - 128)
+                .cast("byte"))).as("q"))
+      }), 1)
+  }
+
+  /** Inverse of [[quantizeInt8]]: array<double> reconstruction
+    * lo + step * (code + 128). Max error is step/2 ~ (mx-mn)/510 per
+    * element. Row-local. */
+  def dequantizeInt8(qz: Column): Column =
+    transform(qz.getField("q"), c =>
+      qz.getField("lo") +
+        qz.getField("step") * (c.cast("double") + lit(128.0)))
 }

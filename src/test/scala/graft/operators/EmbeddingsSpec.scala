@@ -71,4 +71,75 @@ class EmbeddingsSpec extends SparkSpec {
       vec.zip(again(id)).foreach { case (a, b) => assertApprox(a, b) }
     }
   }
+
+  test("quantizeInt8: codes span the full [-128, 127] range and " +
+    "dequantize within step/2 per element") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 50).map { i =>
+      Row(i.toLong, Seq.fill(16)((rnd.nextGaussian() * 3).toFloat))
+    }
+    val d = df("id BIGINT, v ARRAY<FLOAT>", rows: _*)
+    val out = d.select(col("id"),
+        transform(col("v"), x => x.cast("double")).as("orig"),
+        Embeddings.quantizeInt8(col("v")).as("qz"))
+      .select(col("id"), col("orig"),
+        col("qz").getField("lo").as("lo"),
+        col("qz").getField("step").as("step"),
+        col("qz").getField("q").as("q"),
+        Embeddings.dequantizeInt8(col("qz")).as("deq"))
+      .collect()
+    out.foreach { r =>
+      val orig = r.getSeq[Double](1)
+      val step = r.getDouble(3)
+      val q = r.getSeq[Byte](4)
+      val deq = r.getSeq[Double](5)
+      assert(q.min == -128 && q.max == 127) // min and max hit the rails
+      orig.zip(deq).foreach { case (o, dq) =>
+        assert(math.abs(o - dq) <= step / 2 + 1e-12,
+          s"error ${math.abs(o - dq)} > step/2 ${step / 2}")
+      }
+    }
+  }
+
+  test("quantizeInt8: constant vector has step 0 and dequantizes " +
+    "exactly; empty vector stays empty") {
+    val d = df("id BIGINT, v ARRAY<FLOAT>",
+      Row(1L, Seq(2.5f, 2.5f, 2.5f)), Row(2L, Seq.empty[Float]))
+    val out = d.select(col("id"),
+        Embeddings.quantizeInt8(col("v")).as("qz"))
+      .select(col("id"), col("qz").getField("step").as("step"),
+        Embeddings.dequantizeInt8(col("qz")).as("deq"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getSeq[Double](2)))).toMap
+    assert(out(1L)._1.contains(0.0))
+    assert(out(1L)._2.forall(x => x == 2.5))
+    // empty vector: no min/max exists (null lo/step), empty codes, and
+    // the reconstruction is the empty vector again
+    assert(out(2L)._1.isEmpty && out(2L)._2.isEmpty)
+  }
+
+  test("quantized brute-force ANN: recall@3 >= 0.9 vs exact on the " +
+    "dequantized vectors") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 120).map { i =>
+      Row(i.toLong, Seq.fill(24)((rnd.nextGaussian()).toFloat))
+    }
+    val d = df("id BIGINT, v ARRAY<FLOAT>", rows: _*)
+    val exact = Similarity.bruteForceTopK(
+        d.filter(col("id") <= 5), d, "id", "id", "v", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val dq = d.select(col("id"),
+      Embeddings.dequantizeInt8(Embeddings.quantizeInt8(col("v")))
+        .as("v"))
+    val approxTopK = Similarity.bruteForceTopK(
+        dq.filter(col("id") <= 5), dq, "id", "id", "v", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.map { case (q, ids) =>
+      ids.intersect(approxTopK(q)).size.toDouble / ids.size
+    }.sum / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
 }
