@@ -977,6 +977,16 @@ object SparkEntry {
       CorpusDiff.churn(old, neu, "doc_id", "text", "source")
     }),
 
+    // --- LLM ops: deterministic training-shard assignment (pure
+    //     function of the key — stable under reruns/retries/layout,
+    //     unlike repartition's placement) ---
+    "q_shard_assign" -> ((s, dir) => {
+      Sharding.shardTag(Tables.documents(s, dir), "doc_id", 16,
+          seed = 13L)
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
     // --- LLM ops: bag-of-words document fingerprint ---
     "q_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
@@ -2485,6 +2495,12 @@ object SparkEntry {
          |  ${R6("quality")} AS quality_micro,
          |  CAST(ntc AS BIGINT) AS n_tokens_clean
          |FROM cp WHERE copies >= 1""".stripMargin,
+
+    "q_shard_assign" ->
+      s"""SELECT (${HashSql("doc_id", 13L)}) % 16 AS shard,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_corpus_diff" ->
       s"""WITH old AS (
