@@ -201,7 +201,14 @@ object Curation {
                  sourceCol: String, cfg: FullConfig = FullConfig())
       : DataFrame = {
     Sampling.requireIntegralKey(docs, idCol)
+    // persisted: dropRepeatedSegments references its input up to three
+    // times (segment counts, the count join-back, the final reassembly
+    // join); over a raw scan those are cheap re-reads, but here the input
+    // is the exact-dedup window, which would re-execute per reference.
+    // This is the stage barrier a production pipeline materializes
+    // between dedup and corpus segment-counting. Lifetime as below.
     val deduped = Dedup.exact(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cleaned = Dedup.dropRepeatedSegments(deduped, idCol,
         Dedup.tokenSegments(col(textCol), cfg.segTokens),
         cfg.segMinCopies)
