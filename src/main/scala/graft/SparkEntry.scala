@@ -800,6 +800,19 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"))
     }),
 
+    // --- LLM ops: leakage-safe split — near-dup clusters resolved first,
+    //     then train/test tagged by a hash of the CLUSTER id, so two
+    //     near-identical docs can never straddle the split and turn the
+    //     eval into a memorization test ---
+    "q_group_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, blockCols = Seq("source"))
+      DupClusters.leakageSafeSplitTag(docs, "doc_id", prs, "id_a", "id_b",
+          testFraction = 0.25, seed = 7L)
+        .select(col("doc_id"), col("cluster_id"), col("is_test"))
+    }),
+
     // --- LLM ops: cluster-aware dedup — one representative per duplicate
     //     component, chosen by quality score (ties -> smallest doc_id).
     //     The transitive-chain-safe drop step real pipelines run after
@@ -2655,6 +2668,25 @@ object SparkEntry {
          |  FROM reach GROUP BY u)
          |SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN labels l USING (doc_id)""".stripMargin,
+
+    "q_group_split" ->
+      s"""WITH RECURSIVE $JaccardDupCtes,
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup_pairs
+         |          UNION SELECT id_b, id_a FROM dup_pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |lab AS (
+         |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  ${HashSql("cluster_id", 7L)} < ${Sampling.threshold(0.25)}
+         |    AS is_test
+         |FROM lab""".stripMargin,
 
     "q_cluster_dedup" ->
       s"""WITH RECURSIVE $JaccardDupCtes,

@@ -128,6 +128,31 @@ object DupClusters {
     * This is the drop step real curation pipelines run after LSH:
     * transitive closure first, then representative selection by quality,
     * never greedy pair deletion. */
+  /** Leakage-safe train/test split: resolve near-duplicate pairs to
+    * connected components, then tag by a hash of the CLUSTER id — every
+    * member of a duplicate cluster lands on the same side of the split.
+    * A row-level split (M4 / [[Sampling.hashSplitTag]]) leaks: with A~B
+    * near-identical, A in train and B in test, the eval measures
+    * memorization. Splitting by the component id is the standard fix
+    * (the same shape as scaffold/group splits in ML evaluation).
+    *
+    * Output = input + `clusterCol` + boolean `tagCol` (true = test,
+    * ~`testFraction` of CLUSTERS — mass, not rows, when cluster sizes
+    * skew). Deterministic: same pairs + seed = same split on any layout,
+    * any rerun. Cost on top of [[connectedComponents]]: one labels join;
+    * the tag itself is a row-local hash, no extra shuffle. */
+  def leakageSafeSplitTag(df: DataFrame, idCol: String, pairs: DataFrame,
+                          aCol: String, bCol: String, testFraction: Double,
+                          seed: Long = 0L, clusterCol: String = "cluster_id",
+                          tagCol: String = "is_test"): DataFrame = {
+    Sampling.requireIntegralKey(df, idCol)
+    val labels = connectedComponents(pairs, aCol, bCol)
+    val tagged = assignClusters(df, idCol, labels, clusterCol)
+    tagged.withColumn(tagCol,
+      Sampling.bucketHash(col(clusterCol), seed)
+        < lit(Sampling.threshold(testFraction)))
+  }
+
   def dedupByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
                      aCol: String, bCol: String,
                      orderBy: Seq[org.apache.spark.sql.Column] = Nil)

@@ -80,6 +80,35 @@ class DupClustersSpec extends SparkSpec {
     assert(kept.sameElements(Array(2L, 9L)))
   }
 
+  test("leakageSafeSplitTag: every member of a cluster gets the same tag") {
+    val d = df("doc_id BIGINT, text STRING",
+      (0L until 40L).map(i => Row(i, s"doc $i")): _*)
+    // chains {0..3}, {10,11}, rest singletons
+    val p = pairs(0L -> 1L, 1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val got = DupClusters.leakageSafeSplitTag(d, "doc_id", p,
+        "id_a", "id_b", testFraction = 0.5, seed = 3L)
+      .select("doc_id", "cluster_id", "is_test").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // cluster members agree with their root's tag
+    for ((m, root) <- Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+                          10L -> 10L, 11L -> 10L)) {
+      assert(got(m)._1 == root)
+      assert(got(m)._2 == got(root)._2, s"member $m disagrees with $root")
+    }
+    // the tag is the cluster-id hash — identical to tagging the roots
+    // row-wise (differential vs hashSplitTag on the cluster column)
+    val viaRowSplit = Sampling.hashSplitTag(
+        DupClusters.assignClusters(d, "doc_id",
+          DupClusters.connectedComponents(p, "id_a", "id_b")),
+        "cluster_id", 0.5, seed = 3L)
+      .select("doc_id", "is_test").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.view.mapValues(_._2).toMap == viaRowSplit)
+    // both sides populated at this fraction
+    val tags = got.values.map(_._2).toSet
+    assert(tags == Set(true, false))
+  }
+
   test("dedupByCluster tie on rank falls back to ascending id") {
     val d = df("doc_id BIGINT, quality DOUBLE",
       Row(5L, 0.5), Row(4L, 0.5))
