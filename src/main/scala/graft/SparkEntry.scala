@@ -891,6 +891,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // --- LLM ops: the same incremental dedup through the Bloom
+    //     prefilter path — "definitely new" rows skip the anti-join as a
+    //     row-local filter, bloom-positives get exact verification. The
+    //     answer is bit-identical to q_incr_dedup by construction, so the
+    //     oracle is the plain anti-join SQL: a hash-match here proves the
+    //     no-false-negative routing end-to-end ---
+    "q_bloom_incr_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = IncrementalDedup.exactIndex(
+        docs.filter(col("source") === "src0"), "text")
+      IncrementalDedup.dedupAgainstBloom(
+          docs.filter(col("source") =!= "src0"), idx, "text", "doc_id",
+          numBits = 1 << 13)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // --- LLM ops: incremental near-dup — batch MinHash sigs probed
     //     against the corpus signature index via cross-frame LSH bands
     //     (no oracle: xxhash64 signatures) ---
@@ -2550,6 +2566,24 @@ object SparkEntry {
          |      ELSE 'changed' END AS status
          |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
          |SELECT source, status, COUNT(*) AS n FROM d GROUP BY 1, 2""".stripMargin,
+
+    // Same oracle as q_incr_dedup: the Bloom path must give the exact
+    // anti-join answer — the filter routes rows, never decides them.
+    "q_bloom_incr_dedup" ->
+      s"""WITH idx AS (
+         |  SELECT DISTINCT md5(text) AS text_md5 FROM documents
+         |  WHERE source = 'src0'),
+         |batch AS (
+         |  SELECT doc_id, source, md5(text) AS h FROM documents
+         |  WHERE source <> 'src0'),
+         |unseen AS (
+         |  SELECT b.* FROM batch b
+         |  WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.text_md5 = b.h)),
+         |rk AS (
+         |  SELECT doc_id, source, ROW_NUMBER() OVER (
+         |    PARTITION BY h ORDER BY doc_id) AS rk
+         |  FROM unseen)
+         |SELECT doc_id, source FROM rk WHERE rk = 1""".stripMargin,
 
     "q_incr_dedup" ->
       s"""WITH idx AS (

@@ -37,6 +37,33 @@ object IncrementalDedup {
     Dedup.exact(unseen, textCol, idCol)
   }
 
+  /** [[dedupAgainst]] with a Bloom prefilter on the batch side — the
+    * shape that scales past "the index fits an exact broadcast": rows
+    * whose text hash misses the filter are DEFINITELY new (Bloom filters
+    * have no false negatives) and skip the anti-join shuffle entirely as
+    * a row-local filter; only bloom-positive rows — the true duplicates
+    * plus the configured false-positive rate — pay the exact verify
+    * join. For a mostly-new batch against a 10-bits/key filter that
+    * shrinks the join input ~100x. Output is bit-identical to
+    * [[dedupAgainst]] by construction: the filter routes rows, the exact
+    * join still decides every candidate.
+    *
+    * `numBits` sizes the filter for the INDEX's key count (10 bits/key
+    * with the default 7 hashes gives ~1% false positives); build cost is
+    * one narrow pass over the index. */
+  def dedupAgainstBloom(newDocs: DataFrame, index: DataFrame,
+                        textCol: String, idCol: String, numBits: Int,
+                        numHashes: Int = 7): DataFrame = {
+    val words = Bloom.build(index, col("text_md5"), numBits, numHashes)
+    val tagged = newDocs.withColumn("__bloom_hit",
+      Bloom.mightContain(md5(col(textCol)), words, numHashes))
+    val misses = tagged.filter(!col("__bloom_hit")).drop("__bloom_hit")
+    val candidates = tagged.filter(col("__bloom_hit")).drop("__bloom_hit")
+    val verified = candidates.join(index,
+      md5(candidates(textCol)) === index("text_md5"), "left_anti")
+    Dedup.exact(misses.unionByName(verified), textCol, idCol)
+  }
+
   /** Explode a `(id, sig)` MinHash-signature frame into LSH band
     * buckets: (id, sig, band, bucket). Shared by the self-join
     * (in-corpus) and cross-join (incremental) paths. */

@@ -197,6 +197,17 @@ class PlanQualitySpec extends SparkSpec {
       "repetition signals must not shuffle:\n" + p.take(1500))
   }
 
+  test("q_bloom_incr_dedup: one exact verify join total — the bloom-miss " +
+      "branch contributes a join-free row-local filter") {
+    val p = plan("q_bloom_incr_dedup")
+    // both branches of the union are in this one plan: the candidates
+    // branch carries the single anti-join, the miss branch only the
+    // getbit probe filter
+    assert(occurrences(p, "LeftAnti") == 1,
+      "expected exactly one anti-join:\n" + p.take(2000))
+    assert(p.contains("getbit"), "bloom probe not in the plan:\n" + p.take(2000))
+  }
+
   test("q_mixture_apply: plan joins broadcast; replication is a " +
     "row-local Generate, no shuffle after the plan aggregation") {
     val p = plan("q_mixture_apply")
