@@ -110,6 +110,52 @@ object SparkEntry {
        |  SELECT id_a, id_b FROM jp
        |  WHERE inter::DOUBLE / (size_a + size_b - inter)::DOUBLE >= 0.5)""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Clustering.kmeans]] over the
+    * embeddings table: Lloyd iterations unrolled to CTEs. Emits `v`
+    * (vectors as doubles), `c0` (init = k smallest ids), per iteration
+    * `a{i}` (micro-rounded argmin assignment), `m{i}` (DECIMAL dim
+    * means), `c{i}` (means with emptied clusters keeping the previous
+    * centroid), and `af` — the final assignment (vec_id, vec, c). */
+  private def KmeansCtes(k: Int, iters: Int): String = {
+    def assignSql(cent: String) =
+      s"""SELECT vec_id, vec, c FROM (
+         |  SELECT p.vec_id, p.vec, cc.c,
+         |    ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |      CAST(floor(list_sum(list_transform(
+         |        generate_series(1, len(p.vec)),
+         |        i -> (p.vec[i] - cc.vec[i]) * (p.vec[i] - cc.vec[i])))
+         |        * 1e6 + 0.5) AS BIGINT), cc.c) AS rk
+         |  FROM v p, $cent cc) WHERE rk = 1""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      s"""v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec
+         |  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT $k))""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s""",
+           |a$i AS (${assignSql(s"c${i - 1}")}),
+           |m$i AS (
+           |  SELECT c, list(mean ORDER BY dim) AS vec FROM (
+           |    SELECT c, dim,
+           |      CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+           |        AS mean
+           |    FROM (SELECT c,
+           |            unnest(generate_series(0, len(vec) - 1)) AS dim,
+           |            unnest(vec) AS val
+           |          FROM a$i)
+           |    GROUP BY c, dim) GROUP BY c),
+           |c$i AS (
+           |  SELECT p.c, COALESCE(m.vec, p.vec) AS vec
+           |  FROM c${i - 1} p LEFT JOIN m$i m ON p.c = m.c)""".stripMargin)
+    }
+    sb.append(s",\naf AS (${assignSql(s"c$iters")})")
+    sb.toString
+  }
+
   /** events with ts as epoch-nanos long (column `ts_ns`), truncated to
     * whole microseconds: DuckDB (the oracle) reads parquet TIMESTAMP(NANOS)
     * as µs TIMESTAMP, so sub-µs nanos exist only on the Spark side —
@@ -1866,6 +1912,25 @@ object SparkEntry {
         .select(col("vec_id"), col("pos").as("dim"), col("col").as("value"))
     }),
 
+    // --- LLM ops: deterministic Lloyd's k-means (init = k smallest ids,
+    //     micro-rounded argmin, DECIMAL centroid means) — the oracle
+    //     unrolls the same two iterations in SQL, so the ASSIGNMENT
+    //     hash-matches across engines ---
+    "q_kmeans" -> ((s, dir) => {
+      Clustering.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 4, maxIter = 2)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    }),
+
+    // --- LLM ops: SemDeDup — cluster, then semantic near-dup pairs only
+    //     within a cluster, transitive closure, one representative per
+    //     component (smallest id). Full hash match end-to-end ---
+    "q_semdedup" -> ((s, dir) => {
+      Clustering.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 4, maxIter = 2, minCosine = 0.4)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // --- LLM ops: content-defined chunking — md5-nibble boundaries make
     //     the rule engine-portable, so the whole operator hash-matches ---
     "q_cdc_chunks" -> ((s, dir) => {
@@ -3560,6 +3625,39 @@ object SparkEntry {
          |  ${R6("CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)")}
          |    AS mean_micro
          |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q_kmeans" ->
+      s"""WITH ${KmeansCtes(4, 2)}
+         |SELECT vec_id, c AS cluster FROM af""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH RECURSIVE ${KmeansCtes(4, 2)},
+         |pr AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
+         |  WHERE CAST(floor(
+         |    (list_sum(list_transform(generate_series(1, len(a.vec)),
+         |       i -> a.vec[i] * b.vec[i]))
+         |     / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+         |        * sqrt(list_sum(list_transform(b.vec, x -> x * x)))))
+         |    * 1e6 + 0.5) AS BIGINT) >= 400000),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS vec_id, LEAST(u, MIN(v)) AS comp
+         |  FROM reach GROUP BY u),
+         |lab AS (
+         |  SELECT e.vec_id, e.label, COALESCE(l.comp, e.vec_id) AS comp
+         |  FROM embeddings e LEFT JOIN labels l USING (vec_id)),
+         |rk AS (
+         |  SELECT vec_id, label, ROW_NUMBER() OVER (
+         |    PARTITION BY comp ORDER BY vec_id) AS rk
+         |  FROM lab)
+         |SELECT vec_id, label FROM rk WHERE rk = 1""".stripMargin,
 
     // content-defined chunking: cut after tokens whose md5 starts with
     // '0'; a token's chunk = boundaries strictly before it
