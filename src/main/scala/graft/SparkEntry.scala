@@ -1148,6 +1148,23 @@ object SparkEntry {
           r6(col("cosine")).as("cosine_micro"))
     }),
 
+    // --- LLM ops: IVF ANN with kmeans-TRAINED centroids as the coarse
+    //     quantizer — cells follow the data's geometry instead of a
+    //     hash-seeded row pick (no oracle: IVF probing) ---
+    "q_ivf_kmeans_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val cents = Clustering.kmeansCentroids(emb, "vec_id", "vec",
+        k = 8, maxIter = 2)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "vec", "vec", k = 3, nProbe = 3,
+          centroids = Some(cents))
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"),
+          r6(col("cosine")).as("cosine_micro"))
+    }),
+
     // --- LLM ops: the composite quality score alone IS oracle-portable
     //     (split/list/char-class regex only — no lookahead); the bpe-ish
     //     token count stays rows-only in q_text_quality below ---

@@ -47,11 +47,11 @@ object Clustering {
       struct(microL(sqDist(vec, c)).as("d"), lit(i).as("c"))
     }: _*)).getField("c")
 
-  /** Lloyd's k-means: returns the input plus an integer `clusterCol` in
-    * [0, k). `maxIter` full update iterations run before the final
-    * assignment. */
-  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-             maxIter: Int, clusterCol: String = "cluster"): DataFrame = {
+  /** The trained centroids alone (k x dims doubles on the driver) — for
+    * callers that need the model rather than the assignment, e.g. as the
+    * coarse quantizer of [[Similarity.ivfTopK]]. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                      maxIter: Int): Array[Array[Double]] = {
     require(k > 0, s"k must be positive, got $k")
     require(maxIter >= 0, s"maxIter must be non-negative, got $maxIter")
     val vec = transform(col(vecCol), _.cast("double"))
@@ -77,6 +77,16 @@ object Clustering {
         means.getOrElse(i, prev)
       }
     }
+    centroids
+  }
+
+  /** Lloyd's k-means: returns the input plus an integer `clusterCol` in
+    * [0, k). `maxIter` full update iterations run before the final
+    * assignment. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             maxIter: Int, clusterCol: String = "cluster"): DataFrame = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, k, maxIter)
+    val vec = transform(col(vecCol), _.cast("double"))
     df.withColumn(clusterCol, assign(vec, centroids))
   }
 

@@ -176,19 +176,26 @@ object Similarity {
     * — raise `nProbe` toward `nCells` to trade cost for recall. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: String,
               cId: String, qVec: String, cVec: String, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L)
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              centroids: Option[Array[Array[Double]]] = None)
       : DataFrame = {
-    require(nProbe >= 1 && nProbe <= nCells,
-      s"nProbe ($nProbe) must be in [1, nCells=$nCells]")
+    // trained centroids (e.g. Clustering.kmeansCentroids) replace the
+    // hash-seeded pick: same assignment/probe/search machinery, cells
+    // that follow the data's actual geometry — higher recall at the same
+    // nProbe. nCells is then the centroid count supplied.
+    val cells = centroids.fold(nCells)(_.length)
+    require(nProbe >= 1 && nProbe <= cells,
+      s"nProbe ($nProbe) must be in [1, nCells=$cells]")
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(cId).cast("long").as("corpus_id"),
       col(cVec).cast("array<double>").as("__cv"))
     val q = queries.select(col(qId).cast("long").as("query_id"),
       col(qVec).cast("array<double>").as("__qv"))
-    val cents = c.withColumn("__h", xxhash64(col("corpus_id"), lit(seed)))
-      .orderBy(col("__h"), col("corpus_id")).limit(nCells)
-      .select(col("__cv")).as[Array[Double]].collect()
+    val cents = centroids.getOrElse(
+      c.withColumn("__h", xxhash64(col("corpus_id"), lit(seed)))
+        .orderBy(col("__h"), col("corpus_id")).limit(nCells)
+        .select(col("__cv")).as[Array[Double]].collect())
     val bc = spark.sparkContext.broadcast(cents)
     def sims(v: Seq[Double]): Array[Double] = {
       val cs = bc.value

@@ -211,6 +211,36 @@ class SimilaritySpec extends SparkSpec {
     assert(full == truth)
   }
 
+  test("ivfTopK with kmeans-trained centroids: geometry-following cells " +
+    "clear recall 0.9 at nProbe=2") {
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 20).flatMap { c =>
+      val center = Array.fill(16)(rng.nextGaussian())
+      (0 until 5).map { m =>
+        (c * 5 + m).toLong -> center.map(_ + rng.nextGaussian() * 0.02).toSeq
+      }
+    }
+    val d = vecs(rows: _*)
+    val k = 3
+    def topSets(out: Array[Row]): Map[Long, Set[Long]] = out
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    def recallOf(got: Map[Long, Set[Long]],
+                 truth: Map[Long, Set[Long]]): Double = {
+      val rs = truth.map { case (q, ts) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(ts).size.toDouble / ts.size
+      }
+      rs.sum / rs.size
+    }
+    val truth = topSets(Similarity
+      .bruteForceTopK(d, d, "id", "id", "v", "v", k).collect())
+    val cents = Clustering.kmeansCentroids(d, "id", "v", k = 20, maxIter = 3)
+    val trained = recallOf(topSets(Similarity
+      .ivfTopK(d, d, "id", "id", "v", "v", k, nProbe = 2,
+        centroids = Some(cents)).collect()), truth)
+    assert(trained >= 0.9, f"trained-centroid recall@$k = $trained%.3f")
+  }
+
   test("srpSignature: identical vectors identical, scale-invariant") {
     val d = vecs(1L -> Seq(1.0, 2.0, 3.0), 2L -> Seq(2.0, 4.0, 6.0),
       3L -> Seq(-1.0, -2.0, -3.0))
