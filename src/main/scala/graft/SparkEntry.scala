@@ -1929,6 +1929,15 @@ object SparkEntry {
         .select(col("vec_id"), col("pos").as("dim"), col("col").as("value"))
     }),
 
+    // --- LLM ops: size-balanced deterministic sharding — round-robin
+    //     deal over a (size-magnitude DESC, hash) order via the two-level
+    //     scan; per-shard byte totals concentrate, no global window ---
+    "q_balanced_shard" -> ((s, dir) => {
+      Sharding.balancedShardTag(Tables.documents(s, dir), "doc_id",
+          "n_chars", nShards = 8, seed = 5L)
+        .select(col("doc_id"), col("shard"))
+    }),
+
     // --- LLM ops: deterministic Lloyd's k-means (init = k smallest ids,
     //     micro-rounded argmin, DECIMAL centroid means) — the oracle
     //     unrolls the same two iterations in SQL, so the ASSIGNMENT
@@ -3642,6 +3651,21 @@ object SparkEntry {
          |  ${R6("CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)")}
          |    AS mean_micro
          |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // One global ROW_NUMBER over the same (bucket DESC, h, id) order the
+    // Spark side computes with the two-level scan — equality proves the
+    // sharded construction IS the global rank.
+    "q_balanced_shard" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    length(CAST(n_chars AS VARCHAR)) AS bucket,
+         |    ${HashSql("doc_id", 5L)} AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY bucket DESC, h, doc_id) - 1 AS rk
+         |  FROM b)
+         |SELECT doc_id, rk % 8 AS shard FROM r""".stripMargin,
 
     "q_kmeans" ->
       s"""WITH ${KmeansCtes(4, 2)}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic training-shard layout: the final step of a curation
@@ -26,6 +27,61 @@ object Sharding {
     Sampling.requireIntegralKey(df, keyCol)
     df.withColumn(shardCol,
       pmod(Sampling.bucketHash(col(keyCol), seed), lit(nShards.toLong)))
+  }
+
+  /** Size-balanced deterministic shard id: [[shardTag]] balances COUNTS
+    * (hash placement is Poisson in bytes — a heavy-tailed corpus leaves
+    * some trainer ranks with straggler shards), this balances the size
+    * column too. Construction: order the corpus by (size-magnitude
+    * bucket DESC, hash, id) — big documents first, hash-shuffled within
+    * a magnitude — and deal rows round-robin: shard = rank mod nShards.
+    * Every shard receives every nShards-th row of a magnitude-stratified
+    * stream, so per-shard size totals concentrate tightly (stratified
+    * allocation) while staying a pure function of (key, size, corpus) —
+    * rerun/retry/layout-stable like everything else here.
+    *
+    * The magnitude bucket is the DIGIT COUNT of the integral size —
+    * engine-exact (no cross-engine log2 rounding risk), and coarse on
+    * purpose: within a bucket sizes differ by <10x and the hash order
+    * interleaves them.
+    *
+    * The global rank uses [[Packing]]'s two-level scan (range-shard on
+    * (bucket, hash slice), per-slice row_number, slice counts -> offsets
+    * broadcast back), so there is NO global window: the only full-data
+    * shuffle is the per-slice window; the offsets frame is
+    * O(10 x nRangeShards) rows regardless of corpus size. */
+  def balancedShardTag(df: DataFrame, keyCol: String, sizeCol: String,
+                       nShards: Int, seed: Long = 0L,
+                       nRangeShards: Int = 256,
+                       shardCol: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(nRangeShards > 0 && Sampling.HashRange % nRangeShards == 0,
+      s"nRangeShards ($nRangeShards) must divide ${Sampling.HashRange}")
+    Sampling.requireIntegralKey(df, keyCol)
+    Sampling.requireIntegralKey(df, sizeCol)
+    val width = Sampling.HashRange / nRangeShards
+    val keyed = df
+      .withColumn("__bucket", length(col(sizeCol).cast("string")))
+      .withColumn("__h", Sampling.bucketHash(col(keyCol), seed))
+      .withColumn("__slice", expr(s"__h div $width"))
+    val inSlice = Window.partitionBy(col("__bucket"), col("__slice"))
+      .orderBy(col("__h"), col(keyCol))
+    val within = keyed.withColumn("__rk",
+      row_number().over(inSlice).cast("long") - 1L)
+    // offsets over the tiny (bucket x slice) frame; lit(0) partition key
+    // as in Packing — the single partition is intended and O(10 x slices)
+    val sliceOrder = Window.partitionBy(lit(0))
+      .orderBy(col("__bucket").desc, col("__slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("__bucket"), col("__slice"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(sliceOrder), lit(0L)))
+      .select(col("__bucket"), col("__slice"), col("__offset"))
+    within.join(broadcast(offsets), Seq("__bucket", "__slice"))
+      .withColumn(shardCol,
+        pmod(col("__offset") + col("__rk"), lit(nShards.toLong)))
+      .drop("__bucket", "__h", "__slice", "__rk", "__offset")
   }
 
   /** Write one directory per shard (`shard=K/` partitions), rows sorted
