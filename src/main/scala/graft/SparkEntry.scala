@@ -1043,6 +1043,20 @@ object SparkEntry {
       CorpusDiff.diff(old, neu, "doc_id", "text")
     }),
 
+    // --- LLM ops: mixture drift between releases — per-source share
+    //     shift + Jensen-Shannon contribution (finite on appearing /
+    //     disappearing sources, unlike KL) ---
+    "q_dist_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+      val neu = docs.filter(col("doc_id") % 5 =!= 0)
+      CorpusDiff.distributionDrift(old, neu, "source")
+        .select(col("source"), col("n_old"), col("n_new"),
+          r6(col("old_share")).as("old_share_micro"),
+          r6(col("new_share")).as("new_share_micro"),
+          r6(col("js_contrib") * lit(1000.0)).as("js_milli_micro"))
+    }),
+
     "q_corpus_churn" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val old = docs.filter(col("doc_id") % 7 =!= 0)
@@ -2621,6 +2635,35 @@ object SparkEntry {
          |  COUNT(*) AS n_docs,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dist_drift" ->
+      s"""WITH o AS (
+         |  SELECT source, COUNT(*) AS n_old FROM documents
+         |  WHERE doc_id % 7 <> 0 GROUP BY 1),
+         |n AS (
+         |  SELECT source, COUNT(*) AS n_new FROM documents
+         |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(o.source, n.source) AS source,
+         |    CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+         |    CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+         |  FROM o FULL OUTER JOIN n ON o.source = n.source),
+         |s AS (
+         |  SELECT source, n_old, n_new,
+         |    n_old::DOUBLE / SUM(n_old) OVER () AS old_share,
+         |    n_new::DOUBLE / SUM(n_new) OVER () AS new_share
+         |  FROM j)
+         |SELECT source, n_old, n_new,
+         |  ${R6("old_share")} AS old_share_micro,
+         |  ${R6("new_share")} AS new_share_micro,
+         |  ${R6(
+        """((CASE WHEN old_share > 0 THEN
+          |      old_share * ln(old_share / ((old_share + new_share) / 2))
+          |      ELSE 0 END
+          |    + CASE WHEN new_share > 0 THEN
+          |      new_share * ln(new_share / ((old_share + new_share) / 2))
+          |      ELSE 0 END) / 2) * 1000""".stripMargin)} AS js_milli_micro
+         |FROM s""".stripMargin,
 
     "q_corpus_diff" ->
       s"""WITH old AS (

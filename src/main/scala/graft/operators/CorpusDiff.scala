@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus snapshot diff — the governance report a versioned-dataset
@@ -31,6 +32,39 @@ object CorpusDiff {
           .when(col("old_md5") === col("new_md5"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"),
         col("old_md5"), col("new_md5"))
+  }
+
+  /** Mixture drift between snapshots: each group's share of the old and
+    * new corpus, and its contribution to the Jensen-Shannon divergence
+    * between the two mixtures — the "did this release quietly change the
+    * training mix" check next to [[churn]]'s row-level counts. JS rather
+    * than KL: a group that appears or disappears entirely contributes a
+    * finite term (0·ln0 = 0 convention) instead of blowing up.
+    *
+    * Sum `js_contrib` for the divergence (in nats, 0 ≤ JS ≤ ln 2); the
+    * per-group rows say WHICH sources moved. Two partial-aggregating
+    * groupBys + a full-outer join and share windows over the tiny
+    * per-group frame — corpus text is never touched, only counted. */
+  def distributionDrift(oldDf: DataFrame, newDf: DataFrame,
+                        groupCol: String): DataFrame = {
+    val o = oldDf.groupBy(col(groupCol)).agg(count(lit(1)).as("n_old"))
+    val n = newDf.groupBy(col(groupCol)).agg(count(lit(1)).as("n_new"))
+    // lit(0) partition key: the frame is O(groups) rows no matter the
+    // corpus size — the single partition is intended (Packing convention)
+    val w = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def xlnxm(p: Column, m: Column): Column =
+      when(p > 0, p * log(p / m)).otherwise(lit(0.0))
+    o.join(n, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("old_share", col("n_old") / sum(col("n_old")).over(w))
+      .withColumn("new_share", col("n_new") / sum(col("n_new")).over(w))
+      .withColumn("js_contrib", {
+        val m = (col("old_share") + col("new_share")) / 2
+        (xlnxm(col("old_share"), m) + xlnxm(col("new_share"), m)) / 2
+      })
   }
 
   /** Churn rollup of [[diff]]: counts per (group, status). A doc's

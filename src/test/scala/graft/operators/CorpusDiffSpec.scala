@@ -40,4 +40,33 @@ class CorpusDiffSpec extends SparkSpec {
       .map(_.getString(1)).distinct
     assert(st.sameElements(Array("unchanged")))
   }
+
+  test("distributionDrift: hand-computed JS contributions; a vanished " +
+    "source stays finite; identical mixtures drift zero") {
+    // old mix: web 3/4, book 1/4. new mix: web 1/2, news 1/2 (book gone,
+    // news appeared)
+    val old = snap((1L, "a", "web"), (2L, "b", "web"), (3L, "c", "web"),
+      (4L, "d", "book"))
+    val neu = snap((1L, "a", "web"), (5L, "e", "news"))
+    val got = CorpusDiff.distributionDrift(old, neu, "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    def js(p: Double, q: Double): Double = {
+      val m = (p + q) / 2
+      def t(x: Double) = if (x > 0) x * math.log(x / m) else 0.0
+      (t(p) + t(q)) / 2
+    }
+    assert(got("web")._1 == 3L && got("web")._2 == 1L)
+    assert(math.abs(got("web")._5 - js(0.75, 0.5)) < 1e-12)
+    assert(math.abs(got("book")._5 - js(0.25, 0.0)) < 1e-12)
+    assert(math.abs(got("news")._5 - js(0.0, 0.5)) < 1e-12)
+    // all contributions finite, total inside [0, ln 2]
+    val total = got.values.map(_._5).sum
+    assert(total > 0 && total <= math.log(2) + 1e-12)
+    // identical mixtures -> all contributions exactly zero
+    val same = CorpusDiff.distributionDrift(old, old, "source")
+      .collect().map(_.getDouble(5))
+    assert(same.forall(_ == 0.0))
+  }
 }
