@@ -831,6 +831,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard_micro"))
     }),
 
+    // --- LLM ops: DIRECTED containment pairs (|A∩B|/|A| — doc-in-doc
+    //     partial duplication symmetric Jaccard misses; contained-side
+    //     prefix filter, container side indexed in full) ---
+    "q_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.7, blockCols = Seq("source"))
+        .select(col("id_a"), col("id_b"),
+          r6(col("containment")).as("containment_micro"))
+    }),
+
     // --- LLM ops: duplicate-cluster connected components over the exact
     //     Jaccard pair set (alternating large-star/small-star; labels =
     //     component-minimum doc_id; singletons labeled with their own id).
@@ -2522,6 +2532,29 @@ object SparkEntry {
          |  ${R6("inter::DOUBLE / (size_a + size_b - inter)::DOUBLE")} AS jaccard_micro
          |FROM pairs
          |WHERE inter::DOUBLE / (size_a + size_b - inter)::DOUBLE >= 0.5""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> array_to_string(t[i:i+2], ' '))) AS shset
+         |  FROM toks),
+         |sized AS (SELECT doc_id, source, shset, len(shset) AS sz
+         |          FROM sh WHERE len(shset) > 0),
+         |ex AS (SELECT doc_id, source, sz, unnest(shset) AS shingle FROM sized),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sz AS size_a, COUNT(*) AS inter
+         |  FROM ex a JOIN ex b ON a.source = b.source AND a.shingle = b.shingle
+         |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2, 3)
+         |SELECT id_a, id_b,
+         |  ${R6("inter::DOUBLE / size_a::DOUBLE")} AS containment_micro
+         |FROM pairs
+         |WHERE inter::DOUBLE / size_a::DOUBLE >= 0.7""".stripMargin,
 
     "q_seg_dedup_drop" -> SegDedupSql(keepFirst = false),
     "q_seg_dedup_first" -> SegDedupSql(keepFirst = true),

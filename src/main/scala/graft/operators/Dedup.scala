@@ -127,6 +127,64 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** n-gram CONTAINMENT pairs: c(A,B) = |A∩B| / |A| >= threshold — the
+    * doc-in-doc detector for partial duplication (a page quoting another
+    * wholesale, boilerplate-wrapped copies) that symmetric Jaccard
+    * misses: a short doc fully contained in a long one has low Jaccard
+    * but containment 1. Output rows are DIRECTED: id_a is the contained
+    * document, id_b the container (both directions emitted when both
+    * clear the threshold).
+    *
+    * Candidate pruning is necessarily asymmetric: the contained side
+    * keeps the same |A| - ceil(t|A|) + 1 hash-order prefix as
+    * [[jaccardPairs]] (a pair with |A∩B| >= t|A| must hit it), but the
+    * container side has NO size-based prefix — a B of any size can
+    * contain all of A — so B's shingles are indexed in full (the
+    * inverted-index build, linear in corpus tokens, same as tfIdf). A
+    * size prune |B| >= ceil(t|A|) cuts the rest. Verified exactly on the
+    * full sets; results identical to the naive all-pairs join. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       blockCols: Seq[String] = Nil): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    // persisted: feeds candidate generation and both verification joins
+    val sh = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
+        shingles(col(textCol), n).as("sh"): _*)
+      .withColumn("sh_size", size(col("sh")))
+      .filter(col("sh_size") > 0)
+      .withColumn("prefix", expr(
+        s"slice(transform(array_sort(transform(sh, " +
+          s"s -> struct(xxhash64(s) AS h, s AS s))), x -> x.s), 1, " +
+          s"greatest(cast(sh_size - ceil($threshold * sh_size) + 1 AS int)" +
+          s", 1))"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = {
+      val a = sh.select((col("id") +: col("sh_size").as("sz") +:
+          blockCols.map(col)) :+ explode(col("prefix")).as("shingle"): _*)
+        .toDF(("id_a" +: "size_a" +: blockCols.map(_ + "_a")) :+
+          "shingle": _*)
+      val b = sh.select((col("id") +: col("sh_size").as("sz") +:
+          blockCols.map(col)) :+ explode(col("sh")).as("shingle"): _*)
+        .toDF(("id_b" +: "size_b" +: blockCols.map(_ + "_b")) :+
+          "shingle": _*)
+      val blockEq = blockCols.map(c => col(c + "_a") === col(c + "_b"))
+        .foldLeft(lit(true))(_ && _)
+      a.join(b, Seq("shingle"))
+        .where(col("id_a") =!= col("id_b") && blockEq &&
+          col("size_b") >= ceil(lit(threshold) * col("size_a")))
+        .select("id_a", "id_b").distinct()
+    }
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** MinHash signatures: k independent permutation approximations;
     * signature[i] = min over shingles of xxhash64(seed_i, h(shingle)).
     * Computed by the native codegen'd kernel

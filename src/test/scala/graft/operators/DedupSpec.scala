@@ -45,6 +45,58 @@ class DedupSpec extends SparkSpec {
     assertApprox(out((1L, 2L)), 1.0 / 3.0)
   }
 
+  test("containmentPairs: directed — the short doc is contained in the " +
+    "long one, not vice versa") {
+    // doc1's 3 shingles all appear in doc2 (c(1,2) = 1); doc2 has 7
+    // shingles of which 3 are shared (c(2,1) = 3/7 < 0.7)
+    val d = docs(1L -> "a b c d e",
+      2L -> "a b c d e f g h i",
+      3L -> "totally unrelated words here")
+    val out = Dedup.containmentPairs(d, "doc_id", "text", 3, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    assertApprox(out((1L, 2L)), 1.0)
+  }
+
+  test("containmentPairs: identical docs contain each other (both " +
+    "directions, containment 1)") {
+    val d = docs(1L -> "one two three four five",
+      2L -> "one two three four five")
+    val out = Dedup.containmentPairs(d, "doc_id", "text", 3, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((1L, 2L), (2L, 1L)))
+    assertApprox(out((1L, 2L)), 1.0)
+    assertApprox(out((2L, 1L)), 1.0)
+  }
+
+  test("containmentPairs == naive all-pairs containment (differential)") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    def doc(seed: Int, len: Int): String =
+      (0 until len).map(i => vocab((seed * 13 + i * 5) % vocab.size))
+        .mkString(" ")
+    val rows = (0 until 20).map(i =>
+      i.toLong -> doc(i % 6, 8 + (i % 9))) // overlapping shingle sets
+    val d = docs(rows: _*)
+    val t = 0.5
+    val got = Dedup.containmentPairs(d, "doc_id", "text", 3, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side reference
+    def shingleSet(s: String): Set[String] = {
+      val toks = s.toLowerCase.trim.split("\\s+").toVector
+      if (toks.size < 3) Set.empty
+      else (0 to toks.size - 3).map(i =>
+        toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, s) => id -> shingleSet(s) }
+    val expect = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia != ib && sa.nonEmpty &&
+        sa.intersect(sb).size.toDouble / sa.size >= t
+    } yield (ia, ib)).toSet
+    assert(got == expect)
+  }
+
   test("identical docs have identical minhash signatures; sig length k") {
     val d = docs(1L -> "one two three four five six",
       2L -> "one two three four five six", 3L -> "totally different words here")
