@@ -1953,6 +1953,17 @@ object SparkEntry {
         .select(col("vec_id"), col("pos").as("dim"), col("col").as("value"))
     }),
 
+    // --- LLM ops: per-source quantile rank — the normalization that
+    //     makes one global quality threshold fair across sources with
+    //     different score distributions; two-level scan, no group-wide
+    //     window ---
+    "q_group_pct" -> ((s, dir) => {
+      Quantiles.groupQuantileRank(Tables.documents(s, dir), Seq("source"),
+          "n_chars", "doc_id")
+        .select(col("doc_id"), col("source"),
+          r6(col("quantile_rank")).as("pct_micro"))
+    }),
+
     // --- LLM ops: size-balanced deterministic sharding — round-robin
     //     deal over a (size-magnitude DESC, hash) order via the two-level
     //     scan; per-shard byte totals concentrate, no global window ---
@@ -3727,6 +3738,15 @@ object SparkEntry {
          |  ${R6("CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)")}
          |    AS mean_micro
          |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // One group-wide window in SQL vs the Spark side's two-level scan —
+    // equality proves the bucketed construction IS the group rank.
+    "q_group_pct" ->
+      s"""SELECT doc_id, source,
+         |  ${R6("(ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY CAST(n_chars AS DOUBLE), doc_id) - 1)::DOUBLE " +
+        "/ COUNT(*) OVER (PARTITION BY source)")} AS pct_micro
+         |FROM documents""".stripMargin,
 
     // One global ROW_NUMBER over the same (bucket DESC, h, id) order the
     // Spark side computes with the two-level scan — equality proves the

@@ -140,6 +140,67 @@ object Quantiles {
     * `approx = true` for groups beyond that (approx_percentile's KLL-style
     * sketch is constant-memory per group; band edges then carry the
     * sketch's rank-error epsilon). */
+  /** Per-group quantile rank of every row — `outCol` in [0, 1): the
+    * 0-based rank of the row under (value, id) order within its group,
+    * divided by the group size. The normalization that makes ONE global
+    * quality threshold fair across sources with different score
+    * distributions ("keep every source's top 30%"), instead of a raw
+    * cut that nukes whole domains.
+    *
+    * Scalable by the same two-level trick as [[Packing]] /
+    * [[Sharding.balancedShardTag]]: a group-wide
+    * `Window.partitionBy(group).orderBy(value)` would funnel a dominant
+    * source through ONE task at corpus scale, so rows are first bucketed
+    * by an IEEE-exact affine map of the value onto `nBuckets` (one
+    * per-group min/max/count aggregate, broadcast back — +,-,*,/ and
+    * floor are correctly rounded in every IEEE engine, so the bucket of
+    * a value is engine- and layout-exact), ranked within (group, bucket),
+    * and offset by the tiny (groups x nBuckets) bucket-count frame.
+    * Equal to the group-wide window by construction; degenerate
+    * single-value groups collapse to bucket 0 (rank still correct, the
+    * window partition is then that group — the unavoidable case).
+    *
+    * The id tie-break makes the rank a total order (two equal values get
+    * distinct neighboring ranks deterministically) — this is the rank of
+    * the ROW, not of the value. */
+  def groupQuantileRank(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, idCol: String,
+                        outCol: String = "quantile_rank",
+                        nBuckets: Int = 1024): DataFrame = {
+    require(groupCols.nonEmpty, "groupQuantileRank needs group columns")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    Sampling.requireIntegralKey(df, idCol) // a portable total order needs
+    // an engine-neutral tie-break; string collation is not one
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(gCols: _*)
+      .agg(min(v).as("__mn"), max(v).as("__mx"),
+        count(lit(1)).as("__n"))
+    val keyed = df.join(broadcast(stats), groupCols)
+      .withColumn("__bkt",
+        when(col("__mx") === col("__mn"), lit(0))
+          .otherwise(least(
+            floor((v - col("__mn")) / (col("__mx") - col("__mn"))
+              * nBuckets),
+            lit(nBuckets - 1).cast("long")).cast("int")))
+    val inBucket = Window.partitionBy(gCols :+ col("__bkt"): _*)
+      .orderBy(v, col(idCol))
+    val within = keyed.withColumn("__rk",
+      row_number().over(inBucket).cast("long") - 1L)
+    val bucketOrder = Window.partitionBy(gCols: _*)
+      .orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(gCols :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off",
+        coalesce(sum(col("__bn")).over(bucketOrder), lit(0L)))
+      .select(gCols :+ col("__bkt") :+ col("__off"): _*)
+    within.join(broadcast(offsets), groupCols :+ "__bkt")
+      .withColumn(outCol, (col("__off") + col("__rk")) / col("__n"))
+      .drop("__mn", "__mx", "__n", "__bkt", "__rk", "__off")
+  }
+
   def bandFilter(df: DataFrame, valueCol: String, lo: Double, hi: Double,
                  by: Seq[String] = Nil, approx: Boolean = false,
                  accuracy: Int = 10000): DataFrame = {

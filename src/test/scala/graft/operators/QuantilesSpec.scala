@@ -94,4 +94,41 @@ class QuantilesSpec extends SparkSpec {
     assert(out(10L) == 10.0 && out(11L) == 10.0) // upper tail clipped
     assert(out(5L) == 5.0 && out(9L) == 9.0)    // interior untouched
   }
+
+  test("groupQuantileRank == one group-wide window (differential); " +
+    "ties break by id; single-value group degenerates correctly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      val g = s"src${i % 3}"
+      // src2 is single-valued (the degenerate bucket-0 case); ties
+      // planted everywhere via a coarse value grid
+      val v = if (g == "src2") 7.0 else (rnd.nextInt(20)).toDouble
+      Row(i.toLong, g, v)
+    }
+    val d = df("id BIGINT, src STRING, v DOUBLE", rows: _*)
+    val got = Quantiles.groupQuantileRank(d, Seq("src"), "v", "id",
+        nBuckets = 8)
+      .select("id", "quantile_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = Window.partitionBy(col("src")).orderBy(col("v"), col("id"))
+    val cw = Window.partitionBy(col("src"))
+    val ref = d.withColumn("pct",
+        (row_number().over(w).cast("long") - 1L) / count(lit(1)).over(cw))
+      .select("id", "pct").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == ref)
+    // layout stability
+    val again = Quantiles.groupQuantileRank(d.repartition(13), Seq("src"),
+        "v", "id", nBuckets = 8)
+      .select("id", "quantile_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == got)
+    // ranks inside a group are a permutation of k/n
+    val n2 = rows.count(_.getString(1) == "src2")
+    val src2 = rows.filter(_.getString(1) == "src2").map(_.getLong(0))
+      .map(got).sorted
+    assert(src2 == (0 until n2).map(_.toDouble / n2))
+  }
 }
