@@ -197,6 +197,20 @@ class PlanQualitySpec extends SparkSpec {
       "repetition signals must not shuffle:\n" + p.take(1500))
   }
 
+  test("q_balanced_shard / q_group_pct: every Window is partitioned — " +
+      "the two-level scans never fall back to a global sort") {
+    for (q <- Seq("q_balanced_shard", "q_group_pct")) {
+      val p = plan(q)
+      // a global window would plan Exchange SinglePartition feeding a
+      // corpus-sized sort; the two-level construction only ever single-
+      // partitions the tiny offsets frame, which arrives via broadcast
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q plans a single-partition exchange:\n" + p.take(2000))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q offsets frame not broadcast:\n" + p.take(2000))
+    }
+  }
+
   test("q_bloom_incr_dedup: one exact verify join total — the bloom-miss " +
       "branch contributes a join-free row-local filter") {
     val p = plan("q_bloom_incr_dedup")
