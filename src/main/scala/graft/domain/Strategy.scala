@@ -106,8 +106,8 @@ object Strategy {
 
     // constant partition key: this window runs over the O(days) day-moment
     // frame (~250 rows/year regardless of panel size), so one partition is
-    // intended — lit(0) states that and silences the "No Partition Defined"
-    // warning a global orderBy would log
+    // intended. Catalyst constant-folds lit(0) out of the spec — the plan
+    // still shows Exchange SinglePartition, benign on this aggregate frame
     val w = Window.partitionBy(lit(0))
       .orderBy(col("date")).rowsBetween(-lookback, -1)
     // null day-moments (all-null regressor day) roll up like the single-pass

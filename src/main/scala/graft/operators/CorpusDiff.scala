@@ -50,7 +50,9 @@ object CorpusDiff {
     val o = oldDf.groupBy(col(groupCol)).agg(count(lit(1)).as("n_old"))
     val n = newDf.groupBy(col(groupCol)).agg(count(lit(1)).as("n_new"))
     // lit(0) partition key: the frame is O(groups) rows no matter the
-    // corpus size — the single partition is intended (Packing convention)
+    // corpus size — the single partition is intended (Packing convention;
+    // Catalyst folds the constant key, so the plan shows Exchange
+    // SinglePartition over this aggregate — benign)
     val w = Window.partitionBy(lit(0))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def xlnxm(p: Column, m: Column): Column =

@@ -31,8 +31,9 @@ import org.apache.spark.sql.functions._
   * replay round 1's shuffles.
   *
   * The reference greedily drops `df.duplicated()` rows after pandas
-  * merges (e.g. dissertation-iceberg/src/data_pipeline.py:61-66); this
-  * is the corpus-scale face of the same step for the transitive case.
+  * merges (dissertation-iceberg/prediction_ML_pipeline.py:119-121);
+  * this is the corpus-scale face of the same step for the transitive
+  * case.
   */
 object DupClusters {
 

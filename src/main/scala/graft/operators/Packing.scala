@@ -67,9 +67,12 @@ object Packing {
     val within = keyed.withColumn("__within",
       coalesce(sum(col(tokenCol)).over(inShard), lit(0L)))
     // lit(0) partition key: the offsets frame is O(groups x nShards) rows
-    // no matter the corpus size, so the single partition is intended — the
-    // constant key states that and silences the "No Partition Defined"
-    // warning an empty partitionBy would log
+    // no matter the corpus size, so a single partition is intended here.
+    // Note Catalyst constant-folds the foldable key out of the window spec,
+    // so the physical plan still shows Exchange SinglePartition (and logs
+    // the "No Partition Defined" warning) — both are benign on this
+    // post-aggregate frame; PlanQualitySpec pins that the only single-
+    // partition exchange feeds an aggregate, never the corpus scan
     val shardOrder = (if (groupCols.isEmpty) Window.partitionBy(lit(0))
                       else Window.partitionBy(gCols: _*))
       .orderBy(col("__shard"))

@@ -68,8 +68,10 @@ object Sharding {
       .orderBy(col("__h"), col(keyCol))
     val within = keyed.withColumn("__rk",
       row_number().over(inSlice).cast("long") - 1L)
-    // offsets over the tiny (bucket x slice) frame; lit(0) partition key
-    // as in Packing — the single partition is intended and O(10 x slices)
+    // offsets over the tiny (bucket x slice) frame; the single partition
+    // is intended and O(10 x slices). The lit(0) key is constant-folded
+    // away by Catalyst, so the physical plan shows Exchange
+    // SinglePartition — fine on a post-aggregate frame (Packing convention)
     val sliceOrder = Window.partitionBy(lit(0))
       .orderBy(col("__bucket").desc, col("__slice").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

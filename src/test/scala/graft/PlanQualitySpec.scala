@@ -197,17 +197,39 @@ class PlanQualitySpec extends SparkSpec {
       "repetition signals must not shuffle:\n" + p.take(1500))
   }
 
-  test("q_balanced_shard / q_group_pct: every Window is partitioned — " +
-      "the two-level scans never fall back to a global sort") {
+  /** Every `Exchange SinglePartition` in the plan must feed from an
+    * aggregate, never directly from a scan: in the two-level-scan idiom
+    * the only single-partitioned frame is the tiny post-HashAggregate
+    * offsets branch (Catalyst constant-folds the lit(0) partition key,
+    * so the exchange DOES appear — the invariant is what it carries).
+    * In the tree string a node's input subtree is printed below it, so
+    * an aggregated input shows "HashAggregate" between the exchange and
+    * the branch's leaf scan. */
+  private def assertSinglePartitionOnlyOverAggregates(
+      q: String, p: String): Unit = {
+    val needle = "Exchange SinglePartition"
+    var i = p.indexOf(needle)
+    while (i >= 0) {
+      val rest = p.substring(i + needle.length)
+      val agg = rest.indexOf("HashAggregate")
+      val scan = rest.indexOf("FileScan")
+      assert(agg >= 0 && (scan < 0 || agg < scan),
+        s"$q single-partitions a non-aggregated (corpus-sized) branch:\n" +
+          p.substring(i).take(2000))
+      i = p.indexOf(needle, i + needle.length)
+    }
+  }
+
+  test("q_balanced_shard / q_group_pct: the corpus-side window is " +
+      "partitioned; any single-partition exchange carries only the " +
+      "post-aggregate offsets frame, which arrives via broadcast") {
     for (q <- Seq("q_balanced_shard", "q_group_pct")) {
       val p = plan(q)
-      // a global window would plan Exchange SinglePartition feeding a
-      // corpus-sized sort; the two-level construction only ever single-
-      // partitions the tiny offsets frame, which arrives via broadcast
-      assert(!p.contains("Exchange SinglePartition"),
-        s"$q plans a single-partition exchange:\n" + p.take(2000))
+      assert(p.contains("Exchange hashpartitioning"),
+        s"$q corpus window lost its partitioning:\n" + p.take(2000))
       assert(p.contains("BroadcastHashJoin"),
         s"$q offsets frame not broadcast:\n" + p.take(2000))
+      assertSinglePartitionOnlyOverAggregates(q, p)
     }
   }
 
