@@ -224,8 +224,8 @@ object Dedup {
     * agreement rate). The only shuffle is the band-bucket groupBy.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4)
-      : DataFrame = {
+                      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                      maxBucket: Int = 4096): DataFrame = {
     val k = bands * rowsPerBand
     // persisted materialization barrier: without it Catalyst's projection
     // collapse inlines the whole k-hash signature expression into every
@@ -239,21 +239,58 @@ object Dedup {
     val sig = df.select(col(idCol).as("id"),
         minHashSignature(col(textCol), n, k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minHashLshPairsFromSigs(sig, bands, rowsPerBand)
+    minHashLshPairsFromSigs(sig, bands, rowsPerBand, maxBucket)
+  }
+
+  /** Standard LSH hygiene shared by the MinHash and SimHash pair
+    * generators: a viral bucket of B rows yields B^2/2 candidate pairs in
+    * the bucket self-join, so ONE degenerate key (all-empty boilerplate,
+    * a template page repeated 10M times) turns the whole job quadratic.
+    * Buckets larger than `maxBucket` are dropped from pair generation
+    * entirely (overflow policy: such buckets are near-always degenerate
+    * mass — near-constant content belongs to EXACT dedup, which should
+    * run first; a genuine >maxBucket near-dup clique loses only the
+    * pairs whose sole collision was the viral bucket). The count side
+    * partial-aggregates map-side, so the viral bucket costs O(B) to
+    * detect, never O(B^2); the semi-join keeps the same (band, bucket)
+    * key as the self-join shuffle. */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String],
+                         maxBucket: Int): DataFrame = {
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    val kc = keyCols.map(col)
+    val ok = banded.groupBy(kc: _*).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select(kc: _*)
+    banded.join(ok, keyCols, "left_semi")
   }
 
   /** Band-bucket pair generation over a precomputed `(id, sig)` frame —
     * the caller owns the signature frame's persistence and cleanup, so
     * long-lived pipelines can unpersist deterministically (and reuse one
-    * signature pass across several band configurations). */
-  def minHashLshPairsFromSigs(sig: DataFrame, bands: Int, rowsPerBand: Int)
-      : DataFrame = {
+    * signature pass across several band configurations).
+    *
+    * Degenerate-input guards (both essential at corpus scale):
+    *  - all-null signatures (empty/shingle-less docs, the
+    *    [[minHashSignature]] contract) are dropped BEFORE banding — they
+    *    carry zero similarity evidence, yet `concat_ws` maps every
+    *    all-null band slice to "", so without the filter every empty doc
+    *    in the corpus lands in ONE bucket per band: 10M boilerplate-empty
+    *    rows would mean O(10M^2) pairs;
+    *  - buckets over `maxBucket` rows are dropped (see [[capBuckets]]
+    *    for the overflow policy). */
+  def minHashLshPairsFromSigs(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                              maxBucket: Int = 4096): DataFrame = {
     val k = bands * rowsPerBand
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b,
-          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
-            lit(rowsPerBand)))))).as(Seq("band", "bucket")))
+    // a signature is all-null or all-non-null by construction, so the
+    // first element decides
+    val live = sig.filter(element_at(col("sig"), 1).isNotNull)
+    val banded = capBuckets(
+      live.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(lit("band"), b,
+            concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
+              lit(rowsPerBand)))))).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucket)
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"),
@@ -319,14 +356,15 @@ object Dedup {
     * (e.g. language/source) first; Manku-style rotated multi-block tables
     * are the next step beyond that. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, allowWide: Boolean = false): DataFrame = {
+                   maxDist: Int = 3, allowWide: Boolean = false,
+                   maxBucket: Int = 4096): DataFrame = {
     // persisted for the same projection-collapse + self-join-reuse reasons
     // as minHashLshPairs (same block-lifetime contract: precompute and use
     // [[simHashPairsFromSigs]] to own persistence in long-lived sessions)
     val sigs = df.select(col(idCol).as("id"),
         simHash64(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    simHashPairsFromSigs(sigs, maxDist, allowWide)
+    simHashPairsFromSigs(sigs, maxDist, allowWide, maxBucket)
   }
 
   /** Pair generation over a precomputed `(id, sig)` frame (see
@@ -336,9 +374,16 @@ object Dedup {
     *
     * `allowWide` gates wide distances: beyond maxDist=7 the chunk keys
     * narrow under 8 bits and candidate volume degrades toward
-    * O(n^2 / 2^width) — a silent scale cliff, so it must be opted into. */
+    * O(n^2 / 2^width) — a silent scale cliff, so it must be opted into.
+    *
+    * Degenerate-input guards: null fingerprints (null text) are dropped,
+    * and chunk buckets over `maxBucket` rows are dropped before the
+    * self-join (see [[capBuckets]] for the overflow policy) — empty
+    * token streams all hash to fingerprint 0, so an unguarded corpus
+    * with 10M blank docs would self-join one viral bucket per chunk. */
   def simHashPairsFromSigs(sigs: DataFrame, maxDist: Int,
-                           allowWide: Boolean = false): DataFrame = {
+                           allowWide: Boolean = false,
+                           maxBucket: Int = 4096): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       s"maxDist must be in [0, 63], got $maxDist")
     require(allowWide || 64 / (maxDist + 1) >= 8,
@@ -355,8 +400,11 @@ object Dedup {
       if (width >= 64) col("sig")
       else shiftright(col("sig"), lo).bitwiseAND((1L << width) - 1L)
     }
-    val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array(chunkKeys: _*)).as(Seq("chunk", "key")))
+    val chunked = capBuckets(
+      sigs.filter(col("sig").isNotNull)
+        .select(col("id"), col("sig"),
+          posexplode(array(chunkKeys: _*)).as(Seq("chunk", "key"))),
+      Seq("chunk", "key"), maxBucket)
     val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"),
       col("sig").as("sig_a"))
     val r = chunked.select(col("chunk"), col("key"), col("id").as("id_b"),

@@ -119,6 +119,46 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
   }
 
+  test("LSH degenerate guard: 1k empty docs yield ZERO empty-empty " +
+    "candidates in both pair generators; real dups still found") {
+    val empties = (1000L until 2000L).map(_ -> "")
+    val real = Seq(1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "unrelated content entirely different words")
+    val d = docs(real ++ empties: _*)
+    // minhash: all-null signatures are filtered before banding, so the
+    // empties never reach the bucket self-join at ANY cap
+    val mh = Dedup.minHashLshPairs(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.contains((1L, 2L)), "real dup pair lost")
+    assert(!mh.exists(p => p._1 >= 1000L && p._2 >= 1000L),
+      s"empty-empty candidates leaked: ${mh.count(p => p._1 >= 1000L)}")
+    // simhash: empties all fingerprint to 0 -> one viral bucket per
+    // chunk; the bucket cap must drop them without losing the real pair
+    val sh = Dedup.simHashPairs(d, "doc_id", "text", maxDist = 3,
+        maxBucket = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sh.contains((1L, 2L)), "real dup pair lost to the bucket cap")
+    assert(!sh.exists(p => p._1 >= 1000L && p._2 >= 1000L),
+      "viral empty bucket survived the cap")
+  }
+
+  test("bucket cap drops a viral identical-doc clique, keeps distinct " +
+    "near-dup pairs; default cap leaves small corpora byte-identical") {
+    val viral = (100L until 150L).map(_ -> "same boilerplate text here now")
+    val d = docs(Seq(1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta") ++ viral: _*)
+    val capped = Dedup.minHashLshPairs(d, "doc_id", "text", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists(p => p._1 >= 100L),
+      "50-doc viral clique should be dropped at maxBucket=10")
+    // with the default cap nothing triggers: the full pair set is intact
+    val full = Dedup.minHashLshPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(full.count(p => p._1 >= 100L && p._2 >= 100L) == 50 * 49 / 2)
+  }
+
   test("native signature kernels == interpreted HOF twins bit-for-bit " +
     "(incl. empty, single-token, punctuation, and null docs)") {
     val d = docs(
