@@ -72,15 +72,22 @@ object Dedup {
     * filtering (the PPJoin candidate-pruning principle): under ANY fixed
     * global order of the shingle universe, a pair with Jaccard >= t must
     * share one of the first |A| - ceil(t*|A|) + 1 shingles of each set.
-    * We use xxhash64 order — a deterministic pseudo-random permutation —
-    * so the per-doc prefix is computed NARROWLY (sort-within-row, no
-    * frequency shuffle), at a modest candidate-count cost vs the optimal
-    * rarity order. A size-ratio prune (t <= |A|/|B| <= 1/t) cuts further;
-    * candidates are verified exactly on the full sets. Results are
-    * identical to the naive all-pairs shingle join; only candidate
-    * generation changes.
+    * The order used is CORPUS DOCUMENT FREQUENCY ascending (rarest
+    * first, hash then binary-string tie-break for a deterministic
+    * total order) — the canonical PPJoin choice: the prefix then holds
+    * each doc's rarest shingles, so a hot shingle ("in the") that lands
+    * in millions of documents almost never lands in a prefix, and the
+    * prefix self-join stays near the PPJoin candidate bound. Costs one
+    * extra partial-aggregated shuffle (the frequency count) plus a
+    * frequency join and per-doc window vs a row-local hash-order
+    * prefix — the right trade at corpus scale, where hash order lets a
+    * single hot shingle inflate candidates quadratically. A size-ratio
+    * prune (t <= |A|/|B| <= 1/t) cuts further; candidates are verified
+    * exactly on the full sets. Results are identical to the naive
+    * all-pairs shingle join; only candidate generation changes.
     *
-    * Shuffles: prefix self-join, candidate distinct, two verify joins.
+    * Shuffles: frequency agg + join, per-doc prefix window, prefix
+    * self-join, candidate distinct, two verify joins.
     *
     * `blockCols`: optional equality blocking (e.g. `source`) — pairs must
     * agree on these columns. */
@@ -93,28 +100,9 @@ object Dedup {
         shingles(col(textCol), n).as("sh"): _*)
       .withColumn("sh_size", size(col("sh")))
       .filter(col("sh_size") > 0)
-      // narrow prefix: order the set by hash, keep |A| - ceil(t|A|) + 1
-      .withColumn("prefix", expr(
-        s"slice(transform(array_sort(transform(sh, " +
-          s"s -> struct(xxhash64(s) AS h, s AS s))), x -> x.s), 1, " +
-          s"greatest(cast(sh_size - ceil($threshold * sh_size) + 1 AS int)" +
-          s", 1))"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = {
-      val ex = sh.select((col("id") +: col("sh_size").as("sz") +:
-        blockCols.map(col)) :+ explode(col("prefix")).as("shingle"): _*)
-      val a = ex.toDF(("id_a" +: "size_a" +: blockCols.map(_ + "_a")) :+
-        "shingle": _*)
-      val b = ex.toDF(("id_b" +: "size_b" +: blockCols.map(_ + "_b")) :+
-        "shingle": _*)
-      val blockEq = blockCols.map(c => col(c + "_a") === col(c + "_b"))
-        .foldLeft(lit(true))(_ && _)
-      a.join(b, Seq("shingle"))
-        .where(col("id_a") < col("id_b") && blockEq &&
-          col("size_a") * threshold <= col("size_b") &&
-          col("size_b") * threshold <= col("size_a"))
-        .select("id_a", "id_b").distinct()
-    }
+    val cand = jaccardCandidates(sh, threshold, blockCols,
+      rarityOrder = true)
     // exact verification on the full sets
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -125,6 +113,53 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** PPJoin candidate generation over a prepared `(id, [blockCols], sh,
+    * sh_size)` frame. `rarityOrder = true` ranks the shingle universe by
+    * ascending corpus document frequency (the production path);
+    * `rarityOrder = false` uses raw xxhash64 order — kept ONLY so the
+    * differential spec can demonstrate the candidate-count gap on a
+    * skewed corpus. Both orders are deterministic total orders, so both
+    * are CORRECT prefixes (verification is exact either way); rarity
+    * order just generates fewer candidates when shingle frequency is
+    * skewed. */
+  private[graft] def jaccardCandidates(sh: DataFrame, threshold: Double,
+                                       blockCols: Seq[String],
+                                       rarityOrder: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = sh.select((col("id") +: col("sh_size") +:
+      blockCols.map(col)) :+ explode(col("sh")).as("shingle"): _*)
+    // document frequency of each shingle over the (filtered) corpus;
+    // partial-aggregates map-side, joined back on the same shingle key
+    val ranked =
+      if (rarityOrder) {
+        val freq = ex.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        ex.join(freq, "shingle")
+      } else ex.withColumn("__df", lit(0L))
+    // per-doc prefix of length |A| - ceil(t|A|) + 1 under the global
+    // (df, hash, shingle) order; the window partitions by doc id, so no
+    // partition exceeds one document's shingle count
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__df"), xxhash64(col("shingle")), col("shingle"))
+    val prefix = ranked
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= greatest(
+        (col("sh_size") - ceil(lit(threshold) * col("sh_size")) + 1L)
+          .cast("long"), lit(1L)))
+    val keep = (col("id") +: col("sh_size") +: blockCols.map(col)) :+
+      col("shingle")
+    val a = prefix.select(keep: _*)
+      .toDF(("id_a" +: "size_a" +: blockCols.map(_ + "_a")) :+ "shingle": _*)
+    val b = prefix.select(keep: _*)
+      .toDF(("id_b" +: "size_b" +: blockCols.map(_ + "_b")) :+ "shingle": _*)
+    val blockEq = blockCols.map(c => col(c + "_a") === col(c + "_b"))
+      .foldLeft(lit(true))(_ && _)
+    a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b") && blockEq &&
+        col("size_a") * threshold <= col("size_b") &&
+        col("size_b") * threshold <= col("size_a"))
+      .select("id_a", "id_b").distinct()
   }
 
   /** n-gram CONTAINMENT pairs: c(A,B) = |A∩B| / |A| >= threshold — the

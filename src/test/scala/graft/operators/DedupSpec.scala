@@ -119,6 +119,31 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
   }
 
+  test("jaccardCandidates: rarity-order prefix beats hash order on a " +
+    "skewed corpus (fewer candidates), and pair results are unchanged") {
+    // every doc shares one viral shingle; all other shingles are unique,
+    // so a rarity-ordered prefix excludes the hot one and generates ZERO
+    // candidates, while hash order lets it into ~2/3 of prefixes
+    val rows = (1L to 40L).map(i =>
+      i -> s"common hot shingle u$i v$i w$i x$i y$i")
+    val d = docs(rows: _*)
+    val sh = d.select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("sh_size", size(col("sh")))
+      .filter(col("sh_size") > 0)
+    val rare = Dedup.jaccardCandidates(sh, 0.5, Nil, rarityOrder = true)
+      .count()
+    val hash = Dedup.jaccardCandidates(sh, 0.5, Nil, rarityOrder = false)
+      .count()
+    assert(rare <= hash,
+      s"rarity order produced MORE candidates ($rare > $hash)")
+    assert(rare < hash,
+      s"skewed fixture should separate the orders (rare=$rare hash=$hash)")
+    // and the exact verification step keeps the final pairs identical:
+    // no pair here clears Jaccard 0.5, whichever order generated it
+    assert(Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.5).count() == 0L)
+  }
+
   test("LSH degenerate guard: 1k empty docs yield ZERO empty-empty " +
     "candidates in both pair generators; real dups still found") {
     val empties = (1000L until 2000L).map(_ -> "")
