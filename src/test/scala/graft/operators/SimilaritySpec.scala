@@ -69,6 +69,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sameElements(Array((4L, 1), (2L, 2))))
   }
 
+  test("bruteForceTopK bounded-aggregate face == rank-window face " +
+    "(random corpus with ties, null scores, k > matches, k = 1)") {
+    val rng = new scala.util.Random(77)
+    // 60 vectors in 4 dims, several exact duplicates (cosine ties) and
+    // two zero vectors (null cosine, ranked last by both faces)
+    val base = (1L to 50L).map(i =>
+      i -> Seq.fill(4)((rng.nextInt(9) - 4).toDouble))
+    val dups = (51L to 58L).map(i => i -> base((i % 10).toInt)._2)
+    val zeros = Seq(59L -> Seq(0.0, 0.0, 0.0, 0.0),
+      60L -> Seq(0.0, 0.0, 0.0, 0.0))
+    val d = vecs(base ++ dups ++ zeros: _*)
+    val q = d.filter(col("id") <= 5)
+    for (k <- Seq(1, 3, 70)) {
+      val fast = Similarity.bruteForceTopK(q, d, "id", "id", "v", "v", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getDouble(2), r.getInt(3))).toSet
+      val slow = Similarity.bruteForceTopKWindow(q, d, "id", "id", "v",
+          "v", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getDouble(2), r.getInt(3))).toSet
+      assert(fast == slow, s"faces diverge at k=$k: " +
+        s"only-fast=${(fast -- slow).take(5)} only-slow=${(slow -- fast).take(5)}")
+    }
+  }
+
+  test("bruteForceTopK plan: no rank window over the scored cross " +
+    "product — the per-query top-k is a partial-merging aggregate") {
+    val d = vecs((1L to 10L).map(i => i -> Seq(i * 1.0, 1.0)): _*)
+    val p = Similarity.bruteForceTopK(d.filter(col("id") <= 2), d,
+        "id", "id", "v", "v", 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "scored cross product must not be rank-windowed:\n" + p.take(1500))
+    assert(p.contains("partial_graft_top_k"),
+      "top-k aggregate must partial-merge map-side:\n" + p.take(1500))
+  }
+
   test("nearDupPairs finds only pairs above threshold") {
     val d = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(1.0, 0.01),
       3L -> Seq(0.0, 1.0))
