@@ -984,8 +984,11 @@ object SparkEntry {
     //     lines must surface in the corrupt count, never as rows ---
     "q_jsonl_roundtrip" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // per-process path: two JVMs against the same dataset (Verify and
+      // Bench in parallel) must not race on one overwrite-then-read dir
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
       AuxSources.writeJsonl(
         docs.select(col("doc_id"), col("text"), col("lang"), col("source")),
         out)

@@ -196,7 +196,14 @@ object Curation {
     *
     * Returns one row per (doc, epoch_copy): id, source, cleaned text,
     * quality score, cleaned token count. Deterministic end-to-end: same
-    * corpus + config = bit-identical output on any layout. */
+    * corpus + config = bit-identical output on any layout.
+    *
+    * Cache lifetime: two internal MEMORY_AND_DISK stage barriers (the
+    * dedup frame and the gated frame) OUTLIVE this call — required,
+    * since the returned DataFrame is lazy and still references them.
+    * Long-lived sessions calling this repeatedly should clear them
+    * between runs (`spark.sharedState.cacheManager.clearCache()`, as
+    * Verify/Bench do) or unpersist via `spark.catalog`. */
   def curateFull(docs: DataFrame, idCol: String, textCol: String,
                  sourceCol: String, cfg: FullConfig = FullConfig())
       : DataFrame = {

@@ -89,6 +89,12 @@ object Dedup {
     * Shuffles: frequency agg + join, per-doc prefix window, prefix
     * self-join, candidate distinct, two verify joins.
     *
+    * Cache lifetime: the internal shingle frame is persisted
+    * (MEMORY_AND_DISK) and OUTLIVES this call — the lazy result still
+    * references it. Long-lived sessions should clear caches between
+    * runs (`spark.sharedState.cacheManager.clearCache()`, the
+    * Verify/Bench convention).
+    *
     * `blockCols`: optional equality blocking (e.g. `source`) — pairs must
     * agree on these columns. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -177,7 +183,10 @@ object Dedup {
     * contain all of A — so B's shingles are indexed in full (the
     * inverted-index build, linear in corpus tokens, same as tfIdf). A
     * size prune |B| >= ceil(t|A|) cuts the rest. Verified exactly on the
-    * full sets; results identical to the naive all-pairs join. */
+    * full sets; results identical to the naive all-pairs join.
+    *
+    * Cache lifetime: as [[jaccardPairs]] — the persisted shingle frame
+    * outlives the call; clear session caches between runs. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
                        blockCols: Seq[String] = Nil): DataFrame = {

@@ -70,9 +70,11 @@ object DupClusters {
     * per-edge hashes — overflow-proof under ANSI mode, and XOR
     * cancellation can't bite because the set is distinct). Two
     * consecutive identical fingerprints == fixpoint (modulo an
-    * astronomically unlikely 64-bit collision; the `maxIter` cap bounds
-    * the damage to a partially-contracted — still correct-by-component —
-    * labeling). One action per round. */
+    * astronomically unlikely 64-bit collision; if the `maxIter` cap
+    * fires first, the labeling below post-aggregates to one label per
+    * node — possibly FINER than true components on a partially
+    * contracted graph, never coarser, and a warning is logged). One
+    * action per round. */
   private def checksum(edges: DataFrame): (Long, Long) = {
     val r = edges.agg(count(lit(1)),
       expr("bit_xor(xxhash64(u, v))")).head()
@@ -106,9 +108,22 @@ object DupClusters {
     }
     // fixpoint = stars: every edge is (member, component-min). Roots only
     // appear on the v side; give each one a self-label.
-    edges.select(col("u").as("id"), col("v").as("cluster_id"))
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster_id"))
       .union(edges.select(col("v").as("id"), col("v").as("cluster_id")))
       .distinct()
+    if (converged) labels
+    else {
+      // maxIter fired before the fixpoint: the edge set need not be a
+      // star forest, so a node can carry several labels — collapse to
+      // min so downstream joins never fan out. The labeling may still
+      // be finer than true components (never coarser: every emitted
+      // label is some member of the node's component).
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents hit maxIter=$maxIter before convergence; " +
+          "labels post-aggregated to one per node, components may be " +
+          "split — raise maxIter")
+      labels.groupBy("id").agg(min("cluster_id").as("cluster_id"))
+    }
   }
 
   /** Attach `clusterCol` to `df`: the component minimum for paired rows,

@@ -162,7 +162,13 @@ object Quantiles {
     *
     * The id tie-break makes the rank a total order (two equal values get
     * distinct neighboring ranks deterministically) — this is the rank of
-    * the ROW, not of the value. */
+    * the ROW, not of the value.
+    *
+    * NULL handling matches the group-wide window exactly: NULL values
+    * sort FIRST (Spark's `asc_nulls_first` default) via a dedicated
+    * bucket -1 below every value bucket, and NULL group keys form their
+    * own group (the joins are null-safe, mirroring window partitioning)
+    * — no row is ever silently dropped. */
   def groupQuantileRank(df: DataFrame, groupCols: Seq[String],
                         valueCol: String, idCol: String,
                         outCol: String = "quantile_rank",
@@ -174,18 +180,34 @@ object Quantiles {
     import org.apache.spark.sql.expressions.Window
     val gCols = groupCols.map(col)
     val v = col(valueCol).cast("double")
+    // null-safe equi-join on the group keys (<=>), so an all-NULL or
+    // partially-NULL group key keeps its rows — a plain equi-join would
+    // silently drop them while __n still counted them
+    def joinNullSafe(left: DataFrame, right: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+      val r = keys.foldLeft(right)((d, k) => d.withColumnRenamed(k, s"__r_$k"))
+      val cond = keys.map(k => left(k) <=> r(s"__r_$k"))
+        .reduce[Column](_ && _)
+      left.join(broadcast(r), cond).drop(keys.map(k => s"__r_$k"): _*)
+    }
     val stats = df.groupBy(gCols: _*)
       .agg(min(v).as("__mn"), max(v).as("__mx"),
         count(lit(1)).as("__n"))
-    val keyed = df.join(broadcast(stats), groupCols)
-      .withColumn("__bkt",
-        when(col("__mx") === col("__mn"), lit(0))
+    // bucket -1 holds NULL values (they sort first, as in a window's
+    // asc_nulls_first order); min/max ignore NULLs, so the affine map
+    // covers the non-null range. An all-NULL group (NULL __mn) falls
+    // through both branches to the coalesce
+    val keyed = joinNullSafe(df, stats, groupCols)
+      .withColumn("__bkt", coalesce(
+        when(v.isNull, lit(-1))
+          .when(col("__mx") === col("__mn"), lit(0))
           .otherwise(least(
             floor((v - col("__mn")) / (col("__mx") - col("__mn"))
               * nBuckets),
-            lit(nBuckets - 1).cast("long")).cast("int")))
+            lit(nBuckets - 1).cast("long")).cast("int")),
+        lit(-1)))
     val inBucket = Window.partitionBy(gCols :+ col("__bkt"): _*)
-      .orderBy(v, col(idCol))
+      .orderBy(v.asc_nulls_first, col(idCol))
     val within = keyed.withColumn("__rk",
       row_number().over(inBucket).cast("long") - 1L)
     val bucketOrder = Window.partitionBy(gCols: _*)
@@ -196,7 +218,7 @@ object Quantiles {
       .withColumn("__off",
         coalesce(sum(col("__bn")).over(bucketOrder), lit(0L)))
       .select(gCols :+ col("__bkt") :+ col("__off"): _*)
-    within.join(broadcast(offsets), groupCols :+ "__bkt")
+    joinNullSafe(within, offsets, groupCols :+ "__bkt")
       .withColumn(outCol, (col("__off") + col("__rk")) / col("__n"))
       .drop("__mn", "__mx", "__n", "__bkt", "__rk", "__off")
   }

@@ -201,7 +201,12 @@ object Sampling {
     * n^alpha = sqrt(n) is IEEE-correctly-rounded everywhere).
     *
     * Returns the plan frame (source, n_tokens, rate_micro), rate in
-    * epochs-per-row micro-units. */
+    * epochs-per-row micro-units.
+    *
+    * Contract: rows with a NULL source are EXCLUDED from the plan (a
+    * mixture source is an identity; an unattributed row cannot receive
+    * a rate, and [[applyMixture]]'s plan join would drop it anyway).
+    * Clean the corpus first if NULL sources should participate. */
   def mixturePlan(df: DataFrame, sourceCol: String, tokenCol: String,
                   budgetTokens: Long, alpha: Double = 0.5,
                   maxEpochs: Double = 1e6): DataFrame = {
@@ -210,7 +215,8 @@ object Sampling {
       s"alpha must be in [0, 1], got $alpha")
     require(maxEpochs > 0.0, s"maxEpochs must be positive, got $maxEpochs")
     val spark = df.sparkSession
-    val counts = df.groupBy(col(sourceCol).as("source"))
+    val counts = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
       .agg(sum(col(tokenCol).cast("long")).as("n_tokens"))
       .collect()
       .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))

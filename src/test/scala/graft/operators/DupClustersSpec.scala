@@ -38,6 +38,20 @@ class DupClustersSpec extends SparkSpec {
     assert(got.size == 61 && got.values.forall(_ == 0L))
   }
 
+  test("maxIter hit before convergence: still exactly one label per " +
+    "node (no downstream join fan-out), labels within the component") {
+    val chain = (0L until 60L).map(i => i -> (i + 1))
+    val labels = DupClusters.connectedComponents(pairs(chain: _*),
+      "id_a", "id_b", maxIter = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byNode = labels.groupBy(_._1)
+    assert(byNode.values.forall(_.length == 1),
+      s"nodes with multiple labels: ${byNode.filter(_._2.length > 1).keys}")
+    assert(labels.length == 61)
+    // every label is a member of the (single) component
+    assert(labels.forall { case (_, c) => c >= 0L && c <= 60L })
+  }
+
   test("pair order / direction / duplicate edges do not matter") {
     val a = labelsOf(pairs(3L -> 1L, 1L -> 2L, 2L -> 3L, 1L -> 3L))
     assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))

@@ -131,4 +131,34 @@ class QuantilesSpec extends SparkSpec {
       .map(got).sorted
     assert(src2 == (0 until n2).map(_.toDouble / n2))
   }
+
+  test("groupQuantileRank keeps NULL values (ranked first, window " +
+    "semantics) and NULL group keys — no silent row drops") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq(
+      Row(1L, "a", 5.0), Row(2L, "a", null), Row(3L, "a", 1.0),
+      Row(4L, "a", null), Row(5L, "a", 9.0),
+      // a NULL group key with mixed values
+      Row(6L, null, 3.0), Row(7L, null, null), Row(8L, null, 8.0),
+      // an all-NULL-value group
+      Row(9L, "b", null), Row(10L, "b", null))
+    val d = df("id BIGINT, src STRING, v DOUBLE", rows: _*)
+    val out = Quantiles.groupQuantileRank(d, Seq("src"), "v", "id",
+        nBuckets = 4)
+      .select("id", "quantile_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == rows.size, s"rows dropped: kept ${out.keySet}")
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("v").asc_nulls_first, col("id"))
+    val cw = Window.partitionBy(col("src"))
+    val ref = d.withColumn("pct",
+        (row_number().over(w).cast("long") - 1L) / count(lit(1)).over(cw))
+      .select("id", "pct").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == ref)
+    // NULLs rank before every value in their group
+    assert(Set(out(2L), out(4L)) == Set(0.0, 0.2))
+    assert(out(7L) == 0.0 && out(9L) == 0.0 && out(10L) == 0.5)
+  }
 }

@@ -204,6 +204,16 @@ class SamplingSpec extends SparkSpec {
     assert(plan == Map("A" -> 833333L, "B" -> 416667L))
   }
 
+  test("mixturePlan excludes NULL sources (documented contract) instead " +
+    "of NPEing on the driver sort") {
+    val plan = Sampling.mixturePlan(
+        docs((1L, "A", 100L), (2L, null, 999L), (3L, "B", 400L)),
+        "source", "toks", budgetTokens = 250L, alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // identical to the two-source plan: the null-source row is excluded
+    assert(plan == Map("A" -> 833333L, "B" -> 416667L))
+  }
+
   test("mixturePlan alpha=1: natural proportions give one uniform rate") {
     val plan = Sampling.mixturePlan(
         docs((1L, "A", 100L), (2L, "B", 400L)),
