@@ -1749,6 +1749,21 @@ object SparkEntry {
           col("chunk_offset"), r6(col("quality_score")).as("quality_micro"))
     }),
 
+    // --- LLM ops: the composed pipeline with the pairwise near-dup
+    //     stage ON and deterministic — exact 3-gram Jaccard pairs
+    //     (PPJoin-pruned) replace the xxhash64 MinHash estimates, so the
+    //     ENTIRE five-stage composition (dedup -> quality -> sample ->
+    //     near-dup anti-join -> packing) hash-matches a DuckDB twin;
+    //     q_curate (LSH face) stays rows-only by hash construction ---
+    "q_curate_jaccard" -> ((s, dir) => {
+      Curation.curate(Tables.documents(s, dir), "doc_id", "text",
+          "n_chars", Curation.Config(minQuality = 0.2, sampleRate = 0.9,
+            nearDupJaccard = 0.5, nearDupExact = true,
+            packBudget = 16384L, seed = 5L, groupCols = Seq("lang")))
+        .select(col("doc_id"), col("lang"), col("chunk_id"),
+          col("chunk_offset"), r6(col("quality_score")).as("quality_micro"))
+    }),
+
     // --- LLM ops: benchmark decontamination — distinct shared 3-grams
     //     between each corpus doc and a held-out eval slice (every 53rd
     //     doc id plays the "benchmark" with its own text-column name).
@@ -3542,6 +3557,83 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |      AS BIGINT) AS pfx
          |  FROM s)
+         |SELECT doc_id, lang, pfx // 16384 AS chunk_id,
+         |  pfx % 16384 AS chunk_offset, ${R6("quality")} AS quality_micro
+         |FROM p""".stripMargin,
+
+    // the composed pipeline with the pairwise stage ON: q_curate_sql's
+    // dedup/quality/sample CTEs (text carried through), then the exact
+    // 3-gram Jaccard dup pairs over the SURVIVORS (q_dedup_jaccard's
+    // shingle shape, unblocked, threshold 0.5), greedy higher-id drop,
+    // and the same per-lang prefix-sum packing
+    "q_curate_jaccard" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+         |      AS rk
+         |  FROM documents),
+         |d AS (SELECT doc_id, lang, n_chars, text FROM w WHERE rk = 1),
+         |t AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |    string_split_regex(trim(text), '\\s+') AS toks,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+         |  FROM d),
+         |m AS (
+         |  SELECT doc_id, lang, n_chars, text, ltoks,
+         |    CAST(len(toks) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(ltoks, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','are','was',
+         |       'it','that','this','for','on','with','as','at','by','be'],
+         |      x))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(length(regexp_replace(text,
+         |      '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         |      AS DOUBLE) / length(text) AS upper_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, lang, n_chars, ltoks,
+         |    GREATEST(0.0, LEAST(1.0,
+         |      0.5 * (LEAST(nt / 50.0, 1.0) *
+         |        CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END)
+         |      + 0.5 * LEAST(stop_ratio * 4.0, 1.0)
+         |      - LEAST(punct_ratio * 2.0, 0.5)
+         |      - LEAST(upper_ratio * 2.0, 0.5))) AS quality
+         |  FROM m),
+         |s AS (
+         |  SELECT doc_id, lang, n_chars, quality, ltoks,
+         |    ${HashSql("doc_id", 5L)} AS h
+         |  FROM q
+         |  WHERE quality >= 0.2
+         |    AND ${HashSql("doc_id", 5L)} < ${Sampling.threshold(0.9)}),
+         |shs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      generate_series(1, len(ltoks) - 2),
+         |      i -> array_to_string(ltoks[i:i+2], ' '))) AS shset
+         |  FROM s),
+         |sized AS (SELECT doc_id, shset, len(shset) AS sz FROM shs
+         |          WHERE len(shset) > 0),
+         |exsh AS (SELECT doc_id, sz, unnest(shset) AS shingle FROM sized),
+         |jp AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sz AS size_a, b.sz AS size_b, COUNT(*) AS inter
+         |  FROM exsh a
+         |  JOIN exsh b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+         |dup_pairs AS (
+         |  SELECT id_a, id_b FROM jp
+         |  WHERE inter::DOUBLE / (size_a + size_b - inter)::DOUBLE >= 0.5),
+         |u AS (
+         |  SELECT * FROM s
+         |  WHERE doc_id NOT IN (SELECT id_b FROM dup_pairs)),
+         |p AS (
+         |  SELECT doc_id, lang, quality,
+         |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS pfx
+         |  FROM u)
          |SELECT doc_id, lang, pfx // 16384 AS chunk_id,
          |  pfx % 16384 AS chunk_offset, ${R6("quality")} AS quality_micro
          |FROM p""".stripMargin,

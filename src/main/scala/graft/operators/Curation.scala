@@ -28,6 +28,15 @@ object Curation {
     * @param nearDupJaccard drop the higher-id doc of any pair whose
     *                     estimated Jaccard (MinHash-LSH) >= this; <= 0
     *                     disables the stage
+    * @param nearDupExact run the near-dup stage on EXACT n-gram Jaccard
+    *                     ([[Dedup.jaccardPairs]], PPJoin-pruned) instead
+    *                     of MinHash-LSH estimates. Deterministic and
+    *                     SQL-expressible — the q_curate_jaccard gate
+    *                     hash-matches the WHOLE pipeline with the
+    *                     pairwise stage on (the LSH face stays rows-only:
+    *                     DuckDB cannot reproduce xxhash64 signatures).
+    *                     Costlier than LSH at equal recall; the LSH face
+    *                     remains the 100 TB default.
     * @param packBudget   tokens (cost units) per training chunk
     * @param groupCols    packing scope (e.g. language) — chunks never
     *                     span groups
@@ -35,6 +44,7 @@ object Curation {
   final case class Config(minQuality: Double = 0.3,
                           sampleRate: Double = 1.0,
                           nearDupJaccard: Double = 0.8,
+                          nearDupExact: Boolean = false,
                           packBudget: Long = 16384L,
                           seed: Long = 0L,
                           groupCols: Seq[String] = Nil)
@@ -59,9 +69,14 @@ object Curation {
     val unique =
       if (cfg.nearDupJaccard <= 0.0) sampled
       else {
-        val pairs = Dedup.minHashLshPairs(sampled, idCol, textCol)
-          .filter(col("est_jaccard") >= cfg.nearDupJaccard)
-          .select(col("id_b").as(idCol)) // keep the smaller id of a pair
+        val pairs =
+          (if (cfg.nearDupExact)
+             Dedup.jaccardPairs(sampled, idCol, textCol, n = 3,
+               threshold = cfg.nearDupJaccard)
+           else
+             Dedup.minHashLshPairs(sampled, idCol, textCol)
+               .filter(col("est_jaccard") >= cfg.nearDupJaccard))
+            .select(col("id_b").as(idCol)) // keep the smaller id of a pair
         sampled.join(pairs, Seq(idCol), "left_anti")
       }
     // carry text + quality through packing's own shuffle: re-joining them

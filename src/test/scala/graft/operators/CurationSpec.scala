@@ -62,6 +62,19 @@ class CurationSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("curate nearDupExact face: exact-Jaccard pairwise stage drops " +
+    "the planted near-dup, pipeline otherwise identical to the LSH face") {
+    val base = Curation.Config(minQuality = 0.3, sampleRate = 1.0,
+      nearDupJaccard = 0.5, packBudget = 256L, groupCols = Seq("lang"))
+    val exact = Curation.curate(corpus(), "doc_id", "text", "n_chars",
+        base.copy(nearDupExact = true))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!exact.contains(22L) && !exact.contains(23L))
+    assert(!exact.contains(24L) || !exact.contains(21L),
+      "near-dup pair must collapse under the exact face too")
+    assert((1L to 20L).forall(exact.contains), "unique prose survives")
+  }
+
   test("funnel reports monotone survivor counts through every " +
     "row-changing stage, and `packed` matches what curate emits") {
     val f = Curation.funnel(corpus(), "doc_id", "text").toMap
