@@ -289,6 +289,29 @@ object SparkEntry {
         .select(col("bin_ns"), r6(col("order_imbalance")).as("oi_micro"))
     }),
 
+    // --- §2.10: the SAME hourly-OI aggregation through the Structured
+    //     Streaming engine — finite parquet replay, complete-mode memory
+    //     sink — hash-matched against q_a1_oi's batch oracle. The gate
+    //     that promotes the stream==batch spec pattern to the driver ---
+    "q_stream_oi" -> ((s, dir) => {
+      // batch loader first: sets nanosAsLong so the streaming schema
+      // matches the batch read (ts as LONG epoch-nanos)
+      val schema = Tables.events(s, dir).schema
+      // the streaming file source wants a directory: scan the sf dir,
+      // glob-filtered to the events table file
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val ev = stream
+        .withColumn("ts_ns", col("ts") - pmod(col("ts"), lit(1000L)))
+        .withColumn("bin_ns", TimeBins.ceilNs(col("ts_ns"), H))
+      val oi = Imbalance.orderImbalance(ev, Seq(col("bin_ns")),
+          side(col("event_type")), col("value"))
+        .select(col("bin_ns"), r6(col("order_imbalance")).as("oi_micro"))
+      graft.streaming.StreamingOi.replayComplete(oi,
+        "graft_stream_oi_" + graft.streaming.StreamingOi.nextSinkId())
+    }),
+
     // --- A2: probability-weighted OI (lineitem: discount as pseudo-prob) ---
     "q_a2_weighted_oi" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -2101,6 +2124,14 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_a1_oi" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT ${CeilNs("ts_ns", H)} AS bin_ns,
+         |  ${R6(s"(SUM(CASE WHEN $Side = -1 THEN value ELSE 0 END) - SUM(CASE WHEN $Side = 1 THEN value ELSE 0 END)) / NULLIF(SUM(CASE WHEN $Side = -1 THEN value ELSE 0 END) + SUM(CASE WHEN $Side = 1 THEN value ELSE 0 END), 0)")} AS oi_micro
+         |FROM e GROUP BY 1""".stripMargin,
+
+    // identical to q_a1_oi's oracle: the streaming replay must reproduce
+    // the batch aggregation bit-for-bit
+    "q_stream_oi" ->
       s"""WITH e AS ($EventsNs)
          |SELECT ${CeilNs("ts_ns", H)} AS bin_ns,
          |  ${R6(s"(SUM(CASE WHEN $Side = -1 THEN value ELSE 0 END) - SUM(CASE WHEN $Side = 1 THEN value ELSE 0 END)) / NULLIF(SUM(CASE WHEN $Side = -1 THEN value ELSE 0 END) + SUM(CASE WHEN $Side = 1 THEN value ELSE 0 END), 0)")} AS oi_micro

@@ -76,4 +76,30 @@ object StreamingOi {
       : org.apache.spark.sql.streaming.StreamingQuery =
     oi.writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Append()).start()
+
+  private val sinkIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Unique in-process sink suffix — gates run the same query several
+    * times per session (Verify once, Bench warm-up + reps) and a memory
+    * sink's query name must be fresh per start. */
+  def nextSinkId(): Int = sinkIds.incrementAndGet()
+
+  /** Finite-replay materializer: run an already-composed streaming
+    * aggregation to completion in COMPLETE output mode against an
+    * in-memory sink and return the materialized table. This is the
+    * stream == batch gate mechanism: a finite parquet replay's
+    * complete-mode state is the full aggregation, so the table must
+    * equal the batch query bit-for-bit (the q_stream_oi gate
+    * hash-matches q_a1_oi's DuckDB oracle through this path).
+    *
+    * Complete mode — not append — on purpose: on a finite replay the
+    * watermark never passes the last window, so append would hold the
+    * final bin(s) back forever; the production emit-on-close semantics
+    * live in [[windowedOi]] and its spec. Bounded state: the aggregate
+    * is O(bins), never O(events). */
+  def replayComplete(result: DataFrame, queryName: String): DataFrame = {
+    val q = result.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    result.sparkSession.table(queryName)
+  }
 }

@@ -38,6 +38,23 @@ class StreamingOiSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replayComplete: finite-replay streaming aggregation == the " +
+    "batch aggregation, last (incomplete) bin included") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Int, Long)]
+    val events = input.toDF().toDF("bin_ns", "direction", "size")
+    val agg = graft.operators.Imbalance.orderImbalance(
+      events, Seq(col("bin_ns")), col("direction"), col("size"))
+    input.addData((1L, -1, 30L), (1L, 1, 10L), (2L, -1, 5L))
+    val got = StreamingOi.replayComplete(
+        agg.select(col("bin_ns"), col("order_imbalance")),
+        "oi_replay_" + StreamingOi.nextSinkId())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bin 1: (30-10)/40 = 0.5; bin 2 (the still-open tail in append
+    // terms) must ALSO be present: (5-0)/5 = 1.0
+    assert(got == Map(1L -> 0.5, 2L -> 1.0))
+  }
+
   test("windowedOi drops data later than the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Int, Long)]
