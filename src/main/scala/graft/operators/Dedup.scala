@@ -177,12 +177,16 @@ object Dedup {
     * clear the threshold).
     *
     * Candidate pruning is necessarily asymmetric: the contained side
-    * keeps the same |A| - ceil(t|A|) + 1 hash-order prefix as
-    * [[jaccardPairs]] (a pair with |A∩B| >= t|A| must hit it), but the
-    * container side has NO size-based prefix — a B of any size can
-    * contain all of A — so B's shingles are indexed in full (the
-    * inverted-index build, linear in corpus tokens, same as tfIdf). A
-    * size prune |B| >= ceil(t|A|) cuts the rest. Verified exactly on the
+    * keeps a |A| - ceil(t|A|) + 1 prefix under the corpus
+    * document-frequency order (rarest shingles first, as in
+    * [[jaccardPairs]] — a pair with |A∩B| >= t|A| must hit the prefix
+    * under ANY fixed global order, and rarity order makes each prefix
+    * shingle's posting list in the container index as short as
+    * possible), but the container side has NO size-based prefix — a B
+    * of any size can contain all of A — so B's shingles are indexed in
+    * full (the inverted-index build, linear in corpus tokens, same as
+    * tfIdf; its explode doubles as the frequency count input). A size
+    * prune |B| >= ceil(t|A|) cuts the rest. Verified exactly on the
     * full sets; results identical to the naive all-pairs join.
     *
     * Cache lifetime: as [[jaccardPairs]] — the persisted shingle frame
@@ -192,24 +196,29 @@ object Dedup {
                        blockCols: Seq[String] = Nil): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
     // persisted: feeds candidate generation and both verification joins
     val sh = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
         shingles(col(textCol), n).as("sh"): _*)
       .withColumn("sh_size", size(col("sh")))
       .filter(col("sh_size") > 0)
-      .withColumn("prefix", expr(
-        s"slice(transform(array_sort(transform(sh, " +
-          s"s -> struct(xxhash64(s) AS h, s AS s))), x -> x.s), 1, " +
-          s"greatest(cast(sh_size - ceil($threshold * sh_size) + 1 AS int)" +
-          s", 1))"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = {
-      val a = sh.select((col("id") +: col("sh_size").as("sz") +:
-          blockCols.map(col)) :+ explode(col("prefix")).as("shingle"): _*)
+      val ex = sh.select((col("id") +: col("sh_size") +:
+        blockCols.map(col)) :+ explode(col("sh")).as("shingle"): _*)
+      val freq = ex.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("__df"), xxhash64(col("shingle")), col("shingle"))
+      val a = ex.join(freq, "shingle")
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= greatest(
+          (col("sh_size") - ceil(lit(threshold) * col("sh_size")) + 1L)
+            .cast("long"), lit(1L)))
+        .select((col("id") +: col("sh_size") +: blockCols.map(col)) :+
+          col("shingle"): _*)
         .toDF(("id_a" +: "size_a" +: blockCols.map(_ + "_a")) :+
           "shingle": _*)
-      val b = sh.select((col("id") +: col("sh_size").as("sz") +:
-          blockCols.map(col)) :+ explode(col("sh")).as("shingle"): _*)
+      val b = ex
         .toDF(("id_b" +: "size_b" +: blockCols.map(_ + "_b")) :+
           "shingle": _*)
       val blockEq = blockCols.map(c => col(c + "_a") === col(c + "_b"))
