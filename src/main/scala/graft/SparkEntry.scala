@@ -312,6 +312,63 @@ object SparkEntry {
         "graft_stream_oi_" + graft.streaming.StreamingOi.nextSinkId())
     }),
 
+    // --- §2.10: streaming exact dedup — first-copy-wins over a finite
+    //     replay of the documents table. WHICH physical row wins a
+    //     content group is engine-chosen (arrival order inside a
+    //     micro-batch), so the deterministic surface is the surviving
+    //     CONTENT set — digest + length, functions of the content alone —
+    //     which must equal batch DISTINCT exactly ---
+    "q_stream_dedup" -> ((s, dir) => {
+      val schema = Tables.documents(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      // synthetic event time (docs carry none): all rows land inside one
+      // watermark horizon, so no state evicts and the dedup is global —
+      // the configuration under which stream == batch is exact. The +1h
+      // base keeps every row strictly ABOVE the engine's initial
+      // watermark (epoch 0): a row AT the watermark is "late" and
+      // silently dropped — doc_id 0 at timestamp_micros(0) vanished
+      val kept = graft.streaming.StreamingDedup.firstCopy(
+          stream.withColumn("event_time",
+            timestamp_micros(col("doc_id") + lit(3600000000L))),
+          "text", watermark = "10 minutes")
+        .select(md5(col("text")).as("digest"),
+          length(col("text")).cast("long").as("text_len"))
+      graft.streaming.StreamingOi.replayAppend(kept,
+        "graft_stream_dedup_" + graft.streaming.StreamingOi.nextSinkId())
+    }),
+
+    // --- §2.10: streaming quality scoring — the row-local batch scorer
+    //     verbatim on a streaming frame (stateless, so append-replay
+    //     equals batch per-row including doc_id); same oracle as
+    //     q_quality_score ---
+    "q_stream_quality" -> ((s, dir) => {
+      val schema = Tables.documents(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val scored = stream.select(col("doc_id"),
+        r6(TextFunctions.qualityScore(col("text"))).as("quality_micro"))
+      graft.streaming.StreamingOi.replayAppend(scored,
+        "graft_stream_quality_" + graft.streaming.StreamingOi.nextSinkId())
+    }),
+
+    // --- §2.10: streaming decontamination — bench grams built batch-side
+    //     (bounded by the eval set), embedded row-locally in the stream's
+    //     tag expression; same oracle as q_decontam_tag ---
+    "q_stream_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val grams = Decontam.benchGramSet(
+        docs.filter(pmod(col("doc_id"), lit(53L)) === 0)
+          .select(col("text").as("q")), "q")
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val tagged = Decontam.tagContamination(
+          stream.filter(pmod(col("doc_id"), lit(53L)) =!= 0), grams, "text")
+        .select(col("doc_id"), col("n_overlap"))
+      graft.streaming.StreamingOi.replayAppend(tagged,
+        "graft_stream_decontam_" + graft.streaming.StreamingOi.nextSinkId())
+    }),
+
     // --- A2: probability-weighted OI (lineitem: discount as pseudo-prob) ---
     "q_a2_weighted_oi" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -2122,7 +2179,21 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // the streaming replay faces are gated against the SAME oracle as
+    // their batch twins: append-replay of a stateless/first-copy pipeline
+    // over a finite source must equal the batch operator bit-for-bit
+    "q_stream_quality" -> oracleSqlBase("q_quality_score"),
+    "q_stream_decontam" -> oracleSqlBase("q_decontam_tag"),
+    // first-copy dedup: WHICH row survives is engine-chosen, so the gate
+    // surface is the content set itself — distinct (digest, length)
+    "q_stream_dedup" ->
+      s"""SELECT DISTINCT md5(text) AS digest,
+         |  CAST(length(text) AS BIGINT) AS text_len
+         |FROM documents""".stripMargin
+  )
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "q_a1_oi" ->
       s"""WITH e AS ($EventsNs)
          |SELECT ${CeilNs("ts_ns", H)} AS bin_ns,

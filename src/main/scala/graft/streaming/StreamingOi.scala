@@ -102,4 +102,20 @@ object StreamingOi {
     try q.processAllAvailable() finally q.stop()
     result.sparkSession.table(queryName)
   }
+
+  /** Finite-replay materializer for APPEND-mode pipelines — stateless
+    * row-local transforms (scoring, decontam tagging, hash sampling) and
+    * first-copy dedup, where every emitted row is final the moment it is
+    * produced (a dedup filter emits immediately; its watermark only
+    * drives state EVICTION, unlike a windowed aggregate that holds rows
+    * until close). On a finite replay the appended memory table is
+    * therefore the complete result and must equal the batch operator —
+    * the q_stream_dedup / q_stream_quality / q_stream_decontam gate
+    * mechanism, complementing [[replayComplete]] for aggregations. */
+  def replayAppend(result: DataFrame, queryName: String): DataFrame = {
+    val q = result.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    result.sparkSession.table(queryName)
+  }
 }

@@ -37,6 +37,28 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replayAppend: finite-replay first-copy dedup == batch DISTINCT " +
+    "on the content surface (digest, length)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    input.addData(
+      (ts("2024-01-15 10:00:00"), 1L, "alpha"),
+      (ts("2024-01-15 10:00:10"), 2L, "beta"),
+      (ts("2024-01-15 10:00:20"), 3L, "alpha"),
+      (ts("2024-01-15 10:00:30"), 4L, "gamma"),
+      (ts("2024-01-15 10:00:40"), 5L, "beta"))
+    val docs = input.toDF().toDF("event_time", "doc_id", "text")
+    val kept = StreamingDedup.firstCopy(docs, "text")
+      .select(md5(col("text")).as("digest"),
+        length(col("text")).cast("long").as("text_len"))
+    val got = StreamingOi.replayAppend(kept, "replay_append_dedup")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = Seq("alpha", "beta", "gamma").toDF("text")
+      .select(md5(col("text")), length(col("text")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("sampleStream: the batch Bernoulli sampler verbatim — streamed " +
     "selection equals the batch selection on the same rows") {
     implicit val sqlCtx = spark.sqlContext
