@@ -303,18 +303,22 @@ object Dedup {
     * entirely (overflow policy: such buckets are near-always degenerate
     * mass — near-constant content belongs to EXACT dedup, which should
     * run first; a genuine >maxBucket near-dup clique loses only the
-    * pairs whose sole collision was the viral bucket). The count side
-    * partial-aggregates map-side, so the viral bucket costs O(B) to
-    * detect, never O(B^2); the semi-join keeps the same (band, bucket)
-    * key as the self-join shuffle. */
+    * pairs whose sole collision was the viral bucket). Implemented as a
+    * count over the bucket-key window: ONE exchange of the (narrow)
+    * banded frame on exactly the key the bucket self-join partitions on
+    * next, so the join reuses that exchange instead of adding its own.
+    * A viral bucket costs one spillable window partition — O(B log B),
+    * never the O(B^2) self-join. (Measured alternatives at sf0.1:
+    * groupBy + semi-join re-exchanges the banded frame twice; a
+    * broadcast anti-join on the viral set serializes the whole plan
+    * behind the count branch — both slower.) */
   private def capBuckets(banded: DataFrame, keyCols: Seq[String],
                          maxBucket: Int): DataFrame = {
     require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
-    val kc = keyCols.map(col)
-    val ok = banded.groupBy(kc: _*).agg(count(lit(1)).as("__bn"))
+    banded.withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
       .filter(col("__bn") <= maxBucket)
-      .select(kc: _*)
-    banded.join(ok, keyCols, "left_semi")
+      .drop("__bn")
   }
 
   /** Band-bucket pair generation over a precomputed `(id, sig)` frame —
@@ -344,6 +348,11 @@ object Dedup {
             concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
               lit(rowsPerBand)))))).as(Seq("band", "bucket"))),
       Seq("band", "bucket"), maxBucket)
+    // signatures ride the self-join so the agreement rate is computed
+    // in-line (re-joining them per distinct pair was measured ~1 s
+    // slower at sf0.1 — two more exchanges; at larger signature widths
+    // k, switch to a narrow (id, band, bucket) join + per-pair sig
+    // lookups to keep k longs/row out of the big shuffle)
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"),
