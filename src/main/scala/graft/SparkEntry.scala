@@ -41,6 +41,49 @@ object SparkEntry {
   private def MoneySum(e: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** Per-(process, dataset) root for the TableOps gate fixtures — same
+    * isolation rule as the JSONL fixture: concurrent Verify and Bench
+    * JVMs must not race on one overwrite-then-read directory. */
+  private def tableOpsRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_table_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.ProcessHandle.current().pid()
+
+  private def rmTree(root: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val it = java.nio.file.Files.list(p).iterator()
+        val children = scala.collection.mutable.ArrayBuffer
+          .empty[java.nio.file.Path]
+        while (it.hasNext) children += it.next()
+        children.foreach(rm)
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(root))
+  }
+
+  /** (Re)build the versioned-table fixture the TableOps gates read:
+    * v1 = every-7th order (overwrite), v2 = MERGE INTO of doubled-price
+    * updates (every-14th) plus inserted %7==3 rows, v3 = DELETE WHERE
+    * o_totalprice < 50000. Rebuilt from scratch on every call so bench
+    * repetitions and reruns see an identical three-version history. */
+  private def tableOpsFixture(s: SparkSession, dir: String): String = {
+    val root = tableOpsRoot(dir)
+    rmTree(root)
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    graft.tables.TableOps.overwrite(
+      ord.filter(col("o_orderkey") % 7 === 0), root)
+    val updates = ord.filter(col("o_orderkey") % 14 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+      .unionByName(ord.filter(col("o_orderkey") % 7 === 3))
+    graft.tables.TableOps.merge(s, root, updates, Seq("o_orderkey"))
+    graft.tables.TableOps.deleteWhere(s, root,
+      col("o_totalprice") < 50000.0)
+    root
+  }
+
   /** DuckDB twin of [[Sampling.bucketHash]] — the same positive-BIGINT
     * multiplicative-hash arithmetic, so sampling gates are bit-exact.
     * DuckDB's `%` keeps the dividend's sign while Spark's `pmod` is
@@ -1081,6 +1124,51 @@ object SparkEntry {
       val nBad = bad.count()
       good.select(col("doc_id"), md5(col("text")).as("text_md5"),
         lit(nBad).as("n_corrupt"))
+    }),
+
+    // --- Iceberg-style table ops under the DuckDB gate: the final
+    //     snapshot after overwrite -> MERGE INTO (update + insert) ->
+    //     DELETE WHERE must equal the same relational algebra computed
+    //     directly over the source table ---
+    "q_table_merge" -> ((s, dir) => {
+      val root = tableOpsFixture(s, dir)
+      graft.tables.TableOps.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"),
+          r6(col("o_totalprice")).as("price_micro"))
+    }),
+
+    // --- Iceberg-style time travel: per-snapshot row count + exact
+    //     money sum across the WHOLE version history (v1 base, v2 after
+    //     the merge, v3 after the delete) — each VERSION AS OF read must
+    //     reproduce the state the oracle recomputes from scratch ---
+    "q_table_history" -> ((s, dir) => {
+      val root = tableOpsFixture(s, dir)
+      graft.tables.TableOps.versions(root).map { v =>
+        graft.tables.TableOps.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            r6(moneySum(col("o_totalprice"))).as("sum_price_micro"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("sum_price_micro"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // --- Iceberg-style dynamic partition overwrite: replace exactly the
+    //     partitions present in the replacement frame, keep the rest ---
+    "q_table_part_overwrite" -> ((s, dir) => {
+      val root = tableOpsRoot(dir) + "_po"
+      rmTree(root)
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      graft.tables.TableOps.overwrite(ord, root,
+        partitionBy = Seq("o_orderpriority"))
+      val repl = ord.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+      graft.tables.TableOps.overwritePartitions(s, root, repl,
+        Seq("o_orderpriority"))
+      graft.tables.TableOps.read(s, root)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          r6(col("o_totalprice")).as("price_micro"))
     }),
 
     // --- LLM ops: the full modern curation pipeline, end-to-end under
@@ -2694,6 +2782,59 @@ object SparkEntry {
       s"""SELECT doc_id, md5(text) AS text_md5,
          |  CAST(2 AS BIGINT) AS n_corrupt
          |FROM documents""".stripMargin,
+
+    // the TableOps lifecycle recomputed as plain relational algebra:
+    // v1 = every-7th order, v2 = MERGE (matched keys replaced, new keys
+    // inserted), v3 = DELETE WHERE price < 50000
+    "q_table_merge" ->
+      s"""WITH v1 AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |  WHERE o_orderkey % 7 = 0),
+         |upd AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 14 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 3),
+         |v2 AS (
+         |  SELECT * FROM v1
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         |  UNION ALL SELECT * FROM upd)
+         |SELECT o_orderkey, o_custkey, ${R6("o_totalprice")} AS price_micro
+         |FROM v2 WHERE o_totalprice >= 50000.0""".stripMargin,
+
+    "q_table_history" ->
+      s"""WITH v1 AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |  WHERE o_orderkey % 7 = 0),
+         |upd AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 14 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 3),
+         |v2 AS (
+         |  SELECT * FROM v1
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         |  UNION ALL SELECT * FROM upd),
+         |v3 AS (SELECT * FROM v2 WHERE o_totalprice >= 50000.0)
+         |SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+         |  ${R6(MoneySum("o_totalprice"))} AS sum_price_micro FROM v1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), COUNT(*),
+         |  ${R6(MoneySum("o_totalprice"))} FROM v2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), COUNT(*),
+         |  ${R6(MoneySum("o_totalprice"))} FROM v3""".stripMargin,
+
+    // dynamic partition overwrite: only the 1-URGENT partition is
+    // replaced (half price), every other partition is untouched
+    "q_table_part_overwrite" ->
+      s"""SELECT o_orderkey, o_orderpriority,
+         |  ${R6("CASE WHEN o_orderpriority = '1-URGENT' " +
+               "THEN o_totalprice * 0.5 ELSE o_totalprice END")}
+         |    AS price_micro
+         |FROM orders""".stripMargin,
 
     // The composed pipeline, stage by stage, in one WITH chain — each
     // CTE mirrors an operator whose standalone gate already matches.
