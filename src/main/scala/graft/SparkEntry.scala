@@ -41,6 +41,21 @@ object SparkEntry {
   private def MoneySum(e: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** DuckDB twin of one language's marker score in
+    * [[TextFunctions.langId]]: the Spark face counts positions where a
+    * zero-width lookahead alternation `(?=(m1|m2|...))` matches — i.e.
+    * positions where ANY marker starts, overlapping hits included, at
+    * most one count per position. RE2 has no lookahead, so the twin
+    * scans positions explicitly: `substr(p, i, |m|) = m` over
+    * `generate_series(1, length(p))`. Identical by construction on BMP
+    * text (char-counting `length`/`substr` agree between engines there;
+    * the driver corpus is ASCII). Built from the SAME
+    * [[TextFunctions.langMarkers]] list the Spark face uses. */
+  private def LangScoreSql(markers: Seq[String]): String =
+    "len(list_filter(generate_series(1, length(p)), i -> " +
+      markers.map(m => s"substr(p, i, ${m.length}) = '$m'")
+        .mkString(" OR ") + "))"
+
   /** Per-(process, dataset) root for the TableOps gate fixtures — same
     * isolation rule as the JSONL fixture: concurrent Verify and Bench
     * JVMs must not race on one overwrite-then-read directory. */
@@ -3703,6 +3718,51 @@ object SparkEntry {
          |      - LEAST(upper_ratio * 2.0, 0.5))) AS quality
          |  FROM m)
          |SELECT doc_id, ${R6("quality")} AS quality_micro FROM q""".stripMargin,
+
+    // langId's full decision chain: script-range shares first (exact on
+    // BMP text — char-counting length/substr agree between engines
+    // there), then marker voting with first-wins argmax in the marker
+    // list's declaration order. Marker scores are position scans — the
+    // RE2-compatible twin of the Spark face's zero-width lookahead
+    // counts (one hit per position where ANY marker starts).
+    "q_lang_id" -> {
+      val scores = TextFunctions.langMarkers
+        .map { case (l, ms) => s"    ${LangScoreSql(ms)} AS s_$l" }
+        .mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, text,
+         |$scores
+         |  FROM t),
+         |sh AS (
+         |  SELECT doc_id, s_de, s_fr, s_es, s_it, s_pt, s_en,
+         |    GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS n,
+         |    CAST(length(regexp_replace(text,
+         |      '[^\\x{3040}-\\x{30ff}]', '', 'g')) AS DOUBLE) AS kana,
+         |    CAST(length(regexp_replace(text,
+         |      '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) AS cjk,
+         |    CAST(length(regexp_replace(text,
+         |      '[^\\x{ac00}-\\x{d7af}]', '', 'g')) AS DOUBLE) AS hangul,
+         |    CAST(length(regexp_replace(text,
+         |      '[^\\x{0400}-\\x{04ff}]', '', 'g')) AS DOUBLE) AS cyr
+         |  FROM sc),
+         |m AS (SELECT *,
+         |  GREATEST(s_de, s_fr, s_es, s_it, s_pt, s_en) AS mx FROM sh)
+         |SELECT doc_id, CASE
+         |  WHEN kana / n > 0.1 THEN 'ja'
+         |  WHEN cjk / n > 0.2 THEN 'zh'
+         |  WHEN hangul / n > 0.2 THEN 'ko'
+         |  WHEN cyr / n > 0.2 THEN 'ru'
+         |  WHEN mx > 0 AND s_de = mx THEN 'de'
+         |  WHEN mx > 0 AND s_fr = mx THEN 'fr'
+         |  WHEN mx > 0 AND s_es = mx THEN 'es'
+         |  WHEN mx > 0 AND s_it = mx THEN 'it'
+         |  WHEN mx > 0 AND s_pt = mx THEN 'pt'
+         |  ELSE 'en' END AS lang_id
+         |FROM m""".stripMargin
+    },
 
     "q_text_redact" ->
       s"""SELECT doc_id,

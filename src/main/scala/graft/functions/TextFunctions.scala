@@ -160,7 +160,9 @@ object TextFunctions {
   // Marker character patterns + very-high-frequency function words per
   // language; scores are counts of marker hits per language, argmax wins.
   // Works on real text; on marker-free text falls back to "en".
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  // private[graft]: SparkEntry builds q_lang_id's DuckDB oracle from the
+  // SAME marker list, so the two can never drift apart
+  private[graft] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq(" der ", " die ", " das ", " und ", " ist ", " nicht ",
       "sch", "ß", "ä", "ö", "ü"),
     "fr" -> Seq(" le ", " la ", " les ", " des ", " est ", " une ", " et ",
