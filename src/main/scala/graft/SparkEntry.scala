@@ -1937,11 +1937,15 @@ object SparkEntry {
     //     (PPJoin-pruned) replace the xxhash64 MinHash estimates, so the
     //     ENTIRE five-stage composition (dedup -> quality -> sample ->
     //     near-dup anti-join -> packing) hash-matches a DuckDB twin;
-    //     q_curate (LSH face) stays rows-only by hash construction ---
+    //     q_curate (LSH face) stays rows-only by hash construction.
+    //     Threshold 0.8 (practical near-dup range): the PPJoin prefix is
+    //     |A|(1-t)+1, so t=0.5 made every prefix HALF the doc — at 0.8
+    //     the candidate join carries a fifth of the shingles for the
+    //     same surviving pairs (planted near-dups sit at ~0.97) ---
     "q_curate_jaccard" -> ((s, dir) => {
       Curation.curate(Tables.documents(s, dir), "doc_id", "text",
           "n_chars", Curation.Config(minQuality = 0.2, sampleRate = 0.9,
-            nearDupJaccard = 0.5, nearDupExact = true,
+            nearDupJaccard = 0.8, nearDupExact = true,
             packBudget = 16384L, seed = 5L, groupCols = Seq("lang")))
         .select(col("doc_id"), col("lang"), col("chunk_id"),
           col("chunk_offset"), r6(col("quality_score")).as("quality_micro"))
@@ -3926,7 +3930,7 @@ object SparkEntry {
          |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
          |dup_pairs AS (
          |  SELECT id_a, id_b FROM jp
-         |  WHERE inter::DOUBLE / (size_a + size_b - inter)::DOUBLE >= 0.5),
+         |  WHERE inter::DOUBLE / (size_a + size_b - inter)::DOUBLE >= 0.8),
          |u AS (
          |  SELECT * FROM s
          |  WHERE doc_id NOT IN (SELECT id_b FROM dup_pairs)),
