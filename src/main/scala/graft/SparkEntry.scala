@@ -410,6 +410,33 @@ object SparkEntry {
         "graft_stream_quality_" + graft.streaming.StreamingOi.nextSinkId())
     }),
 
+    // --- §2.10: streaming deterministic sampling + split tagging — the
+    //     batch operators verbatim on a streaming frame (the POINT of
+    //     hashing content keys instead of drawing per-partition randoms:
+    //     the same rows survive under micro-batch replay/retry); batch
+    //     oracles reused with the same fraction/seed ---
+    "q_stream_sample" -> ((s, dir) => {
+      val schema = Tables.documents(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val kept = graft.streaming.StreamingDedup.sampleStream(
+          stream, "doc_id", 0.1, seed = 1L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.streaming.StreamingOi.replayAppend(kept,
+        "graft_stream_sample_" + graft.streaming.StreamingOi.nextSinkId())
+    }),
+
+    "q_stream_split" -> ((s, dir) => {
+      val schema = Tables.documents(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val tagged = graft.streaming.StreamingDedup.splitStream(
+          stream, "doc_id", 0.25, seed = 3L)
+        .select(col("doc_id"), col("is_test"))
+      graft.streaming.StreamingOi.replayAppend(tagged,
+        "graft_stream_split_" + graft.streaming.StreamingOi.nextSinkId())
+    }),
+
     // --- §2.10: streaming decontamination — bench grams built batch-side
     //     (bounded by the eval set), embedded row-locally in the stream's
     //     tag expression; same oracle as q_decontam_tag ---
@@ -2292,6 +2319,12 @@ object SparkEntry {
     // over a finite source must equal the batch operator bit-for-bit
     "q_stream_quality" -> oracleSqlBase("q_quality_score"),
     "q_stream_decontam" -> oracleSqlBase("q_decontam_tag"),
+    "q_stream_sample" -> oracleSqlBase("q_sample_bernoulli"),
+    "q_stream_split" ->
+      s"""SELECT doc_id,
+         |  ${HashSql("doc_id", 3L)} < ${Sampling.threshold(0.25)}
+         |    AS is_test
+         |FROM documents""".stripMargin,
     // first-copy dedup: WHICH row survives is engine-chosen, so the gate
     // surface is the content set itself — distinct (digest, length)
     "q_stream_dedup" ->
