@@ -56,6 +56,16 @@ object SparkEntry {
       markers.map(m => s"substr(p, i, ${m.length}) = '$m'")
         .mkString(" OR ") + "))"
 
+  /** DuckDB twin of the exact cosine between two double-list columns —
+    * the same left-to-right fold as `plans.CosineExpr` / `exactCosine`
+    * (list_sum over a preserved-order list), the pattern q_ann_cosine
+    * proved engine-exact down to raw-double rank ordering. */
+  private def CosSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), " +
+      s"i -> $a[i] * $b[i])) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x*x))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> x*x))))"
+
   /** Per-(process, dataset) root for the TableOps gate fixtures — same
     * isolation rule as the JSONL fixture: concurrent Verify and Bench
     * JVMs must not race on one overwrite-then-read directory. */
@@ -1387,7 +1397,10 @@ object SparkEntry {
 
     // --- LLM ops: IVF ANN with kmeans-TRAINED centroids as the coarse
     //     quantizer — cells follow the data's geometry instead of a
-    //     hash-seeded row pick (no oracle: IVF probing) ---
+    //     hash-seeded row pick. Fully oracle-checked: deterministic
+    //     centroids (q_kmeans CTEs) + cosine assignment/probing/top-k
+    //     recomputed in SQL (q_ivf_ann stays rows-only: its seeded pick
+    //     is xxhash64) ---
     "q_ivf_kmeans_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"),
@@ -3297,6 +3310,48 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
          |  FROM scored)
          |SELECT query_id, rank, corpus_id, ${R6("cos")} AS cosine_micro
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // the FULL IVF path with kmeans-trained centroids, recomputed in SQL:
+    // unrolled Lloyd iterations (identical CTEs to q_kmeans — micro-
+    // rounded L2 assignment, DECIMAL dim means, emptied cell keeps its
+    // previous centroid), then cosine cell assignment (argmax, first-max
+    // wins), nProbe=3 probe cells per query, within-cell scoring and
+    // bounded top-3. Raw-double cosine ordering is engine-exact per the
+    // q_ann_cosine precedent; centroids are bit-identical by the
+    // DECIMAL/micro-rounding construction the q_kmeans gate pins.
+    "q_ivf_kmeans_ann" ->
+      s"""WITH ${KmeansCtes(8, 2)},
+         |ccos AS (
+         |  SELECT p.vec_id, cc.c, ${CosSql("p.vec", "cc.vec")} AS cos
+         |  FROM v p, c2 cc),
+         |cassign AS (
+         |  SELECT vec_id, c AS cell FROM (
+         |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, c) AS rk
+         |    FROM ccos) WHERE rk = 1),
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, c AS cell FROM (
+         |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, c) AS rk
+         |    FROM ccos WHERE vec_id < 10) WHERE rk <= 3),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, ca.vec_id AS corpus_id
+         |  FROM qprobe q JOIN cassign ca ON q.cell = ca.cell
+         |  WHERE q.query_id <> ca.vec_id),
+         |cosed AS (
+         |  SELECT s.query_id, s.corpus_id,
+         |    ${CosSql("qv.vec", "cv.vec")} AS cos
+         |  FROM cand s
+         |  JOIN v qv ON s.query_id = qv.vec_id
+         |  JOIN v cv ON s.corpus_id = cv.vec_id),
+         |ranked AS (
+         |  SELECT query_id, corpus_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, corpus_id) AS rank
+         |  FROM cosed)
+         |SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank,
+         |  ${R6("cos")} AS cosine_micro
          |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q_embed_neardup" ->
