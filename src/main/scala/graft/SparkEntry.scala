@@ -1068,6 +1068,17 @@ object SparkEntry {
           col("n_segments"), col("n_kept"))
     }),
 
+    // --- LLM ops: repeated-SUBSTRING removal on sliding 8-token windows
+    //     (the ExactSubstr rule of Lee et al. 2022 at window resolution)
+    //     — unlike the fixed segment grid above, a repeated passage is
+    //     caught at ANY token offset; marked spans union row-locally ---
+    "q_substr_dedup" -> ((s, dir) => {
+      Dedup.dropRepeatedWindows(Tables.documents(s, dir), "doc_id",
+          "text", windowTokens = 8, minCopies = 2)
+        .select(col("doc_id"), md5(col("cleaned")).as("cleaned_md5"),
+          col("n_tokens"), col("n_kept"))
+    }),
+
     // --- LLM ops: same, keep-first variant (smallest (doc_id, pos)
     //     occurrence survives — the dedup that preserves one copy of
     //     boilerplate instead of erasing it corpus-wide) ---
@@ -2841,6 +2852,41 @@ object SparkEntry {
          |WHERE inter::DOUBLE / size_a::DOUBLE >= 0.7""".stripMargin,
 
     "q_seg_dedup_drop" -> SegDedupSql(keepFirst = false),
+
+    // sliding-window substring dedup: window strings at every offset,
+    // corpus counts, per-doc marked starts, row-local span-union cut
+    "q_substr_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS i, t
+         |  FROM d WHERE len(t) >= 8),
+         |w2 AS (
+         |  SELECT doc_id, i - 1 AS start,
+         |    array_to_string(t[i:i+7], ' ') AS win
+         |  FROM w),
+         |rep AS (SELECT win FROM w2 GROUP BY win HAVING COUNT(*) >= 2),
+         |mk AS (
+         |  SELECT doc_id, list(start ORDER BY start) AS starts
+         |  FROM w2 WHERE win IN (SELECT win FROM rep) GROUP BY doc_id),
+         |j AS (
+         |  SELECT d.doc_id, d.t,
+         |    COALESCE(mk.starts, CAST([] AS BIGINT[])) AS starts
+         |  FROM d LEFT JOIN mk USING (doc_id)),
+         |cut AS (
+         |  SELECT doc_id, t,
+         |    list_filter(generate_series(0, len(t) - 1), pp ->
+         |      len(list_filter(starts,
+         |        s -> s <= pp AND pp < s + 8)) = 0) AS pos
+         |  FROM j)
+         |SELECT doc_id,
+         |  md5(COALESCE(array_to_string(
+         |    list_transform(pos, pp -> t[pp + 1]), ' '), ''))
+         |    AS cleaned_md5,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(pos) AS BIGINT) AS n_kept
+         |FROM cut""".stripMargin,
     "q_seg_dedup_first" -> SegDedupSql(keepFirst = true),
 
     "q_jsonl_roundtrip" ->

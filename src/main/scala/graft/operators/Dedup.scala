@@ -537,4 +537,81 @@ object Dedup {
       .withColumn("n_kept", coalesce(col("__n_kept"), lit(0L)))
       .drop("__sd_id", "__cleaned", "__n_kept")
   }
+
+  /** Corpus-level repeated-SUBSTRING removal at token granularity — the
+    * ExactSubstr rule of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better", /root/reference has no analog; LLM
+    * extension) approximated on sliding token windows: every
+    * `windowTokens`-token window (stride 1) whose corpus-wide occurrence
+    * count reaches `minCopies` marks its token span in every document
+    * where it occurs, and marked spans (the union of overlapping
+    * windows) are cut out; the surviving tokens are reassembled in
+    * order. Unlike [[dropRepeatedSegments]] (C4's fixed, non-overlapping
+    * segment grid), the sliding window catches a repeated passage at ANY
+    * token offset — the suffix-array result at window resolution:
+    * windows are exactly the length-`windowTokens` substrings, so a
+    * repeated run of m >= windowTokens tokens is fully covered by its
+    * m - windowTokens + 1 repeated windows.
+    *
+    * Output = input columns + `cleaned`, `n_tokens`, `n_kept`. A doc
+    * shorter than the window has no windows, is never marked, and
+    * round-trips (token-joined — reassembly normalizes whitespace, as
+    * dropRepeatedSegments does). A fully-repeated doc survives with
+    * empty `cleaned` so the caller decides.
+    *
+    * Scale: one partial-aggregating groupBy(window) for corpus counts
+    * (boilerplate skew combines map-side, as in dropRepeatedSegments),
+    * one semi-join of doc windows against the repeated set, one
+    * per-doc collect of marked starts (bounded by doc length), one
+    * join back; the span-union cut is row-local. Per-row cost of the
+    * cut is O(tokens x marked-starts) — bounded by doc length squared,
+    * never corpus size; long-doc corpora should raise `windowTokens`
+    * (fewer, more selective marks), the knob Lee et al. use (50). */
+  def dropRepeatedWindows(df: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int = 10, minCopies: Int = 2,
+                          joiner: String = " "): DataFrame = {
+    require(windowTokens > 0,
+      s"windowTokens must be positive, got $windowTokens")
+    require(minCopies >= 2, s"minCopies must be >= 2, got $minCopies")
+    val L = windowTokens
+    val toks = when(length(trim(col(textCol))) > 0,
+        TextFunctions.tokens(col(textCol)))
+      .otherwise(array().cast("array<string>"))
+    val wins = df
+      .select(col(idCol).as("__rw_id"), toks.as("__t"))
+      .select(col("__rw_id"),
+        posexplode(when(size(col("__t")) >= L,
+          transform(sequence(lit(0), size(col("__t")) - L),
+            i => concat_ws(" ", slice(col("__t"), i + 1, lit(L)))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("start", "win")))
+    val repeated = wins.groupBy("win")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCopies)
+      .select("win")
+    val marked = wins.join(repeated, Seq("win"), "left_semi")
+      .groupBy(col("__rw_id"))
+      .agg(sort_array(collect_list(col("start"))).as("__starts"))
+    // row-local span-union cut; the token array is bound ONCE via the
+    // 1-element transform (each direct reference would re-run the regex
+    // tokenization), null __starts (no repeated window) -> empty list
+    val cut = element_at(transform(array(toks), t => {
+      val starts = coalesce(col("__starts"), array().cast("array<int>"))
+      val pos = when(size(t) > 0,
+          filter(sequence(lit(0), size(t) - 1),
+            p => !exists(starts, s => s <= p && p < s + L)))
+        .otherwise(array().cast("array<int>"))
+      struct(
+        concat_ws(joiner, transform(pos, p => element_at(t, p + 1)))
+          .as("cleaned"),
+        size(t).cast("long").as("n_tokens"),
+        size(pos).cast("long").as("n_kept"))
+    }), 1)
+    df.join(marked, df(idCol) === col("__rw_id"), "left")
+      .withColumn("__cut", cut)
+      .withColumn("cleaned", col("__cut.cleaned"))
+      .withColumn("n_tokens", col("__cut.n_tokens"))
+      .withColumn("n_kept", col("__cut.n_kept"))
+      .drop("__rw_id", "__starts", "__cut")
+  }
 }

@@ -351,6 +351,43 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == (("e f g h", 2L, 2L)))
   }
 
+  test("dropRepeatedWindows: repeated run cut at ANY offset, span union " +
+    "of overlapping windows, short and unique docs untouched") {
+    val d = df("doc_id BIGINT, text STRING",
+      Row(1L, "intro words then spam spam spam spam tail one"),
+      Row(2L, "other spam spam spam spam more text here"), // offset differs
+      Row(3L, "totally unique document with enough tokens here"),
+      Row(4L, "short doc")) // shorter than the window: no windows at all
+    val out = Dedup.dropRepeatedWindows(d, "doc_id", "text",
+        windowTokens = 4, minCopies = 2)
+      .select("doc_id", "cleaned", "n_tokens", "n_kept").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "spam spam spam spam" repeats across docs 1 and 2 at DIFFERENT
+    // offsets — the fixed segment grid would miss it; the sliding
+    // window marks exactly those 4 tokens in each doc
+    assert(out(1L) == (("intro words then tail one", 9L, 5L)))
+    assert(out(2L) == (("other more text here", 8L, 4L)))
+    assert(out(3L) == (("totally unique document with enough tokens here",
+      7L, 7L)))
+    assert(out(4L) == (("short doc", 2L, 2L)))
+  }
+
+  test("dropRepeatedWindows: within-doc repetition counts toward " +
+    "minCopies; fully-repeated doc survives empty") {
+    val d = df("doc_id BIGINT, text STRING",
+      Row(1L, "a b c a b c"), // "a b c a"? windows of 3: abc bca cab abc
+      Row(2L, "x y z w v u"))
+    val out = Dedup.dropRepeatedWindows(d, "doc_id", "text",
+        windowTokens = 3, minCopies = 2)
+      .select("doc_id", "cleaned", "n_kept").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // "a b c" occurs at starts 0 and 3 of doc 1 (corpus count 2):
+    // spans [0,3) and [3,6) union to the whole doc
+    assert(out(1L) == (("", 0L)))
+    assert(out(2L) == (("x y z w v u", 6L)))
+  }
+
   test("dropRepeatedSegments keepFirst: smallest (id, pos) survives") {
     val d = df("doc_id BIGINT, text STRING",
       Row(2L, "x y buy now"), Row(1L, "buy now a b"), Row(3L, "buy now"))
