@@ -190,6 +190,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("RunningWindowFunction"), p.take(1500))
   }
 
+  test("q_substr_dedup: window counts partial-aggregate map-side; " +
+    "no corpus-wide window, no cartesian product") {
+    val p = plan("q_substr_dedup")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "window counts must combine map-side:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("RunningWindowFunction"), p.take(1500))
+  }
+
   test("q_repetition: Gopher signals are one row-local projection " +
     "(zero exchanges)") {
     val p = plan("q_repetition")
