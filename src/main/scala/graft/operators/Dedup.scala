@@ -341,20 +341,24 @@ object Dedup {
     // a signature is all-null or all-non-null by construction, so the
     // first element decides
     val live = sig.filter(element_at(col("sig"), 1).isNotNull)
-    val banded = capBuckets(
+    val banded =
       live.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(lit("band"), b,
             concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
-              lit(rowsPerBand)))))).as(Seq("band", "bucket"))),
-      Seq("band", "bucket"), maxBucket)
+              lit(rowsPerBand)))))).as(Seq("band", "bucket")))
     // signatures ride the self-join so the agreement rate is computed
     // in-line (re-joining them per distinct pair was measured ~1 s
     // slower at sf0.1 — two more exchanges; at larger signature widths
     // k, switch to a narrow (id, band, bucket) join + per-pair sig
-    // lookups to keep k longs/row out of the big shuffle)
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
+    // lookups to keep k longs/row out of the big shuffle).
+    // The bucket cap applies to the LEFT side only — a pair needs both
+    // sides, so dropping viral buckets from one side removes all their
+    // pairs, and the cap window evaluates once; the right side reuses
+    // the same exchange untouched.
+    val l = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+      .select(col("band"), col("bucket"),
+        col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"),
       col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "bucket"))
@@ -462,13 +466,15 @@ object Dedup {
       if (width >= 64) col("sig")
       else shiftright(col("sig"), lo).bitwiseAND((1L << width) - 1L)
     }
-    val chunked = capBuckets(
-      sigs.filter(col("sig").isNotNull)
-        .select(col("id"), col("sig"),
-          posexplode(array(chunkKeys: _*)).as(Seq("chunk", "key"))),
-      Seq("chunk", "key"), maxBucket)
-    val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"),
-      col("sig").as("sig_a"))
+    val chunked = sigs.filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        posexplode(array(chunkKeys: _*)).as(Seq("chunk", "key")))
+    // left-side-only cap, as in minHashLshPairsFromSigs: one window
+    // evaluation, same pair set (a viral bucket's pairs all need the
+    // capped side)
+    val l = capBuckets(chunked, Seq("chunk", "key"), maxBucket)
+      .select(col("chunk"), col("key"), col("id").as("id_a"),
+        col("sig").as("sig_a"))
     val r = chunked.select(col("chunk"), col("key"), col("id").as("id_b"),
       col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "key"))
