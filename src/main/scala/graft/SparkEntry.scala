@@ -56,6 +56,36 @@ object SparkEntry {
       markers.map(m => s"substr(p, i, ${m.length}) = '$m'")
         .mkString(" OR ") + "))"
 
+  /** Shared CTE chain of the two DSIR gates: target model (every 31st
+    * doc), raw model, per-token add-0.5 LLR, DECIMAL per-doc sums —
+    * mirrors [[graft.operators.Dsir.importanceScores]] exactly. */
+  private val DsirCtes =
+    s"""tgt AS (
+       |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+       |    AS term
+       |  FROM documents WHERE doc_id % 31 = 0),
+       |tc AS (SELECT term, COUNT(*) AS ct FROM tgt GROUP BY term),
+       |tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, COUNT(*) AS vt
+       |       FROM tc),
+       |rawt AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents WHERE doc_id % 31 <> 0),
+       |rc AS (SELECT term, COUNT(*) AS cr FROM rawt GROUP BY term),
+       |rt AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, COUNT(*) AS vr
+       |       FROM rc),
+       |sc AS (
+       |  SELECT r.doc_id,
+       |    ln((COALESCE(t.ct, 0) + 0.5) / (nt + 0.5 * vt)) -
+       |    ln((COALESCE(c.cr, 0) + 0.5) / (nr + 0.5 * vr)) AS llr_t
+       |  FROM rawt r
+       |  LEFT JOIN tc t ON r.term = t.term
+       |  LEFT JOIN rc c ON r.term = c.term, tt, rt),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CAST(llr_t AS DECIMAL(18,9))) AS DOUBLE) AS llr
+       |  FROM sc GROUP BY 1)""".stripMargin
+
   /** DuckDB twin of the exact cosine between two double-list columns —
     * the same left-to-right fold as `plans.CosineExpr` / `exactCosine`
     * (list_sum over a preserved-order list), the pattern q_ann_cosine
@@ -2016,6 +2046,36 @@ object SparkEntry {
           "doc_id", "text", benchTextCol = "q", n = 3)
         .select(col("doc_id"), col("n_overlap"),
           r6(col("overlap_frac")).as("overlap_frac_micro"))
+    }),
+
+    // --- LLM ops: DSIR importance scoring (Xie et al. 2023) — per-doc
+    //     add-k unigram log-likelihood ratio of a trusted target slice
+    //     (every 31st doc) vs the raw corpus ---
+    "q_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dsir.importanceScores(
+          docs.filter(pmod(col("doc_id"), lit(31L)) =!= 0), "doc_id",
+          "text",
+          docs.filter(pmod(col("doc_id"), lit(31L)) === 0)
+            .select(col("text").as("q")), "q")
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("llr")).as("llr_micro"))
+    }),
+
+    // --- LLM ops: DSIR importance RESAMPLING — survivors of the
+    //     micro-rounded sigmoid(llr_per_token / T) portable-hash
+    //     acceptance; deterministic, so the surviving set itself is the
+    //     oracle surface ---
+    "q_dsir_resample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dsir.resample(
+          docs.filter(pmod(col("doc_id"), lit(31L)) =!= 0), "doc_id",
+          "text",
+          docs.filter(pmod(col("doc_id"), lit(31L)) === 0)
+            .select(col("text").as("q")), "q",
+          temperature = 0.25, seed = 11L)
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("llr")).as("llr_micro"))
     }),
 
     // --- LLM ops: pattern redaction (PII/boilerplate scrub shape) with a
@@ -4078,6 +4138,24 @@ object SparkEntry {
          |SELECT doc_id, lang, pfx // 16384 AS chunk_id,
          |  pfx % 16384 AS chunk_offset, ${R6("quality")} AS quality_micro
          |FROM p""".stripMargin,
+
+    "q_dsir" ->
+      s"""WITH $DsirCtes
+         |SELECT doc_id, n_tokens, ${R6("llr")} AS llr_micro
+         |FROM agg""".stripMargin,
+
+    // the resample face: micro-rounded sigmoid acceptance against the
+    // same portable bucket hash the Spark sampler uses
+    "q_dsir_resample" ->
+      s"""WITH $DsirCtes,
+         |p AS (
+         |  SELECT doc_id, n_tokens, llr,
+         |    floor((1.0 / (1.0 + exp(-((llr / n_tokens) / 0.25))))
+         |      * 1e6 + 0.5) / 1e6 AS w
+         |  FROM agg)
+         |SELECT doc_id, n_tokens, ${R6("llr")} AS llr_micro FROM p
+         |WHERE ${HashSql("doc_id", 11L)} <
+         |  CAST(floor(w * 1048576 + 0.5) AS BIGINT)""".stripMargin,
 
     // benchmark decontamination: same 3-gram definition as
     // q_dedup_jaccard's shingle CTEs; bench grams are DISTINCT and each
