@@ -1245,6 +1245,24 @@ object SparkEntry {
       }.reduce(_ unionByName _)
     }),
 
+    // --- Iceberg-style Z-order clustering: the rewrite reorganizes file
+    //     layout for two-dimensional data skipping but must be a PURE
+    //     reorganization — the read-back content equals the source
+    //     exactly (the skipping itself is pinned by TableOpsSpec's
+    //     per-file range-narrowing tests) ---
+    "q_table_zorder" -> ((s, dir) => {
+      val root = tableOpsRoot(dir) + "_zo"
+      rmTree(root)
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.tables.TableOps.overwrite(ord, root)
+      graft.tables.TableOps.clusterBy(s, root,
+        Seq("o_custkey", "o_totalprice"))
+      graft.tables.TableOps.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"),
+          r6(col("o_totalprice")).as("price_micro"))
+    }),
+
     // --- Iceberg-style dynamic partition overwrite: replace exactly the
     //     partitions present in the replacement frame, keep the rest ---
     "q_table_part_overwrite" -> ((s, dir) => {
@@ -2997,6 +3015,12 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(3 AS BIGINT), COUNT(*),
          |  ${R6(MoneySum("o_totalprice"))} FROM v3""".stripMargin,
+
+    // Z-order rewrite is a pure layout reorganization: content == source
+    "q_table_zorder" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |  ${R6("o_totalprice")} AS price_micro
+         |FROM orders""".stripMargin,
 
     // dynamic partition overwrite: only the 1-URGENT partition is
     // replaced (half price), every other partition is untouched

@@ -373,6 +373,39 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == (("short doc", 2L, 2L)))
   }
 
+  test("dropRepeatedWindows: random-corpus differential vs a " +
+    "driver-side brute-force reference") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (0L until 60L).map { i =>
+      val n = 3 + rnd.nextInt(12)
+      i -> Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val L = 3
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").toSeq }.toMap
+    val wc = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    for ((_, ts) <- toks; i <- 0 to ts.length - L)
+      wc(ts.slice(i, i + L).mkString(" ")) += 1
+    val expect = toks.map { case (id, ts) =>
+      val marked = (0 to ts.length - L)
+        .filter(i => wc(ts.slice(i, i + L).mkString(" ")) >= 2)
+      val kept = ts.indices
+        .filterNot(p => marked.exists(s => s <= p && p < s + L))
+      id -> ((kept.map(ts).mkString(" "), ts.length.toLong,
+        kept.length.toLong))
+    }
+    val got = Dedup.dropRepeatedWindows(
+        df("doc_id BIGINT, text STRING",
+          corpus.map(c => Row(c._1, c._2)): _*),
+        "doc_id", "text", windowTokens = L, minCopies = 2)
+      .select("doc_id", "cleaned", "n_tokens", "n_kept").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+  }
+
   test("dropRepeatedWindows: within-doc repetition counts toward " +
     "minCopies; fully-repeated doc survives empty") {
     val d = df("doc_id BIGINT, text STRING",
