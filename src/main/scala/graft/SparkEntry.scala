@@ -2066,6 +2066,34 @@ object SparkEntry {
           r6(col("overlap_frac")).as("overlap_frac_micro"))
     }),
 
+    // --- LLM ops: C4 page-level filter flags (Raffel et al. 2020 §2.2,
+    //     document-level subset) ---
+    "q_c4_filters" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("__f", TextFunctions.c4Flags(col("text")))
+        .select(col("doc_id"),
+          col("__f.has_3_sentences").as("has_3_sentences"),
+          col("__f.no_lorem").as("no_lorem"),
+          col("__f.no_brace").as("no_brace"),
+          col("__f.keep").as("keep"))
+    }),
+
+    // --- LLM ops: Gopher quality-filter flags (Rae et al. 2021 Table
+    //     A1, document-level subset; minWords lowered to 10 for this
+    //     short-doc corpus so both flag values occur) ---
+    "q_gopher_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("__f",
+          TextFunctions.gopherQualityFlags(col("text"), minWords = 10))
+        .select(col("doc_id"),
+          col("__f.word_count_ok").as("word_count_ok"),
+          col("__f.mean_len_ok").as("mean_len_ok"),
+          col("__f.symbol_ok").as("symbol_ok"),
+          col("__f.alpha_ok").as("alpha_ok"),
+          col("__f.stops_ok").as("stops_ok"),
+          col("__f.keep").as("keep"))
+    }),
+
     // --- LLM ops: DSIR importance scoring (Xie et al. 2023) — per-doc
     //     add-k unigram log-likelihood ratio of a trusted target slice
     //     (every 31st doc) vs the raw corpus ---
@@ -4162,6 +4190,54 @@ object SparkEntry {
          |SELECT doc_id, lang, pfx // 16384 AS chunk_id,
          |  pfx % 16384 AS chunk_offset, ${R6("quality")} AS quality_micro
          |FROM p""".stripMargin,
+
+    "q_c4_filters" ->
+      s"""SELECT doc_id,
+         |  length(regexp_replace(text, '[^.!?]', '', 'g')) >= 3
+         |    AS has_3_sentences,
+         |  NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+         |  NOT contains(text, '{') AS no_brace,
+         |  length(regexp_replace(text, '[^.!?]', '', 'g')) >= 3
+         |    AND NOT contains(lower(text), 'lorem ipsum')
+         |    AND NOT contains(text, '{') AS keep
+         |FROM documents""".stripMargin,
+
+    // flag decisions divide exact integer counts, so raw comparisons
+    // against the thresholds are engine-exact (no micro grid needed)
+    "q_gopher_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(trim(text), '\\s+') AS toks,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS nw,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+         |      AS DOUBLE) AS nchars,
+         |    CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+         |      AS DOUBLE) AS nhash,
+         |    CAST((length(text) - length(regexp_replace(text,
+         |      '\\.\\.\\.', '', 'g'))) / 3 AS DOUBLE) AS nell,
+         |    CAST(len(list_filter(toks,
+         |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS nalpha,
+         |    len(list_filter(
+         |      ['the','a','an','and','or','of','to','in','is','are',
+         |       'was','it','that','this','for','on','with','as','at',
+         |       'by','be'],
+         |      w -> list_contains(ltoks, w))) AS nstops
+         |  FROM t)
+         |SELECT doc_id,
+         |  nw >= 10 AND nw <= 100000 AS word_count_ok,
+         |  nchars / nw >= 3.0 AND nchars / nw <= 10.0 AS mean_len_ok,
+         |  (nhash + nell) / nw <= 0.1 AS symbol_ok,
+         |  nalpha / nw >= 0.8 AS alpha_ok,
+         |  nstops >= 2 AS stops_ok,
+         |  (nw >= 10 AND nw <= 100000)
+         |    AND (nchars / nw >= 3.0 AND nchars / nw <= 10.0)
+         |    AND ((nhash + nell) / nw <= 0.1)
+         |    AND (nalpha / nw >= 0.8) AND (nstops >= 2) AS keep
+         |FROM m""".stripMargin,
 
     "q_dsir" ->
       s"""WITH $DsirCtes

@@ -236,4 +236,54 @@ object TextFunctions {
       }.reduce(_ + _)
     langIdFromScores(text, score)
   }
+
+  /** C4 page-level filter flags (Raffel et al. 2020 §2.2), the
+    * document-level subset (the line-level rules need line structure
+    * this corpus lacks): >= 3 sentences (terminal-punctuation count as
+    * the sentence proxy), no "lorem ipsum", no curly brace (code
+    * marker). `keep` = all pass. Pure row-local Column expressions. */
+  def c4Flags(text: Column): Column = {
+    val sentences =
+      length(regexp_replace(text, "[^.!?]", "")) >= 3
+    val noLorem = !lower(text).contains("lorem ipsum")
+    val noBrace = !text.contains("{")
+    struct(sentences.as("has_3_sentences"), noLorem.as("no_lorem"),
+      noBrace.as("no_brace"),
+      (sentences && noLorem && noBrace).as("keep"))
+  }
+
+  /** Gopher quality-filter flags (Rae et al. 2021, Table A1), the
+    * document-level subset (the two line-level rules need line
+    * structure): word count in [minWords, maxWords], mean word length
+    * in [3, 10], symbol-to-word ratio ('#' or '...') <= 0.1, >= 80% of
+    * words contain an alphabetic character, and >= 2 distinct stopwords
+    * present. `keep` = all pass. Ratios divide exact integer counts, so
+    * the flag decisions are engine-exact without micro-rounding. The
+    * repetition rules of the same table live in [[dupTokenFrac]] /
+    * [[topNgramCharFrac]] / [[dupNgramCharFrac]]. */
+  def gopherQualityFlags(text: Column, minWords: Int = 50,
+                         maxWords: Int = 100000): Column = {
+    val toks = tokens(text)
+    val ltoks = tokens(lower(text))
+    val nw = size(toks).cast("double")
+    val wordCountOk = nw >= minWords && nw <= maxWords
+    val meanWordLen =
+      length(regexp_replace(text, "\\s+", "")).cast("double") / nw
+    val meanLenOk = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val nHash = length(regexp_replace(text, "[^#]", "")).cast("double")
+    val nEllipsis = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3))
+      .cast("double")
+    val symbolOk = (nHash + nEllipsis) / nw <= 0.1
+    val alphaOk = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / nw >= 0.8
+    val stopArr = array(englishStopwords.map(lit): _*)
+    val stopsOk = size(filter(stopArr,
+      w => array_contains(ltoks, w))) >= 2
+    struct(wordCountOk.as("word_count_ok"), meanLenOk.as("mean_len_ok"),
+      symbolOk.as("symbol_ok"), alphaOk.as("alpha_ok"),
+      stopsOk.as("stops_ok"),
+      (wordCountOk && meanLenOk && symbolOk && alphaOk && stopsOk)
+        .as("keep"))
+  }
 }

@@ -216,4 +216,43 @@ class TextFunctionsSpec extends SparkSpec {
       .getDouble(0)
     assert(got2 == 0.0)
   }
+
+  private def c4Of(t: String): (Boolean, Boolean, Boolean, Boolean) = {
+    val r = doc(t).select(TextFunctions.c4Flags(col("text")).as("f"))
+      .select("f.*").collect()(0)
+    (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
+  }
+
+  test("c4Flags: each rule trips independently; keep is the conjunction") {
+    assert(c4Of("One. Two! Three? And more.") == ((true, true, true, true)))
+    assert(c4Of("no punctuation here at all") ==
+      ((false, true, true, false)))
+    assert(c4Of("Lorem Ipsum dolor. Sit! Amet?") ==
+      ((true, false, true, false)))
+    assert(c4Of("code. block! here? { x = 1 }") ==
+      ((true, true, false, false)))
+  }
+
+  private def gopherOf(t: String, minWords: Int = 3)
+      : Map[String, Boolean] = {
+    val r = doc(t).select(
+        TextFunctions.gopherQualityFlags(col("text"), minWords).as("f"))
+      .select("f.*")
+    r.collect()(0).getValuesMap[Boolean](r.columns)
+  }
+
+  test("gopherQualityFlags: each document-level rule trips " +
+    "independently") {
+    val good = "the cat and the dog sat with all of that stuff"
+    assert(gopherOf(good)("keep"))
+    assert(!gopherOf("the cat", minWords = 3)("word_count_ok"))
+    // mean word length < 3
+    assert(!gopherOf("it is a an to of in at by we")("mean_len_ok"))
+    // symbol-to-word ratio: 2 hashes + 1 ellipsis over 9 words > 0.1
+    assert(!gopherOf("the cat and # dog # sat there... with")("symbol_ok"))
+    // < 80% alphabetic words
+    assert(!gopherOf("the 123 456 789 000 111 cat and that")("alpha_ok"))
+    // fewer than 2 distinct stopwords
+    assert(!gopherOf("cats dogs birds fish mice run")("stops_ok"))
+  }
 }
