@@ -2066,6 +2066,22 @@ object SparkEntry {
           r6(col("overlap_frac")).as("overlap_frac_micro"))
     }),
 
+    // --- LLM ops: SEMANTIC decontamination — max cosine of each corpus
+    //     embedding to an eval slice (every 17th vector); catches
+    //     paraphrased benchmark leakage the n-gram overlap misses ---
+    "q_sem_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      Decontam.semanticContamination(
+          emb.filter(pmod(col("vec_id"), lit(17L)) =!= 0),
+          emb.filter(pmod(col("vec_id"), lit(17L)) === 0),
+          "vec_id", "vec", "vec", threshold = 0.9)
+        .select(col("vec_id"),
+          r6(col("max_eval_cos")).as("max_eval_cos_micro"),
+          col("contaminated"))
+    }),
+
     // --- LLM ops: C4 page-level filter flags (Raffel et al. 2020 §2.2,
     //     document-level subset) ---
     "q_c4_filters" -> ((s, dir) => {
@@ -4190,6 +4206,18 @@ object SparkEntry {
          |SELECT doc_id, lang, pfx // 16384 AS chunk_id,
          |  pfx % 16384 AS chunk_offset, ${R6("quality")} AS quality_micro
          |FROM p""".stripMargin,
+
+    "q_sem_decontam" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings),
+         |e AS (SELECT vec AS ev FROM v WHERE vec_id % 17 = 0),
+         |sc AS (
+         |  SELECT c.vec_id, MAX(${CosSql("c.vec", "ev")}) AS mx
+         |  FROM v c, e WHERE c.vec_id % 17 <> 0 GROUP BY 1)
+         |SELECT vec_id, ${R6("mx")} AS max_eval_cos_micro,
+         |  mx >= 0.9 AS contaminated
+         |FROM sc""".stripMargin,
 
     "q_c4_filters" ->
       s"""SELECT doc_id,

@@ -99,4 +99,30 @@ object Decontam {
     docs.withColumn(outCol,
       size(array_intersect(Dedup.shingles(col(textCol), n),
         lit(benchGrams.toArray))))
+
+  /** SEMANTIC decontamination — the embedding-space sibling of the
+    * n-gram overlap above: flag each corpus embedding whose cosine to
+    * ANY eval-set embedding reaches `threshold` (paraphrased benchmark
+    * leakage that exact n-grams miss). The eval frame broadcasts (it is
+    * bounded by the benchmark, thousands of rows), so the corpus is
+    * scanned once with a partition-local max — zero corpus shuffles
+    * beyond the final per-id aggregation, which partial-aggregates to
+    * one row per corpus id. Degenerate (zero-norm) vectors yield null
+    * cosine and never flag. Output: corpusId, `max_eval_cos`,
+    * `contaminated`. */
+  def semanticContamination(corpus: DataFrame, eval: DataFrame,
+                            corpusId: String, corpusVec: String,
+                            evalVec: String,
+                            threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    corpus.select(col(corpusId), col(corpusVec).as("__cv"))
+      .crossJoin(broadcast(eval.select(col(evalVec).as("__ev"))))
+      .select(col(corpusId),
+        Similarity.cosine(col("__cv"), col("__ev")).as("__cos"))
+      .groupBy(col(corpusId))
+      .agg(max(col("__cos")).as("max_eval_cos"))
+      .withColumn("contaminated",
+        coalesce(col("max_eval_cos") >= threshold, lit(false)))
+  }
 }

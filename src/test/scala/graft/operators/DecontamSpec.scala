@@ -69,4 +69,39 @@ class DecontamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  // --- semanticContamination ---
+
+  private def vecs(rows: (Long, Seq[Double])*) =
+    df("id BIGINT, v ARRAY<DOUBLE>",
+      rows.map { case (i, xs) =>
+        Row(i, if (xs == null) null else xs)
+      }: _*)
+
+  test("semanticContamination flags max-cosine >= threshold against ANY " +
+    "eval vector; clean and orthogonal rows stay unflagged") {
+    val corpus = vecs(
+      1L -> Seq(1.0, 0.0),            // identical to eval a → cos 1
+      2L -> Seq(0.8, 0.6),            // cos 0.8 to a, 0.6 to b
+      3L -> Seq(0.0, 1.0),            // identical to eval b → cos 1
+      4L -> Seq(-1.0, 0.0))           // cos -1 / 0 → clean
+    val eval = vecs(10L -> Seq(1.0, 0.0), 11L -> Seq(0.0, 1.0))
+    val out = Decontam.semanticContamination(corpus, eval.select(col("v")),
+        "id", "v", "v", threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2 && out(3L)._2)
+    assert(!out(2L)._2 && !out(4L)._2)
+    assert(approx(out(2L)._1, 0.8))   // max over BOTH eval vectors
+    assert(approx(out(4L)._1, 0.0))
+  }
+
+  test("semanticContamination: zero-norm vectors never flag (null cosine)") {
+    val corpus = vecs(1L -> Seq(0.0, 0.0), 2L -> Seq(1.0, 0.0))
+    val eval = vecs(10L -> Seq(1.0, 0.0))
+    val out = Decontam.semanticContamination(corpus, eval.select(col("v")),
+        "id", "v", "v", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(!out(1L) && out(2L))
+  }
 }
