@@ -149,6 +149,18 @@ object SparkEntry {
     s"((((($key + $seed) % 2147483648 + 2147483648) % 2147483648)" +
       " * 2654435761) // 65536) % 1048576"
 
+  /** DuckDB twin of [[Sampling.mix31]] — two multiply-shift-truncate
+    * rounds with xor-folding; all BIGINT arithmetic (every intermediate
+    * < 2^63) plus `xor()`. `seed` is a SQL expression so the CMS twin
+    * can derive per-row seeds. */
+  private def Mix31Sql(key: String, seed: String): String = {
+    val x0 = s"((($key + $seed) % 2147483648 + 2147483648) % 2147483648)"
+    val x1 = s"((($x0 * 2654435761) // 8192) % 2147483648)"
+    val x2 = s"xor($x1, $x1 // 65536)"
+    val x3 = s"((($x2 * 2246822519) // 8192) % 2147483648)"
+    s"xor($x3, $x3 // 65536)"
+  }
+
   /** DuckDB twin of the q_seg_dedup_* gates: 3-token segmentation,
     * corpus-wide counts, drop-or-keep-first, ordered reassembly. */
   private def SegDedupSql(keepFirst: Boolean): String = {
@@ -2080,6 +2092,36 @@ object SparkEntry {
         .select(col("vec_id"),
           r6(col("max_eval_cos")).as("max_eval_cos_micro"),
           col("contaminated"))
+    }),
+
+    // --- OLAP sketches: HLL distinct estimate per group (engine-portable
+    //     registers; est is deterministic, so the DuckDB twin computes
+    //     the identical sketch and the gate hash-matches) ---
+    "q_hll_distinct" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val est = Sketches.hllDistinct(li, Seq("l_returnflag"),
+        "l_orderkey", p = 10, seed = 0L)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+      est.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          r6(col("distinct_est")).as("est_micro"),
+          col("exact_distinct"))
+    }),
+
+    // --- OLAP sketches: Count-Min point estimates + heavy-hitter flag
+    //     (est >= true always; deterministic cells → hash gate) ---
+    "q_cms_counts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val sk = Sketches.cmsSketch(ev, "user_id", depth = 4, width = 256,
+        seed = 5L)
+      val est = Sketches.cmsLookup(sk, ev.distinct(), "user_id",
+        depth = 4, width = 256, seed = 5L)
+      val exact = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("user_id"))
+        .select(col("user_id"), col("est"), col("exact_cnt"),
+          (col("est") >= lit(80L)).as("is_heavy"))
     }),
 
     // --- LLM ops: C4 page-level filter flags (Raffel et al. 2020 §2.2,
@@ -4218,6 +4260,60 @@ object SparkEntry {
          |SELECT vec_id, ${R6("mx")} AS max_eval_cos_micro,
          |  mx >= 0.9 AS contaminated
          |FROM sc""".stripMargin,
+
+    // HLL: identical registers (mix31 draws), exact dyadic register sum
+    // (every 2^-rho term and their sum are exact doubles), and the same
+    // alpha*m constant interpolated as a round-tripping double literal —
+    // the whole estimator is bit-reproducible, hence a hash gate.
+    "q_hll_distinct" -> {
+      val alphaM = (0.7213 / (1.0 + 1.079 / 1024)) * 1024
+      s"""WITH h AS (
+         |  SELECT l_returnflag AS g,
+         |    ${Mix31Sql("l_orderkey", "0")} AS h1,
+         |    (${Mix31Sql("l_orderkey", "1000003")}) % 1048576 AS h2
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT g, h1 // 2097152 AS register,
+         |    MAX(CASE WHEN h2 = 0 THEN 21
+         |        ELSE 21 - length(bin(h2)) END) AS rho
+         |  FROM h GROUP BY 1, 2),
+         |a AS (
+         |  SELECT g, COUNT(*) AS np,
+         |    SUM(1.0 / (CAST(1 AS BIGINT) << rho)) AS sp
+         |  FROM r GROUP BY 1),
+         |e AS (
+         |  SELECT g, 1024 - np AS v,
+         |    (CAST($alphaM AS DOUBLE) * 1024.0e0) / (sp + (1024 - np)) AS raw
+         |  FROM a)
+         |SELECT e.g AS l_returnflag,
+         |  ${R6("CASE WHEN raw <= 2560.0 AND v > 0 " +
+               "THEN 1024.0 * ln(1024.0 / v) ELSE raw END")} AS est_micro,
+         |  x.exact_distinct
+         |FROM e JOIN (
+         |  SELECT l_returnflag AS g,
+         |    COUNT(DISTINCT l_orderkey) AS exact_distinct
+         |  FROM lineitem GROUP BY 1) x USING (g)""".stripMargin
+    },
+
+    // CMS: deterministic cells (mix31 per-row seeds), COUNT sums, min
+    // over depth rows — all integer arithmetic, bit-exact.
+    "q_cms_counts" -> {
+      val bucket = s"(${Mix31Sql("user_id", "5 + row * 1000003")}) % 256"
+      s"""WITH d AS (SELECT * FROM range(0, 4) t(row)),
+         |cells AS (
+         |  SELECT row, $bucket AS bucket, COUNT(*) AS cnt
+         |  FROM events CROSS JOIN d GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT user_id, MIN(COALESCE(c.cnt, 0)) AS est
+         |  FROM (
+         |    SELECT user_id, row, $bucket AS bucket
+         |    FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN d) k
+         |  LEFT JOIN cells c USING (row, bucket) GROUP BY 1),
+         |exact AS (
+         |  SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1)
+         |SELECT user_id, est, exact_cnt, est >= 80 AS is_heavy
+         |FROM probe JOIN exact USING (user_id)""".stripMargin
+    },
 
     "q_c4_filters" ->
       s"""SELECT doc_id,

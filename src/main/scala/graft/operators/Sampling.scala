@@ -53,9 +53,39 @@ object Sampling {
     * twin uses the positive-mod form `(x % m + m) % m` so sign-of-dividend
     * engines (DuckDB, PostgreSQL) agree bit-for-bit on negative keys. */
   def bucketHash(key: Column, seed: Long = 0L): Column =
+    bucketHashCol(key, lit(seed))
+
+  /** [[bucketHash]] with a per-row seed column (the sketch operators
+    * derive one seed per hash row from a single base seed). */
+  def bucketHashCol(key: Column, seed: Column): Column =
     pmod(shiftright(
-      pmod(key.cast("long") + lit(seed), lit(2147483648L)) *
+      pmod(key.cast("long") + seed, lit(2147483648L)) *
         lit(2654435761L), 16), lit(HashRange))
+
+  /** Avalanche-quality portable hash: a 31-bit value after two
+    * multiply-shift-truncate rounds with xor-folding between them.
+    *
+    * [[bucketHash]] is a SINGLE multiplicative round — its marginal
+    * distribution is uniform (all the sampling operators need), but two
+    * draws at shifted seeds are affinely related ((a+c)*A = a*A + c*A),
+    * and so are the draws for two related keys. Anything that needs
+    * JOINT independence across draws — HLL's (bucket, rho) split, CMS's
+    * depth rows, any leading-zero statistic — must use this mixer
+    * instead: the xor-fold between rounds breaks the linearity, so
+    * seed-shifted copies behave as independent hash functions
+    * (validated empirically in SketchesSpec against exact counts).
+    *
+    * Every intermediate stays below 2^63 ((2^31-1) * C with C < 2^32),
+    * so no engine hits signed-64 overflow; >>13 on non-negative values
+    * is integer division by 8192 — the documented DuckDB twin is plain
+    * BIGINT arithmetic plus xor(). */
+  def mix31(key: Column, seed: Column): Column = {
+    val x0 = pmod(key.cast("long") + seed, lit(2147483648L))
+    val x1 = pmod(shiftright(x0 * lit(2654435761L), 13), lit(2147483648L))
+    val x2 = x1.bitwiseXOR(shiftright(x1, 16))
+    val x3 = pmod(shiftright(x2 * lit(2246822519L), 13), lit(2147483648L))
+    x3.bitwiseXOR(shiftright(x3, 16))
+  }
 
   /** [[bucketHash]] scaled to a unit double in [0, 1). */
   def unitHash(key: Column, seed: Long = 0L): Column =

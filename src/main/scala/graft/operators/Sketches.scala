@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / frequency sketches for corpus-scale profiling.
+  *
+  * At 100 TB, `COUNT(DISTINCT key)` and exact per-key frequency tables are
+  * the two aggregations that stop fitting: distinct-count needs a shuffle
+  * of every distinct key, and a full frequency table materializes one row
+  * per key. The classical answer is a fixed-size mergeable sketch — the
+  * aggregation state is O(registers), partial-aggregates map-side like any
+  * algebraic agg, and sketches from different partitions/days/snapshots
+  * merge by element-wise max (HLL) or sum (Count-Min). Mirrors the
+  * reference's profiling counts (order_imbalance.py:210-236 event/count
+  * summaries) re-expressed as bounded-state aggregations.
+  *
+  * Two hash backends:
+  *  - `portable = true` (default): the engine-portable avalanche mixer
+  *    [[Sampling.mix31]] — every register and the final estimate are
+  *    bit-reproducible in any SQL engine (the DuckDB oracle gates prove
+  *    it). Register depth caps at 21, so
+  *    registers saturate only past ~2^21 distinct keys PER register —
+  *    ample for per-group profiling at test scale, and the estimator's
+  *    floating-point path is exact-by-construction (see below).
+  *  - `portable = false`: `xxhash64` (64-bit) — the production path for
+  *    100 TB cardinalities: p bucket bits + up to (64-p)-bit rho domain.
+  *    Not reproducible outside Spark; gate it rows-only.
+  *
+  * Float-parity design (portable path): every register term 2^-rho is an
+  * exact dyadic double computed as `1.0 / (1 << rho)` (integer shift +
+  * one exact division — no libm `pow`). A sum of m <= 2^18 such terms
+  * needs at most 18 + 21 mantissa bits, so the register sum is EXACT in
+  * IEEE double regardless of Spark's partial-aggregation order — the only
+  * libm call in the whole estimator is the small-range `ln`, absorbed by
+  * the gates' micro-rounding.
+  */
+object Sketches {
+
+  private val PortableBits = 20            // rho draw domain: 2^20
+  private val SeedSpacing  = 1000003L      // spaces per-row/per-draw seeds
+
+  /** Bit length of a non-negative integral column (0 for 0) — portable:
+    * both Spark and DuckDB `bin()` print minimal-width binary. */
+  private def bitLen(v: Column): Column =
+    when(v === 0L, lit(0)).otherwise(length(bin(v)))
+
+  // ---------------------------------------------------------------------
+  // HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007)
+  // ---------------------------------------------------------------------
+
+  /** Max register value (rho domain) for a given backend/precision. */
+  private def maxRho(p: Int, portable: Boolean): Int =
+    if (portable) PortableBits + 1 else 64 - p + 1
+
+  private def alpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** HLL register frame: one row per (group, register) holding the max
+    * rho observed — the sketch in its mergeable form. `2^p` registers;
+    * absent rows mean register 0 (the estimator accounts for them, no
+    * densification shuffle needed). One partial-aggregated shuffle on
+    * (group, register); state is at most m rows per group.
+    *
+    * Portable path draws bucket and rho from two independently-seeded
+    * portable hashes (20 bits each); xxhash64 path splits one 64-bit
+    * word: top p bits bucket, low 64-p bits rho source. */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                p: Int = 10, seed: Long = 0L,
+                portable: Boolean = true): DataFrame = {
+    require(p >= 4 && p <= 18, s"precision p must be in [4, 18], got $p")
+    Sampling.requireIntegralKey(df, keyCol)
+    val key = col(keyCol)
+    val (bucket, rho) =
+      if (portable) {
+        // Two independently-seeded avalanche draws — bucketHash's single
+        // multiplicative round would correlate (bucket, rho) and pin
+        // each register's rho to a near-constant (see Sampling.mix31).
+        val h1 = Sampling.mix31(key, lit(seed))
+        val h2 = pmod(Sampling.mix31(key, lit(seed + SeedSpacing)),
+          lit(1L << PortableBits))
+        (shiftright(h1, 31 - p),
+          when(h2 === 0L, lit(PortableBits + 1))
+            .otherwise(lit(PortableBits + 1) - bitLen(h2)))
+      } else {
+        val h = xxhash64(key, lit(seed))
+        val rest = h.bitwiseAND(lit((1L << (64 - p)) - 1))
+        (shiftrightunsigned(h, 64 - p),
+          when(rest === 0L, lit(64 - p + 1))
+            .otherwise(lit(64 - p + 1) - bitLen(rest)))
+      }
+    df.filter(key.isNotNull)
+      .groupBy((groupCols.map(col) :+ bucket.as("register")): _*)
+      .agg(max(rho).cast("int").as("rho"))
+  }
+
+  /** Union-merge of sketch frames built with the same (p, seed, backend):
+    * element-wise register max. Cross-snapshot distinct counts without
+    * re-reading either corpus. */
+  def hllMerge(sketches: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(sketches.nonEmpty, "hllMerge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy((groupCols :+ "register").map(col): _*)
+      .agg(max(col("rho")).cast("int").as("rho"))
+  }
+
+  /** Cardinality estimate from a register frame: bias-corrected harmonic
+    * mean with the small-range linear-counting correction. Output:
+    * groupCols :+ `distinct_est` (double). The input is at most m rows
+    * per group, so this is a tiny aggregation. The 32-bit large-range
+    * correction is deliberately absent — neither backend wraps at 2^32. */
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String],
+                  p: Int = 10): DataFrame = {
+    val m = 1 << p
+    // 2^-rho via integer shift: exact dyadic term, no libm pow. The
+    // Scala shiftleft wrapper takes a literal shift only, so SQL form.
+    val term = expr("1.0d / cast(shiftleft(cast(1 as bigint), rho) as double)")
+    val grouped =
+      if (groupCols.isEmpty) sketch.groupBy()
+      else sketch.groupBy(groupCols.map(col): _*)
+    val agg = grouped.agg(
+      count(lit(1)).as("__present"),
+      sum(term).as("__s_present"))
+    // Absent registers contribute 2^-0 = 1 each; V = zero-register count.
+    val s = col("__s_present") + (lit(m) - col("__present")).cast("double")
+    val v = lit(m) - col("__present")
+    val e = lit(alpha(m) * m) * lit(m.toDouble) / s
+    agg.withColumn("distinct_est",
+        when(e <= lit(2.5 * m) && v > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+          .otherwise(e))
+      .drop("__present", "__s_present")
+  }
+
+  /** Sketch + estimate in one call — the `approx_count_distinct` shape,
+    * but deterministic, engine-portable (portable backend), and with the
+    * intermediate register frame available via [[hllSketch]] when the
+    * caller wants to persist/merge sketches instead. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                  p: Int = 10, seed: Long = 0L,
+                  portable: Boolean = true): DataFrame =
+    hllEstimate(hllSketch(df, groupCols, keyCol, p, seed, portable),
+      groupCols, p)
+
+  // ---------------------------------------------------------------------
+  // Count-Min sketch (Cormode, Muthukrishnan 2005)
+  // ---------------------------------------------------------------------
+
+  /** Count-Min table: `depth` independent hash rows x `width` buckets;
+    * cell = total count of keys landing there. Build is one explode
+    * (depth copies per row — depth is 3..5) + one partial-aggregated
+    * shuffle down to at most depth*width cells: bounded state no matter
+    * the key cardinality, and two tables built with the same geometry
+    * merge by cell-wise sum. `countCol = None` counts rows; `Some(c)`
+    * sums a non-negative long column (CMS requires non-negative
+    * updates — enforced). */
+  def cmsSketch(df: DataFrame, keyCol: String, depth: Int = 4,
+                width: Int = 256, seed: Long = 0L,
+                countCol: Option[String] = None): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    Sampling.requireIntegralKey(df, keyCol)
+    val cnt = countCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val rows = explode(sequence(lit(0), lit(depth - 1))).as("row")
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("__k"), cnt.as("__c"), rows)
+      .withColumn("bucket",
+        pmod(Sampling.mix31(col("__k"),
+          lit(seed) + col("row").cast("long") * lit(SeedSpacing)),
+          lit(width)).cast("int"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(when(col("__c") < 0,
+          raise_error(lit("cmsSketch: negative count"))).otherwise(col("__c")))
+        .as("cnt"))
+  }
+
+  /** Point-frequency estimates for a frame of candidate keys: for each
+    * key, min over the depth cells it hashes to (the CMS guarantee:
+    * estimate >= true count, with overshoot bounded by N*e/width per
+    * row). The sketch is depth*width rows — broadcast, so the probe is
+    * one map-side join + a partial-aggregated min per key. Keys the
+    * sketch never saw estimate 0 (their min cell may be empty → count 0). */
+  def cmsLookup(sketch: DataFrame, items: DataFrame, keyCol: String,
+                depth: Int = 4, width: Int = 256,
+                seed: Long = 0L): DataFrame = {
+    Sampling.requireIntegralKey(items, keyCol)
+    items.filter(col(keyCol).isNotNull)
+      .select(col(keyCol),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .withColumn("bucket",
+        pmod(Sampling.mix31(col(keyCol),
+          lit(seed) + col("row").cast("long") * lit(SeedSpacing)),
+          lit(width)).cast("int"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Heavy hitters: keys whose estimated frequency reaches `phi` of the
+    * total. CMS never underestimates, so recall is 1 (every true heavy
+    * hitter survives); precision is bounded by the sketch error. The
+    * candidate pass is a distinct on the key — at 100 TB, feed a
+    * pre-filtered candidate frame (e.g. per-partition local heavy
+    * hitters) through [[cmsLookup]] directly instead. */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, phi: Double,
+                      depth: Int = 4, width: Int = 256,
+                      seed: Long = 0L): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1], got $phi")
+    val sketch = cmsSketch(df, keyCol, depth, width, seed)
+    val total = df.filter(col(keyCol).isNotNull)
+      .agg(count(lit(1)).as("__n"))
+    cmsLookup(sketch, df.select(col(keyCol)).distinct(), keyCol,
+        depth, width, seed)
+      .crossJoin(broadcast(total))
+      .filter(col("est") >= ceil(lit(phi) * col("__n")))
+      .drop("__n")
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+
+  private def keys(n: Int, offset: Long = 0L) =
+    spark.range(n).select((col("id") * 7919L + offset).as("k"),
+      (col("id") % 4).cast("int").as("g"))
+
+  // --- HLL ---
+
+  test("hllDistinct estimates within 5% of truth at n/m ~ 10 " +
+    "(both backends; xxhash64 averaged over seeds — a single draw at " +
+    "m=1024 has sigma ~3.3%)") {
+    val df = keys(10000)
+    val est = Sketches.hllDistinct(df, Nil, "k", p = 10)
+      .collect().head.getDouble(0)
+    assert(math.abs(est - 10000) / 10000.0 < 0.05, s"portable est=$est")
+    val xx = Seq(0L, 1L, 2L).map { s =>
+      Sketches.hllDistinct(df, Nil, "k", p = 10, seed = s,
+        portable = false).collect().head.getDouble(0)
+    }
+    val mean = xx.sum / xx.size
+    assert(math.abs(mean - 10000) / 10000.0 < 0.05,
+      s"xxhash64 ests=$xx mean=$mean")
+  }
+
+  test("hllDistinct small range uses linear counting and is near-exact") {
+    val est = Sketches.hllDistinct(keys(30), Nil, "k", p = 10)
+      .collect().head.getDouble(0)
+    assert(math.abs(est - 30) < 2, s"est=$est")
+  }
+
+  test("hllSketch is insensitive to duplicates: distinct-of-union equals " +
+    "union-of-sketches (merge = rebuild, registers identical)") {
+    val a = keys(2000)
+    val b = keys(2000, offset = 3L)   // overlaps a on nothing (7919k+3)
+    val merged = Sketches.hllMerge(
+      Seq(Sketches.hllSketch(a, Nil, "k"), Sketches.hllSketch(b, Nil, "k")),
+      Nil)
+    val rebuilt = Sketches.hllSketch(a.unionByName(b), Nil, "k")
+    val m = merged.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r = rebuilt.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m == r)
+    // and duplicating every row changes nothing
+    val dup = Sketches.hllSketch(a.unionByName(a), Nil, "k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val aOnly = Sketches.hllSketch(a, Nil, "k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dup == aOnly)
+  }
+
+  test("hllDistinct grouped: per-group estimates track per-group truth") {
+    val df = keys(8000)   // 2000 distinct per group g in 0..3
+    val ests = Sketches.hllDistinct(df, Seq("g"), "k", p = 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(ests.keySet == Set(0, 1, 2, 3))
+    ests.values.foreach(e => assert(math.abs(e - 2000) / 2000.0 < 0.08,
+      s"ests=$ests"))
+  }
+
+  test("hllSketch drops null keys instead of hashing them") {
+    val df = this.df("k BIGINT", Row(1L), Row(2L), Row(null))
+    val est = Sketches.hllDistinct(df, Nil, "k")
+      .collect().head.getDouble(0)
+    assert(math.abs(est - 2) < 1)
+  }
+
+  // --- CMS ---
+
+  private def skewed() = {
+    // key 1: 500 rows, key 2: 100, keys 100..199: 5 each
+    val hot = spark.range(500).select(lit(1L).as("k"))
+      .unionByName(spark.range(100).select(lit(2L).as("k")))
+    val tail = spark.range(500).select((col("id") % 100 + 100L).as("k"))
+    hot.unionByName(tail)
+  }
+
+  test("cmsLookup never underestimates, and is exact when width is " +
+    "collision-free") {
+    val df = skewed()
+    val truth = df.groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sk = Sketches.cmsSketch(df, "k", depth = 4, width = 2048)
+    val est = Sketches.cmsLookup(sk, df.select("k").distinct(), "k",
+        depth = 4, width = 2048)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, c) => assert(est(k) >= c, s"k=$k") }
+    // 102 distinct keys in 4x2048 cells: overshoot should be zero here
+    assert(est == truth)
+  }
+
+  test("cmsLookup with a narrow sketch still upper-bounds; unseen key " +
+    "estimates either 0 or a collision count, never negative") {
+    val df = skewed()
+    val sk = Sketches.cmsSketch(df, "k", depth = 3, width = 16)
+    val probe = this.df("k BIGINT", Row(1L), Row(999999L))
+    val est = Sketches.cmsLookup(sk, probe, "k", depth = 3, width = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est(1L) >= 500)
+    assert(est(999999L) >= 0)
+  }
+
+  test("cmsHeavyHitters recalls every true heavy hitter") {
+    val df = skewed()   // N=1100; phi=0.05 -> threshold 55 -> keys 1, 2
+    val hh = Sketches.cmsHeavyHitters(df, "k", phi = 0.05,
+        depth = 4, width = 1024)
+      .collect().map(_.getLong(0)).toSet
+    assert(hh.contains(1L) && hh.contains(2L))
+    // precision with a roomy sketch: nothing from the 5-count tail
+    assert(hh == Set(1L, 2L))
+  }
+
+  test("cmsSketch merges by cell-wise sum (build on union == sum of builds)") {
+    val a = skewed()
+    val sk2 = Sketches.cmsSketch(a.unionByName(a), "k", depth = 3, width = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val sk1 = Sketches.cmsSketch(a, "k", depth = 3, width = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(sk2 == sk1.map { case (c, v) => c -> (2 * v) })
+  }
+
+  test("cmsSketch weighted counts sum the weight column") {
+    val df = this.df("k BIGINT, w BIGINT",
+      Row(1L, 10L), Row(1L, 5L), Row(2L, 7L))
+    val sk = Sketches.cmsSketch(df, "k", depth = 2, width = 512,
+      countCol = Some("w"))
+    val est = Sketches.cmsLookup(sk, df.select("k").distinct(), "k",
+        depth = 2, width = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est(1L) == 15L && est(2L) == 7L)
+  }
+}
