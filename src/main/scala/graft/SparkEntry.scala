@@ -139,27 +139,71 @@ object SparkEntry {
     root
   }
 
-  /** DuckDB twin of [[Sampling.bucketHash]] — the same positive-BIGINT
-    * multiplicative-hash arithmetic, so sampling gates are bit-exact.
-    * DuckDB's `%` keeps the dividend's sign while Spark's `pmod` is
-    * always non-negative, so the inner mod is written in positive-mod
-    * form (`(x % m + m) % m`) — a no-op for the non-negative ids the
-    * gates use, and bit-exact with Spark for negative keys too. */
+  /** DuckDB twin of [[Sampling.bucketHash]] — the top 20 bits of the
+    * mix31 avalanche draw, so sampling gates are bit-exact. All
+    * positive-BIGINT arithmetic (see [[Mix31Sql]] for the sign-of-mod
+    * handling on negative keys). */
   private def HashSql(key: String, seed: Long): String =
-    s"((((($key + $seed) % 2147483648 + 2147483648) % 2147483648)" +
-      " * 2654435761) // 65536) % 1048576"
+    s"((${Mix31Sql(key, seed.toString)}) // 2048)"
 
-  /** DuckDB twin of [[Sampling.mix31]] — two multiply-shift-truncate
+  /** DuckDB twin of [[Sampling.mix31]] — three multiply-shift-truncate
     * rounds with xor-folding; all BIGINT arithmetic (every intermediate
     * < 2^63) plus `xor()`. `seed` is a SQL expression so the CMS twin
     * can derive per-row seeds. */
-  private def Mix31Sql(key: String, seed: String): String = {
-    val x0 = s"((($key + $seed) % 2147483648 + 2147483648) % 2147483648)"
-    val x1 = s"((($x0 * 2654435761) // 8192) % 2147483648)"
-    val x2 = s"xor($x1, $x1 // 65536)"
-    val x3 = s"((($x2 * 2246822519) // 8192) % 2147483648)"
-    s"xor($x3, $x3 // 65536)"
-  }
+  private def Mix31Sql(key: String, seed: String): String =
+    Seq(2654435761L, 2246822519L, 3266489917L).foldLeft(
+      s"((($key + $seed) % 2147483648 + 2147483648) % 2147483648)") {
+      (x, c) =>
+        val y = s"((($x * $c) // 8192) % 2147483648)"
+        s"xor($y, $y // 65536)"
+    }
+
+  /** DuckDB twin of [[Sampling.unimaxPlan]]: water-filling CTE chain
+    * ending in relation `uplan`(source, n_tokens, quota, epochs). The
+    * arithmetic mirrors the Spark plan operation-for-operation (same
+    * IEEE double steps in the same order), so both engines take the
+    * same capped/uncapped branches and produce identical doubles. */
+  private def UnimaxPlanSql(table: String, srcCol: String,
+                            tokCol: String, budget: Long,
+                            maxEpochs: Double): String =
+    s"""c AS (
+       |  SELECT $srcCol AS source,
+       |    COALESCE(CAST(SUM($tokCol) AS BIGINT), 0) AS n_tokens
+       |  FROM $table WHERE $srcCol IS NOT NULL GROUP BY 1),
+       |w AS (
+       |  SELECT source, n_tokens,
+       |    CAST(n_tokens AS DOUBLE) * CAST($maxEpochs AS DOUBLE) AS cap,
+       |    ROW_NUMBER() OVER (
+       |      ORDER BY CAST(n_tokens AS DOUBLE) * CAST($maxEpochs AS DOUBLE),
+       |        source) AS rn,
+       |    SUM(CAST(n_tokens AS DOUBLE) * CAST($maxEpochs AS DOUBLE)) OVER (
+       |      ORDER BY CAST(n_tokens AS DOUBLE) * CAST($maxEpochs AS DOUBLE),
+       |        source) AS cum,
+       |    COUNT(*) OVER () AS n
+       |  FROM c),
+       |f AS (
+       |  SELECT *,
+       |    cap * CAST(n - rn + 1 AS DOUBLE)
+       |      <= CAST($budget AS DOUBLE) - (cum - cap) AS capped
+       |  FROM w),
+       |g AS (
+       |  SELECT *,
+       |    CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT)
+       |      AS k,
+       |    SUM(CASE WHEN capped THEN cap ELSE 0.0e0 END) OVER () AS cumcap
+       |  FROM f),
+       |uplan AS (
+       |  SELECT source, n_tokens, quota,
+       |    CASE WHEN n_tokens > 0
+       |      THEN quota / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS epochs
+       |  FROM (
+       |    SELECT source, n_tokens,
+       |      CASE WHEN k = n THEN cap
+       |        WHEN capped THEN cap
+       |        ELSE LEAST(cap, GREATEST(
+       |          (CAST($budget AS DOUBLE) - cumcap) / CAST(n - k AS DOUBLE),
+       |          0.0e0)) END AS quota
+       |    FROM g))""".stripMargin
 
   /** DuckDB twin of the q_seg_dedup_* gates: 3-token segmentation,
     * corpus-wide counts, drop-or-keep-first, ordered reassembly. */
@@ -2122,6 +2166,36 @@ object SparkEntry {
       est.join(exact, Seq("user_id"))
         .select(col("user_id"), col("est"), col("exact_cnt"),
           (col("est") >= lit(80L)).as("is_heavy"))
+    }),
+
+    // --- LLM ops: deterministic weighted sample without replacement
+    //     (Efraimidis-Spirakis): quality-weighted top-k selection as a
+    //     TakeOrdered heap, no global sort ---
+    "q_weighted_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("w", col("n_chars").cast("double") / lit(1000.0))
+      Sampling.weightedTopK(docs, "doc_id", "w", k = 60, seed = 21L)
+        .select(col("doc_id"), col("source"), col("es_rank_nano"))
+    }),
+
+    // --- LLM ops: UniMax language-capped mixture plan (closed-form
+    //     water-filling, all windows over the per-lang aggregate) ---
+    "q_unimax_plan" -> ((s, dir) => {
+      Sampling.unimaxPlan(Tables.documents(s, dir), "lang", "n_chars",
+          budgetTokens = 200000L, maxEpochs = 2.0)
+        .select(col("source"), col("n_tokens"),
+          r6(col("quota_tokens")).as("quota_micro"),
+          r6(col("epochs")).as("epochs_micro"))
+    }),
+
+    // --- LLM ops: the UniMax plan applied — per-lang epoch replication
+    //     capped at maxEpochs, fractional epochs by portable hash ---
+    "q_unimax_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val plan = Sampling.unimaxPlan(docs, "lang", "n_chars",
+        budgetTokens = 200000L, maxEpochs = 2.0)
+      Sampling.unimaxApply(docs, "lang", "doc_id", plan, seed = 23L)
+        .select(col("doc_id"), col("lang"), col("epoch_copy"))
     }),
 
     // --- LLM ops: C4 page-level filter flags (Raffel et al. 2020 §2.2,
@@ -4294,6 +4368,48 @@ object SparkEntry {
          |    COUNT(DISTINCT l_orderkey) AS exact_distinct
          |  FROM lineitem GROUP BY 1) x USING (g)""".stripMargin
     },
+
+    // A-ES weighted top-k: identical u and w doubles; the only libm
+    // call is pow, absorbed by the nano-rounded rank (a selection flip
+    // needs two ranks within 1e-9 of each other and of the cut).
+    "q_weighted_topk" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS w,
+         |    (CAST(${HashSql("doc_id", 21L)} AS DOUBLE) + 1.0e0)
+         |      / 1048576.0e0 AS u
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  CAST(floor(pow(u, 1.0e0 / w) * 1e9 + 0.5) AS BIGINT)
+         |    AS es_rank_nano
+         |FROM r WHERE w > 0
+         |ORDER BY es_rank_nano DESC, doc_id LIMIT 60""".stripMargin,
+
+    "q_unimax_plan" ->
+      s"""WITH ${UnimaxPlanSql("documents", "lang", "n_chars",
+             200000L, 2.0)}
+         |SELECT source, n_tokens, ${R6("quota")} AS quota_micro,
+         |  ${R6("epochs")} AS epochs_micro
+         |FROM uplan""".stripMargin,
+
+    "q_unimax_apply" ->
+      s"""WITH ${UnimaxPlanSql("documents", "lang", "n_chars",
+             200000L, 2.0)},
+         |r AS (
+         |  SELECT doc_id, lang, epochs AS w
+         |  FROM documents d JOIN uplan p ON d.lang = p.source),
+         |cp AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor(GREATEST(w, 0.0e0)) AS BIGINT) +
+         |    CASE WHEN ${HashSql("doc_id", 23L)} <
+         |      CAST(floor((GREATEST(w, 0.0e0) - floor(GREATEST(w, 0.0e0)))
+         |        * 1048576.0 + 0.5) AS BIGINT)
+         |    THEN 1 ELSE 0 END AS copies
+         |  FROM r)
+         |SELECT doc_id, lang,
+         |  CAST(unnest(generate_series(1, copies)) AS BIGINT)
+         |    AS epoch_copy
+         |FROM cp WHERE copies >= 1""".stripMargin,
 
     // CMS: deterministic cells (mix31 per-row seeds), COUNT sums, min
     // over depth rows — all integer arithmetic, bit-exact.

@@ -48,43 +48,54 @@ object Sampling {
     }
   }
 
-  /** The portable bucket hash in [0, HashRange). Any long key works:
-    * `pmod` keeps the Spark side non-negative, and the documented SQL
-    * twin uses the positive-mod form `(x % m + m) % m` so sign-of-dividend
-    * engines (DuckDB, PostgreSQL) agree bit-for-bit on negative keys. */
+  /** The portable bucket hash in [0, HashRange): the top 20 bits of
+    * [[mix31]]. Any long key works: `pmod` keeps the Spark side
+    * non-negative, and the documented SQL twin uses the positive-mod
+    * form (`(x % m + m) % m`) so sign-of-dividend engines (DuckDB,
+    * PostgreSQL) agree bit-for-bit on negative keys.
+    *
+    * This was originally a SINGLE multiplicative round; that version's
+    * draws over consecutive keys form an arithmetic progression mod 2^20
+    * (stride A>>16 ~ 40503), so for a fixed seed a Bernoulli keep-set
+    * came out as contiguous key STRIPES — with chronologically assigned
+    * ids, a test split clustered in time. The avalanche rounds kill the
+    * stripes; every threshold/fraction contract is unchanged. */
   def bucketHash(key: Column, seed: Long = 0L): Column =
     bucketHashCol(key, lit(seed))
 
   /** [[bucketHash]] with a per-row seed column (the sketch operators
     * derive one seed per hash row from a single base seed). */
   def bucketHashCol(key: Column, seed: Column): Column =
-    pmod(shiftright(
-      pmod(key.cast("long") + seed, lit(2147483648L)) *
-        lit(2654435761L), 16), lit(HashRange))
+    shiftright(mix31(key, seed), 11)
 
-  /** Avalanche-quality portable hash: a 31-bit value after two
+  /** Avalanche-quality portable hash: a 31-bit value after THREE
     * multiply-shift-truncate rounds with xor-folding between them.
     *
-    * [[bucketHash]] is a SINGLE multiplicative round — its marginal
-    * distribution is uniform (all the sampling operators need), but two
-    * draws at shifted seeds are affinely related ((a+c)*A = a*A + c*A),
-    * and so are the draws for two related keys. Anything that needs
-    * JOINT independence across draws — HLL's (bucket, rho) split, CMS's
-    * depth rows, any leading-zero statistic — must use this mixer
-    * instead: the xor-fold between rounds breaks the linearity, so
-    * seed-shifted copies behave as independent hash functions
-    * (validated empirically in SketchesSpec against exact counts).
+    * A SINGLE multiplicative round has a uniform marginal, but its
+    * draws are affinely related across both shifted seeds
+    * ((a+c)*A = a*A + c*A) and consecutive keys (an arithmetic
+    * progression mod 2^20 — Bernoulli keep-sets came out striped).
+    * Anything that needs JOINT independence across draws — every
+    * sampler over structured ids, HLL's (bucket, rho) split, CMS's
+    * depth rows, any leading-zero statistic — needs this mixer: the
+    * xor-folds break the linearity. Two rounds still showed mild
+    * adjacent-key anti-correlation (6165 decision runs per 10k ids vs
+    * the iid ~5000); three rounds measure clean (4958) and HLL
+    * estimates on adversarially structured key sets (sequential,
+    * even-only, 7919-strided) land within ~2% of truth (SketchesSpec
+    * and SamplingSpec pin both properties).
     *
     * Every intermediate stays below 2^63 ((2^31-1) * C with C < 2^32),
     * so no engine hits signed-64 overflow; >>13 on non-negative values
     * is integer division by 8192 — the documented DuckDB twin is plain
     * BIGINT arithmetic plus xor(). */
   def mix31(key: Column, seed: Column): Column = {
-    val x0 = pmod(key.cast("long") + seed, lit(2147483648L))
-    val x1 = pmod(shiftright(x0 * lit(2654435761L), 13), lit(2147483648L))
-    val x2 = x1.bitwiseXOR(shiftright(x1, 16))
-    val x3 = pmod(shiftright(x2 * lit(2246822519L), 13), lit(2147483648L))
-    x3.bitwiseXOR(shiftright(x3, 16))
+    val rounds = Seq(2654435761L, 2246822519L, 3266489917L)
+    rounds.foldLeft(pmod(key.cast("long") + seed, lit(2147483648L))) {
+      (x, c) =>
+        val y = pmod(shiftright(x * lit(c), 13), lit(2147483648L))
+        y.bitwiseXOR(shiftright(y, 16))
+    }
   }
 
   /** [[bucketHash]] scaled to a unit double in [0, 1). */
@@ -289,5 +300,108 @@ object Sampling {
       .drop("__mx_source")
     upsampleEpochs(joined, keyCol, "__mx_rate", seed, copyCol)
       .drop("__mx_rate")
+  }
+
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-ES): each row draws u = (hash+1)/2^20
+    * in (0, 1] and ranks by u^(1/w); the k largest ranks form a sample
+    * with the same inclusion law as k sequential weighted draws without
+    * replacement — the quality-weighted "pick the best k docs, but
+    * stochastically" corpus-selection shape.
+    *
+    * Deterministic (a pure function of key and seed, like every sampler
+    * here) and scale-safe: the plan is `TakeOrderedAndProject` — a
+    * per-partition bounded heap, no global sort shuffle. Rows with null
+    * or non-positive weight are excluded (they cannot be drawn). The
+    * rank is exposed nano-rounded (`rankCol`, floor(u^(1/w)*1e9+0.5))
+    * with the key as tie-break, so the selected set is engine-portable:
+    * libm `pow` disagreements are ulps, and a selection flip needs two
+    * ranks within 1e-9 of each other AND of the cut. */
+  def weightedTopK(df: DataFrame, keyCol: String, weightCol: String,
+                   k: Int, seed: Long = 0L,
+                   rankCol: String = "es_rank_nano"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireIntegralKey(df, keyCol)
+    val u = (bucketHash(col(keyCol), seed) + lit(1L)).cast("double") /
+      lit(HashRange.toDouble)
+    val w = col(weightCol).cast("double")
+    df.filter(w.isNotNull && w > 0.0)
+      .withColumn(rankCol,
+        floor(pow(u, lit(1.0) / w) * lit(1e9) + lit(0.5)).cast("long"))
+      .orderBy(col(rankCol).desc, col(keyCol).asc)
+      .limit(k)
+  }
+
+  /** UniMax mixture plan (Chung et al. 2023, arXiv:2304.09151 §3):
+    * spread `budgetTokens` as UNIFORMLY as possible across sources,
+    * subject to a per-source repetition cap of `maxEpochs` epochs —
+    * the anti-temperature recipe: no source is oversampled past the cap
+    * to chase proportions, and the freed budget waterfalls to the rest.
+    *
+    * Closed-form water-filling, fully in the plan (no driver loop,
+    * unlike [[mixturePlan]]'s BigInt path): sort sources by capacity
+    * cap_s = n_s * maxEpochs ascending; source i is capped iff
+    * cap_i * (n - i + 1) <= B - cum_{i-1} (a monotone prefix), the
+    * water level is L = (B - sum of capped caps) / (#uncapped), and
+    * quota_s = min(cap_s, L). All windows run over the per-source
+    * aggregate frame (tens of rows) — the corpus itself is touched by
+    * exactly one partial-aggregated count pass. Every arithmetic step
+    * is identically-ordered IEEE double math, so the plan is
+    * bit-reproducible in any engine (the DuckDB gate hash-matches).
+    *
+    * Returns (source, n_tokens, quota_tokens, epochs); rows with a
+    * NULL source are excluded (same contract as [[mixturePlan]]). If
+    * B >= sum(cap) every source is capped and the budget is NOT fully
+    * spent — the cap is the point of UniMax. */
+  def unimaxPlan(df: DataFrame, sourceCol: String, tokenCol: String,
+                 budgetTokens: Long, maxEpochs: Double): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    require(maxEpochs > 0.0, s"maxEpochs must be positive, got $maxEpochs")
+    val b = lit(budgetTokens.toDouble)
+    val ord = Window.orderBy(col("cap"), col("source"))
+    val all = Window.partitionBy()
+    val caps = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(coalesce(sum(col(tokenCol).cast("long")), lit(0L))
+        .as("n_tokens"))
+      .withColumn("cap", col("n_tokens").cast("double") * lit(maxEpochs))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__cum", sum(col("cap")).over(ord))
+      .withColumn("__n", count(lit(1)).over(all))
+    val remaining = b - (col("__cum") - col("cap"))
+    val capped =
+      col("cap") * (col("__n") - col("__rn") + 1).cast("double") <= remaining
+    val k = sum(capped.cast("int")).over(all)
+    val cumCapped = sum(when(capped, col("cap")).otherwise(lit(0.0)))
+      .over(all)
+    val level = (b - cumCapped) / (col("__n") - k).cast("double")
+    val quota = when(k === col("__n"), col("cap"))
+      .otherwise(when(capped, col("cap"))
+        .otherwise(least(col("cap"), greatest(level, lit(0.0)))))
+    caps.withColumn("quota_tokens", quota)
+      .withColumn("epochs",
+        when(col("n_tokens") > 0,
+          col("quota_tokens") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("source"), col("n_tokens"), col("quota_tokens"),
+        col("epochs"))
+  }
+
+  /** Apply a [[unimaxPlan]]: broadcast the plan, replicate each row
+    * [[epochCopies]](key, epochs) times — floor(epochs) copies plus one
+    * more with probability frac(epochs), so every source lands on its
+    * quota in expectation and never exceeds its cap by more than the
+    * fractional draw. Row-local after the broadcast join. */
+  def unimaxApply(df: DataFrame, sourceCol: String, keyCol: String,
+                  plan: DataFrame, seed: Long = 0L,
+                  copyCol: String = "epoch_copy"): DataFrame = {
+    requireIntegralKey(df, keyCol)
+    val p = broadcast(plan.select(col("source").as("__um_source"),
+      col("epochs").as("__um_epochs")))
+    val joined = df.join(p, df(sourceCol) === col("__um_source"), "left")
+      .withColumn("__um_epochs", coalesce(col("__um_epochs"), lit(0.0)))
+      .drop("__um_source")
+    upsampleEpochs(joined, keyCol, "__um_epochs", seed, copyCol)
+      .drop("__um_epochs")
   }
 }

@@ -91,13 +91,21 @@ object GraftExtensions {
       // concrete catalyst nodes (a functions._ Column would carry
       // UnresolvedFunction nodes the registry path never analyzes);
       // NormalCdfSpec pins this tree == Sampling.bucketHash bit-for-bit
-      import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Multiply,
-        Pmod, ShiftRight}
+      // (the mix31 avalanche: two multiply-shift-truncate rounds with
+      // xor-folds, top 20 of the final 31 bits)
+      import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseXor,
+        Cast, Multiply, Pmod, ShiftRight}
       import org.apache.spark.sql.types.{IntegerType, LongType}
-      val a = Pmod(Add(Cast(children.head, LongType),
-        Literal(seed, LongType)), Literal(2147483648L, LongType))
-      Pmod(ShiftRight(Multiply(a, Literal(2654435761L, LongType)),
-        Literal(16, IntegerType)), Literal(1048576L, LongType))
+      val m31 = Literal(2147483648L, LongType)
+      val x0 = Pmod(Add(Cast(children.head, LongType),
+        Literal(seed, LongType)), m31)
+      val mixed = Seq(2654435761L, 2246822519L, 3266489917L)
+        .foldLeft[Expression](x0) { (x, c) =>
+          val y = Pmod(ShiftRight(Multiply(x, Literal(c, LongType)),
+            Literal(13, IntegerType)), m31)
+          BitwiseXor(y, ShiftRight(y, Literal(16, IntegerType)))
+        }
+      ShiftRight(mixed, Literal(11, IntegerType))
     })
 
   val descriptors: Seq[FunctionDescription] = Seq(normCdfDescriptor,

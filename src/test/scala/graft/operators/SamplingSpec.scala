@@ -158,8 +158,12 @@ class SamplingSpec extends SparkSpec {
     // engine exactly.
     def sqlTwin(key: Long, seed: Long): Long = {
       val m = 2147483648L
-      val a = ((key + seed) % m + m) % m
-      ((a * 2654435761L) / 65536L) % 1048576L
+      var x = ((key + seed) % m + m) % m
+      for (c <- Seq(2654435761L, 2246822519L, 3266489917L)) {
+        x = ((x * c) / 8192L) % m
+        x ^= x / 65536L
+      }
+      x / 2048L
     }
     val keys = Seq(-1L, -42L, -2147483648L, -9999999999L, 0L, 1L,
       2147483647L, 9999999999L)
@@ -174,6 +178,23 @@ class SamplingSpec extends SparkSpec {
         assert(spark(k) >= 0 && spark(k) < Sampling.HashRange)
       }
     }
+  }
+
+  test("bucketHash avalanche: no striping over consecutive keys (a " +
+    "fraction-0.5 keep-set looks iid, not contiguous runs)") {
+    // The single-multiplicative-round ancestor produced arithmetic-
+    // progression draws: keep decisions over consecutive ids came in
+    // stripes of ~13 (about 770 runs over 10k ids). IID Bernoulli(0.5)
+    // gives ~5000 runs (sd ~50). Guard the avalanche property.
+    val d = spark.range(10000).select(col("id"))
+    val thr = Sampling.threshold(0.5)
+    val keeps = d.select(col("id"),
+        (Sampling.bucketHash(col("id"), 0L) < thr).as("keep"))
+      .orderBy("id").collect().map(_.getBoolean(1))
+    val runs = 1 + keeps.sliding(2).count(p => p(0) != p(1))
+    assert(runs > 4500 && runs < 5500, s"runs=$runs")
+    val kept = keeps.count(identity)
+    assert(kept > 4800 && kept < 5200, s"kept=$kept")
   }
 
   test("mixSources: per-source rates (0 drops, 1 keeps all)") {
@@ -265,5 +286,106 @@ class SamplingSpec extends SparkSpec {
       .groupBy("id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == counts)
+  }
+
+  // --- weightedTopK (Efraimidis-Spirakis) ---
+
+  test("weightedTopK: deterministic, k rows, excludes null/zero/negative " +
+    "weights, and a huge weight always wins") {
+    val d = df("id BIGINT, w DOUBLE",
+      ((1L to 50L).map(i => Row(i, 1.0)) ++
+        Seq(Row(100L, 1e9), Row(101L, null), Row(102L, 0.0),
+          Row(103L, -2.0))): _*)
+    val top = Sampling.weightedTopK(d, "id", "w", k = 10, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(top.size == 10)
+    // weight 1e9 -> rank u^(1e-9) ~ 1: essentially guaranteed first
+    assert(top.contains(100L))
+    assert(!top.contains(101L) && !top.contains(102L) && !top.contains(103L))
+    val again = Sampling.weightedTopK(d, "id", "w", k = 10, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == top)
+  }
+
+  test("weightedTopK: equal weights reduce to rank by hash draw " +
+    "(the unweighted deterministic sample)") {
+    val d = df("id BIGINT, w DOUBLE", (1L to 100L).map(Row(_, 3.0)): _*)
+    val top = Sampling.weightedTopK(d, "id", "w", k = 5, seed = 1L)
+      .collect().map(_.getLong(0)).toSet
+    // same ordering as u alone: u^(1/3) is monotone in u
+    val byHash = d.select(col("id"),
+        Sampling.bucketHash(col("id"), 1L).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = byHash.sortBy { case (id, h) => (-h, id) }
+      .take(5).map(_._1).toSet
+    assert(top == expected)
+  }
+
+  test("weightedTopK inclusion frequency tracks weight (2:1 over seeds)") {
+    val d = df("id BIGINT, w DOUBLE",
+      (1L to 40L).map(i => Row(i, if (i <= 20) 2.0 else 1.0)): _*)
+    val hits = (0L until 40L).flatMap(s =>
+      Sampling.weightedTopK(d, "id", "w", k = 8, seed = s)
+        .collect().map(_.getLong(0)))
+    val heavy = hits.count(_ <= 20).toDouble
+    val light = hits.count(_ > 20).toDouble
+    assert(heavy / light > 1.4, s"heavy=$heavy light=$light")
+  }
+
+  // --- unimaxPlan / unimaxApply ---
+
+  private def langDocs() = df("id BIGINT, lang STRING, toks BIGINT",
+    ((1L to 10L).map(i => Row(i, "en", 100L)) ++
+      (11L to 14L).map(i => Row(i, "de", 50L)) ++
+      (15L to 16L).map(i => Row(i, "fr", 25L))): _*)
+  // totals: en 1000, de 200, fr 50
+
+  test("unimaxPlan: partial capping waterfalls freed budget (hand case)") {
+    // caps at 2 epochs: en 2000, de 400, fr 100; budget 900:
+    // sorted fr(100), de(400), en(2000); fr: 100*3=300<=900 capped;
+    // de: 400*2=800 <= 800 capped; en: L=(900-500)/1=400 -> quota 400
+    val p = Sampling.unimaxPlan(langDocs(), "lang", "toks",
+        budgetTokens = 900L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(p("fr") == ((50L, 100.0, 2.0)))
+    assert(p("de") == ((200L, 400.0, 2.0)))
+    assert(p("en")._2 == 400.0 && approx(p("en")._3, 0.4))
+    // budget exactly spent
+    assert(p.values.map(_._2).sum == 900.0)
+  }
+
+  test("unimaxPlan: budget above total capacity caps every source " +
+    "(spend < budget, the UniMax point)") {
+    val p = Sampling.unimaxPlan(langDocs(), "lang", "toks",
+        budgetTokens = 10000L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(p == Map("en" -> 2000.0, "de" -> 400.0, "fr" -> 100.0))
+  }
+
+  test("unimaxPlan: no capping gives an equal split") {
+    val p = Sampling.unimaxPlan(langDocs(), "lang", "toks",
+        budgetTokens = 150L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(p.values.forall(_ == 50.0))
+  }
+
+  test("unimaxApply: per-source realized copies approximate the quota " +
+    "and reruns are identical") {
+    val plan = Sampling.unimaxPlan(langDocs(), "lang", "toks",
+      budgetTokens = 900L, maxEpochs = 2.0)
+    val out = Sampling.unimaxApply(langDocs(), "lang", "id", plan,
+      seed = 11L)
+    val toks = out.groupBy("lang").agg(sum("toks").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fr, de at exactly 2 epochs (integer): exact
+    assert(toks("fr") == 100L && toks("de") == 400L)
+    // en at 0.4 epochs: stochastic rounding around 400
+    assert(toks("en") >= 200L && toks("en") <= 600L)
+    val again = Sampling.unimaxApply(langDocs(), "lang", "id", plan,
+        seed = 11L)
+      .groupBy("lang").agg(sum("toks").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == toks)
   }
 }
