@@ -205,6 +205,47 @@ object SparkEntry {
        |          0.0e0)) END AS quota
        |    FROM g))""".stripMargin
 
+  /** DuckDB twin of [[Sampling.stringKey31]] — the base-31 code-point
+    * fold, mod 2^31, as a list_reduce. Exact on BMP text. */
+  private def StringKey31Sql(e: String): String =
+    s"CASE WHEN $e IS NULL THEN NULL WHEN length($e) = 0 THEN 0 " +
+      s"ELSE list_reduce([0::BIGINT] || list_transform(" +
+      s"generate_series(1, length($e)), i -> unicode(substr($e, i, 1))" +
+      s"::BIGINT), (a, b) -> (a * 31 + b) % 2147483648) END"
+
+  /** DuckDB twin of the HLL estimator ([[Sketches.hllSketch]] +
+    * [[Sketches.hllEstimate]], portable backend): expects a preceding
+    * CTE `hkeys(g, k)` and emits the chain ending in `hll(g, est)`.
+    * Identical registers (mix31 draws), exact dyadic register sum
+    * (every 2^-rho term and the sum of <= 2^p of them are exact
+    * doubles in any order), alpha*m as a round-tripping double
+    * literal — bit-reproducible end to end. */
+  private def HllChainSql(seed: Long, p: Int = 10): String = {
+    val m = 1 << p
+    val alphaM = (0.7213 / (1.0 + 1.079 / m)) * m
+    s"""hh AS (
+       |  SELECT g, ${Mix31Sql("k", seed.toString)} AS h1,
+       |    (${Mix31Sql("k", (seed + 1000003L).toString)}) % 1048576 AS h2
+       |  FROM hkeys),
+       |hr AS (
+       |  SELECT g, h1 // ${1L << (31 - p)} AS register,
+       |    MAX(CASE WHEN h2 = 0 THEN 21
+       |        ELSE 21 - length(bin(h2)) END) AS rho
+       |  FROM hh GROUP BY 1, 2),
+       |ha AS (
+       |  SELECT g, COUNT(*) AS np,
+       |    SUM(1.0 / (CAST(1 AS BIGINT) << rho)) AS sp
+       |  FROM hr GROUP BY 1),
+       |he AS (
+       |  SELECT g, $m - np AS v,
+       |    (CAST($alphaM AS DOUBLE) * $m.0e0) / (sp + ($m - np)) AS raw
+       |  FROM ha),
+       |hll AS (
+       |  SELECT g, CASE WHEN raw <= ${2.5 * m}e0 AND v > 0
+       |    THEN $m.0e0 * ln($m.0e0 / v) ELSE raw END AS est
+       |  FROM he)""".stripMargin
+  }
+
   /** DuckDB twin of the q_seg_dedup_* gates: 3-token segmentation,
     * corpus-wide counts, drop-or-keep-first, ordered reassembly. */
   private def SegDedupSql(keepFirst: Boolean): String = {
@@ -2166,6 +2207,44 @@ object SparkEntry {
       est.join(exact, Seq("user_id"))
         .select(col("user_id"), col("est"), col("exact_cnt"),
           (col("est") >= lit(80L)).as("is_heavy"))
+    }),
+
+    // --- OLAP sketches: per-lang vocabulary-size HLL estimate over
+    //     string-keyed words (stringKey31 fold) — the tiny synthetic
+    //     vocab lands in the LINEAR-COUNTING branch, the complement of
+    //     q_hll_distinct's harmonic-mean branch ---
+    "q_hll_vocab" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .withColumn("wkey", Sampling.stringKey31(col("word")))
+      val est = Sketches.hllDistinct(words, Seq("lang"), "wkey",
+        p = 10, seed = 2L)
+      val exact = words.groupBy(col("lang"))
+        .agg(countDistinct(col("word")).as("exact_distinct"))
+      est.join(exact, Seq("lang"))
+        .select(col("lang"), r6(col("distinct_est")).as("est_micro"),
+          col("exact_distinct"))
+    }),
+
+    // --- OLAP sketches: Count-Min word frequencies via the portable
+    //     string key; heavy flag from the est upper bound ---
+    "q_cms_words" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .withColumn("wkey", Sampling.stringKey31(col("word")))
+      val sk = Sketches.cmsSketch(words, "wkey", depth = 4, width = 256,
+        seed = 3L)
+      val est = Sketches.cmsLookup(sk,
+        words.select(col("wkey")).distinct(), "wkey",
+        depth = 4, width = 256, seed = 3L)
+      val exact = words.groupBy(col("word"), col("wkey"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      exact.join(est, Seq("wkey"))
+        .select(col("word"), col("est"), col("exact_cnt"),
+          (col("est") >= lit(940L)).as("is_heavy"))
     }),
 
     // --- LLM ops: deterministic weighted sample without replacement
@@ -4335,38 +4414,57 @@ object SparkEntry {
          |  mx >= 0.9 AS contaminated
          |FROM sc""".stripMargin,
 
-    // HLL: identical registers (mix31 draws), exact dyadic register sum
-    // (every 2^-rho term and their sum are exact doubles), and the same
-    // alpha*m constant interpolated as a round-tripping double literal —
-    // the whole estimator is bit-reproducible, hence a hash gate.
-    "q_hll_distinct" -> {
-      val alphaM = (0.7213 / (1.0 + 1.079 / 1024)) * 1024
-      s"""WITH h AS (
-         |  SELECT l_returnflag AS g,
-         |    ${Mix31Sql("l_orderkey", "0")} AS h1,
-         |    (${Mix31Sql("l_orderkey", "1000003")}) % 1048576 AS h2
-         |  FROM lineitem),
-         |r AS (
-         |  SELECT g, h1 // 2097152 AS register,
-         |    MAX(CASE WHEN h2 = 0 THEN 21
-         |        ELSE 21 - length(bin(h2)) END) AS rho
-         |  FROM h GROUP BY 1, 2),
-         |a AS (
-         |  SELECT g, COUNT(*) AS np,
-         |    SUM(1.0 / (CAST(1 AS BIGINT) << rho)) AS sp
-         |  FROM r GROUP BY 1),
-         |e AS (
-         |  SELECT g, 1024 - np AS v,
-         |    (CAST($alphaM AS DOUBLE) * 1024.0e0) / (sp + (1024 - np)) AS raw
-         |  FROM a)
-         |SELECT e.g AS l_returnflag,
-         |  ${R6("CASE WHEN raw <= 2560.0 AND v > 0 " +
-               "THEN 1024.0 * ln(1024.0 / v) ELSE raw END")} AS est_micro,
+    // HLL estimator bit-reproducible in SQL — see HllChainSql.
+    "q_hll_distinct" ->
+      s"""WITH hkeys AS (
+         |  SELECT l_returnflag AS g, l_orderkey AS k FROM lineitem),
+         |${HllChainSql(seed = 0L)}
+         |SELECT hll.g AS l_returnflag, ${R6("est")} AS est_micro,
          |  x.exact_distinct
-         |FROM e JOIN (
+         |FROM hll JOIN (
          |  SELECT l_returnflag AS g,
          |    COUNT(DISTINCT l_orderkey) AS exact_distinct
-         |  FROM lineitem GROUP BY 1) x USING (g)""".stripMargin
+         |  FROM lineitem GROUP BY 1) x USING (g)""".stripMargin,
+
+    // Word-level HLL through the portable string key; tiny vocab lands
+    // in the linear-counting branch (the other estimator face).
+    "q_hll_vocab" ->
+      s"""WITH words AS (
+         |  SELECT lang, word FROM (
+         |    SELECT lang,
+         |      unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |    FROM documents) WHERE length(word) > 0),
+         |hkeys AS (
+         |  SELECT lang AS g, ${StringKey31Sql("word")} AS k FROM words),
+         |${HllChainSql(seed = 2L)}
+         |SELECT hll.g AS lang, ${R6("est")} AS est_micro,
+         |  x.exact_distinct
+         |FROM hll JOIN (
+         |  SELECT lang AS g, COUNT(DISTINCT word) AS exact_distinct
+         |  FROM words GROUP BY 1) x USING (g)""".stripMargin,
+
+    // CMS over string-keyed words: integer cells, bit-exact.
+    "q_cms_words" -> {
+      val bucket = s"(${Mix31Sql("wkey", "3 + row * 1000003")}) % 256"
+      s"""WITH words AS (
+         |  SELECT word, ${StringKey31Sql("word")} AS wkey FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |    FROM documents) WHERE length(word) > 0),
+         |d AS (SELECT * FROM range(0, 4) t(row)),
+         |cells AS (
+         |  SELECT row, $bucket AS bucket, COUNT(*) AS cnt
+         |  FROM words CROSS JOIN d GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT wkey, MIN(COALESCE(c.cnt, 0)) AS est
+         |  FROM (
+         |    SELECT wkey, row, $bucket AS bucket
+         |    FROM (SELECT DISTINCT wkey FROM words) CROSS JOIN d) k
+         |  LEFT JOIN cells c USING (row, bucket) GROUP BY 1),
+         |exact AS (
+         |  SELECT word, wkey, COUNT(*) AS exact_cnt
+         |  FROM words GROUP BY 1, 2)
+         |SELECT word, est, exact_cnt, est >= 940 AS is_heavy
+         |FROM exact JOIN probe USING (wkey)""".stripMargin
     },
 
     // A-ES weighted top-k: identical u and w doubles; the only libm

@@ -48,6 +48,29 @@ object Sampling {
     }
   }
 
+  /** Engine-portable string key: the classic base-31 polynomial hash
+    * over character code points, mod 2^31 — `h = (h*31 + code) % 2^31`
+    * left-to-right. Feed the result through [[mix31]]/[[bucketHash]]
+    * (which every sketch/sampler does anyway) — the polynomial itself
+    * is NOT avalanche-quality, it only folds a string into a portable
+    * integer key deterministically.
+    *
+    * Intended for TOKENS (words, tags, short codes): the per-character
+    * fold is linear in string length and the documented SQL twin
+    * (list_reduce over unicode code points) matches it bit-for-bit on
+    * BMP text. Null maps to null (callers' null-key guards apply);
+    * empty string maps to 0. Intermediates stay below 2^36. */
+  def stringKey31(s: Column): Column =
+    // Spark's sequence counts DOWN for inverted bounds, so the empty
+    // string needs an explicit 0 (sequence(1,0) would be [1,0])
+    when(s.isNull, lit(null).cast("long"))
+      .when(length(s) === 0, lit(0L))
+      .otherwise(aggregate(
+        transform(sequence(lit(1), length(s)),
+          i => ascii(s.substr(i, lit(1)))),
+        lit(0L),
+        (h, c) => pmod(h * lit(31L) + c.cast("long"), lit(2147483648L))))
+
   /** The portable bucket hash in [0, HashRange): the top 20 bits of
     * [[mix31]]. Any long key works: `pmod` keeps the Spark side
     * non-negative, and the documented SQL twin uses the positive-mod

@@ -197,6 +197,19 @@ class SamplingSpec extends SparkSpec {
     assert(kept > 4800 && kept < 5200, s"kept=$kept")
   }
 
+  test("stringKey31 equals the documented code-point fold (incl. " +
+    "non-ASCII BMP), empty -> 0, null -> null") {
+    def ref(w: String): Long =
+      w.foldLeft(0L)((h, ch) => (h * 31 + ch.toInt) % 2147483648L)
+    val words = Seq("hello", "the", "a", "", "zebra-striped", "é", "中文")
+    val d = df("w STRING", (words.map(Row(_)) :+ Row(null)): _*)
+    val got = d.select(col("w"), Sampling.stringKey31(col("w")).as("h"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    words.foreach(w => assert(got(Some(w)) == Some(ref(w)), s"word=$w"))
+    assert(got(None).isEmpty)
+  }
+
   test("mixSources: per-source rates (0 drops, 1 keeps all)") {
     val d = ids(3000) // 1000 web, 2000 book
     val mixed = Sampling.mixSources(d, "source",
