@@ -507,6 +507,28 @@ object SparkEntry {
         "graft_stream_oi_" + graft.streaming.StreamingOi.nextSinkId())
     }),
 
+    // --- §2.10: streaming HLL — the register sketch maintained BY the
+    //     streaming engine (bounded state: groups x 2^p rows, max-rho
+    //     is an algebraic agg), estimate read off the materialized
+    //     registers. Registers are set-semantics (max), so the stream
+    //     result equals the batch sketch exactly and the batch HLL
+    //     oracle twin gates the streaming engine itself ---
+    "q_stream_hll" -> ((s, dir) => {
+      val schema = Tables.events(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val regs = Sketches.hllSketch(stream, Seq("event_type"), "user_id",
+        p = 10, seed = 4L)
+      val materialized = graft.streaming.StreamingOi.replayComplete(regs,
+        "graft_stream_hll_" + graft.streaming.StreamingOi.nextSinkId())
+      val est = Sketches.hllEstimate(materialized, Seq("event_type"))
+      val exact = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), r6(col("distinct_est")).as("est_micro"),
+          col("exact_distinct"))
+    }),
+
     // --- §2.10: streaming exact dedup — first-copy-wins over a finite
     //     replay of the documents table. WHICH physical row wins a
     //     content group is engine-chosen (arrival order inside a
@@ -2666,6 +2688,19 @@ object SparkEntry {
          |  ${HashSql("doc_id", 3L)} < ${Sampling.threshold(0.25)}
          |    AS is_test
          |FROM documents""".stripMargin,
+    // streaming HLL == batch HLL (max-rho registers are set-semantics),
+    // so the batch estimator chain gates the streaming aggregation
+    "q_stream_hll" ->
+      s"""WITH hkeys AS (
+         |  SELECT event_type AS g, user_id AS k FROM events),
+         |${HllChainSql(seed = 4L)}
+         |SELECT hll.g AS event_type, ${R6("est")} AS est_micro,
+         |  x.exact_distinct
+         |FROM hll JOIN (
+         |  SELECT event_type AS g,
+         |    COUNT(DISTINCT user_id) AS exact_distinct
+         |  FROM events GROUP BY 1) x USING (g)""".stripMargin,
+
     // first-copy dedup: WHICH row survives is engine-chosen, so the gate
     // surface is the content set itself — distinct (digest, length)
     "q_stream_dedup" ->
