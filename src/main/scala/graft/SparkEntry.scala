@@ -2201,6 +2201,29 @@ object SparkEntry {
           col("contaminated"))
     }),
 
+    // --- OLAP: hierarchical subtotals in one pass (ROLLUP — Catalyst
+    //     Expand feeds one shuffle for all levels; gid is the standard
+    //     grouping bitmask both engines share) ---
+    "q_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("gid"), col("n"), col("qty"))
+    }),
+
+    // --- OLAP: full cross-tab subtotals (CUBE: all 2^k grouping sets
+    //     from one Expand + one shuffle) ---
+    "q_cube" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .cube(col("lang"), col("source"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"))
+        .select(col("lang"), col("source"), col("gid"), col("n"),
+          col("chars"))
+    }),
+
     // --- OLAP sketches: HLL distinct estimate per group (engine-portable
     //     registers; est is deterministic, so the DuckDB twin computes
     //     the identical sketch and the gate hash-matches) ---
@@ -4448,6 +4471,20 @@ object SparkEntry {
          |SELECT vec_id, ${R6("mx")} AS max_eval_cos_micro,
          |  mx >= 0.9 AS contaminated
          |FROM sc""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT lang, source,
+         |  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+         |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+         |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
 
     // HLL estimator bit-reproducible in SQL — see HllChainSql.
     "q_hll_distinct" ->
