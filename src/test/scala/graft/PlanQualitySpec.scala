@@ -262,4 +262,53 @@ class PlanQualitySpec extends SparkSpec {
       "epoch replication must be a Generate:\n" + p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
+
+  test("q_hll_distinct: registers partial-aggregate map-side (partial_max " +
+    "before the register exchange); tiny frames join broadcast") {
+    val p = plan("q_hll_distinct")
+    assert(p.contains("partial_max"),
+      "register max must combine map-side:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q_cms_counts: sketch cells partial-aggregate; the probe joins " +
+    "the broadcast sketch, never sort-merges") {
+    val p = plan("q_cms_counts")
+    assert(p.contains("partial_sum"),
+      "cell counts must combine map-side:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "sketch probe must broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q_weighted_topk: selection is TakeOrdered (bounded per-partition " +
+    "heaps), not a global sort exchange") {
+    val p = plan("q_weighted_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "A-ES top-k must be TakeOrdered:\n" + p.take(1500))
+  }
+
+  test("q_unimax_plan / q_unimax_apply: windows only over the per-source " +
+    "aggregate; apply broadcasts the plan and replicates row-locally") {
+    val pp = plan("q_unimax_plan")
+    assertSinglePartitionOnlyOverAggregates("q_unimax_plan", pp)
+    val pa = plan("q_unimax_apply")
+    assert(pa.contains("BroadcastHashJoin"),
+      "unimax plan must broadcast onto the corpus:\n" + pa.take(1500))
+    assert(pa.contains("Generate"),
+      "epoch replication must be a Generate:\n" + pa.take(1500))
+    assert(!pa.contains("SortMergeJoin"), pa.take(1500))
+  }
+
+  test("q_stream_hll shape (batch face): the register frame is a plain " +
+    "two-phase aggregate — bounded state per group on a stream") {
+    // the streaming gate replays this same aggregation; pin the batch
+    // plan's partial max so the streaming state stays register-bounded
+    val regs = graft.operators.Sketches.hllSketch(
+      graft.core.Tables.events(spark, sf), Seq("event_type"), "user_id",
+      p = 10, seed = 4L)
+    val p = regs.queryExecution.executedPlan.toString
+    assert(p.contains("partial_max"), p.take(2000))
+  }
 }
