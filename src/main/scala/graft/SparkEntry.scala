@@ -2239,6 +2239,20 @@ object SparkEntry {
           col("exact_distinct"))
     }),
 
+    // --- OLAP sketches: equi-width histogram quantiles — one bounded
+    //     shuffle vs the exact operator's multi-pass refinement; error
+    //     bounded by one bucket width ---
+    "q_hist_quantile" -> ((s, dir) => {
+      Sketches.approxQuantiles(
+          Tables.lineitem(s, dir)
+            .select(col("l_returnflag"), col("l_extendedprice")),
+          Seq("l_returnflag"), "l_extendedprice",
+          qs = Seq(0.5, 0.95, 0.99), buckets = 64)
+        .select(col("l_returnflag"),
+          (col("q") * 100).cast("int").as("q_pct"),
+          r6(col("est")).as("est_micro"))
+    }),
+
     // --- OLAP sketches: Count-Min point estimates + heavy-hitter flag
     //     (est >= true always; deterministic cells → hash gate) ---
     "q_cms_counts" -> ((s, dir) => {
@@ -4580,6 +4594,46 @@ object SparkEntry {
          |  CAST(unnest(generate_series(1, copies)) AS BIGINT)
          |    AS epoch_copy
          |FROM cp WHERE copies >= 1""".stripMargin,
+
+    // Histogram quantiles: identical bucket grid (same IEEE steps in
+    // the same order), integer cumulative walk, one interpolation.
+    "q_hist_quantile" ->
+      s"""WITH src AS (
+         |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+         |  FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL
+         |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+         |rng AS (
+         |  SELECT g, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+         |  FROM src GROUP BY 1),
+         |b AS (
+         |  SELECT g, lo, hi, n,
+         |    CASE WHEN hi = lo THEN 0
+         |      ELSE LEAST(CAST(floor((v - lo) / ((hi - lo) / 64.0e0))
+         |        AS BIGINT), 63) END AS bucket
+         |  FROM src JOIN rng USING (g)),
+         |h AS (
+         |  SELECT g, lo, hi, n, bucket, COUNT(*) AS cnt
+         |  FROM b GROUP BY 1, 2, 3, 4, 5),
+         |c AS (
+         |  SELECT *, SUM(cnt) OVER (PARTITION BY g ORDER BY bucket)
+         |    AS cum FROM h),
+         |qv AS (SELECT * FROM (VALUES (0.5e0), (0.95e0), (0.99e0)) t(q)),
+         |j AS (
+         |  SELECT c.*, q,
+         |    GREATEST(1, CAST(ceil(q * n) AS BIGINT)) AS r,
+         |    cum - cnt AS cumBefore
+         |  FROM c CROSS JOIN qv
+         |  WHERE cum >= GREATEST(1, CAST(ceil(q * n) AS BIGINT))),
+         |p AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY g, q ORDER BY bucket)
+         |    AS rn FROM j)
+         |SELECT g AS l_returnflag, CAST(q * 100 AS INT) AS q_pct,
+         |  ${R6("CASE WHEN hi = lo THEN lo ELSE lo " +
+             "+ ((hi - lo) / 64.0e0) * CAST(bucket AS DOUBLE) " +
+             "+ ((hi - lo) / 64.0e0) * (CAST(r - cumBefore AS DOUBLE) " +
+             "/ CAST(cnt AS DOUBLE)) END")} AS est_micro
+         |FROM p WHERE rn = 1""".stripMargin,
 
     // CMS: deterministic cells (mix31 per-row seeds), COUNT sums, min
     // over depth rows — all integer arithmetic, bit-exact.

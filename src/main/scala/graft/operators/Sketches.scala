@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality / frequency sketches for corpus-scale profiling.
@@ -199,6 +200,86 @@ object Sketches {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // ---------------------------------------------------------------------
+  // Histogram quantile sketch (equi-width, mergeable)
+  // ---------------------------------------------------------------------
+
+  /** Equi-width histogram sketch: per group, `buckets` counting cells
+    * over the group's own [min, max] range. Two passes — a tiny min/max/
+    * count aggregate broadcast back, then ONE partial-aggregated shuffle
+    * down to at most `buckets` rows per group — versus the exact
+    * percentile operator's bracket-then-refine multi-pass
+    * ([[Quantiles]]). Sketches over the SAME range merge by cell-wise
+    * count sum (fix the range via a shared first pass to merge across
+    * snapshots). Nulls and NaNs are excluded. Output: groupCols ++
+    * (lo, hi, n, bucket, cnt). Every bucket decision is an
+    * identically-ordered IEEE expression, so two engines bucket
+    * identically (the DuckDB gate hash-matches). */
+  def histogramSketch(df: DataFrame, groupCols: Seq[String],
+                      valueCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 17),
+      s"buckets must be in [2, 131072], got $buckets")
+    val v = col(valueCol).cast("double")
+    val src = df.filter(v.isNotNull && !isnan(v))
+      .select((groupCols.map(col) :+ v.as("__v")): _*)
+    val rng = (if (groupCols.isEmpty) src.groupBy()
+               else src.groupBy(groupCols.map(col): _*))
+      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+        count(lit(1)).as("n"))
+    val withRng =
+      if (groupCols.isEmpty) src.crossJoin(broadcast(rng))
+      else src.join(broadcast(rng), groupCols)
+    val step = (col("hi") - col("lo")) / lit(buckets.toDouble)
+    val bucket = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((col("__v") - col("lo")) / step).cast("long"),
+        lit(buckets - 1L)))
+    withRng
+      .groupBy((groupCols ++ Seq("lo", "hi", "n")).map(col) :+
+        bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[histogramSketch]]: walk the cumulative
+    * bucket counts to the target rank ceil(q*n) and interpolate linearly
+    * inside the landing bucket. Error is bounded by one bucket width —
+    * (hi-lo)/buckets — per estimate. All windows run over at most
+    * `buckets` rows per (group, q). */
+  def histogramQuantiles(sketch: DataFrame, groupCols: Seq[String],
+                         qs: Seq[Double], buckets: Int = 64): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1], got $qs")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val cumW = Window.partitionBy(groupCols.map(col): _*).orderBy("bucket")
+    val withCum = sketch
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("cumBefore", col("cum") - col("cnt"))
+    val qdf = qs.toDF("q")
+    val r = greatest(lit(1L), ceil(col("q") * col("n")).cast("long"))
+    val pick = Window.partitionBy((groupCols :+ "q").map(col): _*)
+      .orderBy("bucket")
+    val step = (col("hi") - col("lo")) / lit(buckets.toDouble)
+    withCum.crossJoin(broadcast(qdf))
+      .filter(col("cum") >= r)
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .withColumn("est",
+        when(col("hi") === col("lo"), col("lo"))
+          .otherwise(col("lo") + step * col("bucket").cast("double") +
+            step * ((r - col("cumBefore")).cast("double") /
+              col("cnt").cast("double"))))
+      .select((groupCols.map(col) :+ col("q") :+ col("est")): _*)
+  }
+
+  /** Sketch + estimate in one call — the one-pass-shuffle approximate
+    * percentile for when [[Quantiles]]' exact multi-pass refinement is
+    * too expensive per query. */
+  def approxQuantiles(df: DataFrame, groupCols: Seq[String],
+                      valueCol: String, qs: Seq[Double],
+                      buckets: Int = 64): DataFrame =
+    histogramQuantiles(histogramSketch(df, groupCols, valueCol, buckets),
+      groupCols, qs, buckets)
 
   /** Heavy hitters: keys whose estimated frequency reaches `phi` of the
     * total. CMS never underestimates, so recall is 1 (every true heavy

@@ -123,6 +123,66 @@ class SketchesSpec extends SparkSpec {
     assert(sk2 == sk1.map { case (c, v) => c -> (2 * v) })
   }
 
+  // --- histogram quantile sketch ---
+
+  test("approxQuantiles lands within one bucket width of exact " +
+    "percentiles on a skewed distribution") {
+    val d = spark.range(10000)
+      .select((col("id") * col("id")).cast("double").as("v"))  // quadratic
+    val ests = Sketches.approxQuantiles(d, Nil, "v",
+        qs = Seq(0.5, 0.95), buckets = 200)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val Array(p50, p95) = d.stat.approxQuantile("v",
+      Array(0.5, 0.95), 0.0)   // exact at relativeError 0
+    val width = (9999.0 * 9999.0) / 200.0
+    assert(math.abs(ests(0.5) - p50) <= width,
+      s"p50 est=${ests(0.5)} exact=$p50 width=$width")
+    assert(math.abs(ests(0.95) - p95) <= width,
+      s"p95 est=${ests(0.95)} exact=$p95 width=$width")
+  }
+
+  test("histogramSketch: grouped sketches have bounded cells, counts " +
+    "sum to group size, all-equal group degenerates to one bucket") {
+    val d = df("g STRING, v DOUBLE",
+      ((1 to 100).map(i => Row("a", i.toDouble)) ++
+        (1 to 40).map(_ => Row("b", 7.0)) :+ Row("a", null)): _*)
+    val sk = Sketches.histogramSketch(d, Seq("g"), "v", buckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(4)) ->
+        (r.getLong(5), r.getLong(3))).toMap
+    val aCells = sk.keys.filter(_._1 == "a")
+    assert(aCells.size <= 8)
+    assert(sk.filter(_._1._1 == "a").values.map(_._1).sum == 100L) // null dropped
+    val bCells = sk.keys.filter(_._1 == "b").toSeq
+    assert(bCells == Seq(("b", 0L)))
+    assert(sk(("b", 0L)) == ((40L, 40L)))
+    // quantile of the degenerate group is the constant
+    val q = Sketches.histogramQuantiles(
+        Sketches.histogramSketch(d, Seq("g"), "v", buckets = 8),
+        Seq("g"), Seq(0.5), buckets = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(q("b") == 7.0)
+    assert(math.abs(q("a") - 50.0) <= 100.0 / 8 + 1)
+  }
+
+  test("histogram sketches over a shared fixed range merge by cell sum") {
+    // same lo/hi in both halves -> identical grid -> counts add
+    val all = spark.range(1000).select(col("id").cast("double").as("v"))
+      .withColumn("half", (col("v") < 500).cast("int"))
+    // force a shared range by pinning sentinel rows at 0 and 999 in both
+    val h0 = all.filter(col("half") === 1)
+      .unionByName(this.df("v DOUBLE, half INT", Row(999.0, 1)))
+    val h1 = all.filter(col("half") === 0)
+      .unionByName(this.df("v DOUBLE, half INT", Row(0.0, 0)))
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      Sketches.histogramSketch(d.select("v"), Nil, "v", buckets = 16)
+        .collect().map(r => r.getLong(3) -> r.getLong(4)).toMap
+    val merged = (cells(h0).toSeq ++ cells(h1).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val direct = cells(all.unionByName(
+      this.df("v DOUBLE, half INT", Row(999.0, 1), Row(0.0, 0))))
+    assert(merged == direct)
+  }
+
   test("cmsSketch weighted counts sum the weight column") {
     val df = this.df("k BIGINT, w BIGINT",
       Row(1L, 10L), Row(1L, 5L), Row(2L, 7L))
