@@ -220,31 +220,36 @@ object SparkEntry {
     * (every 2^-rho term and the sum of <= 2^p of them are exact
     * doubles in any order), alpha*m as a round-tripping double
     * literal — bit-reproducible end to end. */
-  private def HllChainSql(seed: Long, p: Int = 10): String = {
-    val m = 1 << p
-    val alphaM = (0.7213 / (1.0 + 1.079 / m)) * m
-    s"""hh AS (
+  private def HllRegsSql(seed: Long, p: Int, sfx: String): String =
+    s"""hh$sfx AS (
        |  SELECT g, ${Mix31Sql("k", seed.toString)} AS h1,
        |    (${Mix31Sql("k", (seed + 1000003L).toString)}) % 1048576 AS h2
-       |  FROM hkeys),
-       |hr AS (
+       |  FROM hkeys$sfx),
+       |hr$sfx AS (
        |  SELECT g, h1 // ${1L << (31 - p)} AS register,
        |    MAX(CASE WHEN h2 = 0 THEN 21
        |        ELSE 21 - length(bin(h2)) END) AS rho
-       |  FROM hh GROUP BY 1, 2),
-       |ha AS (
+       |  FROM hh$sfx GROUP BY 1, 2)""".stripMargin
+
+  private def HllEstSql(p: Int, sfx: String): String = {
+    val m = 1 << p
+    val alphaM = (0.7213 / (1.0 + 1.079 / m)) * m
+    s"""ha$sfx AS (
        |  SELECT g, COUNT(*) AS np,
        |    SUM(1.0 / (CAST(1 AS BIGINT) << rho)) AS sp
-       |  FROM hr GROUP BY 1),
-       |he AS (
+       |  FROM hr$sfx GROUP BY 1),
+       |he$sfx AS (
        |  SELECT g, $m - np AS v,
        |    (CAST($alphaM AS DOUBLE) * $m.0e0) / (sp + ($m - np)) AS raw
-       |  FROM ha),
-       |hll AS (
+       |  FROM ha$sfx),
+       |hll$sfx AS (
        |  SELECT g, CASE WHEN raw <= ${2.5 * m}e0 AND v > 0
        |    THEN $m.0e0 * ln($m.0e0 / v) ELSE raw END AS est
-       |  FROM he)""".stripMargin
+       |  FROM he$sfx)""".stripMargin
   }
+
+  private def HllChainSql(seed: Long, p: Int = 10): String =
+    HllRegsSql(seed, p, "") + ",\n" + HllEstSql(p, "")
 
   /** DuckDB twin of the q_seg_dedup_* gates: 3-token segmentation,
     * corpus-wide counts, drop-or-keep-first, ordered reassembly. */
@@ -2237,6 +2242,22 @@ object SparkEntry {
         .select(col("l_returnflag"),
           r6(col("distinct_est")).as("est_micro"),
           col("exact_distinct"))
+    }),
+
+    // --- OLAP sketches: HLL set overlap by inclusion-exclusion —
+    //     registers union losslessly, so cross-corpus intersection
+    //     comes without joining the corpora ---
+    "q_hll_overlap" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def sk(flag: String) = Sketches.hllSketch(
+        li.filter(col("l_returnflag") === flag), Nil, "l_orderkey",
+        p = 10, seed = 0L)
+      Sketches.hllOverlap(sk("A"), sk("R"), Nil)
+        .select(r6(col("est_a")).as("est_a_micro"),
+          r6(col("est_b")).as("est_b_micro"),
+          r6(col("est_union")).as("est_union_micro"),
+          r6(col("est_intersect")).as("est_intersect_micro"),
+          r6(col("jaccard_est")).as("jaccard_micro"))
     }),
 
     // --- OLAP sketches: equi-width histogram quantiles — one bounded
@@ -4594,6 +4615,35 @@ object SparkEntry {
          |  CAST(unnest(generate_series(1, copies)) AS BIGINT)
          |    AS epoch_copy
          |FROM cp WHERE copies >= 1""".stripMargin,
+
+    // HLL overlap: three estimator instances (A, B, register-union) and
+    // the same inclusion-exclusion doubles.
+    "q_hll_overlap" ->
+      s"""WITH hkeysa AS (
+         |  SELECT 1 AS g, l_orderkey AS k FROM lineitem
+         |  WHERE l_returnflag = 'A'),
+         |hkeysb AS (
+         |  SELECT 1 AS g, l_orderkey AS k FROM lineitem
+         |  WHERE l_returnflag = 'R'),
+         |${HllRegsSql(0L, 10, "a")},
+         |${HllRegsSql(0L, 10, "b")},
+         |hru AS (
+         |  SELECT g, register, MAX(rho) AS rho FROM (
+         |    SELECT * FROM hra UNION ALL SELECT * FROM hrb)
+         |  GROUP BY 1, 2),
+         |${HllEstSql(10, "a")},
+         |${HllEstSql(10, "b")},
+         |${HllEstSql(10, "u")},
+         |x AS (
+         |  SELECT hlla.est AS ea, hllb.est AS eb, hllu.est AS eu,
+         |    GREATEST(hlla.est + hllb.est - hllu.est, 0.0e0) AS ei
+         |  FROM hlla, hllb, hllu)
+         |SELECT ${R6("ea")} AS est_a_micro, ${R6("eb")} AS est_b_micro,
+         |  ${R6("eu")} AS est_union_micro,
+         |  ${R6("ei")} AS est_intersect_micro,
+         |  ${R6("CASE WHEN eu > 0 THEN ei / eu ELSE 0.0e0 END")}
+         |    AS jaccard_micro
+         |FROM x""".stripMargin,
 
     // Histogram quantiles: identical bucket grid (same IEEE steps in
     // the same order), integer cumulative walk, one interpolation.

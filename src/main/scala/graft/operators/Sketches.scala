@@ -201,6 +201,36 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Set-overlap estimates from two register sketches built with the
+    * SAME (groupCols, p, seed, backend): HLL registers union losslessly
+    * (element-wise max), so |A∪B| comes from the merged sketch and
+    * |A∩B| by inclusion-exclusion — the cross-corpus overlap /
+    * dedup-planning metric ("how much of snapshot B is already in A?")
+    * without ever joining the corpora. Intersection error compounds
+    * (three estimates), so it is clamped at 0; `jaccard_est` =
+    * intersect/union. Groups missing from one side estimate that side
+    * as 0 (full-outer join semantics). Output: groupCols ++ (est_a,
+    * est_b, est_union, est_intersect, jaccard_est). */
+  def hllOverlap(skA: DataFrame, skB: DataFrame, groupCols: Seq[String],
+                 p: Int = 10): DataFrame = {
+    def est(sk: DataFrame, as: String) =
+      hllEstimate(sk, groupCols, p).withColumnRenamed("distinct_est", as)
+    val a = est(skA, "est_a")
+    val b = est(skB, "est_b")
+    val u = est(hllMerge(Seq(skA, skB), groupCols), "est_union")
+    val joined =
+      if (groupCols.isEmpty) a.crossJoin(b).crossJoin(u)
+      else a.join(b, groupCols, "full_outer").join(u, groupCols)
+    val ea = coalesce(col("est_a"), lit(0.0))
+    val eb = coalesce(col("est_b"), lit(0.0))
+    val inter = greatest(ea + eb - col("est_union"), lit(0.0))
+    joined.withColumn("est_a", ea).withColumn("est_b", eb)
+      .withColumn("est_intersect", inter)
+      .withColumn("jaccard_est",
+        when(col("est_union") > 0, inter / col("est_union"))
+          .otherwise(lit(0.0)))
+  }
+
   // ---------------------------------------------------------------------
   // Histogram quantile sketch (equi-width, mergeable)
   // ---------------------------------------------------------------------

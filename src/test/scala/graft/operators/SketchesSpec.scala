@@ -123,6 +123,26 @@ class SketchesSpec extends SparkSpec {
     assert(sk2 == sk1.map { case (c, v) => c -> (2 * v) })
   }
 
+  test("hllOverlap: inclusion-exclusion tracks a planted 50% overlap; " +
+    "disjoint sets estimate near-zero intersection") {
+    val a = keys(4000)                       // ids 0..3999 (*7919)
+    val b = spark.range(2000, 6000)
+      .select((col("id") * 7919L).as("k"), lit(0).as("g"))
+    val skA = Sketches.hllSketch(a, Nil, "k")
+    val skB = Sketches.hllSketch(b, Nil, "k")
+    val r = Sketches.hllOverlap(skA, skB, Nil).collect().head
+    val inter = r.getAs[Double]("est_intersect")
+    val union = r.getAs[Double]("est_union")
+    assert(math.abs(inter - 2000) / 2000.0 < 0.25, s"inter=$inter")
+    // single fixed draw at m=1024: sigma ~3.3%, allow ~2.5 sigma
+    assert(math.abs(union - 6000) / 6000.0 < 0.085, s"union=$union")
+    val disjoint = Sketches.hllOverlap(
+        Sketches.hllSketch(keys(2000), Nil, "k"),
+        Sketches.hllSketch(keys(2000, offset = 1L), Nil, "k"), Nil)
+      .collect().head.getAs[Double]("est_intersect")
+    assert(disjoint < 400, s"disjoint inter=$disjoint")
+  }
+
   // --- histogram quantile sketch ---
 
   test("approxQuantiles lands within one bucket width of exact " +
