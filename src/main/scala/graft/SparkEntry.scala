@@ -316,7 +316,12 @@ object SparkEntry {
     * `a{i}` (micro-rounded argmin assignment), `m{i}` (DECIMAL dim
     * means), `c{i}` (means with emptied clusters keeping the previous
     * centroid), and `af` — the final assignment (vec_id, vec, c). */
-  private def KmeansCtes(k: Int, iters: Int): String = {
+  /** [[KmeansCtes]] generalized over any source relation `src`(vec_id,
+    * vec) with suffixed CTE names, so several independent k-means can
+    * live in one query (the PQ twin runs one per subspace). Emits
+    * `c0$sfx` .. `c$iters$sfx` and the final assignment `af$sfx`. */
+  private def KmeansCtesOver(src: String, k: Int, iters: Int,
+                             sfx: String): String = {
     def assignSql(cent: String) =
       s"""SELECT vec_id, vec, c FROM (
          |  SELECT p.vec_id, p.vec, cc.c,
@@ -325,20 +330,17 @@ object SparkEntry {
          |        generate_series(1, len(p.vec)),
          |        i -> (p.vec[i] - cc.vec[i]) * (p.vec[i] - cc.vec[i])))
          |        * 1e6 + 0.5) AS BIGINT), cc.c) AS rk
-         |  FROM v p, $cent cc) WHERE rk = 1""".stripMargin
+         |  FROM $src p, $cent cc) WHERE rk = 1""".stripMargin
     val sb = new StringBuilder
     sb.append(
-      s"""v AS (
-         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
-         |  FROM embeddings),
-         |c0 AS (
+      s"""c0$sfx AS (
          |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec
-         |  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT $k))""".stripMargin)
+         |  FROM (SELECT vec_id, vec FROM $src ORDER BY vec_id LIMIT $k))""".stripMargin)
     for (i <- 1 to iters) {
       sb.append(
         s""",
-           |a$i AS (${assignSql(s"c${i - 1}")}),
-           |m$i AS (
+           |a$i$sfx AS (${assignSql(s"c${i - 1}$sfx")}),
+           |m$i$sfx AS (
            |  SELECT c, list(mean ORDER BY dim) AS vec FROM (
            |    SELECT c, dim,
            |      CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
@@ -346,15 +348,23 @@ object SparkEntry {
            |    FROM (SELECT c,
            |            unnest(generate_series(0, len(vec) - 1)) AS dim,
            |            unnest(vec) AS val
-           |          FROM a$i)
+           |          FROM a$i$sfx)
            |    GROUP BY c, dim) GROUP BY c),
-           |c$i AS (
+           |c$i$sfx AS (
            |  SELECT p.c, COALESCE(m.vec, p.vec) AS vec
-           |  FROM c${i - 1} p LEFT JOIN m$i m ON p.c = m.c)""".stripMargin)
+           |  FROM c${i - 1}$sfx p LEFT JOIN m$i$sfx m ON p.c = m.c)""".stripMargin)
     }
-    sb.append(s",\naf AS (${assignSql(s"c$iters")})")
+    sb.append(s",\naf$sfx AS (${assignSql(s"c$iters$sfx")})")
     sb.toString
   }
+
+  private def KmeansCtes(k: Int, iters: Int): String =
+    s"""v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+       |  FROM embeddings),
+       |""".stripMargin + KmeansCtesOver("v", k, iters, "") +
+      // historical alias: the ungeneralized builder exposed `af`
+      ""
 
   /** events with ts as epoch-nanos long (column `ts_ns`), truncated to
     * whole microseconds: DuckDB (the oracle) reads parquet TIMESTAMP(NANOS)
@@ -2242,6 +2252,23 @@ object SparkEntry {
         .select(col("l_returnflag"),
           r6(col("distinct_est")).as("est_micro"),
           col("exact_distinct"))
+    }),
+
+    // --- LLM ops: product-quantized ANN (Jegou et al. 2011) — 32x
+    //     index compression (64 floats -> 8 byte-codes), integer ADC
+    //     ranking; codebooks from the deterministic per-subspace
+    //     k-means, so the full train/encode/search path is
+    //     engine-reproducible and hash-gated ---
+    "q_pq_ann" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val books = Pq.train(e, "vec_id", "vec", m = 8, k = 8, maxIter = 2)
+      val codes = Pq.encode(e, "vec", books)
+      val queries = e.filter(pmod(col("vec_id"), lit(25L)) === 0)
+      Pq.searchTopK(queries, codes, "vec_id", "vec_id", "vec", books,
+          k = 3)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          col("adc_dist"))
     }),
 
     // --- OLAP sketches: HLL set overlap by inclusion-exclusion —
@@ -4615,6 +4642,54 @@ object SparkEntry {
          |  CAST(unnest(generate_series(1, copies)) AS BIGINT)
          |    AS epoch_copy
          |FROM cp WHERE copies >= 1""".stripMargin,
+
+    // PQ: eight per-subspace unrolled k-means (KmeansCtesOver), encode
+    // by micro-rounded argmin, integer ADC sum — the whole pipeline in
+    // SQL. Subspace slices are 1-based inclusive list ranges.
+    "q_pq_ann" -> {
+      val m = 8; val dsub = 8
+      val subspaces = (0 until m).map { j =>
+        s"vs$j AS (SELECT vec_id, vec[${j * dsub + 1}:${(j + 1) * dsub}]" +
+          s" AS vec FROM v)"
+      }.mkString(",\n")
+      val kmeansChains = (0 until m).map { j =>
+        KmeansCtesOver(s"vs$j", 8, 2, s"s$j")
+      }.mkString(",\n")
+      val cents = (0 until m).map { j =>
+        s"SELECT $j AS j, c, vec FROM c2s$j"
+      }.mkString(" UNION ALL ")
+      val enc = (0 until m).map { j =>
+        s"SELECT vec_id, $j AS j, c FROM afs$j"
+      }.mkString(" UNION ALL ")
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings),
+         |$subspaces,
+         |$kmeansChains,
+         |cents AS ($cents),
+         |enc AS ($enc),
+         |q AS (SELECT vec_id, vec FROM v WHERE vec_id % 25 = 0),
+         |qs AS (
+         |  SELECT q.vec_id, cc.j, cc.c,
+         |    CAST(floor(list_sum(list_transform(
+         |      generate_series(1, $dsub),
+         |      i -> (q.vec[cc.j * $dsub + i] - cc.vec[i])
+         |         * (q.vec[cc.j * $dsub + i] - cc.vec[i])))
+         |      * 1e6 + 0.5) AS BIGINT) AS d
+         |  FROM q CROSS JOIN cents cc),
+         |dist AS (
+         |  SELECT qs.vec_id AS query_id, e.vec_id AS corpus_id,
+         |    CAST(SUM(qs.d) AS BIGINT) AS adc_dist
+         |  FROM enc e JOIN qs ON qs.j = e.j AND qs.c = e.c
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT query_id, corpus_id, adc_dist,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist, corpus_id) AS INT) AS rank
+         |  FROM dist WHERE query_id <> corpus_id)
+         |SELECT query_id, corpus_id, rank, adc_dist
+         |FROM p WHERE rank <= 3""".stripMargin
+    },
 
     // HLL overlap: three estimator instances (A, B, register-union) and
     // the same inclusion-exclusion doubles.

@@ -30,19 +30,19 @@ import org.apache.spark.sql.functions._
   * so maxIter=10 is 10 scans, not a 10-deep replay. */
 object Clustering {
 
-  private def microL(c: Column): Column =
+  private[operators] def microL(c: Column): Column =
     floor(c * lit(1e6) + lit(0.5)).cast("long")
 
   /** Squared L2 distance to a centroid literal, folded left-to-right
     * over dims (deterministic order). */
-  private def sqDist(vec: Column, centroid: Array[Double]): Column =
+  private[operators] def sqDist(vec: Column, centroid: Array[Double]): Column =
     aggregate(zip_with(vec, typedlit(centroid.toSeq),
       (x, c) => (x - c) * (x - c)), lit(0.0), (acc, v) => acc + v)
 
   /** Row-local argmin assignment: array_min over (dist_micro, index)
     * structs — lexicographic struct order gives the tie-to-smaller-index
     * rule for free. */
-  private def assign(vec: Column, centroids: Array[Array[Double]]): Column =
+  private[operators] def assign(vec: Column, centroids: Array[Array[Double]]): Column =
     array_min(array(centroids.zipWithIndex.map { case (c, i) =>
       struct(microL(sqDist(vec, c)).as("d"), lit(i).as("c"))
     }: _*)).getField("c")

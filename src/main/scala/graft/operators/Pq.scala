@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for ANN indexes (Jegou, Douze, Schmid 2011,
+  * "Product quantization for nearest neighbor search").
+  *
+  * The 100 TB memory story for vector search: a d-dim float embedding
+  * (d*4 bytes) compresses to m subspace codes (m bytes at k <= 256) by
+  * splitting the vector into m contiguous subvectors and quantizing each
+  * against its own k-centroid codebook. Search uses Asymmetric Distance
+  * Computation (ADC): per query, ONE m x k table of exact
+  * query-to-centroid subdistances, then every corpus code scores with m
+  * table lookups — no float math per candidate. [[Embeddings.quantizeInt8]]
+  * is the 4x story; PQ at m=8 over 64 dims is 32x.
+  *
+  * Determinism discipline (same as [[Clustering]], whose per-subspace
+  * k-means this reuses): codebook init = k smallest ids, micro-rounded
+  * argmin encode, and the ADC table itself is micro-rounded to LONG per
+  * cell — so the approximate distance is an INTEGER sum of m lookups and
+  * the ranking has no float tie ambiguity at all: same corpus, same
+  * codebooks, same ranking on any engine, rerun, or layout.
+  *
+  * Scale shape: training runs m independent k-means (each one pass per
+  * iteration over a dsub-wide slice); encoding is a row-local argmin
+  * against m*k broadcast centroid literals; search broadcasts the query
+  * frame (with its per-query tables) onto the codes and ranks per query
+  * over candidates. Compose with [[Similarity.ivfTopK]]'s cell routing
+  * when the corpus is too large to score every code per query. */
+object Pq {
+
+  /** Trained codebooks: `cb(subspace)(centroid)(dim)`; `dsub` = dims
+    * per subspace. Driver-resident (m * k * dsub doubles — tiny). */
+  final case class Codebooks(m: Int, dsub: Int,
+                             cb: Array[Array[Array[Double]]])
+
+  /** Train per-subspace codebooks with [[Clustering.kmeansCentroids]]
+    * (deterministic Lloyd's). The vector dimension must divide evenly
+    * into `m` subspaces. */
+  def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
+            k: Int, maxIter: Int): Codebooks = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val vec = transform(col(vecCol), _.cast("double"))
+    val cbs = (0 until m).toArray.map { j =>
+      val sliced = df.select(col(idCol),
+        slice(vec, j * dsub + 1, dsub).as("__pq_v"))
+      Clustering.kmeansCentroids(sliced, idCol, "__pq_v", k, maxIter)
+    }
+    Codebooks(m, dsub, cbs)
+  }
+
+  /** Append the PQ code column: `m` int codes, each the micro-rounded
+    * argmin centroid of its subvector. Row-local against broadcast
+    * centroid literals. */
+  def encode(df: DataFrame, vecCol: String, books: Codebooks,
+             codeCol: String = "pq_code"): DataFrame = {
+    val vec = transform(col(vecCol), _.cast("double"))
+    df.withColumn(codeCol, array((0 until books.m).map { j =>
+      Clustering.assign(slice(vec, j * books.dsub + 1, books.dsub),
+        books.cb(j)).cast("int")
+    }: _*))
+  }
+
+  /** ADC top-k: for each query, the exact m x k subdistance table
+    * (micro-rounded LONG cells), then every corpus code scores as an
+    * integer sum of m lookups; rank ascending, ties to the smaller
+    * corpus id. Queries (with their tables) broadcast onto the codes. */
+  def searchTopK(queries: DataFrame, codes: DataFrame, qId: String,
+                 cId: String, qVec: String, books: Codebooks,
+                 k: Int, codeCol: String = "pq_code",
+                 excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qv = transform(col(qVec), _.cast("double"))
+    val dtab = array((0 until books.m).map { j =>
+      array(books.cb(j).map { c =>
+        Clustering.microL(Clustering.sqDist(
+          slice(qv, j * books.dsub + 1, books.dsub), c))
+      }: _*)
+    }: _*)
+    val q = queries.select(col(qId).as("query_id"), dtab.as("__dtab"))
+    val dist = aggregate(sequence(lit(0), lit(books.m - 1)), lit(0L),
+      (acc, j) => acc + element_at(element_at(col("__dtab"), j + 1),
+        element_at(col(codeCol), j + 1) + 1))
+    val scored = codes.select(col(cId).as("corpus_id"), col(codeCol))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("corpus_id"), dist.as("adc_dist"))
+    val filtered =
+      if (excludeSelf) scored.filter(col("query_id") =!= col("corpus_id"))
+      else scored
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("corpus_id").asc)
+    filtered.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

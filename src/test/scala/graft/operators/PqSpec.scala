@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Tables
+
+class PqSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def embs() = Tables.embeddings(spark, sf)
+    .select(col("vec_id"),
+      Embeddings.normalizeL2(transform(col("embedding"),
+        _.cast("double"))).as("vec"))
+    .filter(col("vec").isNotNull)
+
+  test("encode: m codes in [0, k); identical vectors get identical " +
+    "codes; rerun is bit-identical") {
+    val e = embs()
+    val books = Pq.train(e, "vec_id", "vec", m = 8, k = 8, maxIter = 2)
+    assert(books.dsub == 8 && books.cb.length == 8)
+    val codes = Pq.encode(e, "vec", books)
+      .select(col("vec_id"), col("pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 8 &&
+      c.forall(x => x >= 0 && x < 8)))
+    val again = Pq.encode(e, "vec", books)
+      .select(col("vec_id"), col("pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(again == codes)
+  }
+
+  test("searchTopK: a query scores its own code at ADC distance 0 via " +
+    "table lookup (excludeSelf = false)") {
+    val e = embs().limit(20)
+    val books = Pq.train(e, "vec_id", "vec", m = 8, k = 8, maxIter = 2)
+    val codes = Pq.encode(e, "vec", books)
+    // query vectors REPLACED by their own reconstruction: distance to
+    // own centroids is then exactly 0 in every subspace
+    val recon = codes.select(col("vec_id"),
+      flatten(array((0 until books.m).map { j =>
+        element_at(typedlit(books.cb(j).map(_.toSeq).toSeq),
+          element_at(col("pq_code"), j + 1) + 1)
+      }: _*)).as("vec"))
+    val hits = Pq.searchTopK(recon, codes, "vec_id", "vec_id", "vec",
+        books, k = 1, excludeSelf = false)
+      .filter(col("query_id") === col("corpus_id"))
+      .select(col("adc_dist")).collect().map(_.getLong(0))
+    assert(hits.nonEmpty && hits.forall(_ == 0L))
+  }
+
+  test("searchTopK recall@3 vs exact cosine on separable data " +
+    "(planted blobs)") {
+    // NOT the corpus embeddings fixture: those are near-random unit
+    // vectors whose exact neighbors are near-ties, so ANY score-
+    // approximating method (PQ quantizes the scores, unlike IVF/LSH
+    // which score exact vectors within candidates) scrambles the top-k
+    // there — measured recall ~0.2-0.4 across m/k settings. On data
+    // with real neighborhood structure PQ does its job:
+    import spark.implicits._
+    val rows = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val id = (c * 20 + i).toLong
+      val v = Array.tabulate(64) { d =>
+        val base = if (d >= c * 6 && d < c * 6 + 6) 10.0 else 0.0
+        base + ((id * 31 + d * 7) % 13).toDouble / 13.0
+      }
+      (id, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "vec")
+      .select(col("vec_id"), Embeddings.normalizeL2(
+        transform(col("vec"), _.cast("double"))).as("vec"))
+    val queries = e.limit(15)
+    val books = Pq.train(e, "vec_id", "vec", m = 8, k = 8, maxIter = 3)
+    val codes = Pq.encode(e, "vec", books)
+    val pq = Pq.searchTopK(queries, codes, "vec_id", "vec_id", "vec",
+        books, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "vec_id",
+        "vec", "vec", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.map { case (q, want) =>
+      (pq.getOrElse(q, Set.empty) intersect want).size.toDouble / want.size
+    }.sum / exact.size
+    assert(recall >= 0.85, s"recall@3 = $recall")   // measured 0.93
+  }
+}
