@@ -97,4 +97,53 @@ object Pq {
     filtered.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** IVFPQ: coarse cells route candidates, PQ codes score them — the
+    * standard composition when the corpus is too large to ADC-score
+    * every code per query. `codes` must carry a cell assignment
+    * (`cellCol`, from [[Clustering.kmeans]] with the same `coarse`
+    * centroids); each query probes its `nProbe` nearest coarse cells
+    * (micro-rounded L2, ties to the smaller cell index — the
+    * [[Similarity.ivfTopK]] probe rule) and only those cells' codes are
+    * scored. Work per query drops from |corpus| to the probed cells'
+    * mass; recall follows the probe coverage. */
+  def searchTopKIvf(queries: DataFrame, codes: DataFrame, qId: String,
+                    cId: String, qVec: String, books: Codebooks,
+                    coarse: Array[Array[Double]], nProbe: Int, k: Int,
+                    cellCol: String = "cluster",
+                    codeCol: String = "pq_code",
+                    excludeSelf: Boolean = true): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qv = transform(col(qVec), _.cast("double"))
+    val probed = slice(array_sort(array(coarse.zipWithIndex.map {
+      case (c, i) =>
+        struct(Clustering.microL(Clustering.sqDist(qv, c)).as("d"),
+          lit(i).as("c"))
+    }: _*)), 1, nProbe)
+    val dtab = array((0 until books.m).map { j =>
+      array(books.cb(j).map { c =>
+        Clustering.microL(Clustering.sqDist(
+          slice(qv, j * books.dsub + 1, books.dsub), c))
+      }: _*)
+    }: _*)
+    val q = queries.select(col(qId).as("query_id"), dtab.as("__dtab"),
+        explode(probed).as("__probe"))
+      .select(col("query_id"), col("__dtab"),
+        col("__probe").getField("c").as(cellCol))
+    val dist = aggregate(sequence(lit(0), lit(books.m - 1)), lit(0L),
+      (acc, j) => acc + element_at(element_at(col("__dtab"), j + 1),
+        element_at(col(codeCol), j + 1) + 1))
+    val scored = codes
+      .select(col(cId).as("corpus_id"), col(codeCol), col(cellCol))
+      .join(broadcast(q), Seq(cellCol))
+      .select(col("query_id"), col("corpus_id"), dist.as("adc_dist"))
+    val filtered =
+      if (excludeSelf) scored.filter(col("query_id") =!= col("corpus_id"))
+      else scored
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("corpus_id").asc)
+    filtered.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -85,4 +85,47 @@ class PqSpec extends SparkSpec {
     }.sum / exact.size
     assert(recall >= 0.85, s"recall@3 = $recall")   // measured 0.93
   }
+
+  test("searchTopKIvf == searchTopK when every cell is probed; with " +
+    "nProbe=2 of 5 cells on blob data, recall holds and candidates " +
+    "shrink") {
+    import spark.implicits._
+    val rows = for (c <- 0 until 5; i <- 0 until 20) yield {
+      val id = (c * 20 + i).toLong
+      val v = Array.tabulate(64) { d =>
+        val base = if (d >= c * 12 && d < c * 12 + 12) 10.0 else 0.0
+        base + ((id * 31 + d * 7) % 13).toDouble / 13.0
+      }
+      (id, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "vec")
+      .select(col("vec_id"), Embeddings.normalizeL2(
+        transform(col("vec"), _.cast("double"))).as("vec"))
+    val coarse = Clustering.kmeansCentroids(e, "vec_id", "vec", k = 5,
+      maxIter = 3)
+    val celled = Clustering.kmeans(e, "vec_id", "vec", k = 5, maxIter = 3)
+    val books = Pq.train(e, "vec_id", "vec", m = 8, k = 8, maxIter = 3)
+    val codes = Pq.encode(celled, "vec", books)
+    val queries = e.limit(10)
+    def sets(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("corpus_id"), r.getAs[Int]("rank"))).toSet
+    val full = sets(Pq.searchTopKIvf(queries, codes, "vec_id", "vec_id",
+      "vec", books, coarse, nProbe = 5, k = 3))
+    val plain = sets(Pq.searchTopK(queries, codes, "vec_id", "vec_id",
+      "vec", books, k = 3))
+    assert(full == plain)
+    val probed = Pq.searchTopKIvf(queries, codes, "vec_id", "vec_id",
+      "vec", books, coarse, nProbe = 2, k = 3)
+    val byQ = sets(probed).groupBy(_._1)
+    assert(byQ.nonEmpty && byQ.values.forall(_.size <= 3))
+    // blobs: the own-cell probe already contains the true neighbors
+    val plainTop = plain.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val recall = byQ.map { case (q, hits) =>
+      (hits.map(_._2) intersect plainTop(q)).size.toDouble /
+        plainTop(q).size
+    }.sum / byQ.size
+    assert(recall >= 0.85, s"ivfpq recall vs plain ADC = $recall")
+  }
 }
