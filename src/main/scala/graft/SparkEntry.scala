@@ -544,6 +544,27 @@ object SparkEntry {
           col("exact_distinct"))
     }),
 
+    // --- §2.10: streaming Count-Min — cells are a sum aggregation
+    //     (depth x width bounded state); stream == batch because counts
+    //     add across micro-batches. Probe runs on the materialized
+    //     cells ---
+    "q_stream_cms" -> ((s, dir) => {
+      val schema = Tables.events(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id"))
+      val cells = Sketches.cmsSketch(stream, "user_id", depth = 4,
+        width = 256, seed = 5L)
+      val materialized = graft.streaming.StreamingOi.replayComplete(cells,
+        "graft_stream_cms_" + graft.streaming.StreamingOi.nextSinkId())
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      Sketches.cmsLookup(materialized, ev.distinct(), "user_id",
+          depth = 4, width = 256, seed = 5L)
+        .join(ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("exact_cnt")), Seq("user_id"))
+        .select(col("user_id"), col("est"), col("exact_cnt"))
+    }),
+
     // --- §2.10: streaming exact dedup — first-copy-wins over a finite
     //     replay of the documents table. WHICH physical row wins a
     //     content group is engine-chosen (arrival order inside a
@@ -2364,6 +2385,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("es_rank_nano"))
     }),
 
+    // --- LLM ops: per-language A-ES draw — best k docs per lang,
+    //     stochastically by length-weight ---
+    "q_weighted_topk_group" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("w", col("n_chars").cast("double") / lit(1000.0))
+      Sampling.weightedTopKPerGroup(docs, Seq("lang"), "doc_id", "w",
+          k = 10, seed = 21L)
+        .select(col("lang"), col("doc_id"), col("es_rank_nano"))
+    }),
+
     // --- LLM ops: UniMax language-capped mixture plan (closed-form
     //     water-filling, all windows over the per-lang aggregate) ---
     "q_unimax_plan" -> ((s, dir) => {
@@ -2773,6 +2804,25 @@ object SparkEntry {
          |  ${HashSql("doc_id", 3L)} < ${Sampling.threshold(0.25)}
          |    AS is_test
          |FROM documents""".stripMargin,
+    // streaming CMS == batch CMS (cells add across micro-batches)
+    "q_stream_cms" -> {
+      val bucket = s"(${Mix31Sql("user_id", "5 + row * 1000003")}) % 256"
+      s"""WITH d AS (SELECT * FROM range(0, 4) t(row)),
+         |cells AS (
+         |  SELECT row, $bucket AS bucket, COUNT(*) AS cnt
+         |  FROM events CROSS JOIN d GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT user_id, MIN(COALESCE(c.cnt, 0)) AS est
+         |  FROM (
+         |    SELECT user_id, row, $bucket AS bucket
+         |    FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN d) k
+         |  LEFT JOIN cells c USING (row, bucket) GROUP BY 1),
+         |exact AS (
+         |  SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1)
+         |SELECT user_id, est, exact_cnt
+         |FROM probe JOIN exact USING (user_id)""".stripMargin
+    },
+
     // streaming HLL == batch HLL (max-rho registers are set-semantics),
     // so the batch estimator chain gates the streaming aggregation
     "q_stream_hll" ->
@@ -4616,6 +4666,23 @@ object SparkEntry {
          |    AS es_rank_nano
          |FROM r WHERE w > 0
          |ORDER BY es_rank_nano DESC, doc_id LIMIT 60""".stripMargin,
+
+    "q_weighted_topk_group" ->
+      s"""WITH r AS (
+         |  SELECT lang, doc_id,
+         |    CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS w,
+         |    (CAST(${HashSql("doc_id", 21L)} AS DOUBLE) + 1.0e0)
+         |      / 1048576.0e0 AS u
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang, doc_id,
+         |    CAST(floor(pow(u, 1.0e0 / w) * 1e9 + 0.5) AS BIGINT)
+         |      AS es_rank_nano
+         |  FROM r WHERE w > 0),
+         |p AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY es_rank_nano DESC, doc_id) AS rk FROM s)
+         |SELECT lang, doc_id, es_rank_nano FROM p WHERE rk <= 10""".stripMargin,
 
     "q_unimax_plan" ->
       s"""WITH ${UnimaxPlanSql("documents", "lang", "n_chars",

@@ -355,6 +355,29 @@ object Sampling {
       .limit(k)
   }
 
+  /** [[weightedTopK]] within each group — the per-stratum A-ES draw
+    * ("best k docs per language, stochastically by quality"). One
+    * window shuffle on the group key; same nano-rounded rank and
+    * null/non-positive-weight exclusion as the global form. */
+  def weightedTopKPerGroup(df: DataFrame, groupCols: Seq[String],
+                           keyCol: String, weightCol: String, k: Int,
+                           seed: Long = 0L,
+                           rankCol: String = "es_rank_nano"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(groupCols.nonEmpty, "weightedTopKPerGroup needs group columns")
+    requireIntegralKey(df, keyCol)
+    val u = (bucketHash(col(keyCol), seed) + lit(1L)).cast("double") /
+      lit(HashRange.toDouble)
+    val w = col(weightCol).cast("double")
+    val win = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(rankCol).desc, col(keyCol).asc)
+    df.filter(w.isNotNull && w > 0.0)
+      .withColumn(rankCol,
+        floor(pow(u, lit(1.0) / w) * lit(1e9) + lit(0.5)).cast("long"))
+      .withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** UniMax mixture plan (Chung et al. 2023, arXiv:2304.09151 §3):
     * spread `budgetTokens` as UNIFORMLY as possible across sources,
     * subject to a per-source repetition cap of `maxEpochs` epochs —

@@ -345,6 +345,24 @@ class SamplingSpec extends SparkSpec {
     assert(heavy / light > 1.4, s"heavy=$heavy light=$light")
   }
 
+  test("weightedTopKPerGroup: k per group, each group's selection " +
+    "equals the global operator restricted to that group") {
+    val d = df("id BIGINT, g STRING, w DOUBLE",
+      (1L to 60L).map(i =>
+        Row(i, if (i % 2 == 0) "a" else "b", (i % 7 + 1).toDouble)): _*)
+    val per = Sampling.weightedTopKPerGroup(d, Seq("g"), "id", "w",
+        k = 5, seed = 3L)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(per("a").size == 5 && per("b").size == 5)
+    for (g <- Seq("a", "b")) {
+      val global = Sampling.weightedTopK(d.filter(col("g") === g), "id",
+          "w", k = 5, seed = 3L)
+        .collect().map(_.getLong(0)).toSet
+      assert(per(g) == global, s"group $g")
+    }
+  }
+
   // --- unimaxPlan / unimaxApply ---
 
   private def langDocs() = df("id BIGINT, lang STRING, toks BIGINT",
