@@ -2385,6 +2385,28 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("es_rank_nano"))
     }),
 
+    // --- LLM ops: sketch-powered corpus profile — the governance-report
+    //     shape rebuilt on bounded-state primitives: doc volume, HLL
+    //     unique-content estimate (dedup load without a distinct), and
+    //     histogram length quantiles, per source in two bounded passes ---
+    "q_corpus_profile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("tkey", Sampling.stringKey31(col("text")))
+      val vol = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val uniq = Sketches.hllDistinct(docs, Seq("source"), "tkey",
+        p = 10, seed = 6L)
+      val qs = Sketches.approxQuantiles(docs, Seq("source"), "n_chars",
+          qs = Seq(0.5, 0.95), buckets = 32)
+        .groupBy(col("source"))
+        .agg(max(when(col("q") === 0.5, col("est"))).as("p50"),
+          max(when(col("q") === 0.95, col("est"))).as("p95"))
+      vol.join(uniq, Seq("source")).join(qs, Seq("source"))
+        .select(col("source"), col("n_docs"),
+          r6(col("distinct_est")).as("uniq_est_micro"),
+          r6(col("p50")).as("p50_micro"), r6(col("p95")).as("p95_micro"))
+    }),
+
     // --- LLM ops: per-language A-ES draw — best k docs per lang,
     //     stochastically by length-weight ---
     "q_weighted_topk_group" -> ((s, dir) => {
@@ -4666,6 +4688,61 @@ object SparkEntry {
          |    AS es_rank_nano
          |FROM r WHERE w > 0
          |ORDER BY es_rank_nano DESC, doc_id LIMIT 60""".stripMargin,
+
+    // Sketch-composed profile: HLL chain + histogram-quantile chain
+    // per source, volumes joined on — all deterministic primitives.
+    "q_corpus_profile" ->
+      s"""WITH hkeys AS (
+         |  SELECT source AS g, ${StringKey31Sql("text")} AS k
+         |  FROM documents),
+         |${HllChainSql(seed = 6L)},
+         |src AS (
+         |  SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+         |  FROM documents
+         |  WHERE n_chars IS NOT NULL
+         |    AND NOT isnan(CAST(n_chars AS DOUBLE))),
+         |rng AS (
+         |  SELECT g, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+         |  FROM src GROUP BY 1),
+         |b AS (
+         |  SELECT g, lo, hi, n,
+         |    CASE WHEN hi = lo THEN 0
+         |      ELSE LEAST(CAST(floor((v - lo) / ((hi - lo) / 32.0e0))
+         |        AS BIGINT), 31) END AS bucket
+         |  FROM src JOIN rng USING (g)),
+         |h AS (
+         |  SELECT g, lo, hi, n, bucket, COUNT(*) AS cnt
+         |  FROM b GROUP BY 1, 2, 3, 4, 5),
+         |c AS (
+         |  SELECT *, SUM(cnt) OVER (PARTITION BY g ORDER BY bucket)
+         |    AS cum FROM h),
+         |qv AS (SELECT * FROM (VALUES (0.5e0), (0.95e0)) t(q)),
+         |j AS (
+         |  SELECT c.*, q,
+         |    GREATEST(1, CAST(ceil(q * n) AS BIGINT)) AS r,
+         |    cum - cnt AS cumBefore
+         |  FROM c CROSS JOIN qv
+         |  WHERE cum >= GREATEST(1, CAST(ceil(q * n) AS BIGINT))),
+         |p AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY g, q ORDER BY bucket)
+         |    AS rn FROM j),
+         |est AS (
+         |  SELECT g, q,
+         |    CASE WHEN hi = lo THEN lo ELSE lo
+         |      + ((hi - lo) / 32.0e0) * CAST(bucket AS DOUBLE)
+         |      + ((hi - lo) / 32.0e0) * (CAST(r - cumBefore AS DOUBLE)
+         |        / CAST(cnt AS DOUBLE)) END AS v
+         |  FROM p WHERE rn = 1),
+         |piv AS (
+         |  SELECT g, MAX(CASE WHEN q = 0.5e0 THEN v END) AS p50,
+         |    MAX(CASE WHEN q = 0.95e0 THEN v END) AS p95
+         |  FROM est GROUP BY 1),
+         |vol AS (SELECT source AS g, COUNT(*) AS n_docs
+         |        FROM documents GROUP BY 1)
+         |SELECT vol.g AS source, vol.n_docs,
+         |  ${R6("hll.est")} AS uniq_est_micro,
+         |  ${R6("piv.p50")} AS p50_micro, ${R6("piv.p95")} AS p95_micro
+         |FROM vol JOIN hll USING (g) JOIN piv USING (g)""".stripMargin,
 
     "q_weighted_topk_group" ->
       s"""WITH r AS (
