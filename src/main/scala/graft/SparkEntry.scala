@@ -2385,6 +2385,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("es_rank_nano"))
     }),
 
+    // --- LLM ops: MMR diversified selection over a bounded top-N pool
+    //     (no oracle: driver-greedy like the rolling-refit solver;
+    //     semantics pinned by SimilaritySpec) ---
+    "q_mmr" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("vec").as("pvec"))
+      val pool = e.crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("vec"),
+          Similarity.cosine(col("vec"), col("pvec")).as("rel"))
+        .filter(col("vec_id") =!= 0 && col("rel").isNotNull)
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(50)
+      Similarity.mmrSelect(pool, "vec_id", "vec", "rel", k = 10,
+          lambda = 0.7)
+        .select(col("vec_id"), col("mmr_rank"),
+          r6(col("mmr_score")).as("mmr_score_micro"))
+    }),
+
     // --- LLM ops: sketch-powered corpus profile — the governance-report
     //     shape rebuilt on bounded-state primitives: doc volume, HLL
     //     unique-content estimate (dedup load without a distinct), and

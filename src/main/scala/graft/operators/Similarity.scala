@@ -410,4 +410,61 @@ object Similarity {
         cosine(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine").isNotNull && col("cosine") >= threshold)
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick k items maximizing
+    * `lambda * relevance - (1 - lambda) * max cosine to the already-
+    * selected set` — the diversity-aware final stage after a top-N
+    * retrieval (near-duplicate hits stop crowding out coverage; at
+    * lambda = 1 this is plain relevance order).
+    *
+    * MMR is inherently sequential in k, so it runs on the DRIVER over a
+    * bounded candidate pool — the same justification as the rolling-
+    * refit solver: the pool is a prior top-N (require'd <= 10k rows),
+    * never the corpus. Deterministic: scores micro-rounded before each
+    * argmax, ties to the smaller id. Returns (id, mmr_rank, mmr_score)
+    * with rank 1..k in selection order. */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
+                relCol: String, k: Int,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    val spark = candidates.sparkSession
+    val pool = candidates.select(col(idCol).cast("long"),
+        transform(col(vecCol), _.cast("double")), col(relCol).cast("double"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getDouble(2)))
+    require(pool.length <= 10000,
+      s"mmrSelect pool is ${pool.length} rows — bound it with a top-N " +
+        "retrieval first (the driver greedy loop is O(k * N * dim))")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    }
+    def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer
+      .empty[Array[Double]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.sortBy(_._1).map(p => p._1 -> p): _*)
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val best = remaining.values.map { case (id, vec, rel) =>
+        val maxSim = if (chosen.isEmpty) 0.0
+          else chosen.map(cos(vec, _)).max
+        val score = lambda * rel - (1.0 - lambda) * maxSim
+        (micro(score), id, vec, score)
+      }.maxBy { case (m, id, _, _) => (m, -id) }   // ties: smaller id
+      selected += ((best._2, rank, best._4))
+      chosen += best._3
+      remaining.remove(best._2)
+      rank += 1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF(idCol, "mmr_rank", "mmr_score")
+  }
 }

@@ -9,6 +9,43 @@ class SimilaritySpec extends SparkSpec {
   private def vecs(rows: (Long, Seq[Double])*) =
     df("id BIGINT, v ARRAY<DOUBLE>", rows.map(r => Row(r._1, r._2)): _*)
 
+  private def mmrPool(rows: (Long, Seq[Double], Double)*) =
+    df("id BIGINT, v ARRAY<DOUBLE>, rel DOUBLE",
+      rows.map(r => Row(r._1, r._2, r._3)): _*)
+
+  test("mmrSelect: a near-duplicate of the top hit is displaced by a " +
+    "diverse item; lambda = 1 is plain relevance order; deterministic") {
+    // 1 and 2 are near-identical (cos ~1); 3 is orthogonal, lower rel
+    val pool = mmrPool(
+      (1L, Seq(1.0, 0.0), 0.9),
+      (2L, Seq(0.999, 0.01), 0.89),
+      (3L, Seq(0.0, 1.0), 0.5))
+    val mmr = Similarity.mmrSelect(pool, "id", "v", "rel", k = 2,
+        lambda = 0.5)
+      .collect().map(r => r.getInt(1) -> r.getLong(0)).toMap
+    assert(mmr(1) == 1L)
+    assert(mmr(2) == 3L, "diversity must displace the near-dup")
+    val rel = Similarity.mmrSelect(pool, "id", "v", "rel", k = 2,
+        lambda = 1.0)
+      .collect().map(r => r.getInt(1) -> r.getLong(0)).toMap
+    assert(rel(1) == 1L && rel(2) == 2L)
+    val again = Similarity.mmrSelect(pool, "id", "v", "rel", k = 2,
+        lambda = 0.5)
+      .collect().map(r => r.getInt(1) -> r.getLong(0)).toMap
+    assert(again == mmr)
+  }
+
+  test("mmrSelect: k beyond the pool returns the whole pool ranked; " +
+    "micro-rounded ties break to the smaller id") {
+    val pool = mmrPool(
+      (5L, Seq(1.0, 0.0), 0.7),
+      (4L, Seq(0.0, 1.0), 0.7))
+    val out = Similarity.mmrSelect(pool, "id", "v", "rel", k = 10,
+        lambda = 1.0)
+      .collect().map(r => r.getInt(1) -> r.getLong(0)).toMap
+    assert(out == Map(1 -> 4L, 2 -> 5L))
+  }
+
   test("cosine: orthogonal 0, identical 1, opposite -1") {
     val d = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0))
     val pairs = d.as("a").crossJoin(d.as("b"))
