@@ -36,20 +36,47 @@ object Pq {
   final case class Codebooks(m: Int, dsub: Int,
                              cb: Array[Array[Array[Double]]])
 
-  /** Train per-subspace codebooks with [[Clustering.kmeansCentroids]]
-    * (deterministic Lloyd's). The vector dimension must divide evenly
-    * into `m` subspaces. */
+  /** Train per-subspace codebooks — bit-identical to running
+    * [[Clustering.kmeansCentroids]] on each slice (same init = k
+    * smallest ids, same micro-rounded argmin, same DECIMAL dim means,
+    * same emptied-cluster rule; PqSpec and the q_pq_ann oracle pin it),
+    * but JOINTLY: all m subspaces advance in ONE distributed pass per
+    * iteration (subspaces explode to (j, c, subvec) rows and one
+    * partial-aggregated groupBy updates every codebook), versus m
+    * independent runs each paying per-iteration job overhead. The
+    * vector dimension must divide evenly into `m` subspaces. */
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
             k: Int, maxIter: Int): Codebooks = {
     require(m >= 1, s"m must be >= 1, got $m")
+    require(maxIter >= 0, s"maxIter must be non-negative, got $maxIter")
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     val vec = transform(col(vecCol), _.cast("double"))
-    val cbs = (0 until m).toArray.map { j =>
-      val sliced = df.select(col(idCol),
-        slice(vec, j * dsub + 1, dsub).as("__pq_v"))
-      Clustering.kmeansCentroids(sliced, idCol, "__pq_v", k, maxIter)
+    val initRows = df.select(col(idCol), vec.as("__v"))
+      .orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(initRows.length == k,
+      s"k=$k but the input has only ${initRows.length} rows")
+    var cbs: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      initRows.map(r => r.slice(j * dsub, (j + 1) * dsub)))
+    for (_ <- 1 to maxIter) {
+      val subStructs = array((0 until m).map { j =>
+        val sub = slice(vec, j * dsub + 1, dsub)
+        struct(lit(j).as("j"), Clustering.assign(sub, cbs(j)).as("c"),
+          sub.as("sub"))
+      }: _*)
+      val exploded = df.select(explode(subStructs).as("e"))
+        .select(col("e.j").as("__km_j"), col("e.c").as("__km_c"),
+          col("e.sub").as("__km_v"))
+      val means = Embeddings.meanPoolLong(exploded,
+          Seq("__km_j", "__km_c"), "__km_v")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .groupBy(t => (t._1, t._2))
+        .map { case (jc, dims) => jc -> dims.sortBy(_._3).map(_._4) }
+      cbs = Array.tabulate(m)(j => Array.tabulate(k)(c =>
+        means.getOrElse((j, c), cbs(j)(c))))
     }
     Codebooks(m, dsub, cbs)
   }
