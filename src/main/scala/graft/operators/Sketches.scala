@@ -270,6 +270,35 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[histogramSketch]] with a CALLER-FIXED range instead of the
+    * per-group min/max pass. This is the merge- and stream-friendly
+    * face: sketches from different days/corpora share the grid by
+    * construction (cells add), and with no range pre-pass the whole
+    * sketch is ONE aggregation — it runs as-is on a streaming frame
+    * (complete mode, bounded state). Values outside [lo, hi] clamp to
+    * the edge buckets (documented estimator bias at the rails; pick a
+    * generous range). Output schema matches [[histogramSketch]], so
+    * [[histogramQuantiles]] reads either. */
+  def histogramSketchFixed(df: DataFrame, groupCols: Seq[String],
+                           valueCol: String, lo: Double, hi: Double,
+                           buckets: Int = 64): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 17),
+      s"buckets must be in [2, 131072], got $buckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val v = col(valueCol).cast("double")
+    val step = (hi - lo) / buckets
+    val bucket = least(greatest(
+      floor((v - lit(lo)) / lit(step)).cast("long"), lit(0L)),
+      lit(buckets - 1L))
+    // no `n` column: it would need a second pass/window (not streamable);
+    // histogramQuantiles derives it from the cells when absent
+    df.filter(v.isNotNull && !isnan(v))
+      .withColumn("lo", lit(lo)).withColumn("hi", lit(hi))
+      .groupBy((groupCols ++ Seq("lo", "hi")).map(col) :+
+        bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Quantile estimates from a [[histogramSketch]]: walk the cumulative
     * bucket counts to the target rank ceil(q*n) and interpolate linearly
     * inside the landing bucket. Error is bounded by one bucket width —
@@ -281,8 +310,13 @@ object Sketches {
       s"quantiles must be in [0, 1], got $qs")
     val spark = sketch.sparkSession
     import spark.implicits._
+    // fixed-range sketches carry no n (one-pass/streamable); derive it
+    val sized =
+      if (sketch.columns.contains("n")) sketch
+      else sketch.withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
     val cumW = Window.partitionBy(groupCols.map(col): _*).orderBy("bucket")
-    val withCum = sketch
+    val withCum = sized
       .withColumn("cum", sum(col("cnt")).over(cumW))
       .withColumn("cumBefore", col("cum") - col("cnt"))
     val qdf = qs.toDF("q")

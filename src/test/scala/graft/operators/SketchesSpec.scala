@@ -184,23 +184,26 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(q("a") - 50.0) <= 100.0 / 8 + 1)
   }
 
-  test("histogram sketches over a shared fixed range merge by cell sum") {
-    // same lo/hi in both halves -> identical grid -> counts add
+  test("histogramSketchFixed: shared grid by construction — sketches of " +
+    "two halves merge by cell sum to the direct build; out-of-range " +
+    "values clamp to the rails") {
     val all = spark.range(1000).select(col("id").cast("double").as("v"))
-      .withColumn("half", (col("v") < 500).cast("int"))
-    // force a shared range by pinning sentinel rows at 0 and 999 in both
-    val h0 = all.filter(col("half") === 1)
-      .unionByName(this.df("v DOUBLE, half INT", Row(999.0, 1)))
-    val h1 = all.filter(col("half") === 0)
-      .unionByName(this.df("v DOUBLE, half INT", Row(0.0, 0)))
     def cells(d: org.apache.spark.sql.DataFrame) =
-      Sketches.histogramSketch(d.select("v"), Nil, "v", buckets = 16)
-        .collect().map(r => r.getLong(3) -> r.getLong(4)).toMap
-    val merged = (cells(h0).toSeq ++ cells(h1).toSeq)
+      Sketches.histogramSketchFixed(d, Nil, "v", lo = 0.0, hi = 1000.0,
+          buckets = 16)
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val merged = (cells(all.filter(col("v") < 500)).toSeq ++
+        cells(all.filter(col("v") >= 500)).toSeq)
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-    val direct = cells(all.unionByName(
-      this.df("v DOUBLE, half INT", Row(999.0, 1), Row(0.0, 0))))
-    assert(merged == direct)
+    assert(merged == cells(all))
+    val clamped = cells(this.df("v DOUBLE", Row(-50.0), Row(5000.0)))
+    assert(clamped == Map(0L -> 1L, 15L -> 1L))
+    // quantiles read the n-less fixed sketch too
+    val p50 = Sketches.histogramQuantiles(
+        Sketches.histogramSketchFixed(all, Nil, "v", 0.0, 1000.0, 16),
+        Nil, Seq(0.5), buckets = 16)
+      .collect().head.getDouble(1)
+    assert(math.abs(p50 - 500.0) <= 1000.0 / 16)
   }
 
   test("cmsSketch weighted counts sum the weight column") {

@@ -52,6 +52,29 @@ class StreamingSketchSpec extends SparkSpec {
     assert(math.abs(est - 2000) / 2000.0 < 0.08, s"est=$est")
   }
 
+  test("streaming fixed-range histogram cells across micro-batches == " +
+    "batch cells on the union (the n-less one-pass sketch face)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Double]
+    val cells = Sketches.histogramSketchFixed(input.toDF().toDF("v"),
+      Nil, "v", lo = 0.0, hi = 100.0, buckets = 10)
+    val q = cells.writeStream.format("memory").queryName("stream_hist")
+      .outputMode("complete").start()
+    try {
+      input.addData((1 to 50).map(_.toDouble): _*)
+      q.processAllAvailable()
+      input.addData((30 to 99).map(_.toDouble): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_hist")
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      val union = ((1 to 50) ++ (30 to 99)).map(_.toDouble).toDF("v")
+      val batch = Sketches.histogramSketchFixed(union, Nil, "v",
+          0.0, 100.0, 10)
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming CMS cells across micro-batches == batch cells on the " +
     "union (counts add)") {
     implicit val sqlCtx = spark.sqlContext
