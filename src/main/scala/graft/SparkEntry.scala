@@ -2308,6 +2308,17 @@ object SparkEntry {
           r6(col("jaccard_est")).as("jaccard_micro"))
     }),
 
+    // --- OLAP sketches: FIXED-range histogram quantiles (the
+    //     streamable/mergeable face: pinned grid, no range pre-pass) ---
+    "q_hist_quantile_fixed" -> ((s, dir) => {
+      Sketches.histogramQuantiles(
+          Sketches.histogramSketchFixed(Tables.documents(s, dir),
+            Seq("lang"), "n_chars", lo = 0.0, hi = 4000.0, buckets = 40),
+          Seq("lang"), qs = Seq(0.5, 0.9), buckets = 40)
+        .select(col("lang"), (col("q") * 100).cast("int").as("q_pct"),
+          r6(col("est")).as("est_micro"))
+    }),
+
     // --- OLAP sketches: equi-width histogram quantiles — one bounded
     //     shuffle vs the exact operator's multi-pass refinement; error
     //     bounded by one bucket width ---
@@ -2320,6 +2331,26 @@ object SparkEntry {
         .select(col("l_returnflag"),
           (col("q") * 100).cast("int").as("q_pct"),
           r6(col("est")).as("est_micro"))
+    }),
+
+    // --- OLAP sketches: equi-join size estimate via the CM inner
+    //     product — the join-planning cardinality probe without
+    //     touching either table ---
+    "q_cms_join_size" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def keyed(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"))
+      val est = Sketches.cmsJoinSize(
+        Sketches.cmsSketch(keyed("click"), "user_id", depth = 4,
+          width = 256, seed = 7L),
+        Sketches.cmsSketch(keyed("view"), "user_id", depth = 4,
+          width = 256, seed = 7L))
+      val exact = keyed("click").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("na"))
+        .join(keyed("view").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("nb")), Seq("user_id"))
+        .agg(sum(col("na") * col("nb")).as("exact_join_size"))
+      est.crossJoin(exact)
     }),
 
     // --- OLAP sketches: Count-Min point estimates + heavy-hitter flag
@@ -4883,6 +4914,41 @@ object SparkEntry {
          |    AS jaccard_micro
          |FROM x""".stripMargin,
 
+    // Fixed-range histogram: pinned grid (rail clamps), n derived from
+    // the cells, same interpolation.
+    "q_hist_quantile_fixed" ->
+      s"""WITH src AS (
+         |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+         |  FROM documents
+         |  WHERE n_chars IS NOT NULL
+         |    AND NOT isnan(CAST(n_chars AS DOUBLE))),
+         |h AS (
+         |  SELECT g, 0.0e0 AS lo, 4000.0e0 AS hi,
+         |    LEAST(GREATEST(CAST(floor((v - 0.0e0) / 100.0e0) AS BIGINT),
+         |      0), 39) AS bucket, COUNT(*) AS cnt
+         |  FROM src GROUP BY 1, 2, 3, 4),
+         |sized AS (
+         |  SELECT *, SUM(cnt) OVER (PARTITION BY g) AS n FROM h),
+         |c AS (
+         |  SELECT *, SUM(cnt) OVER (PARTITION BY g ORDER BY bucket)
+         |    AS cum FROM sized),
+         |qv AS (SELECT * FROM (VALUES (0.5e0), (0.9e0)) t(q)),
+         |j AS (
+         |  SELECT c.*, q,
+         |    GREATEST(1, CAST(ceil(q * n) AS BIGINT)) AS r,
+         |    cum - cnt AS cumBefore
+         |  FROM c CROSS JOIN qv
+         |  WHERE cum >= GREATEST(1, CAST(ceil(q * n) AS BIGINT))),
+         |p AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY g, q ORDER BY bucket)
+         |    AS rn FROM j)
+         |SELECT g AS lang, CAST(q * 100 AS INT) AS q_pct,
+         |  ${R6("CASE WHEN hi = lo THEN lo ELSE lo " +
+             "+ ((hi - lo) / 40.0e0) * CAST(bucket AS DOUBLE) " +
+             "+ ((hi - lo) / 40.0e0) * (CAST(r - cumBefore AS DOUBLE) " +
+             "/ CAST(cnt AS DOUBLE)) END")} AS est_micro
+         |FROM p WHERE rn = 1""".stripMargin,
+
     // Histogram quantiles: identical bucket grid (same IEEE steps in
     // the same order), integer cumulative walk, one interpolation.
     "q_hist_quantile" ->
@@ -4922,6 +4988,33 @@ object SparkEntry {
              "+ ((hi - lo) / 64.0e0) * (CAST(r - cumBefore AS DOUBLE) " +
              "/ CAST(cnt AS DOUBLE)) END")} AS est_micro
          |FROM p WHERE rn = 1""".stripMargin,
+
+    // CM inner product: integer cell products, min over rows.
+    "q_cms_join_size" -> {
+      val bucket = s"(${Mix31Sql("user_id", "7 + row * 1000003")}) % 256"
+      s"""WITH d AS (SELECT * FROM range(0, 4) t(row)),
+         |ca AS (
+         |  SELECT row, $bucket AS bucket, COUNT(*) AS cnt
+         |  FROM events CROSS JOIN d WHERE event_type = 'click'
+         |  GROUP BY 1, 2),
+         |cb AS (
+         |  SELECT row, $bucket AS bucket, COUNT(*) AS cnt
+         |  FROM events CROSS JOIN d WHERE event_type = 'view'
+         |  GROUP BY 1, 2),
+         |ip AS (
+         |  SELECT ca.row, SUM(ca.cnt * cb.cnt) AS ip
+         |  FROM ca JOIN cb USING (row, bucket) GROUP BY 1),
+         |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS join_size_est FROM ip),
+         |exact AS (
+         |  SELECT CAST(SUM(na * nb) AS BIGINT) AS exact_join_size FROM (
+         |    SELECT user_id, COUNT(*) AS na FROM events
+         |    WHERE event_type = 'click' GROUP BY 1) a
+         |  JOIN (
+         |    SELECT user_id, COUNT(*) AS nb FROM events
+         |    WHERE event_type = 'view' GROUP BY 1) b USING (user_id))
+         |SELECT est.join_size_est, exact.exact_join_size
+         |FROM est, exact""".stripMargin
+    },
 
     // CMS: deterministic cells (mix31 per-row seeds), COUNT sums, min
     // over depth rows — all integer arithmetic, bit-exact.

@@ -345,6 +345,24 @@ object Sketches {
     histogramQuantiles(histogramSketch(df, groupCols, valueCol, buckets),
       groupCols, qs, buckets)
 
+  /** Equi-join output-size estimate from two Count-Min tables built
+    * with the SAME (depth, width, seed): the CM inner product
+    * (Cormode & Muthukrishnan 2005 §4.2) — per hash row, the
+    * cell-wise product sum over-counts the true
+    * sum_k fA(k)*fB(k) = |A JOIN B on k| only by collision mass, so
+    * min over the depth rows is an upper-bound estimate that
+    * tightens with depth. All integer arithmetic; the sketches are
+    * depth*width rows, so this costs nothing — the join-planning
+    * cardinality probe ("will this equi-join explode?") without
+    * touching either table. Returns one row: `join_size_est`. */
+  def cmsJoinSize(skA: DataFrame, skB: DataFrame): DataFrame =
+    skA.select(col("row"), col("bucket"), col("cnt").as("__ca"))
+      .join(skB.select(col("row"), col("bucket"), col("cnt").as("__cb")),
+        Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("__ca") * col("__cb")).as("__ip"))
+      .agg(min(col("__ip")).as("join_size_est"))
+
   /** Heavy hitters: keys whose estimated frequency reaches `phi` of the
     * total. CMS never underestimates, so recall is 1 (every true heavy
     * hitter survives); precision is bounded by the sketch error. The

@@ -206,6 +206,29 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(p50 - 500.0) <= 1000.0 / 16)
   }
 
+  test("cmsJoinSize upper-bounds the true equi-join size and is exact " +
+    "when the sketch is collision-free") {
+    val a = skewed()
+    val b = skewed().filter(col("k") < 150)   // hot keys + part of tail
+    val truth = {
+      val ca = a.groupBy("k").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cb = b.groupBy("k").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ca.map { case (k, n) => n * cb.getOrElse(k, 0L) }.sum
+    }
+    val wide = Sketches.cmsJoinSize(
+        Sketches.cmsSketch(a, "k", depth = 4, width = 2048, seed = 1L),
+        Sketches.cmsSketch(b, "k", depth = 4, width = 2048, seed = 1L))
+      .collect().head.getLong(0)
+    assert(wide == truth, s"wide=$wide truth=$truth")
+    val narrow = Sketches.cmsJoinSize(
+        Sketches.cmsSketch(a, "k", depth = 3, width = 16, seed = 1L),
+        Sketches.cmsSketch(b, "k", depth = 3, width = 16, seed = 1L))
+      .collect().head.getLong(0)
+    assert(narrow >= truth, s"narrow=$narrow truth=$truth")
+  }
+
   test("cmsSketch weighted counts sum the weight column") {
     val df = this.df("k BIGINT, w BIGINT",
       Row(1L, 10L), Row(1L, 5L), Row(2L, 7L))
