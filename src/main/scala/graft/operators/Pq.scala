@@ -109,11 +109,15 @@ object Pq {
           slice(qv, j * books.dsub + 1, books.dsub), c))
       }: _*)
     }: _*)
-    val q = queries.select(col(qId).as("query_id"), dtab.as("__dtab"))
+    // null vectors/codes would yield null distances, which sort FIRST
+    // under asc ordering — exclude them on both sides instead
+    val q = queries.filter(col(qVec).isNotNull)
+      .select(col(qId).as("query_id"), dtab.as("__dtab"))
     val dist = aggregate(sequence(lit(0), lit(books.m - 1)), lit(0L),
       (acc, j) => acc + element_at(element_at(col("__dtab"), j + 1),
         element_at(col(codeCol), j + 1) + 1))
-    val scored = codes.select(col(cId).as("corpus_id"), col(codeCol))
+    val scored = codes.filter(col(codeCol).isNotNull)
+      .select(col(cId).as("corpus_id"), col(codeCol))
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("corpus_id"), dist.as("adc_dist"))
     val filtered =
@@ -154,14 +158,15 @@ object Pq {
           slice(qv, j * books.dsub + 1, books.dsub), c))
       }: _*)
     }: _*)
-    val q = queries.select(col(qId).as("query_id"), dtab.as("__dtab"),
+    val q = queries.filter(col(qVec).isNotNull)
+      .select(col(qId).as("query_id"), dtab.as("__dtab"),
         explode(probed).as("__probe"))
       .select(col("query_id"), col("__dtab"),
         col("__probe").getField("c").as(cellCol))
     val dist = aggregate(sequence(lit(0), lit(books.m - 1)), lit(0L),
       (acc, j) => acc + element_at(element_at(col("__dtab"), j + 1),
         element_at(col(codeCol), j + 1) + 1))
-    val scored = codes
+    val scored = codes.filter(col(codeCol).isNotNull)
       .select(col(cId).as("corpus_id"), col(codeCol), col(cellCol))
       .join(broadcast(q), Seq(cellCol))
       .select(col("query_id"), col("corpus_id"), dist.as("adc_dist"))

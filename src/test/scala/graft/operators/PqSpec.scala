@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.core.Tables
@@ -84,6 +85,23 @@ class PqSpec extends SparkSpec {
       (pq.getOrElse(q, Set.empty) intersect want).size.toDouble / want.size
     }.sum / exact.size
     assert(recall >= 0.85, s"recall@3 = $recall")   // measured 0.93
+  }
+
+  test("searchTopK: null query vectors and null corpus codes are " +
+    "excluded, never ranked first by a null distance") {
+    val e = embs().limit(10)
+    val books = Pq.train(e, "vec_id", "vec", m = 8, k = 8, maxIter = 1)
+    val codes = Pq.encode(e, "vec", books)
+      .unionByName(df("vec_id BIGINT, vec ARRAY<DOUBLE>, " +
+        "pq_code ARRAY<INT>", Row(999L, null, null)))
+    val queries = e.unionByName(
+      df("vec_id BIGINT, vec ARRAY<DOUBLE>", Row(998L, null)))
+    val out = Pq.searchTopK(queries, codes, "vec_id", "vec_id", "vec",
+        books, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!out.exists(_._1 == 998L), "null query must be excluded")
+    assert(!out.exists(_._2 == 999L), "null code must be excluded")
+    assert(out.nonEmpty)
   }
 
   test("searchTopKIvf == searchTopK when every cell is probed; with " +
