@@ -301,6 +301,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!pa.contains("SortMergeJoin"), pa.take(1500))
   }
 
+  test("q_cms_join_size: both sketches partial-aggregate; the cell join " +
+    "is tiny-frame (no sort-merge)") {
+    val p = plan("q_cms_join_size")
+    assert(p.contains("partial_sum"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q_hist_quantile_fixed: one partial-aggregated pass to the cells " +
+    "(no range pre-pass scan join)") {
+    val p = plan("q_hist_quantile_fixed")
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // fixed grid: exactly one scan of documents
+    assert(occurrences(p, "FileScan") == 1,
+      "fixed-range sketch must scan the corpus once:\n" + p.take(2000))
+  }
+
   test("q_stream_hll shape (batch face): the register frame is a plain " +
     "two-phase aggregate — bounded state per group on a stream") {
     // the streaming gate replays this same aggregation; pin the batch
