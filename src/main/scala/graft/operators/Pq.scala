@@ -102,6 +102,25 @@ object Pq {
                  k: Int, codeCol: String = "pq_code",
                  excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    rankTopK(adcScored(queries, codes, qId, cId, qVec, books, codeCol,
+      excludeSelf), k, codes.schema(cId).dataType)
+  }
+
+  /** Window-ranked face of [[searchTopK]] — shuffles the full scored
+    * frame; only the differential reference in PqSpec. */
+  private[graft] def searchTopKWindow(queries: DataFrame,
+      codes: DataFrame, qId: String, cId: String, qVec: String,
+      books: Codebooks, k: Int, codeCol: String = "pq_code",
+      excludeSelf: Boolean = true): DataFrame =
+    rankTopKWindow(adcScored(queries, codes, qId, cId, qVec, books,
+      codeCol, excludeSelf), k)
+
+  /** The scored `(query_id, corpus_id, adc_dist)` frame shared by both
+    * flat-PQ rank faces: per-query m x k ADC table broadcast onto every
+    * corpus code, distance = integer sum of m table lookups. */
+  private def adcScored(queries: DataFrame, codes: DataFrame,
+      qId: String, cId: String, qVec: String, books: Codebooks,
+      codeCol: String, excludeSelf: Boolean): DataFrame = {
     val qv = transform(col(qVec), _.cast("double"))
     val dtab = array((0 until books.m).map { j =>
       array(books.cb(j).map { c =>
@@ -120,13 +139,8 @@ object Pq {
       .select(col(cId).as("corpus_id"), col(codeCol))
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("corpus_id"), dist.as("adc_dist"))
-    val filtered =
-      if (excludeSelf) scored.filter(col("query_id") =!= col("corpus_id"))
-      else scored
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("corpus_id").asc)
-    filtered.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    if (excludeSelf) scored.filter(col("query_id") =!= col("corpus_id"))
+    else scored
   }
 
   /** IVFPQ: coarse cells route candidates, PQ codes score them — the
@@ -173,9 +187,52 @@ object Pq {
     val filtered =
       if (excludeSelf) scored.filter(col("query_id") =!= col("corpus_id"))
       else scored
+    rankTopK(filtered, k, codes.schema(cId).dataType)
+  }
+
+  /** Bounded per-query ADC ranking via [[graft.plans.TopKAgg]] — the
+    * aggregate holds at most k entries per (query, partition) and
+    * partial-merges map-side, so the one exchange carries
+    * O(|queries| x k x partitions) rows; the scored candidate mass
+    * (|queries| x |corpus| for flat PQ, the probed cells' mass for
+    * IVFPQ) is NEVER shuffled. ADC distances are integer LONGs (sums of
+    * m micro-rounded table cells), exact as doubles below 2^53, so
+    * negating into TopKAgg's `(score DESC, id ASC)` contract reproduces
+    * the `(adc_dist ASC, corpus_id ASC)` ranking bit-identically
+    * (PqSpec differential vs [[rankTopKWindow]]). Non-integral corpus
+    * ids fall back to the window face. */
+  private def rankTopK(scored: DataFrame, k: Int,
+                       idType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType}
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integral) return rankTopKWindow(scored, k)
+    val topAgg = GraftColumnBridge.column(graft.plans.TopKAgg(
+        GraftColumnBridge.expression(negate(col("adc_dist")).cast("double")),
+        GraftColumnBridge.expression(col("corpus_id").cast("long")),
+        k).toAggregateExpression())
+    scored.groupBy(col("query_id")).agg(topAgg.as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"),
+        col("__e.id").cast(idType).as("corpus_id"),
+        negate(col("__e.score")).cast("long").as("adc_dist"),
+        (col("__pos") + 1).as("rank"))
+  }
+
+  /** Rank-window face — shuffles every scored candidate into per-query
+    * partitions, so it is only the fallback for non-integral corpus ids
+    * and the differential reference in PqSpec. */
+  private[graft] def rankTopKWindow(scored: DataFrame, k: Int)
+      : DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("corpus_id").asc)
-    filtered.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 }

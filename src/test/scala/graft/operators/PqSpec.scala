@@ -146,4 +146,53 @@ class PqSpec extends SparkSpec {
     }.sum / byQ.size
     assert(recall >= 0.85, s"ivfpq recall vs plain ADC = $recall")
   }
+
+  test("searchTopK bounded-aggregate face == rank-window face " +
+    "(score, id, rank all equal), including ADC-distance ties") {
+    val e = embs().limit(40)
+    val books = Pq.train(e, "vec_id", "vec", m = 8, k = 8, maxIter = 2)
+    // encode twice under shifted ids: every code appears twice, so the
+    // ranking is tie-heavy and exercises the smaller-id tie-break
+    val codes = Pq.encode(e, "vec", books)
+    val doubled = codes.unionByName(
+      codes.withColumn("vec_id", col("vec_id") + 10000L))
+    val queries = e.limit(7)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "corpus_id", "adc_dist", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSet
+    for (k <- Seq(1, 3, 50)) {
+      val fast = rows(Pq.searchTopK(queries, doubled, "vec_id",
+        "vec_id", "vec", books, k))
+      val slow = rows(Pq.searchTopKWindow(queries, doubled, "vec_id",
+        "vec_id", "vec", books, k))
+      assert(fast == slow, s"faces diverge at k=$k: " +
+        s"only-fast=${(fast -- slow).take(5)} " +
+        s"only-slow=${(slow -- fast).take(5)}")
+    }
+  }
+
+  test("searchTopK / searchTopKIvf plans: no rank window over the " +
+    "scored frame — per-query top-k is a partial-merging aggregate") {
+    val e = embs().limit(20)
+    val books = Pq.train(e, "vec_id", "vec", m = 8, k = 8, maxIter = 1)
+    val celled = Clustering.kmeans(e, "vec_id", "vec", k = 3, maxIter = 1)
+    val coarse = Clustering.kmeansCentroids(e, "vec_id", "vec", k = 3,
+      maxIter = 1)
+    val codes = Pq.encode(celled, "vec", books)
+    val queries = e.limit(4)
+    val pFlat = Pq.searchTopK(queries, codes, "vec_id", "vec_id", "vec",
+        books, k = 3)
+      .queryExecution.executedPlan.toString
+    val pIvf = Pq.searchTopKIvf(queries, codes, "vec_id", "vec_id",
+        "vec", books, coarse, nProbe = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    for ((p, name) <- Seq(pFlat -> "flat", pIvf -> "ivf")) {
+      assert(!p.contains("Window"),
+        s"$name: scored frame must not be rank-windowed:\n" + p.take(1500))
+      assert(p.contains("partial_graft_top_k"),
+        s"$name: top-k aggregate must partial-merge map-side:\n" +
+          p.take(1500))
+    }
+  }
 }
