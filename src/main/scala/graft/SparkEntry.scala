@@ -213,6 +213,35 @@ object SparkEntry {
       s"generate_series(1, length($e)), i -> unicode(substr($e, i, 1))" +
       s"::BIGINT), (a, b) -> (a * 31 + b) % 2147483648) END"
 
+  /** DuckDB twin of [[graft.operators.Dedup.minHashSignaturePortable]]:
+    * CTE chain ending in `sigs(doc_id, sig)` — distinct 3-word shingles,
+    * base-31 string keys, per-slot mix31 draws, min per slot, the k
+    * mins gathered slot-ordered into a list. Docs with an empty shingle
+    * set get NO sigs row (the Spark side's all-null signature; callers
+    * handle the sentinel). */
+  private def MinhashSigCtes(k: Int): String =
+    s"""mtoks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |msh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |      i -> array_to_string(t[i:i+2], ' '))) AS shset
+       |  FROM mtoks),
+       |mkeys AS (
+       |  SELECT doc_id, ${StringKey31Sql("shingle")} AS skey
+       |  FROM (SELECT doc_id, unnest(shset) AS shingle FROM msh)),
+       |mslots AS (
+       |  SELECT doc_id, skey, unnest(generate_series(0, ${k - 1})) AS slot
+       |  FROM mkeys),
+       |mmins AS (
+       |  SELECT doc_id, slot,
+       |    MIN(${Mix31Sql("skey", "slot * 1000003")}) AS mv
+       |  FROM mslots GROUP BY 1, 2),
+       |sigs AS (
+       |  SELECT doc_id, list(mv ORDER BY slot) AS sig
+       |  FROM mmins GROUP BY 1)""".stripMargin
+
   /** DuckDB twin of the HLL estimator ([[Sketches.hllSketch]] +
     * [[Sketches.hllEstimate]], portable backend): expects a preceding
     * CTE `hkeys(g, k)` and emits the chain ending in `hll(g, est)`.
@@ -1550,17 +1579,25 @@ object SparkEntry {
     //     and the md5 of the joined signature pins every element anyway.
     //     Null slots (empty shingle set) map to an explicit sentinel before
     //     the join — concat_ws silently DROPS nulls, which would make
-    //     signatures differing only in null positions collide ---
+    //     signatures differing only in null positions collide. PORTABLE
+    //     backend (mix31 over stringKey31 shingle keys) since round 10,
+    //     so the full signature is DuckDB-oracled; the xxhash64
+    //     production backend stays differentially pinned in DedupSpec
+    //     and exercised by the q_curate LSH face ---
     "q_minhash_sig" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
         md5(concat_ws(",",
-          transform(Dedup.minHashSignature(col("text"), n = 3, k = 16),
+          transform(
+            Dedup.minHashSignaturePortable(col("text"), n = 3, k = 16),
             e => coalesce(e.cast("string"), lit("null"))))).as("sig_md5"))
     }),
 
-    // --- LLM ops: MinHash+LSH banded candidate pairs (rows-only) ---
+    // --- LLM ops: MinHash+LSH banded candidate pairs — the portable
+    //     backend makes the ENTIRE pipeline (signatures, band-fold
+    //     buckets, bucket cap, pair agreement rates) oracle-checkable ---
     "q_minhash_lsh_pairs" -> ((s, dir) => {
-      Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.minHashLshPairsPortable(Tables.documents(s, dir), "doc_id",
+          "text")
         .select(col("id_a"), col("id_b"), r6(col("est_jaccard"))
           .as("est_jaccard_micro"))
     }),
@@ -3386,6 +3423,46 @@ object SparkEntry {
          |  ${R6("inter::DOUBLE / (size_a + size_b - inter)::DOUBLE")} AS jaccard_micro
          |FROM pairs
          |WHERE inter::DOUBLE / (size_a + size_b - inter)::DOUBLE >= 0.5""".stripMargin,
+
+    "q_minhash_sig" ->
+      s"""WITH ${MinhashSigCtes(16)}
+         |SELECT d.doc_id,
+         |  md5(CASE WHEN s.sig IS NULL
+         |    THEN '${Seq.fill(16)("null").mkString(",")}'
+         |    ELSE array_to_string(s.sig, ',') END) AS sig_md5
+         |FROM documents d LEFT JOIN sigs s USING (doc_id)""".stripMargin,
+
+    // full portable LSH pipeline: band fold + mix31 bucket, viral-bucket
+    // cap, within-bucket pairs, signature agreement rate
+    "q_minhash_lsh_pairs" ->
+      s"""WITH ${MinhashSigCtes(32)},
+         |bnd AS (
+         |  SELECT doc_id, sig, band,
+         |    list_reduce([0::BIGINT] ||
+         |        sig[band * 4 + 1 : band * 4 + 4],
+         |      (a, b) -> (a * 1000003 + b) % 2147483648) AS bfold
+         |  FROM (SELECT doc_id, sig,
+         |          unnest(generate_series(0, 7)) AS band
+         |        FROM sigs)),
+         |bkt AS (
+         |  SELECT doc_id, sig, band,
+         |    ${Mix31Sql("bfold", "900001 + band")} AS bucket
+         |  FROM bnd),
+         |bsz AS (
+         |  SELECT band, bucket, COUNT(*) AS bn FROM bkt GROUP BY 1, 2),
+         |mpairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bkt a
+         |  JOIN bsz c ON a.band = c.band AND a.bucket = c.bucket
+         |    AND c.bn <= 4096
+         |  JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  ${R6("len(list_filter(generate_series(1, 32), " +
+            "i -> sig_a[i] = sig_b[i]))::DOUBLE / 32.0e0")}
+         |    AS est_jaccard_micro
+         |FROM mpairs""".stripMargin,
 
     "q_containment" ->
       s"""WITH toks AS (

@@ -271,6 +271,41 @@ object Dedup {
       .as("minhash_sig")
   }
 
+  /** PORTABLE face of [[minHashSignature]]: slot i carries min over
+    * shingles of `mix31(stringKey31(shingle), seed + i*1000003)` — every
+    * draw is plain BIGINT arithmetic ([[Sampling.mix31]] /
+    * [[Sampling.stringKey31]]), reproducible bit-for-bit in any SQL
+    * engine, which is what lets the MinHash gates run under the DuckDB
+    * oracle (the xxhash64 face stays the production backend: stronger
+    * hash, no per-character fold). Same native-kernel shape
+    * ([[graft.plans.MinHashSigPortableExpr]]); DedupSpec pins bit
+    * equality against the interpreted Column twin below. */
+  def minHashSignaturePortable(text: Column, n: Int, k: Int,
+                               seed: Long = 0L): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.MinHashSigPortableExpr(
+        GraftColumnBridge.expression(shingles(text, n)), k, seed))
+      .as("minhash_sig")
+  }
+
+  /** Interpreted Column twin of [[minHashSignaturePortable]], built
+    * from the SAME [[Sampling.mix31]]/[[Sampling.stringKey31]] Column
+    * forms the SQL oracle twins mirror — the differential link between
+    * the native kernel and the DuckDB gate. */
+  private[graft] def minHashSignaturePortableHof(text: Column, n: Int,
+      k: Int, seed: Long = 0L): Column = {
+    val keys = transform(shingles(text, n), s => Sampling.stringKey31(s))
+    val init = array((0 until k).map(_ => lit(Long.MaxValue)): _*)
+    aggregate(keys, init,
+      (acc, key) => array((0 until k).map { i =>
+        least(element_at(acc, i + 1),
+          Sampling.mix31(key, lit(seed + i * 1000003L)))
+      }: _*),
+      acc => transform(acc, v =>
+        when(v === Long.MaxValue, lit(null).cast("long")).otherwise(v)))
+      .as("minhash_sig")
+  }
+
   /** MinHash + LSH banding: docs whose signature agrees on ALL rows of any
     * band land in the same bucket -> candidate pairs. bands*rowsPerBand = k.
     * Returns candidate pairs with their estimated Jaccard (signature
@@ -293,6 +328,18 @@ object Dedup {
         minHashSignature(col(textCol), n, k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minHashLshPairsFromSigs(sig, bands, rowsPerBand, maxBucket)
+  }
+
+  /** [[minHashLshPairs]] on the PORTABLE signature/bucket backend —
+    * the oracle-checkable face (same plan, same persist barrier). */
+  def minHashLshPairsPortable(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      maxBucket: Int = 4096, seed: Long = 0L): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+        minHashSignaturePortable(col(textCol), n, k, seed).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minHashLshPairsFromSigsPortable(sig, bands, rowsPerBand, maxBucket)
   }
 
   /** Standard LSH hygiene shared by the MinHash and SimHash pair
@@ -336,7 +383,30 @@ object Dedup {
     *  - buckets over `maxBucket` rows are dropped (see [[capBuckets]]
     *    for the overflow policy). */
   def minHashLshPairsFromSigs(sig: DataFrame, bands: Int, rowsPerBand: Int,
-                              maxBucket: Int = 4096): DataFrame = {
+                              maxBucket: Int = 4096): DataFrame =
+    lshPairsFromSigs(sig, bands, rowsPerBand, maxBucket,
+      (s, b) => xxhash64(lit("band"), b,
+        concat_ws(",", slice(s, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /** [[minHashLshPairsFromSigs]] over PORTABLE signatures
+    * ([[minHashSignaturePortable]]): the band bucket is a base-1000003
+    * fold of the band's slots passed through [[Sampling.mix31]] with a
+    * per-band seed — plain BIGINT arithmetic end to end (slot values
+    * are mix31 outputs < 2^31, so the fold never leaves [0, 2^51)),
+    * reproducible by the DuckDB oracle. Same banding plan, same
+    * degenerate-input guards. */
+  def minHashLshPairsFromSigsPortable(sig: DataFrame, bands: Int,
+      rowsPerBand: Int, maxBucket: Int = 4096): DataFrame =
+    lshPairsFromSigs(sig, bands, rowsPerBand, maxBucket,
+      (s, b) => Sampling.mix31(
+        aggregate(slice(s, b * rowsPerBand + 1, lit(rowsPerBand)),
+          lit(0L),
+          (a, v) => pmod(a * lit(1000003L) + v, lit(2147483648L))),
+        lit(900001L) + b))
+
+  private def lshPairsFromSigs(sig: DataFrame, bands: Int,
+      rowsPerBand: Int, maxBucket: Int,
+      bucket: (Column, Column) => Column): DataFrame = {
     val k = bands * rowsPerBand
     // a signature is all-null or all-non-null by construction, so the
     // first element decides
@@ -344,9 +414,7 @@ object Dedup {
     val banded =
       live.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(lit("band"), b,
-            concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
-              lit(rowsPerBand)))))).as(Seq("band", "bucket")))
+          b => bucket(col("sig"), b))).as(Seq("band", "bucket")))
     // signatures ride the self-join so the agreement rate is computed
     // in-line (re-joining them per distinct pair was measured ~1 s
     // slower at sf0.1 — two more exchanges; at larger signature widths

@@ -97,6 +97,74 @@ object HashSignatures {
     new GenericArrayData(out)
   }
 
+  /** JVM twin of [[graft.operators.Sampling.stringKey31]]: base-31
+    * code-point fold mod 2^31. Iterates Unicode CODE POINTS (not UTF-16
+    * units) to match `ascii(substr(s, i, 1))` per character on the
+    * Column side and `unicode(substr(e, i, 1))` in the DuckDB twin. */
+  def stringKey31(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % 2147483648L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  private final val Mix31Rounds =
+    Array(2654435761L, 2246822519L, 3266489917L)
+
+  /** JVM twin of [[graft.operators.Sampling.mix31]]: three
+    * multiply-shift-truncate rounds with xor-folds, all intermediates
+    * below 2^63 — bit-identical to the Column form and to the BIGINT
+    * SQL twin (DedupSpec pins the Column differential). */
+  def mix31(key: Long, seed: Long): Long = {
+    var x = java.lang.Math.floorMod(key + seed, 2147483648L)
+    var r = 0
+    while (r < 3) {
+      val y = java.lang.Math.floorMod((x * Mix31Rounds(r)) >> 13,
+        2147483648L)
+      x = y ^ (y >>> 16)
+      r += 1
+    }
+    x
+  }
+
+  /** Per-row PORTABLE minhash kernel: slot j carries min over shingles
+    * of mix31(stringKey31(shingle), seed + j*1000003) — every draw is
+    * plain BIGINT arithmetic reproducible in any SQL engine, which is
+    * what lets the MinHash gates run under a DuckDB oracle. Same shape
+    * as [[minhash]] (one primitive loop, one output array); the
+    * xxhash64 kernel stays the production default (stronger hash, no
+    * per-char fold). */
+  def minhashPortable(arr: ArrayData, k: Int, seed: Long): ArrayData = {
+    val n = arr.numElements()
+    val acc = new Array[Long](k)
+    java.util.Arrays.fill(acc, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val key =
+        if (arr.isNullAt(i)) 0L else stringKey31(arr.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val hj = mix31(key, seed + j * 1000003L)
+        if (hj < acc(j)) acc(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      out(j) = if (acc(j) == Long.MaxValue) null
+               else java.lang.Long.valueOf(acc(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private[plans] def requireStringArray(dt: DataType, name: String)
       : TypeCheckResult = dt match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -180,6 +248,32 @@ case class MinHashSigExpr(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression)
       : MinHashSigExpr = copy(child = newChild)
+}
+
+/** PORTABLE k-slot minhash signature (see
+  * [[HashSignatures.minhashPortable]]): engine-reproducible mix31 draws
+  * over base-31 string keys, so signatures and anything derived from
+  * them (LSH buckets, agreement rates) can be hash-checked by an
+  * external SQL oracle. Empty input gives an all-null signature. */
+case class MinHashSigPortableExpr(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with Serializable {
+  require(k > 0, s"minhash signature width must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashSignatures.requireStringArray(child.dataType, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_sig_portable"
+
+  override def nullSafeEval(input: Any): Any =
+    HashSignatures.minhashPortable(input.asInstanceOf[ArrayData], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.HashSignatures.minhashPortable($c, $k, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSigPortableExpr = copy(child = newChild)
 }
 
 /** Distinct word-n-gram shingle set over a token array — the scan cost

@@ -236,6 +236,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("portable minhash: native kernel == mix31/stringKey31 Column " +
+    "twin bit-for-bit (incl. empty, null, unicode docs); nonzero seed") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "", 4L -> "one", 5L -> null,
+      6L -> "café naïve 中文 words mixed in here",
+      7L -> ("repeated tokens " * 40))
+    for (seed <- Seq(0L, 7L)) {
+      val out = d.select(col("doc_id"),
+          Dedup.minHashSignaturePortable(col("text"), n = 3, k = 16,
+            seed).as("n"),
+          Dedup.minHashSignaturePortableHof(col("text"), n = 3, k = 16,
+            seed).as("h"))
+        .collect()
+      out.foreach(r => assert(r.get(1) == r.get(2),
+        s"portable minhash diverged for doc ${r.getLong(0)} seed $seed: " +
+          s"${r.get(1)} vs ${r.get(2)}"))
+    }
+  }
+
+  test("minHashLshPairsPortable: identical docs pair at est_jaccard 1; " +
+    "empty docs and viral buckets guarded like the xxhash64 face") {
+    val base = (1 to 30).map(i => i.toLong ->
+      s"distinct document number $i with its own words ${i * 31}")
+    val d = docs(base :+ (100L -> base.head._2) :+ (200L -> "") :+
+      (201L -> "") : _*)
+    val out = Dedup.minHashLshPairsPortable(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists(p => p._1 == 1L && p._2 == 100L && p._3 == 1.0),
+      s"identical pair missing: ${out.mkString(", ")}")
+    assert(!out.exists(p => p._1 == 200L || p._2 == 201L),
+      "empty docs must never pair")
+  }
+
   test("simHash: identical texts equal, near-identical close in Hamming") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(1L -> base, 2L -> base,
