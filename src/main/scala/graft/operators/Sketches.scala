@@ -365,10 +365,22 @@ object Sketches {
 
   /** Heavy hitters: keys whose estimated frequency reaches `phi` of the
     * total. CMS never underestimates, so recall is 1 (every true heavy
-    * hitter survives); precision is bounded by the sketch error. The
-    * candidate pass is a distinct on the key — at 100 TB, feed a
-    * pre-filtered candidate frame (e.g. per-partition local heavy
-    * hitters) through [[cmsLookup]] directly instead. */
+    * hitter survives); precision is bounded by the sketch error.
+    *
+    * The candidate pass NEVER materializes the key universe: each input
+    * partition runs a Misra-Gries summary with m = ceil(2/phi) counters
+    * ([[heavyHitterCandidates]]), so the only shuffled candidate frame
+    * is the <= m-per-partition survivor union — bounded regardless of
+    * corpus cardinality. Recall stays 1 end to end by a pigeonhole
+    * argument: f(k) >= phi*N = phi * sum_p(n_p) forces
+    * count_p(k) >= phi*n_p in at least one partition p (otherwise the
+    * sum is < phi*N), and Misra-Gries with m counters retains every key
+    * with local frequency > n_p/(m+1) <= phi*n_p/2 < phi*n_p — so some
+    * partition's summary carries k. The CMS probe + threshold then
+    * decide exactly as before; only CMS-inflated false positives whose
+    * true frequency is everywhere locally light can drop out (a
+    * precision improvement, never a recall loss —
+    * SketchesSpec differential). */
   def cmsHeavyHitters(df: DataFrame, keyCol: String, phi: Double,
                       depth: Int = 4, width: Int = 256,
                       seed: Long = 0L): DataFrame = {
@@ -376,10 +388,54 @@ object Sketches {
     val sketch = cmsSketch(df, keyCol, depth, width, seed)
     val total = df.filter(col(keyCol).isNotNull)
       .agg(count(lit(1)).as("__n"))
-    cmsLookup(sketch, df.select(col(keyCol)).distinct(), keyCol,
+    cmsLookup(sketch, heavyHitterCandidates(df, keyCol, phi), keyCol,
         depth, width, seed)
       .crossJoin(broadcast(total))
       .filter(col("est") >= ceil(lit(phi) * col("__n")))
       .drop("__n")
+  }
+
+  /** Bounded heavy-hitter candidate frame: per-partition Misra-Gries
+    * with m = ceil(2/phi) counters (Misra & Gries 1982). The decrement
+    * step guarantees every key with partition-local frequency
+    * > n_p/(m+1) survives its partition's summary; with
+    * m + 1 > 2/phi that threshold is below phi*n_p/2, comfortably
+    * inside the pigeonhole bound [[cmsHeavyHitters]] needs. Output is
+    * <= m rows per input partition, distinct-ed — the candidate shuffle
+    * is O(partitions/phi), independent of the key universe. Exposed so
+    * 100 TB pipelines can compose it with [[cmsLookup]] directly. */
+  def heavyHitterCandidates(df: DataFrame, keyCol: String,
+                            phi: Double): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1], got $phi")
+    val m = math.ceil(2.0 / phi).toInt
+    val keys = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
+    val survivors = keys.rdd.mapPartitions { it =>
+      val counters =
+        new java.util.HashMap[Any, java.lang.Long](2 * m)
+      it.foreach { r =>
+        val k = r.get(0)
+        val c = counters.get(k)
+        if (c != null) counters.put(k, c + 1L)
+        else if (counters.size < m) counters.put(k, 1L)
+        else {
+          // decrement-all: drop every count by one, evict zeros —
+          // the O(m) step amortized over the m increments that filled it
+          val del = new java.util.ArrayList[Any](m)
+          val eit = counters.entrySet().iterator()
+          while (eit.hasNext) {
+            val e = eit.next()
+            if (e.getValue == 1L) del.add(e.getKey)
+            else e.setValue(e.getValue - 1L)
+          }
+          del.forEach(k2 => counters.remove(k2))
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.Row]
+      counters.keySet().forEach(k =>
+        out += org.apache.spark.sql.Row(k))
+      out.iterator
+    }
+    keys.sparkSession.createDataFrame(survivors, keys.schema).distinct()
   }
 }

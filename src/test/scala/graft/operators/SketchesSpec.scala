@@ -114,6 +114,55 @@ class SketchesSpec extends SparkSpec {
     assert(hh == Set(1L, 2L))
   }
 
+  test("heavyHitterCandidates: bounded survivor set (<= m per " +
+    "partition) containing every pigeonhole-heavy key; the corpus key " +
+    "universe never feeds the candidate distinct") {
+    // 64-way skew across 8 partitions: every true heavy key must
+    // survive SOME partition's Misra-Gries summary
+    val df = skewed().repartition(8)
+    val phi = 0.05
+    val cands = Sketches.heavyHitterCandidates(df, "k", phi)
+    val got = cands.collect().map(_.getLong(0)).toSet
+    assert(got.contains(1L) && got.contains(2L),
+      s"true heavy keys missing from candidates: $got")
+    val m = math.ceil(2.0 / phi).toInt
+    assert(cands.count() <= m.toLong * 8,
+      s"candidate set exceeds the m-per-partition bound: ${cands.count()}")
+    // the probe frame is the RDD-scanned survivor union, not a
+    // corpus-wide distinct over the parquet/base relation
+    val p = cands.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"),
+      "candidates must come from the per-partition summary scan:\n" + p)
+  }
+
+  test("cmsHeavyHitters with bounded candidates == the corpus-distinct " +
+    "formulation on a skewed multi-partition corpus (differential)") {
+    val df = skewed().repartition(8)
+    def slowHitters(depth: Int, width: Int): Set[Long] = {
+      // the pre-round-10 formulation: probe EVERY distinct key
+      val sk = Sketches.cmsSketch(df, "k", depth = depth, width = width)
+      val n = df.count()
+      Sketches.cmsLookup(sk, df.select("k").distinct(), "k",
+          depth = depth, width = width)
+        .filter(col("est") >= math.ceil(0.05 * n))
+        .collect().map(_.getLong(0)).toSet
+    }
+    def fastHitters(depth: Int, width: Int): Set[Long] =
+      Sketches.cmsHeavyHitters(df, "k", phi = 0.05,
+          depth = depth, width = width)
+        .collect().map(_.getLong(0)).toSet
+    // roomy sketch: zero collision inflation, both formulations land on
+    // exactly the true heavy set
+    assert(fastHitters(4, 1024) == slowHitters(4, 1024))
+    // narrow sketch: recall stays 1 (pigeonhole) and precision can only
+    // improve — the bounded candidates drop CMS-inflated tail keys the
+    // corpus-distinct probe would have kept
+    val fastNarrow = fastHitters(3, 16)
+    assert(Set(1L, 2L).subsetOf(fastNarrow), s"recall lost: $fastNarrow")
+    assert(fastNarrow.subsetOf(slowHitters(3, 16)),
+      s"bounded candidates invented a hitter: $fastNarrow")
+  }
+
   test("cmsSketch merges by cell-wise sum (build on union == sum of builds)") {
     val a = skewed()
     val sk2 = Sketches.cmsSketch(a.unionByName(a), "k", depth = 3, width = 64)
