@@ -139,6 +139,52 @@ object SparkEntry {
     root
   }
 
+  /** Replay directory for the q_stream_iceberg gate: the events table
+    * mapped onto the iceberg state machine's input shape (clicks =
+    * visible execs / type 4, purchases = refilling submits / type 1,
+    * user_id = the key), written as ONE data file, followed by two
+    * single-row "~flush~" sentinel files at +2 and +4 days past the max
+    * event time. With maxFilesPerTrigger=1 the sentinels replay as
+    * separate micro-batches, so the watermark provably passes every real
+    * exec's tolerance window AND a data batch runs afterwards to fire
+    * the event-time timeouts — no reliance on no-data micro-batches.
+    * Sentinel rows are type-1 submits with no pending exec on their key,
+    * so they emit nothing. Rebuilt per call (same isolation rule as the
+    * TableOps fixture). */
+  private def streamIcebergFixture(s: SparkSession, dir: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_ice_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.ProcessHandle.current().pid()
+    rmTree(root)
+    val base = eventsNs(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        timestamp_micros((col("ts_ns") / lit(1000L)).cast("long"))
+          .as("event_time"),
+        col("event_id"),
+        col("user_id").cast("string").as("ticker"),
+        lit(0L).as("price"),
+        col("ts_ns"),
+        when(col("event_type") === "click", 4).otherwise(1)
+          .as("event_type"))
+    base.coalesce(1).write.parquet(root)
+    val maxTs = base.agg(max(col("ts_ns"))).head().getLong(0)
+    import s.implicits._
+    def flush(id: Long, tsNs: Long) = Seq(
+      (new java.sql.Timestamp(tsNs / 1000000L), id, "~flush~", 0L,
+        tsNs, 1))
+      .toDF("event_time", "event_id", "ticker", "price", "ts_ns",
+        "event_type")
+    // distinct modification times keep the file-source replay order
+    Thread.sleep(15)
+    flush(-1L, maxTs + 2 * DAY).coalesce(1).write.mode("append")
+      .parquet(root)
+    Thread.sleep(15)
+    flush(-2L, maxTs + 4 * DAY).coalesce(1).write.mode("append")
+      .parquet(root)
+    root
+  }
+
   /** DuckDB twin of [[Sampling.bucketHash]] — the top 20 bits of the
     * mix31 avalanche draw, so sampling gates are bit-exact. All
     * positive-BIGINT arithmetic (see [[Mix31Sql]] for the sign-of-mod
@@ -549,6 +595,32 @@ object SparkEntry {
         .select(col("bin_ns"), r6(col("order_imbalance")).as("oi_micro"))
       graft.streaming.StreamingOi.replayComplete(oi,
         "graft_stream_oi_" + graft.streaming.StreamingOi.nextSinkId())
+    }),
+
+    // --- §2.10: streaming iceberg-refill tagging — the
+    //     flatMapGroupsWithState state machine (J3's streaming twin)
+    //     replayed over the events table and hash-matched against the
+    //     batch forward-as-of oracle restricted to the tag surface.
+    //     clicks play the visible execs (type 4), purchases the
+    //     refilling submits (type 1), user_id the (ticker, price) key.
+    //     Two far-future sentinel flush files force the watermark past
+    //     every exec's tolerance window, so unmatched execs provably
+    //     emit their timeout iceberg=0 rows before the replay ends —
+    //     EVERY click appears exactly once, matched or not ---
+    "q_stream_iceberg" -> ((s, dir) => {
+      val root = streamIcebergFixture(s, dir)
+      val schema = s.read.parquet(root).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(root)
+      val tagged = graft.streaming.StreamingIceberg
+        .tagStream(stream, H, watermark = "10 seconds")
+        .filter(col("ticker") =!= "~flush~")
+        .select(col("execId").as("event_id"),
+          col("ticker").cast("long").as("user_id"),
+          col("tsNs").as("ts_ns"),
+          col("iceberg").cast("long").as("matched"))
+      graft.streaming.StreamingOi.replayAppend(tagged,
+        "graft_stream_ice_" + graft.streaming.StreamingOi.nextSinkId())
     }),
 
     // --- §2.10: streaming HLL — the register sketch maintained BY the
@@ -2967,6 +3039,17 @@ object SparkEntry {
          |SELECT ${CeilNs("ts_ns", H)} AS bin_ns,
          |  ${R6(s"(SUM(CASE WHEN $Side = -1 THEN value ELSE 0 END) - SUM(CASE WHEN $Side = 1 THEN value ELSE 0 END)) / NULLIF(SUM(CASE WHEN $Side = -1 THEN value ELSE 0 END) + SUM(CASE WHEN $Side = 1 THEN value ELSE 0 END), 0)")} AS oi_micro
          |FROM e GROUP BY 1""".stripMargin,
+
+    // the streaming iceberg state machine vs the batch forward-as-of
+    // match indicator — q_j3_asof's oracle restricted to the tag surface
+    "q_stream_iceberg" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT l.event_id, l.user_id, l.ts_ns,
+         |  CAST((SELECT MIN(r.ts_ns) FROM e r
+         |   WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+         |     AND r.ts_ns >= l.ts_ns AND r.ts_ns <= l.ts_ns + ${H})
+         |   IS NOT NULL AS BIGINT) AS matched
+         |FROM e l WHERE l.event_type = 'click'""".stripMargin,
 
     "q_a2_weighted_oi" ->
       s"""SELECT l_returnflag,

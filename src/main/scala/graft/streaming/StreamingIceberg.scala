@@ -64,8 +64,12 @@ object StreamingIceberg {
           var pending = prev
 
           if (!state.hasTimedOut) {
-            // event-time order within the batch
-            val sorted = rows.toSeq.sortBy(r => (r.tsNs, r.execId))
+            // event-time order within the batch; type 4 before type 1 at
+            // equal timestamps — the forward window is INCLUSIVE of a
+            // same-instant submit, so the exec must already be pending
+            // when that submit processes (batch as-of parity)
+            val sorted = rows.toSeq.sortBy(r =>
+              (r.tsNs, -r.eventType, r.execId))
             sorted.foreach { r =>
               if (r.eventType == 4) {
                 pending = pending :+ Exec(r.execId, ticker, price, r.tsNs)

@@ -80,6 +80,23 @@ class StreamingIcebergSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("same-instant submit matches: type 4 processes before type 1 at " +
+    "equal timestamps (inclusive forward window, batch as-of parity) — " +
+    "even when the submit's event_id sorts first") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = start(input, tolNs = 1 * ns)
+    try {
+      // submit event_id 40 < exec event_id 41, identical ts: an
+      // (ts, execId) sort would process the submit first and miss
+      input.addData(
+        (ts(1000), 40L, "V", 100L, 1000L * ns, 1),
+        (ts(1000), 41L, "V", 100L, 1000L * ns, 4))
+      q.processAllAvailable()
+      assert(results().get(41L).contains(1), s"got ${results()}")
+    } finally q.stop()
+  }
+
   test("keys are independent: submit at a different price does not match") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]
