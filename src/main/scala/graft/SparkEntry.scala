@@ -1538,6 +1538,58 @@ object SparkEntry {
           r6(col("o_totalprice")).as("price_micro"))
     }),
 
+    // --- Iceberg-style compaction (rewrite_data_files): a PURE layout
+    //     rewrite — read-back content equals the source row-for-row —
+    //     whose file-count effect is carried as constant columns the
+    //     oracle pins to literal 1 (a failed compaction flips them to 0
+    //     and hash-mismatches) ---
+    "q_table_compact" -> ((s, dir) => {
+      val root = tableOpsRoot(dir) + "_cp"
+      rmTree(root)
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      // 16-way fragmented base snapshot: guarantees files to compact
+      // even at the small verify SFs
+      graft.tables.TableOps.overwrite(ord.repartition(16), root)
+      graft.tables.TableOps.compact(s, root, targetFiles = 2)
+      val before = graft.tables.TableOps.dataFileCount(root, 1)
+      val after = graft.tables.TableOps.dataFileCount(root, 2)
+      graft.tables.TableOps.read(s, root)
+        .select(col("o_orderkey"),
+          r6(col("o_totalprice")).as("price_micro"),
+          lit(if (after < before) 1L else 0L).as("files_dropped"),
+          lit(if (after == 2) 1L else 0L).as("files_at_target"))
+    }),
+
+    // --- Iceberg-style snapshot expiry: after expireSnapshots(keep=2)
+    //     on a three-version history, v1's VERSION AS OF read must FAIL
+    //     (its data files are gone), v2 and v3 must reproduce exactly
+    //     the states the oracle recomputes from scratch ---
+    "q_table_expire" -> ((s, dir) => {
+      val root = tableOpsRoot(dir) + "_ex"
+      rmTree(root)
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.tables.TableOps.overwrite(ord, root)
+      graft.tables.TableOps.deleteWhere(s, root,
+        col("o_totalprice") < 100000.0)
+      graft.tables.TableOps.deleteWhere(s, root,
+        col("o_orderkey") % 2 === 0)
+      graft.tables.TableOps.expireSnapshots(root, keep = 2)
+      import s.implicits._
+      (1 to 3).map { v =>
+        try {
+          val r = graft.tables.TableOps.read(s, root, Some(v))
+            .agg(count(lit(1)).as("n"),
+              r6(moneySum(col("o_totalprice"))).as("m"))
+            .head()
+          (v.toLong, 1L, r.getLong(0), r.getLong(1))
+        } catch { case scala.util.control.NonFatal(_) =>
+          (v.toLong, 0L, 0L, 0L)
+        }
+      }.toDF("version", "readable", "n_rows", "sum_price_micro")
+    }),
+
     // --- LLM ops: the full modern curation pipeline, end-to-end under
     //     one DuckDB hash-match: exact dedup -> corpus segment dedup ->
     //     repetition gate -> quality gate -> sqrt-temperature mixture ---
@@ -3655,6 +3707,30 @@ object SparkEntry {
          |  ${R6(MoneySum("o_totalprice"))} FROM v2
          |UNION ALL
          |SELECT CAST(3 AS BIGINT), COUNT(*),
+         |  ${R6(MoneySum("o_totalprice"))} FROM v3""".stripMargin,
+
+    // compaction is a pure layout rewrite: content == source; the
+    // file-count effect rides as literal-pinned constant columns
+    "q_table_compact" ->
+      s"""SELECT o_orderkey, ${R6("o_totalprice")} AS price_micro,
+         |  CAST(1 AS BIGINT) AS files_dropped,
+         |  CAST(1 AS BIGINT) AS files_at_target
+         |FROM orders""".stripMargin,
+
+    // snapshot expiry: v1 unreadable (0-row sentinel), v2/v3 recomputed
+    // from scratch (delete < 100k, then delete even keys)
+    "q_table_expire" ->
+      s"""WITH v2 AS (
+         |  SELECT o_orderkey, o_totalprice FROM orders
+         |  WHERE NOT (o_totalprice < 100000.0)),
+         |v3 AS (SELECT * FROM v2 WHERE NOT (o_orderkey % 2 = 0))
+         |SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS readable,
+         |  CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS sum_price_micro
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), COUNT(*),
+         |  ${R6(MoneySum("o_totalprice"))} FROM v2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), CAST(1 AS BIGINT), COUNT(*),
          |  ${R6(MoneySum("o_totalprice"))} FROM v3""".stripMargin,
 
     // Z-order rewrite is a pure layout reorganization: content == source

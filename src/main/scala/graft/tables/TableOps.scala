@@ -176,6 +176,18 @@ object TableOps {
       .sortWithinPartitions("__z").drop("__z"), root, partitionBy)
   }
 
+  /** Number of parquet data files in a snapshot (recursive, so
+    * partitioned layouts count their leaf files) — the observable
+    * compaction/clustering effect alongside content invariance. */
+  def dataFileCount(root: String, version: Int): Int = {
+    val d = Paths.get(dirFor(root, version))
+    if (!Files.isDirectory(d)) return 0
+    val s = Files.walk(d)
+    try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .count().toInt
+    finally s.close()
+  }
+
   /** Expire old snapshots, keeping the most recent `keep`. */
   def expireSnapshots(root: String, keep: Int = 2): Seq[Int] = {
     val vs = versions(root)

@@ -96,6 +96,21 @@ class TableOpsSpec extends SparkSpec {
     assert(TableOps.read(spark, root).count() == 3)
   }
 
+  test("compact: file count drops to target, content and version " +
+    "history unchanged") {
+    val root = tmp()
+    val wide = spark.range(1000)
+      .select(col("id"), (col("id") * 3L).as("v"))
+    TableOps.overwrite(wide.repartition(8), root)
+    assert(TableOps.dataFileCount(root, 1) == 8)
+    val before = TableOps.read(spark, root).collect().toSet
+    TableOps.compact(spark, root, targetFiles = 2)
+    assert(TableOps.dataFileCount(root, 2) == 2)
+    assert(TableOps.read(spark, root).collect().toSet == before)
+    // compaction is a new snapshot: time travel to the fragmented one
+    assert(TableOps.read(spark, root, Some(1)).collect().toSet == before)
+  }
+
   test("clusterBy: every file covers a narrow range of BOTH cluster " +
     "columns (multi-dimensional data skipping), content preserved") {
     import org.apache.spark.sql.functions.input_file_name
