@@ -1759,6 +1759,11 @@ object SparkEntry {
 
     // --- LLM ops: IVF-bucketed ANN (rows-only: xxhash64 centroid seeding
     //     has no DuckDB twin; recall vs brute force spec-pinned) ---
+    // --- LLM ops: IVF ANN with the portable seeded-row-pick coarse
+    //     quantizer — mix31-ordered draw since round 10, so the pick,
+    //     assignment, probing, and top-k are ALL recomputed by the
+    //     DuckDB oracle (kmeans-centroid face below shares the
+    //     machinery) ---
     "q_ivf_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"),
@@ -1772,10 +1777,9 @@ object SparkEntry {
 
     // --- LLM ops: IVF ANN with kmeans-TRAINED centroids as the coarse
     //     quantizer — cells follow the data's geometry instead of a
-    //     hash-seeded row pick. Fully oracle-checked: deterministic
+    //     seeded row pick. Fully oracle-checked: deterministic
     //     centroids (q_kmeans CTEs) + cosine assignment/probing/top-k
-    //     recomputed in SQL (q_ivf_ann stays rows-only: its seeded pick
-    //     is xxhash64) ---
+    //     recomputed in SQL ---
     "q_ivf_kmeans_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"),
@@ -4167,6 +4171,51 @@ object SparkEntry {
     // bounded top-3. Raw-double cosine ordering is engine-exact per the
     // q_ann_cosine precedent; centroids are bit-identical by the
     // DECIMAL/micro-rounding construction the q_kmeans gate pins.
+    // IVF with the portable seeded-row-pick centroids: c2 = the first
+    // nCells corpus rows ordered by their mix31 draw (the same rows the
+    // Spark pick collects); assignment/probe/top-k machinery shared
+    // with the kmeans face below
+    "q_ivf_ann" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings),
+         |c2 AS (
+         |  SELECT ROW_NUMBER() OVER (
+         |      ORDER BY ${Mix31Sql("vec_id", "42")}, vec_id) - 1 AS c,
+         |    vec
+         |  FROM v ORDER BY ${Mix31Sql("vec_id", "42")}, vec_id LIMIT 8),
+         |ccos AS (
+         |  SELECT p.vec_id, cc.c, ${CosSql("p.vec", "cc.vec")} AS cos
+         |  FROM v p, c2 cc),
+         |cassign AS (
+         |  SELECT vec_id, c AS cell FROM (
+         |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, c) AS rk
+         |    FROM ccos) WHERE rk = 1),
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, c AS cell FROM (
+         |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, c) AS rk
+         |    FROM ccos WHERE vec_id < 10) WHERE rk <= 3),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, ca.vec_id AS corpus_id
+         |  FROM qprobe q JOIN cassign ca ON q.cell = ca.cell
+         |  WHERE q.query_id <> ca.vec_id),
+         |cosed AS (
+         |  SELECT s.query_id, s.corpus_id,
+         |    ${CosSql("qv.vec", "cv.vec")} AS cos
+         |  FROM cand s
+         |  JOIN v qv ON s.query_id = qv.vec_id
+         |  JOIN v cv ON s.corpus_id = cv.vec_id),
+         |ranked AS (
+         |  SELECT query_id, corpus_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, corpus_id) AS rank
+         |  FROM cosed)
+         |SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank,
+         |  ${R6("cos")} AS cosine_micro
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
     "q_ivf_kmeans_ann" ->
       s"""WITH ${KmeansCtes(8, 2)},
          |ccos AS (

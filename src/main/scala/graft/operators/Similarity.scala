@@ -255,8 +255,11 @@ object Similarity {
       col(cVec).cast("array<double>").as("__cv"))
     val q = queries.select(col(qId).cast("long").as("query_id"),
       col(qVec).cast("array<double>").as("__qv"))
+    // portable seeded pick (mix31, not xxhash64): the same ordered-draw
+    // rows are reproducible in BIGINT SQL, so the q_ivf_ann gate runs
+    // under the DuckDB oracle with these default centroids
     val cents = centroids.getOrElse(
-      c.withColumn("__h", xxhash64(col("corpus_id"), lit(seed)))
+      c.withColumn("__h", Sampling.mix31(col("corpus_id"), lit(seed)))
         .orderBy(col("__h"), col("corpus_id")).limit(nCells)
         .select(col("__cv")).as[Array[Double]].collect())
     val bc = spark.sparkContext.broadcast(cents)
