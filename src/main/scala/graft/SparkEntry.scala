@@ -269,11 +269,16 @@ object SparkEntry {
     s"""mtoks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
        |  FROM documents),
-       |msh AS (
+       |""".stripMargin + MinhashSigCtesTok("mtoks", k)
+
+  /** [[MinhashSigCtes]] over an existing `(doc_id, t)` token-list
+    * relation (the curate twin reuses its survivor CTE's ltoks). */
+  private def MinhashSigCtesTok(src: String, k: Int): String =
+    s"""msh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(generate_series(1, len(t) - 2),
        |      i -> array_to_string(t[i:i+2], ' '))) AS shset
-       |  FROM mtoks),
+       |  FROM $src),
        |mkeys AS (
        |  SELECT doc_id, ${StringKey31Sql("shingle")} AS skey
        |  FROM (SELECT doc_id, unnest(shset) AS shingle FROM msh)),
@@ -2328,11 +2333,16 @@ object SparkEntry {
     //     gate -> deterministic sample -> MinHash-LSH near-dup removal ->
     //     group-scoped packing). Rows-only: the near-dup stage is
     //     xxhash64-based, which DuckDB cannot reproduce ---
+    // --- LLM ops: the composed pipeline with the LSH stage ON, on the
+    //     PORTABLE MinHash backend (round 10) — signatures, band
+    //     buckets, pair agreement, greedy drop, and packing all
+    //     recomputed by the DuckDB oracle; the xxhash64 LSH face stays
+    //     the production default (DedupSpec/CurationSpec-pinned) ---
     "q_curate" -> ((s, dir) => {
       Curation.curate(Tables.documents(s, dir), "doc_id", "text",
           "n_chars", Curation.Config(minQuality = 0.2, sampleRate = 0.9,
-            nearDupJaccard = 0.9, packBudget = 16384L, seed = 5L,
-            groupCols = Seq("lang")))
+            nearDupJaccard = 0.9, nearDupPortable = true,
+            packBudget = 16384L, seed = 5L, groupCols = Seq("lang")))
         .select(col("doc_id"), col("lang"), col("chunk_id"),
           col("chunk_offset"), r6(col("quality_score")).as("quality_micro"))
     }),
@@ -4848,6 +4858,91 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |      AS BIGINT) AS pfx
          |  FROM s)
+         |SELECT doc_id, lang, pfx // 16384 AS chunk_id,
+         |  pfx % 16384 AS chunk_offset, ${R6("quality")} AS quality_micro
+         |FROM p""".stripMargin,
+
+    // the composed pipeline with the PORTABLE LSH stage ON:
+    // q_curate_sql's dedup/quality/sample CTEs (ltoks carried through),
+    // then mix31 MinHash signatures + band buckets over the SURVIVORS,
+    // pairs at >= 29/32 slot agreement (= est_jaccard >= 0.9 exactly on
+    // integers), greedy higher-id drop, same per-lang prefix packing
+    "q_curate" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+         |      AS rk
+         |  FROM documents),
+         |d AS (SELECT doc_id, lang, n_chars, text FROM w WHERE rk = 1),
+         |t AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |    string_split_regex(trim(text), '\\s+') AS toks,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+         |  FROM d),
+         |m AS (
+         |  SELECT doc_id, lang, n_chars, text, ltoks,
+         |    CAST(len(toks) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(ltoks, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','are','was',
+         |       'it','that','this','for','on','with','as','at','by','be'],
+         |      x))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(length(regexp_replace(text,
+         |      '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         |      AS DOUBLE) / length(text) AS upper_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, lang, n_chars, ltoks,
+         |    GREATEST(0.0, LEAST(1.0,
+         |      0.5 * (LEAST(nt / 50.0, 1.0) *
+         |        CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END)
+         |      + 0.5 * LEAST(stop_ratio * 4.0, 1.0)
+         |      - LEAST(punct_ratio * 2.0, 0.5)
+         |      - LEAST(upper_ratio * 2.0, 0.5))) AS quality
+         |  FROM m),
+         |s AS (
+         |  SELECT doc_id, lang, n_chars, quality, ltoks,
+         |    ${HashSql("doc_id", 5L)} AS h
+         |  FROM q
+         |  WHERE quality >= 0.2
+         |    AND ${HashSql("doc_id", 5L)} < ${Sampling.threshold(0.9)}),
+         |surv AS (SELECT doc_id, ltoks AS t FROM s),
+         |${MinhashSigCtesTok("surv", 32)},
+         |bnd AS (
+         |  SELECT doc_id, sig, band,
+         |    list_reduce([0::BIGINT] ||
+         |        sig[band * 4 + 1 : band * 4 + 4],
+         |      (a, b) -> (a * 1000003 + b) % 2147483648) AS bfold
+         |  FROM (SELECT doc_id, sig,
+         |          unnest(generate_series(0, 7)) AS band
+         |        FROM sigs)),
+         |bkt AS (
+         |  SELECT doc_id, sig, band,
+         |    ${Mix31Sql("bfold", "900001 + band")} AS bucket
+         |  FROM bnd),
+         |bsz AS (
+         |  SELECT band, bucket, COUNT(*) AS bn FROM bkt GROUP BY 1, 2),
+         |mpairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bkt a
+         |  JOIN bsz c ON a.band = c.band AND a.bucket = c.bucket
+         |    AND c.bn <= 4096
+         |  JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id < b.doc_id),
+         |u AS (
+         |  SELECT * FROM s WHERE doc_id NOT IN (
+         |    SELECT id_b FROM mpairs
+         |    WHERE len(list_filter(generate_series(1, 32),
+         |      i -> sig_a[i] = sig_b[i])) >= 29)),
+         |p AS (
+         |  SELECT doc_id, lang, quality,
+         |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS pfx
+         |  FROM u)
          |SELECT doc_id, lang, pfx // 16384 AS chunk_id,
          |  pfx % 16384 AS chunk_offset, ${R6("quality")} AS quality_micro
          |FROM p""".stripMargin,

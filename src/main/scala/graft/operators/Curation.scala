@@ -37,6 +37,13 @@ object Curation {
     *                     DuckDB cannot reproduce xxhash64 signatures).
     *                     Costlier than LSH at equal recall; the LSH face
     *                     remains the 100 TB default.
+    * @param nearDupPortable run the LSH stage on the PORTABLE MinHash
+    *                     backend ([[Dedup.minHashLshPairsPortable]]:
+    *                     mix31 signatures and band buckets) — same plan
+    *                     and guards as the xxhash64 default, but every
+    *                     draw is BIGINT-reproducible, so the q_curate
+    *                     gate hash-matches the whole pipeline with the
+    *                     LSH stage ON. Ignored when nearDupExact is set.
     * @param packBudget   tokens (cost units) per training chunk
     * @param groupCols    packing scope (e.g. language) — chunks never
     *                     span groups
@@ -45,6 +52,7 @@ object Curation {
                           sampleRate: Double = 1.0,
                           nearDupJaccard: Double = 0.8,
                           nearDupExact: Boolean = false,
+                          nearDupPortable: Boolean = false,
                           packBudget: Long = 16384L,
                           seed: Long = 0L,
                           groupCols: Seq[String] = Nil)
@@ -73,9 +81,7 @@ object Curation {
           (if (cfg.nearDupExact)
              Dedup.jaccardPairs(sampled, idCol, textCol, n = 3,
                threshold = cfg.nearDupJaccard)
-           else
-             Dedup.minHashLshPairs(sampled, idCol, textCol)
-               .filter(col("est_jaccard") >= cfg.nearDupJaccard))
+           else lshPairs(sampled, idCol, textCol, cfg))
             .select(col("id_b").as(idCol)) // keep the smaller id of a pair
         sampled.join(pairs, Seq(idCol), "left_anti")
       }
@@ -176,11 +182,19 @@ object Curation {
       if (cfg.sampleRate >= 1.0) filtered
       else Sampling.bernoulliSample(filtered, idCol, cfg.sampleRate,
         cfg.seed)
-    val pairs = Dedup.minHashLshPairs(sampled, idCol, textCol)
-      .filter(col("est_jaccard") >= cfg.nearDupJaccard)
+    val pairs = lshPairs(sampled, idCol, textCol, cfg)
       .select(col("id_b").as(idCol))
     sampled.join(pairs, Seq(idCol), "left_anti")
   }
+
+  /** The LSH pair stage on the configured backend (xxhash64 production
+    * default / portable mix31), thresholded at the config's Jaccard. */
+  private def lshPairs(sampled: DataFrame, idCol: String,
+                       textCol: String, cfg: Config): DataFrame =
+    (if (cfg.nearDupPortable)
+       Dedup.minHashLshPairsPortable(sampled, idCol, textCol)
+     else Dedup.minHashLshPairs(sampled, idCol, textCol))
+      .filter(col("est_jaccard") >= cfg.nearDupJaccard)
 
   /** Config for [[curateFull]], the round-8 pipeline: segment-level
     * boilerplate removal + Gopher repetition gate + temperature mixing
