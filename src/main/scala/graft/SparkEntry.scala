@@ -293,6 +293,34 @@ object SparkEntry {
        |  SELECT doc_id, list(mv ORDER BY slot) AS sig
        |  FROM mmins GROUP BY 1)""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Dedup.simHash64Portable]]: CTE
+    * chain ending in `sfp(doc_id, fp)` — per-token mix31 draw pair
+    * (hi << 31 | lo, 62 bits), per-bit votes over every token
+    * OCCURRENCE, sign-of-vote fingerprint assembly. Docs with no
+    * tokens get no sfp row (callers COALESCE to the kernel's 0). */
+  private def SimhashFpCtes(seed: Long): String =
+    s"""stoks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |skeys AS (
+       |  SELECT doc_id, ${StringKey31Sql("token")} AS skey
+       |  FROM (SELECT doc_id, unnest(t) AS token FROM stoks)),
+       |sdraw AS (
+       |  SELECT doc_id, ${Mix31Sql("skey", seed.toString)} AS lo,
+       |    ${Mix31Sql("skey", (seed + 500009L).toString)} AS hi
+       |  FROM skeys),
+       |svote AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN j < 31 THEN ((lo >> j) & 1) * 2 - 1
+       |        ELSE ((hi >> (j - 31)) & 1) * 2 - 1 END) AS v
+       |  FROM sdraw, (SELECT unnest(generate_series(0, 61)) AS j)
+       |  GROUP BY 1, 2),
+       |sfp AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END)
+       |      AS BIGINT) AS fp
+       |  FROM svote GROUP BY 1)""".stripMargin
+
   /** DuckDB twin of the HLL estimator ([[Sketches.hllSketch]] +
     * [[Sketches.hllEstimate]], portable backend): expects a preceding
     * CTE `hkeys(g, k)` and emits the chain ending in `hll(g, est)`.
@@ -1741,10 +1769,14 @@ object SparkEntry {
     //     entry was q_dedup_jaccard's cache pollution, not simhash);
     //     d=3 since round 3 is a WORKLOAD change (pairs at hamming 4..10
     //     no longer emitted), so r3+ bench times for this query are not
-    //     comparable to r1/r2. ---
+    //     comparable to r1/r2. PORTABLE 62-bit backend since round 10:
+    //     the whole pipeline (fingerprints, chunk keys, bucket cap,
+    //     Hamming filter) is DuckDB-oracled; chunk blocking itself is
+    //     hash-free, so the machinery is shared with the xxhash64
+    //     production face ---
     "q_simhash_pairs" -> ((s, dir) => {
-      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxDist = 3)
+      Dedup.simHashPairsPortable(Tables.documents(s, dir), "doc_id",
+          "text", maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long")
           .as("hamming"))
     }),
@@ -1833,9 +1865,13 @@ object SparkEntry {
     }),
 
     // --- LLM ops: SimHash fingerprints (no SQL oracle: xxhash64) ---
+    // --- LLM ops: SimHash fingerprint on the PORTABLE 62-bit backend
+    //     (round 10) — the per-token mix31 draws are recomputed by the
+    //     DuckDB oracle bit-for-bit; the xxhash64 64-bit face stays the
+    //     production default (DedupSpec differential) ---
     "q_simhash" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
-        Dedup.simHash64(col("text")).as("simhash64"))
+        Dedup.simHash64Portable(col("text")).as("simhash62"))
     }),
 
     // --- LLM ops: brute-force cosine top-k ANN ---
@@ -3572,6 +3608,38 @@ object SparkEntry {
          |  ${R6("inter::DOUBLE / (size_a + size_b - inter)::DOUBLE")} AS jaccard_micro
          |FROM pairs
          |WHERE inter::DOUBLE / (size_a + size_b - inter)::DOUBLE >= 0.5""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH ${SimhashFpCtes(0L)}
+         |SELECT d.doc_id, COALESCE(f.fp, 0) AS simhash62
+         |FROM documents d LEFT JOIN sfp f USING (doc_id)""".stripMargin,
+
+    // portable simhash pairs: 4 x 16-bit chunk blocking (pigeonhole for
+    // maxDist 3), left-side bucket cap, Hamming via bit_count(xor)
+    "q_simhash_pairs" ->
+      s"""WITH ${SimhashFpCtes(0L)},
+         |sall AS (
+         |  SELECT d.doc_id, COALESCE(f.fp, 0) AS fp
+         |  FROM documents d LEFT JOIN sfp f USING (doc_id)),
+         |schk AS (
+         |  SELECT doc_id, fp, chunk,
+         |    (fp >> (chunk * 16)) & 65535 AS key
+         |  FROM (SELECT doc_id, fp,
+         |          unnest(generate_series(0, 3)) AS chunk
+         |        FROM sall)),
+         |sbsz AS (
+         |  SELECT chunk, key, COUNT(*) AS bn FROM schk GROUP BY 1, 2),
+         |sprs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.fp AS fa, b.fp AS fb
+         |  FROM schk a
+         |  JOIN sbsz c ON a.chunk = c.chunk AND a.key = c.key
+         |    AND c.bn <= 4096
+         |  JOIN schk b ON a.chunk = b.chunk AND a.key = b.key
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM sprs WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
 
     "q_minhash_sig" ->
       s"""WITH ${MinhashSigCtes(16)}

@@ -473,6 +473,57 @@ object Dedup {
     voted.as("simhash64")
   }
 
+  /** PORTABLE face of [[simHash64]]: a 62-BIT fingerprint whose
+    * per-token hash is two [[Sampling.mix31]] draws over the token's
+    * [[Sampling.stringKey31]] key (hi << 31 | lo) — BIGINT-reproducible
+    * end to end, so the fingerprint AND the Hamming pairs derived from
+    * it run under the DuckDB oracle. The chunk-blocking machinery
+    * ([[simHashPairsFromSigs]]) is hash-free given a fingerprint and is
+    * shared unchanged; xxhash64 stays the production backend. */
+  def simHash64Portable(text: Column, seed: Long = 0L): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val toks = TextFunctions.tokens(lower(text))
+    GraftColumnBridge.column(graft.plans.SimHash64PortableExpr(
+        GraftColumnBridge.expression(toks), seed))
+      .as("simhash62")
+  }
+
+  /** Interpreted Column twin of [[simHash64Portable]] (differential
+    * link to the SQL-mirrored [[Sampling]] forms, as with the portable
+    * minhash twin). */
+  private[graft] def simHash64PortableHof(text: Column,
+                                          seed: Long = 0L): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val hs = transform(toks, t => {
+      val k = Sampling.stringKey31(t)
+      shiftleft(Sampling.mix31(k, lit(seed + 500009L)), 31)
+        .bitwiseOR(Sampling.mix31(k, lit(seed)))
+    })
+    val init = array((0 until 62).map(_ => lit(0L)): _*)
+    aggregate(hs, init,
+      (acc, h) => array((0 until 62).map { j =>
+        element_at(acc, j + 1) +
+          (shiftright(h, j).bitwiseAND(1L) * 2L - 1L)
+      }: _*),
+      acc => (0 until 62).map { j =>
+        when(element_at(acc, j + 1) > 0, shiftleft(lit(1L), j))
+          .otherwise(lit(0L))
+      }.reduce[Column]((a, b) => a.bitwiseOR(b)))
+      .as("simhash62")
+  }
+
+  /** [[simHashPairs]] on the portable fingerprint — the
+    * oracle-checkable face (same chunk blocking, guards, and cap). */
+  def simHashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int = 3, allowWide: Boolean = false,
+                           maxBucket: Int = 4096,
+                           seed: Long = 0L): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        simHash64Portable(col(textCol), seed).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simHashPairsFromSigs(sigs, maxDist, allowWide, maxBucket)
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).as("hamming")

@@ -165,6 +165,37 @@ object HashSignatures {
     new GenericArrayData(out)
   }
 
+  /** Per-row PORTABLE simhash kernel: a 62-BIT fingerprint (not 64 —
+    * two mix31 draws of 31 bits each, hi << 31 | lo) built from
+    * BIGINT-reproducible arithmetic, so fingerprints and the Hamming
+    * pairs derived from them can be recomputed by an external SQL
+    * oracle. The chunk-blocking pair machinery is hash-free given the
+    * fingerprint and works unchanged (the pigeonhole argument covers
+    * the two always-zero top bits trivially). Null tokens key to 0. */
+  def simhashPortable(arr: ArrayData, seed: Long): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](62)
+    var i = 0
+    while (i < n) {
+      val key =
+        if (arr.isNullAt(i)) 0L else stringKey31(arr.getUTF8String(i))
+      val h = (mix31(key, seed + 500009L) << 31) | mix31(key, seed)
+      var j = 0
+      while (j < 62) {
+        votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 62) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   private[plans] def requireStringArray(dt: DataType, name: String)
       : TypeCheckResult = dt match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -248,6 +279,28 @@ case class MinHashSigExpr(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression)
       : MinHashSigExpr = copy(child = newChild)
+}
+
+/** PORTABLE 62-bit simhash fingerprint (see
+  * [[HashSignatures.simhashPortable]]). */
+case class SimHash64PortableExpr(child: Expression, seed: Long)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashSignatures.requireStringArray(child.dataType, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_portable"
+
+  override def nullSafeEval(input: Any): Any =
+    HashSignatures.simhashPortable(input.asInstanceOf[ArrayData], seed)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.HashSignatures.simhashPortable($c, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHash64PortableExpr = copy(child = newChild)
 }
 
 /** PORTABLE k-slot minhash signature (see

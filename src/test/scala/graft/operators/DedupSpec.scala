@@ -271,6 +271,35 @@ class DedupSpec extends SparkSpec {
       "empty docs must never pair")
   }
 
+  test("portable simhash: native kernel == mix31/stringKey31 Column " +
+    "twin bit-for-bit; fingerprint stays within 62 bits; near-identical " +
+    "docs pair at small Hamming via the portable pairs face") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(
+      1L -> base, 2L -> base, 3L -> (base + " extra"),
+      4L -> "", 5L -> null,
+      6L -> "café naïve 中文 words mixed in here",
+      7L -> ("repeated tokens " * 40))
+    for (seed <- Seq(0L, 11L)) {
+      val out = d.select(col("doc_id"),
+          Dedup.simHash64Portable(col("text"), seed).as("n"),
+          Dedup.simHash64PortableHof(col("text"), seed).as("h"))
+        .collect()
+      out.foreach { r =>
+        assert(r.get(1) == r.get(2),
+          s"portable simhash diverged for doc ${r.getLong(0)} seed $seed")
+        if (!r.isNullAt(1))
+          assert((r.getLong(1) >>> 62) == 0L,
+            s"fingerprint exceeds 62 bits for doc ${r.getLong(0)}")
+      }
+    }
+    val pairs = Dedup.simHashPairsPortable(d, "doc_id", "text",
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0),
+      s"identical docs must pair at Hamming 0: ${pairs.mkString(", ")}")
+  }
+
   test("simHash: identical texts equal, near-identical close in Hamming") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(1L -> base, 2L -> base,
