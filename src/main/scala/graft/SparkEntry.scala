@@ -1471,14 +1471,19 @@ object SparkEntry {
     // --- LLM ops: incremental near-dup — batch MinHash sigs probed
     //     against the corpus signature index via cross-frame LSH bands
     //     (no oracle: xxhash64 signatures) ---
+    // PORTABLE backend since round 10: the cross-frame probe (new batch
+    // vs corpus signature index) is DuckDB-oracled end to end —
+    // signatures, shared band buckets, agreement threshold
     "q_incr_neardup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       def sigs(d: DataFrame) = d.select(col("doc_id").as("id"),
-        Dedup.minHashSignature(col("text"), n = 3, k = 32).as("sig"))
+        Dedup.minHashSignaturePortable(col("text"), n = 3, k = 32)
+          .as("sig"))
       IncrementalDedup.nearDupAgainst(
           sigs(docs.filter(col("source") =!= "src0")),
           sigs(docs.filter(col("source") === "src0")),
-          bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
+          bands = 8, rowsPerBand = 4, minEstJaccard = 0.5,
+          portable = true)
         .select(col("new_id"), col("corpus_id"),
           r6(col("est_jaccard")).as("est_jaccard_micro"))
     }),
@@ -3680,6 +3685,40 @@ object SparkEntry {
             "i -> sig_a[i] = sig_b[i]))::DOUBLE / 32.0e0")}
          |    AS est_jaccard_micro
          |FROM mpairs""".stripMargin,
+
+    // incremental near-dup: one signature pass over ALL documents, then
+    // the new-batch side (source <> src0) probes the corpus side (src0)
+    // on the shared portable band buckets; est >= 0.5 is cnt >= 16 of
+    // 32 slots exactly
+    "q_incr_neardup" ->
+      s"""WITH ${MinhashSigCtes(32)},
+         |sg AS (
+         |  SELECT s.doc_id, d.source, s.sig
+         |  FROM sigs s JOIN documents d USING (doc_id)),
+         |bd AS (
+         |  SELECT doc_id, source, sig, band,
+         |    list_reduce([0::BIGINT] ||
+         |        sig[band * 4 + 1 : band * 4 + 4],
+         |      (a, b) -> (a * 1000003 + b) % 2147483648) AS bfold
+         |  FROM (SELECT doc_id, source, sig,
+         |          unnest(generate_series(0, 7)) AS band
+         |        FROM sg)),
+         |bk AS (
+         |  SELECT doc_id, source, sig, band,
+         |    ${Mix31Sql("bfold", "900001 + band")} AS bucket
+         |  FROM bd),
+         |iprs AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id,
+         |    a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.source <> 'src0' AND b.source = 'src0')
+         |SELECT new_id, corpus_id,
+         |  ${R6("len(list_filter(generate_series(1, 32), " +
+            "i -> sig_a[i] = sig_b[i]))::DOUBLE / 32.0e0")}
+         |    AS est_jaccard_micro
+         |FROM iprs
+         |WHERE len(list_filter(generate_series(1, 32),
+         |  i -> sig_a[i] = sig_b[i])) >= 16""".stripMargin,
 
     "q_containment" ->
       s"""WITH toks AS (

@@ -382,11 +382,30 @@ object Dedup {
     *    rows would mean O(10M^2) pairs;
     *  - buckets over `maxBucket` rows are dropped (see [[capBuckets]]
     *    for the overflow policy). */
+  /** xxhash64 band-bucket key over a signature slice — the production
+    * LSH bucket (shared with [[IncrementalDedup]]'s cross-frame join,
+    * so an index built by one run probes against any later run). */
+  private[operators] def xxBandBucket(sig: Column, b: Column,
+                                      rowsPerBand: Int): Column =
+    xxhash64(lit("band"), b,
+      concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** PORTABLE band-bucket key: base-1000003 fold of the band's slots
+    * (mix31 outputs < 2^31, so the fold stays in [0, 2^51)) through
+    * [[Sampling.mix31]] with a per-band seed — BIGINT-reproducible by
+    * the SQL oracle. Only valid over PORTABLE signatures. */
+  private[operators] def portableBandBucket(sig: Column, b: Column,
+                                            rowsPerBand: Int): Column =
+    Sampling.mix31(
+      aggregate(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+        lit(0L),
+        (a, v) => pmod(a * lit(1000003L) + v, lit(2147483648L))),
+      lit(900001L) + b)
+
   def minHashLshPairsFromSigs(sig: DataFrame, bands: Int, rowsPerBand: Int,
                               maxBucket: Int = 4096): DataFrame =
     lshPairsFromSigs(sig, bands, rowsPerBand, maxBucket,
-      (s, b) => xxhash64(lit("band"), b,
-        concat_ws(",", slice(s, b * rowsPerBand + 1, lit(rowsPerBand)))))
+      xxBandBucket(_, _, rowsPerBand))
 
   /** [[minHashLshPairsFromSigs]] over PORTABLE signatures
     * ([[minHashSignaturePortable]]): the band bucket is a base-1000003
@@ -398,11 +417,7 @@ object Dedup {
   def minHashLshPairsFromSigsPortable(sig: DataFrame, bands: Int,
       rowsPerBand: Int, maxBucket: Int = 4096): DataFrame =
     lshPairsFromSigs(sig, bands, rowsPerBand, maxBucket,
-      (s, b) => Sampling.mix31(
-        aggregate(slice(s, b * rowsPerBand + 1, lit(rowsPerBand)),
-          lit(0L),
-          (a, v) => pmod(a * lit(1000003L) + v, lit(2147483648L))),
-        lit(900001L) + b))
+      portableBandBucket(_, _, rowsPerBand))
 
   private def lshPairsFromSigs(sig: DataFrame, bands: Int,
       rowsPerBand: Int, maxBucket: Int,

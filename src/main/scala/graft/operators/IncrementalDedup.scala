@@ -66,14 +66,18 @@ object IncrementalDedup {
 
   /** Explode a `(id, sig)` MinHash-signature frame into LSH band
     * buckets: (id, sig, band, bucket). Shared by the self-join
-    * (in-corpus) and cross-join (incremental) paths. */
-  private def banded(sig: DataFrame, bands: Int,
-                     rowsPerBand: Int): DataFrame =
+    * (in-corpus) and cross-join (incremental) paths; bucket keys come
+    * from [[Dedup]]'s shared band-bucket functions, so an index built
+    * by one run is probe-compatible with every later run on the same
+    * backend. */
+  private def banded(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                     portable: Boolean): DataFrame =
     sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b,
-          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
-            lit(rowsPerBand)))))).as(Seq("band", "bucket")))
+        b => if (portable) Dedup.portableBandBucket(col("sig"), b,
+               rowsPerBand)
+             else Dedup.xxBandBucket(col("sig"), b, rowsPerBand)))
+        .as(Seq("band", "bucket")))
 
   /** Near-dup candidates of a NEW batch against a CORPUS signature index:
     * cross-frame LSH band-bucket join (the bucket keys are identical to
@@ -84,12 +88,13 @@ object IncrementalDedup {
     * co-occupancy exactly as in the self-join case. */
   def nearDupAgainst(newSigs: DataFrame, corpusSigs: DataFrame,
                      bands: Int, rowsPerBand: Int,
-                     minEstJaccard: Double = 0.0): DataFrame = {
+                     minEstJaccard: Double = 0.0,
+                     portable: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
-    val l = banded(newSigs, bands, rowsPerBand)
+    val l = banded(newSigs, bands, rowsPerBand, portable)
       .select(col("band"), col("bucket"),
         col("id").as("new_id"), col("sig").as("sig_a"))
-    val r = banded(corpusSigs, bands, rowsPerBand)
+    val r = banded(corpusSigs, bands, rowsPerBand, portable)
       .select(col("band"), col("bucket"),
         col("id").as("corpus_id"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "bucket"))
