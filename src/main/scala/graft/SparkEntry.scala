@@ -1786,14 +1786,20 @@ object SparkEntry {
           .as("hamming"))
     }),
 
-    // --- LLM ops: SRP-LSH bucketed ANN (rows-only; recall<1 by design) ---
+    // --- LLM ops: SRP-LSH bucketed ANN on the PORTABLE plane backend
+    //     (round 10) — mix31-derived hyperplane weights are exact
+    //     dyadics, so the oracle recomputes planes, sign signatures,
+    //     band buckets, candidates, and the cosine top-k end to end;
+    //     the Gaussian-plane face stays available (recall spec-pinned
+    //     for both) ---
     "q_lsh_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("vec"))
       val dims = emb.select(size(col("vec"))).first().getInt(0)
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
-          "vec_id", "vec_id", "vec", "vec", k = 3, dims = dims)
+          "vec_id", "vec_id", "vec", "vec", k = 3, dims = dims,
+          portable = true)
         .select(col("query_id"), col("corpus_id"),
           col("rank").cast("long").as("rank"),
           r6(col("cosine")).as("cosine_micro"))
@@ -4288,6 +4294,50 @@ object SparkEntry {
     // bounded top-3. Raw-double cosine ordering is engine-exact per the
     // q_ann_cosine precedent; centroids are bit-identical by the
     // DECIMAL/micro-rounding construction the q_kmeans gate pins.
+    // SRP-LSH ANN on portable planes: weight (p, i-1) = mix31 draw
+    // scaled to [-1, 1) (exact dyadic), per-plane dot via the
+    // list-ordered fold (engine-exact), sign bits packed per 8-plane
+    // band, bucket-join candidates, cosine top-3
+    "q_lsh_ann" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings),
+         |pld AS (
+         |  SELECT p, i,
+         |    CAST(${Mix31Sql("(p * 64 + i - 1)", "42")} AS DOUBLE)
+         |      / 2147483648 * 2 - 1 AS w
+         |  FROM (SELECT unnest(generate_series(0, 31)) AS p) pp,
+         |       (SELECT unnest(generate_series(1, 64)) AS i) ii),
+         |plw AS (SELECT p, list(w ORDER BY i) AS wl FROM pld GROUP BY p),
+         |sg AS (
+         |  SELECT v.vec_id, pw.p,
+         |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |        i -> v.vec[i] * pw.wl[i])) >= 0
+         |      THEN 1::BIGINT << (pw.p % 8) ELSE 0 END AS bit
+         |  FROM v, plw pw),
+         |sbkt AS (
+         |  SELECT vec_id, p // 8 AS band, CAST(SUM(bit) AS BIGINT) AS bucket
+         |  FROM sg GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+         |  FROM sbkt q JOIN sbkt c ON q.band = c.band
+         |    AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |cosed AS (
+         |  SELECT cd.query_id, cd.corpus_id,
+         |    ${CosSql("qv.vec", "cv.vec")} AS cos
+         |  FROM cand cd
+         |  JOIN v qv ON cd.query_id = qv.vec_id
+         |  JOIN v cv ON cd.corpus_id = cv.vec_id),
+         |ranked AS (
+         |  SELECT query_id, corpus_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC NULLS LAST, corpus_id) AS rank
+         |  FROM cosed)
+         |SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank,
+         |  ${R6("cos")} AS cosine_micro
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
     // IVF with the portable seeded-row-pick centroids: c2 = the first
     // nCells corpus rows ordered by their mix31 draw (the same rows the
     // Spark pick collects); assignment/probe/top-k machinery shared

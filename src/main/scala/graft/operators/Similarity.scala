@@ -132,6 +132,19 @@ object Similarity {
     Array.fill(nPlanes, dims)(rng.nextGaussian())
   }
 
+  /** PORTABLE hyperplanes: weight (p, d) = mix31(p*dims + d, seed)
+    * scaled to [-1, 1) — every weight an exact dyadic a SQL engine
+    * reproduces (BIGINT mix31, one exact division by 2^31, *2, -1), so
+    * SRP signatures and buckets become oracle-checkable. Uniform-cube
+    * rather than Gaussian planes: still a valid sign-random-projection
+    * family (symmetric about 0); recall is spec-pinned per face. */
+  private def planesPortable(nPlanes: Int, dims: Int, seed: Long)
+      : Array[Array[Double]] =
+    Array.tabulate(nPlanes, dims) { (p, d) =>
+      graft.plans.HashSignatures.mix31(p.toLong * dims + d, seed)
+        .toDouble / 2147483648.0 * 2.0 - 1.0
+    }
+
   /** Random-hyperplane (SRP) LSH bucket signature: bit p = sign(v . plane_p).
     * Cosine-similar vectors agree on most bits. */
   def srpSignature(vec: Column, nPlanes: Int, dims: Int,
@@ -156,9 +169,11 @@ object Similarity {
     * a stateless plan with zero memory footprint at 100 TB corpus scale. */
   private[graft] def srpBandBuckets(vec: Column, bands: Int,
                                     bitsPerBand: Int, dims: Int,
-                                    seed: Long): Column = {
+                                    seed: Long,
+                                    portable: Boolean = false): Column = {
     import org.apache.spark.sql.GraftColumnBridge
-    val ps = planes(bands * bitsPerBand, dims, seed)
+    val ps = if (portable) planesPortable(bands * bitsPerBand, dims, seed)
+             else planes(bands * bitsPerBand, dims, seed)
     GraftColumnBridge.column(graft.plans.SrpBandBucketsExpr(
       GraftColumnBridge.expression(vec.cast("array<double>")),
       ps.flatten.toSeq, dims, bands, bitsPerBand))
@@ -187,8 +202,8 @@ object Similarity {
     * to broadcast. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, qId: String,
               cId: String, qVec: String, cVec: String, k: Int, dims: Int,
-              bands: Int = 4, bitsPerBand: Int = 8, seed: Long = 42L)
-      : DataFrame = {
+              bands: Int = 4, bitsPerBand: Int = 8, seed: Long = 42L,
+              portable: Boolean = false): DataFrame = {
     def banded(df: DataFrame, id: String, vec: String, side: String)
         : DataFrame =
       // per-band plane slices ([[srpBandBuckets]]): no shared signature
@@ -197,7 +212,7 @@ object Similarity {
       df.select(col(id).as(s"${side}_id"), col(vec).as(s"__${side}v"))
         .select(col(s"${side}_id"), col(s"__${side}v"),
           posexplode(srpBandBuckets(col(s"__${side}v"), bands, bitsPerBand,
-            dims, seed)).as(Seq("band", "bucket")))
+            dims, seed, portable)).as(Seq("band", "bucket")))
     val qB = banded(queries, qId, qVec, "query")
     val cB = banded(corpus, cId, cVec, "corpus")
     val cand = qB.join(cB, Seq("band", "bucket"))

@@ -252,6 +252,17 @@ class SimilaritySpec extends SparkSpec {
     }
     val recall = recalls.sum / recalls.size
     assert(recall >= 0.9, f"recall@$k = $recall%.3f")
+    // the PORTABLE plane face (uniform-cube mix31 weights): same
+    // machinery, same recall bar on the same clustered corpus
+    val gotP = topSets(Similarity
+      .lshTopK(d, d, "id", "id", "v", "v", k, dims = 16,
+        portable = true).collect())
+    val recallsP = truth.map { case (q, ts) =>
+      gotP.getOrElse(q, Set.empty[Long]).intersect(ts).size.toDouble /
+        ts.size
+    }
+    val recallP = recallsP.sum / recallsP.size
+    assert(recallP >= 0.9, f"portable recall@$k = $recallP%.3f")
   }
 
   test("ivfTopK recall@3 >= 0.9 vs bruteForceTopK on the clustered corpus; " +
