@@ -2638,9 +2638,10 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("es_rank_nano"))
     }),
 
-    // --- LLM ops: MMR diversified selection over a bounded top-N pool
-    //     (no oracle: driver-greedy like the rolling-refit solver;
-    //     semantics pinned by SimilaritySpec) ---
+    // --- LLM ops: MMR diversified selection over a bounded top-N pool.
+    //     Oracle-checked since round 10: the greedy's micro-rounded
+    //     smaller-id-tie decisions are engine-portable by design, so a
+    //     DuckDB RECURSIVE CTE replays the selection exactly ---
     "q_mmr" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("vec"))
@@ -4294,6 +4295,48 @@ object SparkEntry {
     // bounded top-3. Raw-double cosine ordering is engine-exact per the
     // q_ann_cosine precedent; centroids are bit-identical by the
     // DECIMAL/micro-rounding construction the q_kmeans gate pins.
+    // MMR greedy selection as a recursive CTE: the operator's selection
+    // DECISIONS are micro-rounded with smaller-id ties (engine-portable
+    // by design), so one row per iteration — argmax of
+    // lambda*rel - (1-lambda)*maxSimToChosen over the remaining pool —
+    // replays the driver greedy exactly. (1 - CAST(0.7 AS DOUBLE))
+    // reproduces Spark's 0.30000000000000004, not a clean 0.3.
+    "q_mmr" -> {
+      val L = "CAST(0.7 AS DOUBLE)"
+      def score(maxSim: String) = s"$L * p.rel - (1 - $L) * ($maxSim)"
+      val maxSim = s"SELECT MAX(${CosSql("p.vec", "q.vec")}) FROM pool q " +
+        "WHERE list_contains(s.sel_ids, q.vec_id)"
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings),
+         |probe AS (SELECT vec AS pvec FROM v WHERE vec_id = 0),
+         |pool AS (
+         |  SELECT c.vec_id, c.vec, ${CosSql("c.vec", "p.pvec")} AS rel
+         |  FROM v c, probe p
+         |  WHERE c.vec_id <> 0 AND ${CosSql("c.vec", "p.pvec")} IS NOT NULL
+         |  ORDER BY rel DESC, c.vec_id LIMIT 50),
+         |sel AS (
+         |  (SELECT 1 AS rank, p.vec_id AS sel_id, [p.vec_id] AS sel_ids,
+         |     ${score("0")} AS sel_score
+         |   FROM pool p
+         |   ORDER BY CAST(floor((${score("0")}) * 1e6 + 0.5) AS BIGINT)
+         |     DESC, p.vec_id
+         |   LIMIT 1)
+         |  UNION ALL
+         |  SELECT s.rank + 1, c.vec_id, list_append(s.sel_ids, c.vec_id),
+         |    c.score
+         |  FROM sel s, LATERAL (
+         |    SELECT p.vec_id, ${score(maxSim)} AS score
+         |    FROM pool p WHERE NOT list_contains(s.sel_ids, p.vec_id)
+         |    ORDER BY CAST(floor((${score(maxSim)}) * 1e6 + 0.5)
+         |      AS BIGINT) DESC, p.vec_id
+         |    LIMIT 1) c
+         |  WHERE s.rank < 10)
+         |SELECT sel_id AS vec_id, rank AS mmr_rank,
+         |  ${R6("sel_score")} AS mmr_score_micro
+         |FROM sel""".stripMargin
+    },
+
     // SRP-LSH ANN on portable planes: weight (p, i-1) = mix31 draw
     // scaled to [-1, 1) (exact dyadic), per-plane dot via the
     // list-ordered fold (engine-exact), sign bits packed per 8-plane
