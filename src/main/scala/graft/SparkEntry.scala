@@ -656,6 +656,45 @@ object SparkEntry {
         "graft_stream_ice_" + graft.streaming.StreamingOi.nextSinkId())
     }),
 
+    // --- §2.10: streaming sessionization — the SAME gaps-and-islands
+    //     sessions via the engine's native session_window (merging
+    //     session state, complete mode on the finite replay),
+    //     hash-matched against q_sessionize's batch oracle. Gap contract:
+    //     the batch rule keeps a session when gap <= 30 min, while
+    //     session_window merges on strict <, so the stream gap is
+    //     30 min + 1 us (ts is us-truncated — see eventsNs), making the
+    //     two rules identical. The per-user session INDEX is presentation
+    //     (row_number over the materialized session starts); the sessions
+    //     themselves — bounds, counts, sums — come out of the streaming
+    //     state store ---
+    "q_stream_sessionize" -> ((s, dir) => {
+      val schema = Tables.events(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = stream
+        .withColumn("ts_ns", col("ts") - pmod(col("ts"), lit(1000L)))
+        .withColumn("event_time",
+          timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      val sess = ev
+        .groupBy(session_window(col("event_time"),
+          "30 minutes 1 microseconds"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ns")).as("session_start"),
+          max(col("ts_ns")).as("session_end"),
+          moneySum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("n_events"), col("session_start"),
+          col("session_end"), col("sum_value"))
+      val mat = graft.streaming.StreamingOi.replayComplete(sess,
+        "graft_stream_sess_" + graft.streaming.StreamingOi.nextSinkId())
+      mat.withColumn("session_id",
+          (row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("session_start"))) - 1).cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"), col("session_end"),
+          (col("session_end") - col("session_start")).as("duration_ns"),
+          col("sum_value"))
+    }),
+
     // --- §2.10: streaming HLL — the register sketch maintained BY the
     //     streaming engine (bounded state: groups x 2^p rows, max-rho
     //     is an algebraic agg), estimate read off the materialized
@@ -3164,6 +3203,25 @@ object SparkEntry {
          |     AND r.ts_ns >= l.ts_ns AND r.ts_ns <= l.ts_ns + ${H})
          |   IS NOT NULL AS BIGINT) AS matched
          |FROM e l WHERE l.event_type = 'click'""".stripMargin,
+
+    // identical to q_sessionize's oracle: the engine's merging
+    // session-window state must reproduce the batch gaps-and-islands
+    "q_stream_sessionize" ->
+      s"""WITH e AS ($EventsNs),
+         |tagged AS (
+         |  SELECT user_id, ts_ns, value,
+         |    CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > ${30L * 60 * 1000000000L}
+         |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+         |          ORDER BY ts_ns, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+         |  FROM (SELECT user_id, event_id, ts_ns, value,
+         |    LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev_ts
+         |    FROM e))
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(ts_ns) AS session_start, MAX(ts_ns) AS session_end,
+         |  MAX(ts_ns) - MIN(ts_ns) AS duration_ns,
+         |  ${MoneySum("value")} AS sum_value
+         |FROM tagged GROUP BY 1, 2""".stripMargin,
 
     "q_a2_weighted_oi" ->
       s"""SELECT l_returnflag,

@@ -103,4 +103,38 @@ class StreamingOiSpec extends SparkSpec {
       assertApprox(last.getAs[Double]("oi"), 0.0)
     } finally q.stop()
   }
+
+  test("session_window merges session state ACROSS micro-batches — the " +
+    "q_stream_sessionize mechanism (a session open at batch end must " +
+    "absorb the next batch's in-gap events)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("event_time", "user_id")
+    val sess = df.groupBy(session_window(col("event_time"), "30 seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+    val name = "sess_merge_" + StreamingOi.nextSinkId()
+    val q = sess.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      // batch 1 ends with the session still open (last event 10:00:10)
+      input.addData((ts("2024-01-15 10:00:00"), 1L),
+        (ts("2024-01-15 10:00:10"), 1L))
+      q.processAllAvailable()
+      // batch 2: 10:00:25 is inside the open session's gap -> must MERGE
+      // into it; 10:05:00 is far out -> a second session
+      input.addData((ts("2024-01-15 10:00:25"), 1L),
+        (ts("2024-01-15 10:05:00"), 1L))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2))).toSet
+      assert(got == Set(
+        (1L, "2024-01-15 10:00:00.0", 3L),
+        (1L, "2024-01-15 10:05:00.0", 1L)), s"got $got")
+    } finally q.stop()
+  }
 }
