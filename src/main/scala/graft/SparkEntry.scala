@@ -2946,6 +2946,17 @@ object SparkEntry {
           r6(col("tfidf")).as("tfidf_micro"))
     }),
 
+    // --- LLM ops: PMI collocations — adjacent-pair multi-word
+    //     expressions (Church & Hanks 1990). Score is the log-free
+    //     PMI surrogate exp(PMI) = P(w1 w2)/(P(w1)P(w2)): monotone in
+    //     PMI and engine-exact (IEEE division; no libm ln in the rank) ---
+    "q_pmi" -> ((s, dir) => {
+      Retrieval.pmiCollocations(Tables.documents(s, dir), "doc_id",
+          "text", minCount = 3, topK = 50)
+        .select(col("w1"), col("w2"), col("pair_count"), col("c1"),
+          col("c2"), r6(col("pmi_ratio")).as("pmi_ratio_micro"))
+    }),
+
     // --- LLM ops: BM25 top-k keyword search — the lexical retrieval
     //     complement to q_ann_cosine; per-doc scores decimal-summed so
     //     the top-k cut is bit-stable across engines ---
@@ -5857,6 +5868,39 @@ object SparkEntry {
          |SELECT doc_id, term, tf, df,
          |  ${R6("tf * (ln((1.0 + n) / (1.0 + df)) + 1.0)")} AS tfidf_micro
          |FROM wdf, n""".stripMargin,
+
+    // PMI collocations: the ratio expression mirrors
+    // Retrieval.pmiCollocations's operation order exactly — each
+    // division/multiplication is correctly-rounded IEEE, so the doubles
+    // (and the top-k cut plus rank-50 tie-break they decide) are
+    // bit-identical across engines. Bigram total = tokens - non-null
+    // docs (each doc contributes len-1 adjacent pairs)
+    "q_pmi" ->
+      s"""WITH toks AS (
+         |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |uni AS (SELECT unnest(t) AS w FROM toks),
+         |ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+         |tot AS (SELECT (SELECT SUM(c) FROM ucnt) AS n,
+         |               (SELECT COUNT(text) FROM documents) AS nd),
+         |big AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1])) AS bg
+         |  FROM toks),
+         |bcnt AS (
+         |  SELECT bg, COUNT(*) AS pair_count FROM big
+         |  GROUP BY 1 HAVING COUNT(*) >= 3),
+         |scored AS (
+         |  SELECT split_part(bg, ' ', 1) AS w1,
+         |    split_part(bg, ' ', 2) AS w2, pair_count
+         |  FROM bcnt)
+         |SELECT w1, w2, pair_count, a.c AS c1, b.c AS c2,
+         |  ${R6("((CAST(pair_count AS DOUBLE) * n) / a.c) * (CAST(n AS DOUBLE) / b.c) / CAST(n - nd AS DOUBLE)")} AS pmi_ratio_micro
+         |FROM scored
+         |JOIN ucnt a ON scored.w1 = a.w
+         |JOIN ucnt b ON scored.w2 = b.w, tot
+         |ORDER BY ((CAST(pair_count AS DOUBLE) * n) / a.c) * (CAST(n AS DOUBLE) / b.c) / CAST(n - nd AS DOUBLE) DESC, w1, w2
+         |LIMIT 50""".stripMargin,
 
     // BM25: identical operation order to Retrieval.bm25TopK (left-assoc
     // arithmetic, (1.2 + 1.0) computed not pre-folded, DECIMAL(18,8)

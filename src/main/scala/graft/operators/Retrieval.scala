@@ -153,4 +153,70 @@ object Retrieval {
         Seq(col("term"), col("tf"), col("df_g"), col("score"),
           col("rank")): _*)
   }
+
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990):
+    * adjacent token pairs whose joint frequency beats the independence
+    * assumption — multi-word expressions ("new york", "machine
+    * learning") a tokenizer/vocab builder or stopword auditor wants
+    * surfaced from a corpus.
+    *
+    * The score emitted is the LOG-FREE PMI surrogate
+    * `exp(PMI) = P(w1 w2) / (P(w1) P(w2))` — strictly monotone in PMI,
+    * so ranking and thresholding are equivalent, while staying
+    * engine-exact: IEEE division/multiplication are correctly rounded
+    * everywhere, `ln` is libm-dependent in the last ulp. `pmi` (the
+    * natural log) is included for human consumption; rank by
+    * `pmi_ratio`.
+    *
+    * Scale shape: one token explode -> unigram counts (one shuffle), one
+    * row-local bigram explode -> pair counts (one shuffle), corpus
+    * totals as broadcast 1-row frames, then two vocabulary-keyed joins
+    * to attach c(w1) and c(w2). `minCount` floors the pair count BEFORE
+    * the joins, so rare-pair noise (the classic PMI failure mode) never
+    * reaches the join stage. Top-k is TakeOrdered on (ratio desc, w1,
+    * w2) — per-partition heaps, no global sort. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = docs.select(
+      TextFunctions.tokens(lower(col(textCol))).as("__t"))
+    // persisted: the vocabulary frame feeds the c(w1) join, the c(w2)
+    // join, and the corpus-total aggregate — without the barrier each
+    // reference re-runs the corpus tokenize+count. Vocabulary-sized
+    // (<< corpus). Cache lifetime: as Curation — fresh sessions per
+    // gate run, or unpersist via spark.catalog
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bigram total = tokens - non-null docs: every non-null text has
+    // >= 1 token (a \s+ split is never empty), so each contributes
+    // exactly len-1 adjacent pairs — no second corpus pass needed
+    val totals = uni.agg(sum(col("c")).as("__n")).crossJoin(
+      docs.agg(count(col(textCol)).as("__nd")))
+    // adjacent pairs as "w1 w2" strings — tokens are \s+ splits, so the
+    // space join is unambiguous; size guard keeps sequence() legal on
+    // single-token docs
+    val bigrams = toks.select(explode(when(size(col("__t")) >= 2,
+        transform(sequence(lit(1), size(col("__t")) - 1),
+          i => concat_ws(" ", element_at(col("__t"), i),
+            element_at(col("__t"), i + 1))))
+      .otherwise(array().cast("array<string>"))).as("bg"))
+    val pairCnt = bigrams.groupBy(col("bg"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val ratio = ((col("pair_count").cast("double") * col("__n")) /
+      col("c1")) * (col("__n").cast("double") / col("c2")) /
+      (col("__n") - col("__nd")).cast("double")
+    pairCnt
+      .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("bg"), lit(" "), lit(2)))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pair_count"), col("c1"),
+        col("c2"), ratio.as("pmi_ratio"), log(ratio).as("pmi"))
+      .sort(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -115,4 +115,29 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25TopK(corpus(), "doc_id", "text", Nil)
     }
   }
+
+  test("pmiCollocations: ratio formula, minCount floor, top-k with " +
+    "(w1, w2) tie-break") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(1L, "new york is big"),
+      Row(2L, "new york new york"),
+      Row(3L, "big apple"))
+    // N = 10 tokens, 3 docs -> Nb = 7 adjacent pairs
+    val only = Retrieval.pmiCollocations(docs, "doc_id", "text",
+      minCount = 2, topK = 10).collect()
+    assert(only.length == 1, "minCount=2 must keep only 'new york'")
+    val r = only.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ("new", "york", 3L, 3L, 3L))
+    val ratio = (3.0 * 10 / 3) * (10.0 / 3) / 7
+    assertApprox(r.getDouble(5), ratio)
+    assertApprox(r.getDouble(6), math.log(ratio))
+    // minCount=1, k=3: 'big apple' and 'is big' tie at 50/7 (w1 breaks
+    // it), 'new york' and 'york is' tie next — the cut lands mid-tie
+    val top = Retrieval.pmiCollocations(docs, "doc_id", "text",
+        minCount = 1, topK = 3)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(top == Seq("big" -> "apple", "is" -> "big", "new" -> "york"),
+      s"got $top")
+  }
 }
