@@ -1936,6 +1936,21 @@ object SparkEntry {
           col("corpus_id"), r6(col("cosine")).as("cosine_micro"))
     }),
 
+    // --- LLM ops: hard-negative mining — per anchor, the top-5 most
+    //     similar vectors with a DIFFERENT label (near-boundary
+    //     negatives for contrastive training); same TopKAgg ranking as
+    //     q_ann_cosine with the label predicate filtered pre-aggregate ---
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val anchors = emb.filter(col("vec_id") < 10)
+      Similarity.hardNegatives(anchors, emb, "vec_id", "vec_id",
+          "vec", "vec", "label", "label", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("corpus_id"), r6(col("cosine")).as("cosine_micro"))
+    }),
+
     // --- LLM ops: embedding near-dup pairs (cosine >= 0.95). At gate SFs
     //     the corpus is under nearDupPairs' broadcastLimit so the EXACT
     //     block-nested-loop runs; past the limit the operator switches to
@@ -4355,6 +4370,30 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, rank, corpus_id, ${R6("cos")} AS cosine_micro
          |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // q_ann_cosine's oracle with the null-safe different-label predicate
+    // in the scored CTE (IS DISTINCT FROM = Spark's NOT <=>)
+    "q_hard_negatives" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS ql, vec AS qv
+         |      FROM v WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS corpus_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * c.vec[i])) /
+         |    (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+         |     sqrt(list_sum(list_transform(c.vec, x -> x*x)))) AS cos
+         |  FROM q, v c WHERE q.query_id <> c.vec_id
+         |    AND q.ql IS DISTINCT FROM c.label),
+         |ranked AS (
+         |  SELECT query_id, corpus_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, corpus_id, ${R6("cos")} AS cosine_micro
+         |FROM ranked WHERE rank <= 5""".stripMargin,
 
     // the FULL IVF path with kmeans-trained centroids, recomputed in SQL:
     // unrolled Lloyd iterations (identical CTEs to q_kmeans — micro-

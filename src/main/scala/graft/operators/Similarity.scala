@@ -94,6 +94,43 @@ object Similarity {
         (col("__pos") + 1).as("rank"))
   }
 
+  /** Hard-negative mining for contrastive / ranking training pairs:
+    * for each anchor, the k most-cosine-similar corpus items with a
+    * DIFFERENT label — the near-boundary negatives that actually move a
+    * bi-encoder (in-batch random negatives are mostly easy). The
+    * different-label predicate is null-safe (`NOT (l1 <=> l2)`: two
+    * null labels count as the same class, null-vs-value is a valid
+    * negative) and filters the scored frame ROW-LOCALLY before the
+    * bounded top-k aggregate — a post-rank filter would under-fill k.
+    * Ranking rides the same [[graft.plans.TopKAgg]] partial-merge as
+    * [[bruteForceTopK]]: the anchor x corpus scored mass is never
+    * shuffled. Non-integral corpus ids fall back to the rank window. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, aId: String,
+                    cId: String, aVec: String, cVec: String,
+                    aLabel: String, cLabel: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType}
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = anchors.select(col(aId).as("query_id"), col(aVec).as("__qv"),
+      col(aLabel).as("__ql"))
+    val c = corpus.select(col(cId).as("corpus_id"), col(cVec).as("__cv"),
+      col(cLabel).as("__cl"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id") &&
+        !(col("__ql") <=> col("__cl")))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    corpus.schema(cId).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        boundedTopK(scored, k, corpus.schema(cId).dataType)
+      case _ =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("corpus_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+    }
+  }
+
   /** The scored (query x corpus) frame shared by both exact faces. */
   private def scoredPairs(queries: DataFrame, corpus: DataFrame,
                           qId: String, cId: String, qVec: String,

@@ -336,4 +336,35 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))      // cosine -1 -> all bits flipped
     assert((sigs(1L) ^ sigs(3L)) == 0xFFFFL)
   }
+
+  test("hardNegatives: only different-label items rank, nearest first; " +
+    "null labels are null-safe (null==null excluded, null-vs-value " +
+    "kept); equals bruteForceTopK on the label-filtered corpus") {
+    val d = df("id BIGINT, v ARRAY<DOUBLE>, lab INT",
+      Row(1L, Seq(1.0, 0.0), 0),
+      Row(2L, Seq(0.9, 0.1), 0),     // same label: never a negative of 1
+      Row(3L, Seq(1.0, 0.05), 1),    // nearest different-label
+      Row(4L, Seq(0.5, 0.5), 1),
+      Row(5L, Seq(0.0, 1.0), null),  // null label: valid negative of 1
+      Row(6L, Seq(1.0, 0.1), null))  // but not of 5 (null <=> null)
+    val anchors = d.filter(col("id") === 1 || col("id") === 5)
+    val out = Similarity.hardNegatives(anchors, d, "id", "id", "v", "v",
+        "lab", "lab", k = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    // anchor 1 (lab 0): negatives 3, 4 (lab 1), 5, 6 (null) — by cosine:
+    // 3 (~.9988), 6 (~.9950), 4 (~.7071), 5 (0.0); NEVER 2 (same label)
+    assert(out(1L) == Seq(3L, 6L, 4L, 5L), s"got ${out(1L)}")
+    // anchor 5 (null label): labeled items only — 6 shares the null
+    assert(!out(5L).contains(6L), "null <=> null must be excluded")
+    assert(out(5L).toSet == Set(1L, 2L, 3L, 4L))
+    // differential: per-anchor equality with bruteForceTopK over the
+    // corpus restricted to that anchor's valid negatives
+    val brute = Similarity.bruteForceTopK(d.filter(col("id") === 1), d
+        .filter(!(col("lab") <=> lit(0))), "id", "id", "v", "v", k = 10)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(brute == out(1L))
+  }
 }
