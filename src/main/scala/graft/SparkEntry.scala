@@ -1734,6 +1734,19 @@ object SparkEntry {
           r6(col("js_contrib") * lit(1000.0)).as("js_milli_micro"))
     }),
 
+    // --- LLM ops: semantic snapshot drift — per-label embedding
+    //     centroids (exact DECIMAL means) compared by cosine and L2;
+    //     the content-moved check next to q_dist_drift's volume shares ---
+    "q_embed_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val old = emb.filter(col("vec_id") % 7 =!= 0)
+      val neu = emb.filter(col("vec_id") % 5 =!= 0)
+      CorpusDiff.embeddingDrift(old, neu, Seq("label"), "embedding")
+        .select(col("label"), col("n_old"), col("n_new"),
+          r6(col("centroid_cos")).as("cos_micro"),
+          r6(col("centroid_l2")).as("l2_micro"))
+    }),
+
     "q_corpus_churn" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val old = docs.filter(col("doc_id") % 7 =!= 0)
@@ -4093,6 +4106,52 @@ object SparkEntry {
           |      new_share * ln(new_share / ((old_share + new_share) / 2))
           |      ELSE 0 END) / 2) * 1000""".stripMargin)} AS js_milli_micro
          |FROM s""".stripMargin,
+
+    // centroids via the q_embed_meanpool DECIMAL-mean CTE per side,
+    // assembled dim-ordered; cosine/L2 fold dims with the q_ann_cosine
+    // list_sum shape — every step engine-exact
+    "q_embed_drift" ->
+      s"""WITH ov AS (
+         |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings WHERE vec_id % 7 <> 0),
+         |nv AS (
+         |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS vec
+         |  FROM embeddings WHERE vec_id % 5 <> 0),
+         |om AS (
+         |  SELECT label, dim,
+         |    CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean
+         |  FROM (SELECT label,
+         |      unnest(generate_series(0, len(vec) - 1)) AS dim,
+         |      unnest(vec) AS val FROM ov)
+         |  GROUP BY 1, 2),
+         |nm AS (
+         |  SELECT label, dim,
+         |    CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean
+         |  FROM (SELECT label,
+         |      unnest(generate_series(0, len(vec) - 1)) AS dim,
+         |      unnest(vec) AS val FROM nv)
+         |  GROUP BY 1, 2),
+         |oc AS (SELECT label, list(mean ORDER BY dim) AS c FROM om GROUP BY 1),
+         |nc AS (SELECT label, list(mean ORDER BY dim) AS c FROM nm GROUP BY 1),
+         |ocnt AS (SELECT label, COUNT(*) AS n_old FROM ov GROUP BY 1),
+         |ncnt AS (SELECT label, COUNT(*) AS n_new FROM nv GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(oc.label, nc.label) AS label,
+         |    oc.c AS co, nc.c AS cn
+         |  FROM oc FULL OUTER JOIN nc ON oc.label = nc.label)
+         |SELECT j.label, COALESCE(n_old, 0) AS n_old,
+         |  COALESCE(n_new, 0) AS n_new,
+         |  ${R6(
+        """list_sum(list_transform(generate_series(1, len(co)),
+          |      i -> co[i] * cn[i])) /
+          |    (sqrt(list_sum(list_transform(co, x -> x*x))) *
+          |     sqrt(list_sum(list_transform(cn, x -> x*x))))""".stripMargin)} AS cos_micro,
+         |  ${R6(
+        """sqrt(list_sum(list_transform(generate_series(1, len(co)),
+          |      i -> (co[i] - cn[i]) * (co[i] - cn[i]))))""".stripMargin)} AS l2_micro
+         |FROM j
+         |LEFT JOIN ocnt ON j.label = ocnt.label
+         |LEFT JOIN ncnt ON j.label = ncnt.label""".stripMargin,
 
     "q_corpus_diff" ->
       s"""WITH old AS (

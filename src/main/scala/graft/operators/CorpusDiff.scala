@@ -85,4 +85,40 @@ object CorpusDiff {
       .groupBy(col(groupCol), col("status"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Semantic drift between snapshots: per-group embedding centroids
+    * for each side, compared by cosine and L2 — the "did this source's
+    * CONTENT move, not just its row count" check next to
+    * [[distributionDrift]]'s mixture shares. A re-crawl that swaps a
+    * source's topic mix shifts its centroid even when volumes hold.
+    *
+    * Centroids come from [[graft.operators.Embeddings.meanPool]]
+    * (per-dim DECIMAL sums — exact, order-independent, engine-portable),
+    * so the comparison is bit-stable. Both distances fold dims
+    * left-to-right (the q_ann_cosine engine-exact precedent). Shape:
+    * two partial-aggregating passes per side (centroid + count; the
+    * count pass scans only the group columns) and a groups-sized
+    * full-outer join — corpus embeddings are never joined row-to-row.
+    * A group absent from one side, or with a zero centroid, yields
+    * null distances (cosine convention). */
+  def embeddingDrift(oldDf: DataFrame, newDf: DataFrame,
+                     groupCols: Seq[String], vecCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "embeddingDrift needs group columns")
+    def side(df: DataFrame, centroidCol: String, nCol: String) =
+      graft.operators.Embeddings.meanPool(df, groupCols, vecCol,
+          centroidCol)
+        .join(df.groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as(nCol)), groupCols)
+    val l2 = sqrt(aggregate(
+      zip_with(col("__co"), col("__cn"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+    side(oldDf, "__co", "n_old")
+      .join(side(newDf, "__cn", "n_new"), groupCols, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        graft.operators.Similarity.cosine(col("__co"), col("__cn"))
+          .as("centroid_cos"),
+        l2.as("centroid_l2")): _*)
+  }
 }

@@ -69,4 +69,28 @@ class CorpusDiffSpec extends SparkSpec {
       .collect().map(_.getDouble(5))
     assert(same.forall(_ == 0.0))
   }
+
+  test("embeddingDrift: unchanged group -> cos 1 / L2 0; rotated group " +
+    "drifts; group missing from a side -> count 0, null distances") {
+    val old = df("g STRING, v ARRAY<DOUBLE>",
+      Row("a", Seq(1.0, 0.0)), Row("a", Seq(1.0, 0.0)),
+      Row("b", Seq(1.0, 0.0)), Row("b", Seq(0.0, 1.0)),
+      Row("gone", Seq(2.0, 2.0)))
+    val neu = df("g STRING, v ARRAY<DOUBLE>",
+      Row("a", Seq(1.0, 0.0)),               // same centroid (1, 0)
+      Row("b", Seq(0.0, 1.0)), Row("b", Seq(0.0, 1.0)), // (.5,.5)->(0,1)
+      Row("fresh", Seq(3.0, 4.0)))
+    val got = CorpusDiff.embeddingDrift(old, neu, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "b", "gone", "fresh"))
+    val a = got("a")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 1L)
+    assert(a.getDouble(3) == 1.0 && a.getDouble(4) == 0.0)
+    val b = got("b")  // (0.5, 0.5) vs (0, 1): cos = 1/sqrt(2)
+    assert(math.abs(b.getDouble(3) - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(b.getDouble(4) - math.sqrt(0.5)) < 1e-12)
+    assert(got("gone").getLong(2) == 0L && got("gone").isNullAt(3) &&
+      got("gone").isNullAt(4))
+    assert(got("fresh").getLong(1) == 0L && got("fresh").isNullAt(3))
+  }
 }
