@@ -2584,6 +2584,31 @@ object SparkEntry {
     // --- OLAP sketches: HLL set overlap by inclusion-exclusion —
     //     registers union losslessly, so cross-corpus intersection
     //     comes without joining the corpora ---
+    // --- LLM ops: HLL partition rollup — the incremental-maintenance
+    //     story at 100 TB: per-DAY register sketches (what a pipeline
+    //     stores per ingest partition) merged by max-rho into a global
+    //     estimate that must EQUAL the direct corpus-wide sketch.
+    //     Registers are set-semantics, so the rollup is partitioning-
+    //     independent; the oracle emits the direct estimate for both
+    //     columns — the hash match proves merged == direct ---
+    "q_hll_rollup" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+      val withDay = ev.withColumn("day",
+        expr("ts_ns div 86400000000000"))
+      val daily = Sketches.hllSketch(withDay, Seq("day"), "user_id",
+        p = 10, seed = 0L)
+      val merged = Sketches.hllMerge(Seq(daily), Nil)
+      val mergedEst = Sketches.hllEstimate(merged, Nil)
+        .select(r6(col("distinct_est")).as("merged_micro"))
+      val direct = Sketches.hllDistinct(ev, Nil, "user_id", p = 10,
+          seed = 0L)
+        .select(r6(col("distinct_est")).as("direct_micro"))
+      val parts = withDay.agg(countDistinct(col("day")).as("n_parts"))
+      val exact = ev.agg(
+        countDistinct(col("user_id")).as("exact_distinct"))
+      mergedEst.crossJoin(direct).crossJoin(parts).crossJoin(exact)
+    }),
+
     "q_hll_overlap" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       def sk(flag: String) = Sketches.hllSketch(
@@ -5631,6 +5656,21 @@ object SparkEntry {
          |SELECT query_id, corpus_id, rank, adc_dist
          |FROM p WHERE rank <= 3""".stripMargin
     },
+
+    // HLL rollup: registers are set-semantics, so the per-day rollup is
+    // mathematically the direct sketch — the oracle computes the direct
+    // chain once and emits it for BOTH estimate columns; Spark's side
+    // computing them via different plans (daily merge vs one pass) and
+    // still hashing equal is the proof
+    "q_hll_rollup" ->
+      s"""WITH e AS ($EventsNs),
+         |hkeys AS (SELECT 1 AS g, user_id AS k FROM e),
+         |${HllChainSql(seed = 0L)}
+         |SELECT ${R6("est")} AS merged_micro, ${R6("est")} AS direct_micro,
+         |  (SELECT COUNT(DISTINCT ts_ns // 86400000000000) FROM e)
+         |    AS n_parts,
+         |  (SELECT COUNT(DISTINCT user_id) FROM e) AS exact_distinct
+         |FROM hll""".stripMargin,
 
     // HLL overlap: three estimator instances (A, B, register-union) and
     // the same inclusion-exclusion doubles.
