@@ -1904,12 +1904,17 @@ object SparkEntry {
 
     // --- LLM ops: composite quality score + BPE-ish token count
     //     (rows-only: the (?=...) lookahead has no RE2 equivalent) ---
+    // r10: full oracle — the BPE-ish count's lookahead-free closed form
+    // and the mix31-chain fingerprint are both SQL-expressible (the
+    // xxhash64 fingerprint face stays the production default;
+    // TextFunctionsSpec pins the differentials)
     "q_text_quality" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
         r6(TextFunctions.qualityScore(col("text"))).as("quality_micro"),
         TextFunctions.nTokensBpeIsh(col("text")).cast("long")
           .as("n_tokens_bpeish"),
-        TextFunctions.seqFingerprint(col("text")).as("seq_fingerprint"))
+        TextFunctions.seqFingerprintPortable(col("text"))
+          .as("seq_fingerprint"))
     }),
 
     // --- Multimodal plumbing driven over synthesized binary payloads
@@ -5108,6 +5113,57 @@ object SparkEntry {
          |      - LEAST(upper_ratio * 2.0, 0.5))) AS quality
          |  FROM m)
          |SELECT doc_id, ${R6("quality")} AS quality_micro FROM q""".stripMargin,
+
+    // q_quality_score's chain + the lookahead-free BPE-ish count (every
+    // non-alnum non-\s code point opens a piece, plus every alnum run
+    // at start/after-\s — RE2-expressible, unlike the historical
+    // lookahead split) + the mix31-fold fingerprint via list_reduce
+    // (init 0 prepended; every step exact BIGINT)
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(trim(text), '\\s+') AS toks,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(ltoks, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','are','was',
+         |       'it','that','this','for','on','with','as','at','by','be'],
+         |      x))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(length(regexp_replace(text,
+         |      '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         |      AS DOUBLE) / length(text) AS upper_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id,
+         |    GREATEST(0.0, LEAST(1.0,
+         |      0.5 * (LEAST(nt / 50.0, 1.0) *
+         |        CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END)
+         |      + 0.5 * LEAST(stop_ratio * 4.0, 1.0)
+         |      - LEAST(punct_ratio * 2.0, 0.5)
+         |      - LEAST(upper_ratio * 2.0, 0.5))) AS quality
+         |  FROM m),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(length(regexp_replace(text,
+         |        '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) +
+         |      len(regexp_extract_all(text,
+         |        '(^|[ \\t\\n\\x0B\\f\\r])[A-Za-z0-9]')) AS BIGINT)
+         |      AS n_tokens_bpeish,
+         |    CASE WHEN text IS NULL THEN NULL ELSE
+         |      list_reduce([0::BIGINT] || list_transform(
+         |        string_split_regex(trim(lower(text)), '\\s+'),
+         |        tk -> ${StringKey31Sql("tk")}),
+         |      (a, b) -> ${Mix31Sql("xor(a, b)", "11")}) END
+         |      AS seq_fingerprint
+         |  FROM documents)
+         |SELECT q.doc_id, ${R6("quality")} AS quality_micro,
+         |  f.n_tokens_bpeish, f.seq_fingerprint
+         |FROM q JOIN f USING (doc_id)""".stripMargin,
 
     // langId's full decision chain: script-range shares first (exact on
     // BMP text — char-counting length/substr agree between engines

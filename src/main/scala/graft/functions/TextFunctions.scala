@@ -15,10 +15,28 @@ object TextFunctions {
 
   def nTokens(text: Column): Column = size(tokens(text)).as("n_tokens")
 
+  private val BpeWs = " \t\n\u000B\f\r" // Java's \s, spelled out
+
   /** BPE-ish subword-count proxy: word-boundary pieces + digit runs +
-    * punctuation marks each count as one token — a regex approximation of a
-    * byte-pair tokenizer's piece count, cheap enough for a 100 TB scan. */
+    * punctuation marks each count as one token — a regex approximation
+    * of a byte-pair tokenizer's piece count, cheap enough for a 100 TB
+    * scan. Closed form: every non-alphanumeric non-whitespace CODE
+    * POINT opens a piece, plus every alphanumeric run at string start
+    * or after whitespace. On BMP text this equals the historical
+    * lookahead-split formulation bit-for-bit (TextFunctionsSpec
+    * differential); on non-BMP text the closed form counts each code
+    * point once where the lookahead split counted both UTF-16
+    * surrogate halves — the closed form is the intended semantics, and
+    * being lookahead-free it is RE2/DuckDB-expressible, which is what
+    * puts q_text_quality under the SQL oracle. */
   def nTokensBpeIsh(text: Column): Column =
+    (length(regexp_replace(text, s"[A-Za-z0-9$BpeWs]", "")) +
+      regexp_count(text, lit(s"(^|[$BpeWs])[A-Za-z0-9]")))
+      .cast("int").as("n_tokens_bpeish")
+
+  /** Historical lookahead-split face of [[nTokensBpeIsh]] — Java-regex
+    * only (RE2 has no lookahead); kept as the differential reference. */
+  private[graft] def nTokensBpeIshLookahead(text: Column): Column =
     size(filter(split(text, "(?=[^A-Za-z0-9])|\\s+"),
       t => length(trim(t)) > 0)).as("n_tokens_bpeish")
 
@@ -155,6 +173,21 @@ object TextFunctions {
   def seqFingerprint(text: Column): Column =
     aggregate(tokens(lower(text)), lit(0L),
       (acc, t) => xxhash64(acc, t)).as("seq_fingerprint")
+
+  /** Engine-portable face of [[seqFingerprint]]: left-fold of
+    * `mix31(acc XOR stringKey31(token), seed)` over the lowercased
+    * token stream. Both operands stay below 2^31 (mix31's range and the
+    * base-31 string key's), so every step is exact BIGINT arithmetic in
+    * any SQL engine — the q_text_quality oracle replays the chain in
+    * DuckDB via list_reduce. Order-sensitive like the xxhash64 face
+    * (the chain, not a bag); 31 bits of fingerprint instead of 64, the
+    * usual portable-backend trade (production pipelines keep the
+    * xxhash64 face). */
+  def seqFingerprintPortable(text: Column, seed: Long = 11L): Column =
+    aggregate(tokens(lower(text)), lit(0L),
+      (acc, t) => graft.operators.Sampling.mix31(
+        acc.bitwiseXOR(graft.operators.Sampling.stringKey31(t)),
+        lit(seed))).as("seq_fingerprint")
 
   // --- language ID (character n-gram heuristic) ---
   // Marker character patterns + very-high-frequency function words per

@@ -91,6 +91,46 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(1) != fps(2))
   }
 
+  test("seqFingerprintPortable: order sensitive, rerun-stable, every " +
+    "value inside mix31's 31-bit range, null text -> null") {
+    val d = df("id INT, text STRING",
+      Row(1, "alpha beta"), Row(2, "beta alpha"), Row(3, "alpha beta"),
+      Row(4, ""), Row(5, null))
+    val fps = d.select(col("id"),
+        TextFunctions.seqFingerprintPortable(col("text")))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(fps(1) == fps(3) && fps(1) != fps(2))
+    assert(fps(4).isDefined, "empty text folds the [''] token")
+    assert(fps(5).isEmpty)
+    fps.values.flatten.foreach(v =>
+      assert(v >= 0L && v < (1L << 31), s"out of range: $v"))
+  }
+
+  test("nTokensBpeIsh closed form == historical lookahead split on BMP " +
+    "text; non-BMP code points count once (not per surrogate half)") {
+    val bmp = Seq("hello, world! it's 2024", "ab,,cd", ", a", "a  ,b",
+      "café au lait", "", "   ", "a", "...", "x1y2", "a-b_c",
+      "tab\there", "line\nbreak", "1,234.56", "(a)[b]{c}", "a,", ",a,",
+      "über café", "vx")
+    val d = df("id INT, text STRING",
+      bmp.zipWithIndex.map { case (t, i) => Row(i, t) }: _*)
+    val both = d.select(col("id"),
+        TextFunctions.nTokensBpeIsh(col("text")),
+        TextFunctions.nTokensBpeIshLookahead(col("text")))
+      .collect()
+    both.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"faces diverge on ${bmp(r.getInt(0))}: " +
+        s"closed=${r.getInt(1)} lookahead=${r.getInt(2)}"))
+    // non-BMP: one emoji = one piece under the closed form; the Java
+    // lookahead split saw two surrogate halves (the historical bug)
+    val emoji = df("text STRING", Row("emoji 😀 end"))
+    val Array(r) = emoji.select(
+      TextFunctions.nTokensBpeIsh(col("text")),
+      TextFunctions.nTokensBpeIshLookahead(col("text"))).collect()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 4)
+  }
+
   test("langId on real-language snippets") {
     val d = df("id INT, text STRING",
       Row(1, "The history of the region is marked by the rise and fall " +
