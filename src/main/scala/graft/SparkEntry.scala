@@ -418,6 +418,57 @@ object SparkEntry {
        |  SELECT id_a, id_b FROM jp
        |  WHERE inter::DOUBLE / (size_a + size_b - inter)::DOUBLE >= 0.5)""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Bpe.train]]: the full BPE trainer
+    * with `rounds` merge rounds unrolled to CTEs. `words` is the one
+    * corpus tokenize pass (distinct lowercased tokens + frequencies),
+    * `st0` splits each word into code-point symbol lists; per round r,
+    * `pc{r}` explodes adjacent symbol pairs ("a b" strings — symbols
+    * never contain spaces), `b{r}` is the single-row argmax (count
+    * desc, pair asc — DuckDB's binary UTF-8 collation matches Spark's
+    * UTF8String ordering), and `st{r}` replays the Spark side's
+    * left-fold merge via `list_reduce` (init = first symbol, exactly
+    * the fold's acc=="" bootstrap; once a pair merges, the new symbol
+    * no longer matches the pair's left side — left-to-right
+    * non-overlapping semantics on both engines by the same mechanism).
+    * Ends in the merge table `b1 UNION ALL .. b{rounds}`. */
+  private def BpeTrainSql(rounds: Int): String = {
+    val ctes = new StringBuilder(
+      s"""toks AS (
+         |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |words AS (
+         |  SELECT w, COUNT(*)::BIGINT AS cnt
+         |  FROM (SELECT unnest(t) AS w FROM toks)
+         |  WHERE length(w) > 0 GROUP BY 1),
+         |st0 AS (
+         |  SELECT w, cnt, list_transform(generate_series(1, length(w)),
+         |    i -> substr(w, i, 1)) AS sl FROM words)""".stripMargin)
+    for (r <- 1 to rounds) {
+      ctes.append(s""",
+         |pc$r AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(sl) - 1),
+         |    i -> sl[i] || ' ' || sl[i + 1])) AS bg, cnt
+         |  FROM st${r - 1}),
+         |b$r AS (
+         |  SELECT $r AS round, split_part(bg, ' ', 1) AS ca,
+         |    split_part(bg, ' ', 2) AS cb, SUM(cnt)::BIGINT AS pc
+         |  FROM pc$r GROUP BY bg ORDER BY pc DESC, bg LIMIT 1)""".stripMargin)
+      if (r < rounds) ctes.append(s""",
+         |st$r AS (
+         |  SELECT w, cnt, string_split(list_reduce(sl, (acc, s) -> CASE
+         |    WHEN s = cb AND acc = ca THEN ca || cb
+         |    WHEN s = cb AND ends_with(acc, ' ' || ca)
+         |      THEN substr(acc, 1, length(acc) - length(ca)) || ca || cb
+         |    ELSE acc || ' ' || s END), ' ') AS sl
+         |  FROM st${r - 1} CROSS JOIN b$r)""".stripMargin)
+    }
+    val sel = (1 to rounds).map(r =>
+      s"""SELECT CAST(round AS BIGINT) AS round, ca AS sym_a, cb AS sym_b,
+         |  ca || cb AS merged, pc AS pair_count FROM b$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    "WITH " + ctes.result() + "\n" + sel
+  }
+
   /** DuckDB twin of [[graft.operators.Clustering.kmeans]] over the
     * embeddings table: Lloyd iterations unrolled to CTEs. Emits `v`
     * (vectors as doubles), `c0` (init = k smallest ids), per iteration
@@ -3014,6 +3065,16 @@ object SparkEntry {
         .select(col("w1"), col("w2"), col("pair_count"), col("c1"),
           col("c2"), r6(col("pmi_ratio")).as("pmi_ratio_micro"))
     }),
+
+    // --- LLM ops: BPE merge learning (Sennrich 2016) — the tokenizer-
+    //     vocabulary trainer as a gate. Six rounds; each round's pair
+    //     argmax (count desc, pair asc) and left-fold merge application
+    //     are replayed verbatim by the oracle's unrolled CTE chain, so
+    //     the learned merge TABLE — the trainer's entire output,
+    //     including every data-dependent intermediate state — is
+    //     hash-matched ---
+    "q_bpe_train" -> ((s, dir) =>
+      Bpe.trainDf(s, Tables.documents(s, dir), "text", rounds = 6)),
 
     // --- LLM ops: BM25 top-k keyword search — the lexical retrieval
     //     complement to q_ann_cosine; per-doc scores decimal-summed so
@@ -6095,6 +6156,9 @@ object SparkEntry {
          |JOIN ucnt b ON scored.w2 = b.w, tot
          |ORDER BY ((CAST(pair_count AS DOUBLE) * n) / a.c) * (CAST(n AS DOUBLE) / b.c) / CAST(n - nd AS DOUBLE) DESC, w1, w2
          |LIMIT 50""".stripMargin,
+
+    // BPE trainer: the whole six-round merge learning replayed in SQL
+    "q_bpe_train" -> BpeTrainSql(6),
 
     // BM25: identical operation order to Retrieval.bm25TopK (left-assoc
     // arithmetic, (1.2 + 1.0) computed not pre-folded, DECIMAL(18,8)
