@@ -432,6 +432,16 @@ object SparkEntry {
     * non-overlapping semantics on both engines by the same mechanism).
     * Ends in the merge table `b1 UNION ALL .. b{rounds}`. */
   private def BpeTrainSql(rounds: Int): String = {
+    val sel = (1 to rounds).map(r =>
+      s"""SELECT CAST(round AS BIGINT) AS round, ca AS sym_a, cb AS sym_b,
+         |  ca || cb AS merged, pc AS pair_count FROM b$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    "WITH " + BpeTrainCtes(rounds) + "\n" + sel
+  }
+
+  /** The [[BpeTrainSql]] CTE chain without the final merge-table SELECT
+    * (`toks` .. `b{rounds}`), shared with the segmentation twin. */
+  private def BpeTrainCtes(rounds: Int): String = {
     val ctes = new StringBuilder(
       s"""toks AS (
          |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
@@ -462,11 +472,44 @@ object SparkEntry {
          |    ELSE acc || ' ' || s END), ' ') AS sl
          |  FROM st${r - 1} CROSS JOIN b$r)""".stripMargin)
     }
-    val sel = (1 to rounds).map(r =>
-      s"""SELECT CAST(round AS BIGINT) AS round, ca AS sym_a, cb AS sym_b,
-         |  ca || cb AS merged, pc AS pair_count FROM b$r""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    "WITH " + ctes.result() + "\n" + sel
+    ctes.result()
+  }
+
+  /** DuckDB twin of [[graft.operators.Bpe.applyMerges]] with the
+    * merge table learned in-query: the [[BpeTrainCtes]] chain's six
+    * argmax rows cross-joined into one row `m(ma1,mb1,..)`, then every
+    * document token runs the same six nested left-folds the Spark
+    * column expression chains — segmentation under the oracle even
+    * though the merges themselves are data-dependent. */
+  private def BpeSegmentSql(rounds: Int): String = {
+    val mCols = (1 to rounds)
+      .map(r => s"b$r.ca AS ma$r, b$r.cb AS mb$r").mkString(", ")
+    val mFrom = (1 to rounds).map(r => s"b$r").mkString(", ")
+    var f = "array_to_string(list_transform(generate_series(1, " +
+      "length(tok)), i -> substr(tok, i, 1)), ' ')"
+    for (r <- 1 to rounds)
+      f = s"""list_reduce(string_split($f, ' '), (acc, s) -> CASE
+         |    WHEN s = mb$r AND acc = ma$r THEN ma$r || mb$r
+         |    WHEN s = mb$r AND ends_with(acc, ' ' || ma$r)
+         |      THEN substr(acc, 1, length(acc) - length(ma$r)) || ma$r || mb$r
+         |    ELSE acc || ' ' || s END)""".stripMargin
+    "WITH " + BpeTrainCtes(rounds) +
+      s""",
+         |m AS (SELECT $mCols FROM $mFrom),
+         |dtoks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS dt
+         |  FROM documents),
+         |seg AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(dt, tok -> $f), ' | ')
+         |      AS bpe_pieces
+         |  FROM dtoks CROSS JOIN m)
+         |SELECT doc_id, bpe_pieces,
+         |  CAST(len(string_split(bpe_pieces, ' ')) -
+         |    (len(string_split(bpe_pieces, ' | ')) - 1) AS BIGINT)
+         |    AS n_pieces,
+         |  CAST(len(string_split(bpe_pieces, ' | ')) AS BIGINT) AS n_words
+         |FROM seg""".stripMargin
   }
 
   /** DuckDB twin of [[graft.operators.Clustering.kmeans]] over the
@@ -3075,6 +3118,22 @@ object SparkEntry {
     //     hash-matched ---
     "q_bpe_train" -> ((s, dir) =>
       Bpe.trainDf(s, Tables.documents(s, dir), "text", rounds = 6)),
+
+    // --- LLM ops: BPE segmentation — the trainer's deploy face. The
+    //     six learned merges (driver-collected, data-dependent) fold
+    //     into every document row-locally; piece/word counts derive
+    //     from the segmented string by the same formula on both sides
+    //     (" | " separators add one split element per token gap) ---
+    "q_bpe_segment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ms = Bpe.train(docs, "text", rounds = 6)
+      docs.select(col("doc_id"), Bpe.applyMerges(col("text"), ms))
+        .withColumn("n_pieces",
+          (size(split(col("bpe_pieces"), " ")) -
+            (size(split(col("bpe_pieces"), " \\| ")) - 1)).cast("long"))
+        .withColumn("n_words",
+          size(split(col("bpe_pieces"), " \\| ")).cast("long"))
+    }),
 
     // --- LLM ops: BM25 top-k keyword search — the lexical retrieval
     //     complement to q_ann_cosine; per-doc scores decimal-summed so
@@ -6159,6 +6218,9 @@ object SparkEntry {
 
     // BPE trainer: the whole six-round merge learning replayed in SQL
     "q_bpe_train" -> BpeTrainSql(6),
+
+    // BPE segmentation: learned merges folded into every document
+    "q_bpe_segment" -> BpeSegmentSql(6),
 
     // BM25: identical operation order to Retrieval.bm25TopK (left-assoc
     // arithmetic, (1.2 + 1.0) computed not pre-folded, DECIMAL(18,8)
