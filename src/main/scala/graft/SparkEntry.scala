@@ -1445,6 +1445,27 @@ object SparkEntry {
           col("sum_value"))
     }),
 
+    // --- J-family extension: interval (range) join — points matched to
+    //     the irregular intervals containing them via the cell-bucketed
+    //     equi-join (RangeJoin: no cartesian/BNLJ, points never
+    //     replicated). Intervals = 12h-gap click sessions per user;
+    //     points = that user's non-click events ---
+    "q_range_join" -> ((s, dir) => {
+      val e = eventsNs(s, dir)
+      val sess = Sessionize.sessions(
+          e.filter(col("event_type") === "click"), Seq("user_id"),
+          "ts_ns", gapNs = 12L * H, tieBreak = "event_id")
+        .select(col("user_id"), col("session_id"),
+          col("session_start"), col("session_end"))
+      val pts = e.filter(col("event_type") =!= "click")
+        .select(col("user_id"), col("ts_ns"), col("value"))
+      RangeJoin.pointInInterval(pts, sess, Seq("user_id"), "ts_ns",
+          "session_start", "session_end", cellNs = 6L * H)
+        .groupBy("user_id", "session_id", "session_start", "session_end")
+        .agg(count(lit(1)).as("n_inside"),
+          moneySum(col("value")).as("sum_value"))
+    }),
+
     // --- LLM ops: exact dedup groups ---
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
@@ -3840,6 +3861,33 @@ object SparkEntry {
          |  MAX(ts_ns) - MIN(ts_ns) AS duration_ns,
          |  ${MoneySum("value")} AS sum_value
          |FROM tagged GROUP BY 1, 2""".stripMargin,
+
+    // range join: sessions rebuilt by the gaps-and-islands twin (clicks
+    // only, 12h gap), then the NAIVE non-equi containment join — the
+    // semantics the bucketed decomposition must reproduce exactly
+    "q_range_join" ->
+      s"""WITH e AS ($EventsNs),
+         |tagged AS (
+         |  SELECT user_id, ts_ns,
+         |    CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > ${12L * H}
+         |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+         |          ORDER BY ts_ns, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+         |  FROM (SELECT user_id, event_id, ts_ns,
+         |    LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev_ts
+         |    FROM e WHERE event_type = 'click')),
+         |sess AS (
+         |  SELECT user_id, session_id, MIN(ts_ns) AS session_start,
+         |    MAX(ts_ns) AS session_end
+         |  FROM tagged GROUP BY 1, 2),
+         |pts AS (
+         |  SELECT user_id, ts_ns, value FROM e WHERE event_type <> 'click')
+         |SELECT se.user_id, se.session_id, se.session_start,
+         |  se.session_end, COUNT(*) AS n_inside,
+         |  ${MoneySum("value")} AS sum_value
+         |FROM sess se JOIN pts p ON p.user_id = se.user_id
+         |  AND p.ts_ns >= se.session_start AND p.ts_ns <= se.session_end
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q_dedup_exact" ->
       s"""SELECT md5(text) AS text_md5, COUNT(*) AS n_copies,
