@@ -3130,6 +3130,24 @@ object SparkEntry {
           col("c2"), r6(col("pmi_ratio")).as("pmi_ratio_micro"))
     }),
 
+    // --- LLM ops: fuzzy vocabulary pairs — SymSpell symmetric-delete
+    //     blocking + exact levenshtein verify (FuzzyMatch scaladoc):
+    //     typo/variant clusters over the corpus vocabulary without an
+    //     all-pairs scan. Oracle runs the naive quadratic join — the
+    //     semantics the blocking must reproduce with recall 1 ---
+    "q_fuzzy_vocab" -> ((s, dir) => {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      FuzzyMatch.editPairs(vocab, "w", maxDist = 2)
+        .join(vocab.select(col("w").as("term_a"), col("cnt").as("cnt_a")),
+          "term_a")
+        .join(vocab.select(col("w").as("term_b"), col("cnt").as("cnt_b")),
+          "term_b")
+        .select("term_a", "term_b", "dist", "cnt_a", "cnt_b")
+    }),
+
     // --- LLM ops: BPE merge learning (Sennrich 2016) — the tokenizer-
     //     vocabulary trainer as a gate. Six rounds; each round's pair
     //     argmax (count desc, pair asc) and left-fold merge application
@@ -6263,6 +6281,22 @@ object SparkEntry {
          |JOIN ucnt b ON scored.w2 = b.w, tot
          |ORDER BY ((CAST(pair_count AS DOUBLE) * n) / a.c) * (CAST(n AS DOUBLE) / b.c) / CAST(n - nd AS DOUBLE) DESC, w1, w2
          |LIMIT 50""".stripMargin,
+
+    // fuzzy vocab: the naive quadratic levenshtein join over the
+    // vocabulary — blocking recall must be 1 against it
+    "q_fuzzy_vocab" ->
+      s"""WITH toks AS (
+         |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT w, COUNT(*)::BIGINT AS cnt
+         |  FROM (SELECT unnest(t) AS w FROM toks)
+         |  WHERE length(w) > 0 GROUP BY 1)
+         |SELECT a.w AS term_a, b.w AS term_b,
+         |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist,
+         |  a.cnt AS cnt_a, b.cnt AS cnt_b
+         |FROM vocab a, vocab b
+         |WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 2""".stripMargin,
 
     // BPE trainer: the whole six-round merge learning replayed in SQL
     "q_bpe_train" -> BpeTrainSql(6),
