@@ -1445,6 +1445,19 @@ object SparkEntry {
           col("sum_value"))
     }),
 
+    // --- A-family extension: weekly cohort retention over purchase
+    //     activity (Cohorts scaladoc: everything after the first
+    //     shuffle runs on the distinct (user, week) activity frame,
+    //     counts are plain count(*) by construction) ---
+    "q_retention" -> ((s, dir) => {
+      Cohorts.retention(
+          eventsNs(s, dir).filter(col("event_type") === "purchase"),
+          "user_id", "ts_ns", periodNs = 7L * DAY)
+        .select(col("cohort_period").as("cohort_week"),
+          col("period_offset").as("week_offset"), col("n_users"),
+          col("cohort_size"), r6(col("retention")).as("retention_micro"))
+    }),
+
     // --- J-family extension: interval (range) join — points matched to
     //     the irregular intervals containing them via the cell-bucketed
     //     equi-join (RangeJoin: no cartesian/BNLJ, points never
@@ -3879,6 +3892,25 @@ object SparkEntry {
          |  MAX(ts_ns) - MIN(ts_ns) AS duration_ns,
          |  ${MoneySum("value")} AS sum_value
          |FROM tagged GROUP BY 1, 2""".stripMargin,
+
+    // weekly purchase retention: the matrix replayed relationally
+    "q_retention" ->
+      s"""WITH e AS ($EventsNs),
+         |wk AS (
+         |  SELECT DISTINCT user_id, ts_ns // ${7L * DAY} AS week
+         |  FROM e WHERE event_type = 'purchase'),
+         |cohort AS (
+         |  SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1),
+         |ret AS (
+         |  SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+         |    COUNT(*)::BIGINT AS n_users
+         |  FROM wk w JOIN cohort c USING (user_id) GROUP BY 1, 2),
+         |sz AS (
+         |  SELECT cohort_week, n_users AS cohort_size FROM ret
+         |  WHERE week_offset = 0)
+         |SELECT r.cohort_week, r.week_offset, r.n_users, s.cohort_size,
+         |  ${R6("CAST(r.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)")} AS retention_micro
+         |FROM ret r JOIN sz s USING (cohort_week)""".stripMargin,
 
     // range join: sessions rebuilt by the gaps-and-islands twin (clicks
     // only, 12h gap), then the NAIVE non-equi containment join — the
