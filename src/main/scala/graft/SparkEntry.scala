@@ -3364,8 +3364,48 @@ object SparkEntry {
           "text")
         .select(col("doc_id"), col("n_tokens"),
           r6(col("mean_nll")).as("mean_nll_micro"))
+    }),
+
+    // --- LLM ops: sliding-window RAG chunking — overlapping fixed
+    //     token windows (window=32, stride=24 -> 8 tokens of shared
+    //     context); ZERO shuffles, the whole operator is row-local
+    //     (Chunking.slidingChunks scaladoc) ---
+    "q_rag_chunks" -> ((s, dir) => {
+      Chunking.slidingChunks(Tables.documents(s, dir), "doc_id", "text",
+          window = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("chunk_md5"))
+    }),
+
+    // --- LLM ops: character-entropy quality signal — gibberish /
+    //     degenerate-repetition detector; count-identity form keeps the
+    //     float math to ~1 ulp per distinct char, far under the micro
+    //     rounding ---
+    "q_char_entropy" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        r6(TextFunctions.charEntropy(col("text")))
+          .as("char_entropy_micro"))
+    }),
+
+    // --- LLM ops: keyword-taxonomy routing — broadcast lexicon as
+    //     array literals, row-local hit counts + deterministic argmax
+    //     (ties to the smaller category name); zero shuffles ---
+    "q_taxonomy_tag" -> ((s, dir) => {
+      Taxonomy.tagCategories(Tables.documents(s, dir), "doc_id", "text",
+        taxonomyLexicon)
     })
   )
+
+  /** Shared lexicon of the q_taxonomy_tag gate — ONE constant feeds both
+    * the Spark face and the SQL twin, so the two sides cannot drift.
+    * Categories are alphabetical; the oracle's CASE chain encodes the
+    * same ties-to-smaller-name rule only because of that ordering. */
+  private val taxonomyLexicon: Seq[(String, Seq[String])] = Seq(
+    "compute" -> Seq("agg", "filter", "group", "hash", "join", "merge",
+      "query", "scan", "sort", "window"),
+    "data" -> Seq("batch", "column", "customer", "data", "key", "line",
+      "part", "row", "stream", "table", "value", "vector"),
+    "perf" -> Seq("big", "dup", "fast", "slow", "small"))
 
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     // the streaming replay faces are gated against the SAME oracle as
@@ -6702,6 +6742,69 @@ object SparkEntry {
          |SELECT doc_id, COUNT(*) AS n_tokens,
          |  ${R6("CAST(SUM(CAST(nll AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)")}
          |    AS mean_nll_micro
-         |FROM sc GROUP BY 1""".stripMargin
+         |FROM sc GROUP BY 1""".stripMargin,
+
+    // sliding-window chunking: chunk i covers tokens
+    // [i*24, i*24 + 32); last chunk index = ceil((n-32)/24) via
+    // integer arithmetic; list_slice clamps at the end like slice
+    "q_rag_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |c AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(generate_series(0, CASE WHEN n <= 32 THEN 0
+         |      ELSE (n - 32 + 23) // 24 END)) AS chunk_idx
+         |  FROM n)
+         |SELECT doc_id, chunk_idx,
+         |  LEAST(32, n - chunk_idx * 24) AS n_tokens,
+         |  md5(array_to_string(
+         |    list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32),
+         |    ' ')) AS chunk_md5
+         |FROM c""".stripMargin,
+
+    // character entropy via the count identity H = ln n - sum(c ln c)/n
+    "q_char_entropy" ->
+      s"""WITH cs AS (
+         |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM cs GROUP BY 1, 2),
+         |h AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n,
+         |    SUM(c * ln(c)) AS st
+         |  FROM cnt GROUP BY 1)
+         |SELECT doc_id, ${R6("ln(n) - st / n")} AS char_entropy_micro
+         |FROM h""".stripMargin,
+
+    // taxonomy routing: built from the SAME taxonomyLexicon constant as
+    // the Spark face; the CASE chain is the ties-to-smaller-name argmax
+    // because the categories are listed alphabetically
+    "q_taxonomy_tag" -> {
+      def kws(cat: String): String = taxonomyLexicon.toMap.apply(cat)
+        .map(k => s"'$k'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS lt
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    len(list_filter(lt, x -> list_contains(${kws("compute")},
+         |      x))) AS cnt_compute,
+         |    len(list_filter(lt, x -> list_contains(${kws("data")},
+         |      x))) AS cnt_data,
+         |    len(list_filter(lt, x -> list_contains(${kws("perf")},
+         |      x))) AS cnt_perf
+         |  FROM t)
+         |SELECT doc_id, cnt_compute, cnt_data, cnt_perf,
+         |  CASE
+         |    WHEN cnt_compute = 0 AND cnt_data = 0 AND cnt_perf = 0
+         |      THEN 'none'
+         |    WHEN cnt_compute >= cnt_data AND cnt_compute >= cnt_perf
+         |      THEN 'compute'
+         |    WHEN cnt_data >= cnt_perf THEN 'data'
+         |    ELSE 'perf' END AS top_category
+         |FROM c""".stripMargin
+    }
   )
 }

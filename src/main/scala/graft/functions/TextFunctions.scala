@@ -144,6 +144,32 @@ object TextFunctions {
     element_at(perDoc, 1).as(s"dup_${n}gram_char_frac")
   }
 
+  /** Shannon entropy (nats) of the character distribution — the classic
+    * gibberish / degenerate-text detector (binary blobs and key-mash
+    * score high; single-char repetition scores ~0; natural language
+    * sits in a narrow band, so both tails are filter targets). Uses the
+    * count identity `H = ln n - (sum_c n_c ln n_c) / n` so only per-char
+    * COUNTS enter the float math — counts are integers, identical in
+    * any engine, and the residual ln/ordering noise is ~1 ulp per term,
+    * far below the micro-rounding the gate applies. Empty docs -> 0.
+    * Per-row cost O(distinct chars x doc length), bounded by doc
+    * length, never corpus size; row-local, zero shuffles. */
+  def charEntropy(text: Column): Column = {
+    val chars = filter(split(text, ""), c => length(c) > 0)
+    val perDoc = transform(array(chars), cs =>
+      when(size(cs) > 0, {
+        val n = size(cs).cast("double")
+        val sumTerm = aggregate(
+          transform(array_distinct(cs), c => {
+            val cnt = size(filter(cs, x => x === c)).cast("double")
+            cnt * log(cnt)
+          }),
+          lit(0.0), (acc, x) => acc + x)
+        log(n) - sumTerm / n
+      }).otherwise(lit(0.0)))
+    element_at(perDoc, 1).as("char_entropy")
+  }
+
   /** Training-corpus scrubbing: replace every match of `pattern` with a
     * tag (PII/boilerplate redaction — emails, URLs, IDs). Global replace,
     * codegen'd `regexp_replace`; patterns should stay within the

@@ -58,4 +58,48 @@ object Chunking {
             s => s.getField("__tok")), " ").as("chunk_text"))
       .withColumn("chunk_md5", md5(col("chunk_text")))
   }
+
+  /** Fixed-size sliding-window chunking with overlap — the RAG splitter:
+    * chunk `i` covers tokens `[i*stride, i*stride + window)`, so
+    * consecutive chunks share `window - stride` tokens of context.
+    * Complements [[cdcChunks]]: content-defined cuts give edit
+    * stability, overlapping fixed windows give retrieval recall (a
+    * passage that straddles one cut is whole in the neighbouring
+    * chunk).
+    *
+    * Chunk count is `1 + ceil(max(0, n - window) / stride)` — every
+    * token is covered, every chunk contributes at least one new token,
+    * and the last chunk may be short (it is NOT back-shifted: a
+    * back-shifted tail would duplicate `window - (n mod stride)` tokens
+    * verbatim, which downstream exact-dedup would then delete).
+    *
+    * Scale shape: ZERO shuffles — tokens, chunk count, and each slice
+    * are all row-local (`sequence` + `explode` + `slice`), so the
+    * operator rides whatever partitioning the scan already has. Output
+    * rows = input tokens / stride, bounded by the corpus token count.
+    */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window=$window], got $stride")
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    // last chunk index: 0 when the doc fits in one window, else
+    // ceil((n - window) / stride) via integer arithmetic
+    val lastIdx = when(col("__n") <= window, lit(0)).otherwise(
+      floor((col("__n") - lit(window) + lit(stride) - lit(1)) /
+        lit(stride.toDouble)).cast("int"))
+    val start = col("chunk_idx") * lit(stride) // 0-based token offset
+    toks
+      .withColumn("chunk_idx", explode(sequence(lit(0), lastIdx)))
+      .withColumn("n_tokens",
+        least(lit(window), col("__n") - start).cast("int"))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"), start + lit(1), lit(window)), " "))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
+      .select(col(idCol), col("chunk_idx"), col("n_tokens"),
+        col("chunk_text"), col("chunk_md5"))
+  }
 }
