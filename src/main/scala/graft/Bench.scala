@@ -51,18 +51,31 @@ object Bench {
     // cost (noise only ever ADDS time)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
-    val results = queries.map { case (name, fn) =>
-      val dt = (1 to reps).map { _ =>
+    // a crashed rep must NOT contribute its time-to-throw as a measurement
+    // (round 10: 57 broken queries recorded ~0.05 s each and the bench
+    // read as if they ran) — failed queries are reported separately and
+    // loudly, never as times
+    var errors = Map.empty[String, String]
+    val results = queries.flatMap { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors += name -> e.toString.linesIterator.next().take(200)
+            false
+          }
         val d = (System.nanoTime() - t0) / 1e9
         // outside the timer: a query's own persist cost is measured above,
         // but its cached blocks must not degrade the NEXT run (round-2
         // bench showed cross-query GC pressure inflating unrelated queries)
         spark.sharedState.cacheManager.clearCache()
-        d
-      }.min
-      name -> dt
+        if (ok) Some(d) else None
+      }
+      times.reduceOption(_ min _).map(name -> _)
+    }
+    errors.toSeq.sortBy(_._1).foreach { case (n, e) =>
+      System.err.println(s"[bench] FAILED $n: $e")
     }
     def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -75,8 +88,16 @@ object Bench {
     val env = s""""reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${Runtime.getRuntime.maxMemory() / (1 << 30)}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, e) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},$env,"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${errors.size},$env,"queries":$full,"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
 
@@ -88,7 +109,7 @@ object Bench {
     // until the budget is spent; the full breakdown is in bench_full.json.
     val budget = 1600
     val header =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${errors.size},"queries":"""
     val footer = s""","sf":"$sfDir"}"""
     val slowestFirst = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val fixed = header.length + footer.length + 2 // braces of "queries"

@@ -576,8 +576,7 @@ object SparkEntry {
     * floor/ceil at ≥1µs steps is unaffected (edges are multiples of 1000ns).
     */
   private def eventsNs(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+    Tables.tsToNs(Tables.events(s, dir))
       .withColumnRenamed("ts", "ts_ns")
   /** DuckDB twin of [[eventsNs]]. */
   private val EventsNs =
@@ -706,16 +705,15 @@ object SparkEntry {
     //     sink — hash-matched against q_a1_oi's batch oracle. The gate
     //     that promotes the stream==batch spec pattern to the driver ---
     "q_stream_oi" -> ((s, dir) => {
-      // batch loader first: sets nanosAsLong so the streaming schema
-      // matches the batch read (ts as LONG epoch-nanos)
+      // batch loader first: resolves the on-disk ts layout (legacy LONG
+      // epoch-ns or TIMESTAMP micros) so the streaming schema matches
       val schema = Tables.events(s, dir).schema
       // the streaming file source wants a directory: scan the sf dir,
       // glob-filtered to the events table file
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-      val ev = stream
-        .withColumn("ts_ns", col("ts") - pmod(col("ts"), lit(1000L)))
+      val ev = Tables.tsToNs(stream).withColumnRenamed("ts", "ts_ns")
         .withColumn("bin_ns", TimeBins.ceilNs(col("ts_ns"), H))
       val oi = Imbalance.orderImbalance(ev, Seq(col("bin_ns")),
           side(col("event_type")), col("value"))
@@ -765,8 +763,7 @@ object SparkEntry {
       val schema = Tables.events(s, dir).schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = stream
-        .withColumn("ts_ns", col("ts") - pmod(col("ts"), lit(1000L)))
+      val ev = Tables.tsToNs(stream).withColumnRenamed("ts", "ts_ns")
         .withColumn("event_time",
           timestamp_micros((col("ts_ns") / 1000L).cast("long")))
       val sess = ev

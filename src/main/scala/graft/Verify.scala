@@ -27,14 +27,31 @@ object Verify {
     }
     val queries = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    var failed = List.empty[String]
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a crashed query must appear in the driver's compare as a LOUD
+        // failure, not vanish (round 10: 57 crashers were silently absent
+        // from CORRECTNESS). Dump a one-row error frame — its schema can
+        // never match any oracle, so the compare records a visible
+        // mismatch carrying the message.
+        failed ::= name
+        val msg = Option(e.toString).getOrElse("unknown error").take(500)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("__graft_query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // drop blocks a query persisted so 59 queries' caches don't stack
       spark.sharedState.cacheManager.clearCache()
+    }
+    if (failed.nonEmpty) {
+      println(s"[verify] ${failed.size}/${queries.size} queries FAILED: " +
+        failed.sorted.mkString(", "))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

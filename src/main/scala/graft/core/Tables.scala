@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver TESTDATA star schema (TESTDATA.md).
   *
@@ -16,13 +18,37 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    // unless read as LongType epoch-nanos. Reading nanos as Long is also
-    // the right call for correctness: epoch-nanos (~1.7e18) exceed
-    // Double's 2^53 exact range, and truncating to micros would lose the
-    // sub-microsecond order the as-of/window operators depend on.
+    // Historically events.ts was parquet TIMESTAMP(NANOS), which Spark's
+    // reader rejects unless read as LongType epoch-nanos (and epoch-nanos
+    // ~1.7e18 exceed Double's 2^53, so Long is also the correct carrier).
+    // Current testdata writes TIMESTAMP(MICROS); nanosAsLong is a no-op
+    // there and stays set only for legacy NANOS layouts. Consumers must
+    // normalize through [[tsToNs]] rather than assume either layout.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Normalize an events frame's `ts` column — either legacy epoch-ns
+    * LONG (parquet TIMESTAMP(NANOS) read via nanosAsLong) or a
+    * TIMESTAMP/TIMESTAMP_NTZ micros column (current testdata layout) —
+    * to epoch-ns LONG truncated to whole microseconds. Truncation keeps
+    * both layouts bit-identical to the DuckDB oracle's
+    * `(epoch_ns(ts) // 1000) * 1000` (DuckDB reads NANOS parquet at µs
+    * precision, so sub-µs nanos exist only on the legacy Spark side).
+    * NTZ wall-clock is interpreted in the session time zone, which every
+    * entrypoint pins to UTC — matching DuckDB's naive-as-UTC epoch_ns.
+    * Works on batch and streaming frames alike (pure projection).
+    */
+  def tsToNs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+    case TimestampType | TimestampNTZType =>
+      df.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    case other =>
+      throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; expected LONG epoch-ns " +
+          "or TIMESTAMP/TIMESTAMP_NTZ micros")
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
