@@ -3018,6 +3018,37 @@ object SparkEntry {
         .select(col("event_id"), r6(col("value_w")).as("value_w_micro"))
     }),
 
+    // --- robust outlier tagging: per-type median/MAD modified z —
+    //     the heavy-tail-safe scrub (two grouped aggs + broadcast
+    //     stats joins; flag is a single-multiply bit-portable cut) ---
+    "q_mad_outliers" -> ((s, dir) => {
+      Quantiles.madOutliers(eventsNs(s, dir), Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"),
+          r6(col("group_median")).as("med_micro"),
+          r6(col("group_mad")).as("mad_micro"),
+          r6(col("robust_z")).as("robust_z_micro"),
+          col("is_outlier"))
+    }),
+
+    // --- graph: PageRank over the customer<->supplier trade graph
+    //     (who-trades-with-whom importance). Integer pico-grid power
+    //     iteration — every step LONG-exact, so the DuckDB twin replays
+    //     the same 5 iterations bit-for-bit ---
+    "q_pagerank" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      // disjoint node spaces: customers on even ids, suppliers on odd
+      val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      val edges = fwd.union(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .select(col("node"), col("rank_pico"))
+    }),
+
     // --- W4+W5 composition: trailing top-performer selection
     //     (ClOp_analysis.ipynb cells 8-10 shape: top-N by trailing PnL,
     //     exclusive window — no lookahead) ---
@@ -3394,9 +3425,10 @@ object SparkEntry {
   )
 
   /** Shared lexicon of the q_taxonomy_tag gate — ONE constant feeds both
-    * the Spark face and the SQL twin, so the two sides cannot drift.
-    * Categories are alphabetical; the oracle's CASE chain encodes the
-    * same ties-to-smaller-name rule only because of that ordering. */
+    * the Spark face and the SQL twin (cnt columns + CASE chain are
+    * generated from it), so the two sides cannot drift. Categories must
+    * stay alphabetical — the generated ties-to-smaller-name CASE chain
+    * depends on it and the oracle builder enforces it. */
   private val taxonomyLexicon: Seq[(String, Seq[String])] = Seq(
     "compute" -> Seq("agg", "filter", "group", "hash", "join", "merge",
       "query", "scan", "sort", "window"),
@@ -5494,6 +5526,61 @@ object SparkEntry {
          |  ${R6("LEAST(GREATEST(value, lo), hi)")} AS value_w_micro
          |FROM e, b""".stripMargin,
 
+    // median/MAD outliers: same single-multiply threshold constant as
+    // the Spark face (3.5 / 0.6745 precomputed in ONE double), so the
+    // flag decision is bit-identical cross-engine
+    "q_mad_outliers" ->
+      s"""WITH e AS ($EventsNs),
+         |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+         |  FROM e GROUP BY 1),
+         |d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+         |    abs(e.value - m.med) AS ad
+         |  FROM e JOIN m USING (event_type)),
+         |s AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+         |  FROM d GROUP BY 1)
+         |SELECT d.event_id, d.event_type,
+         |  ${R6("d.med")} AS med_micro,
+         |  ${R6("s.mad")} AS mad_micro,
+         |  ${R6("CASE WHEN s.mad > 0.0 THEN 0.6745 * (d.value - d.med) / s.mad END")} AS robust_z_micro,
+         |  d.ad > ${3.5 / 0.6745} * s.mad AS is_outlier
+         |FROM d JOIN s USING (event_type)""".stripMargin,
+
+    // PageRank: the SAME integer pico-grid power iteration, unrolled —
+    // BIGINT `//` everywhere (SUMs cast back from HUGEINT), so every
+    // iteration is bit-identical to the engine's LONG arithmetic
+    "q_pagerank" -> {
+      val iters = 5
+      val pico = graft.operators.Graph.Pico
+      val base = s"($pico - $pico * 85 // 100) // (SELECT n FROM nn)"
+      val iterCtes = (1 to iters).map { i =>
+        val p = i - 1
+        s"""d$i AS (SELECT COALESCE(CAST(SUM(r) AS BIGINT), 0) AS dang
+           |  FROM r$p WHERE node NOT IN (SELECT src FROM od)),
+           |in$i AS (SELECT e.dst AS node,
+           |    CAST(SUM(r.r // od.outdeg) AS BIGINT) AS ins
+           |  FROM e JOIN od USING (src) JOIN r$p r ON r.node = e.src
+           |  GROUP BY 1),
+           |r$i AS (SELECT nd.node, $base
+           |    + 85 * (COALESCE(i.ins, 0)
+           |      + (SELECT dang FROM d$i) // (SELECT n FROM nn)) // 100
+           |    AS r
+           |  FROM nodes nd LEFT JOIN in$i i USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH er AS (
+         |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM er
+         |  UNION ALL SELECT dst AS src, src AS dst FROM er)),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, $pico // (SELECT n FROM nn) AS r FROM nodes),
+         |$iterCtes
+         |SELECT node, r AS rank_pico FROM r$iters""".stripMargin
+    },
+
     "q_trailing_topk" ->
       s"""WITH e AS ($EventsNs),
          |daily AS (SELECT user_id, ts_ns // ${DAY} AS day,
@@ -6774,33 +6861,44 @@ object SparkEntry {
          |SELECT doc_id, ${R6("ln(n) - st / n")} AS char_entropy_micro
          |FROM h""".stripMargin,
 
-    // taxonomy routing: built from the SAME taxonomyLexicon constant as
-    // the Spark face; the CASE chain is the ties-to-smaller-name argmax
-    // because the categories are listed alphabetically
+    // taxonomy routing: cnt columns AND the ties-to-smaller-name CASE
+    // chain are GENERATED from the same taxonomyLexicon constant as the
+    // Spark face, so adding/renaming/reordering a category cannot drift
+    // the two sides. The chain encodes the argmax only under sorted
+    // names, so that invariant is enforced here rather than assumed.
     "q_taxonomy_tag" -> {
-      def kws(cat: String): String = taxonomyLexicon.toMap.apply(cat)
-        .map(k => s"'$k'").mkString("[", ", ", "]")
+      val cats = taxonomyLexicon.map(_._1)
+      require(cats == cats.sorted,
+        s"taxonomyLexicon categories must be sorted (ties-to-smaller-" +
+          s"name CASE chain depends on it): $cats")
+      def kws(ks: Seq[String]): String =
+        ks.map(k => "'" + k.replace("'", "''") + "'")
+          .mkString("[", ", ", "]")
+      val cntDefs = taxonomyLexicon.map { case (cat, ks) =>
+        s"    COALESCE(len(list_filter(lt, x -> list_contains(${kws(ks)},\n" +
+          s"      x))), 0) AS cnt_$cat"
+      }.mkString(",\n")
+      val allZero = cats.map(c => s"cnt_$c = 0").mkString(" AND ")
+      // WHEN cnt_i >= every later cnt THEN cat_i — first hit wins, so
+      // within ties the alphabetically smaller (earlier) name is chosen
+      val chain = cats.init.zipWithIndex.map { case (c, i) =>
+        val beats = cats.drop(i + 1).map(o => s"cnt_$c >= cnt_$o")
+          .mkString(" AND ")
+        s"    WHEN $beats THEN '$c'"
+      }.mkString("\n")
       s"""WITH t AS (
          |  SELECT doc_id,
          |    string_split_regex(trim(lower(text)), '\\s+') AS lt
          |  FROM documents),
          |c AS (
          |  SELECT doc_id,
-         |    len(list_filter(lt, x -> list_contains(${kws("compute")},
-         |      x))) AS cnt_compute,
-         |    len(list_filter(lt, x -> list_contains(${kws("data")},
-         |      x))) AS cnt_data,
-         |    len(list_filter(lt, x -> list_contains(${kws("perf")},
-         |      x))) AS cnt_perf
+         |$cntDefs
          |  FROM t)
-         |SELECT doc_id, cnt_compute, cnt_data, cnt_perf,
+         |SELECT doc_id, ${cats.map(c => s"cnt_$c").mkString(", ")},
          |  CASE
-         |    WHEN cnt_compute = 0 AND cnt_data = 0 AND cnt_perf = 0
-         |      THEN 'none'
-         |    WHEN cnt_compute >= cnt_data AND cnt_compute >= cnt_perf
-         |      THEN 'compute'
-         |    WHEN cnt_data >= cnt_perf THEN 'data'
-         |    ELSE 'perf' END AS top_category
+         |    WHEN $allZero THEN 'none'
+         |$chain
+         |    ELSE '${cats.last}' END AS top_category
          |FROM c""".stripMargin
     }
   )

@@ -153,18 +153,34 @@ object TextFunctions {
     * any engine, and the residual ln/ordering noise is ~1 ulp per term,
     * far below the micro-rounding the gate applies. Empty docs -> 0.
     * Per-row cost O(distinct chars x doc length), bounded by doc
-    * length, never corpus size; row-local, zero shuffles. */
+    * length × log(doc length) (one in-row sort) plus one linear
+    * run-length fold — NOT O(distinct chars × doc length); row-local,
+    * zero shuffles. */
   def charEntropy(text: Column): Column = {
-    val chars = filter(split(text, ""), c => length(c) > 0)
+    // sort once, then a single aggregate pass accumulates run lengths:
+    // state = (prev char, current run, Σ run·ln(run) so far); the finish
+    // lambda flushes the last run. The transform(array(..)) wrapper binds
+    // the sorted array to ONE evaluation (HOF lambdas re-evaluate
+    // referenced expressions otherwise).
+    val chars = array_sort(filter(split(text, ""), c => length(c) > 0))
+    def runTerm(r: Column): Column =
+      when(r > 0, r.cast("double") * log(r.cast("double")))
+        .otherwise(lit(0.0))
     val perDoc = transform(array(chars), cs =>
       when(size(cs) > 0, {
         val n = size(cs).cast("double")
-        val sumTerm = aggregate(
-          transform(array_distinct(cs), c => {
-            val cnt = size(filter(cs, x => x === c)).cast("double")
-            cnt * log(cnt)
-          }),
-          lit(0.0), (acc, x) => acc + x)
+        val st0 = struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0.0).as("acc"))
+        val sumTerm = aggregate(cs, st0,
+          (st, c) => when(c === st.getField("prev"),
+              struct(c.as("prev"),
+                (st.getField("run") + 1L).as("run"),
+                st.getField("acc").as("acc")))
+            .otherwise(
+              struct(c.as("prev"), lit(1L).as("run"),
+                (st.getField("acc") + runTerm(st.getField("run")))
+                  .as("acc"))),
+          st => st.getField("acc") + runTerm(st.getField("run")))
         log(n) - sumTerm / n
       }).otherwise(lit(0.0)))
     element_at(perDoc, 1).as("char_entropy")

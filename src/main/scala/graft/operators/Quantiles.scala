@@ -223,6 +223,56 @@ object Quantiles {
       .drop("__mn", "__mx", "__n", "__bkt", "__rk", "__off")
   }
 
+  /** Robust per-group outlier tagging: median/MAD (median absolute
+    * deviation), the heavy-tail-safe alternative to mean/stddev z-scores
+    * — a single fat-finger print can inflate a stddev cut past every
+    * real outlier, while the median/MAD pair has a 50% breakdown point.
+    * Flags rows whose |modified z| = 0.6745·|x − med| / MAD exceeds `k`
+    * (Iglewicz–Hoaglin's recommended k = 3.5), and emits the signed
+    * `robust_z` itself.
+    *
+    * Two grouped aggregations (median, then MAD of the deviations) +
+    * two broadcast joins of the O(groups)-row stats frames — the scan
+    * is read twice, nothing group-wide is ever windowed. Exact grouped
+    * `percentile` buffers per-group values (fine for bounded groups —
+    * same contract as [[bandFilter]]'s grouped path); pass
+    * `approx = true` for corpus-sized groups (constant-memory KLL-style
+    * sketch, flag decisions then carry its rank-error epsilon).
+    *
+    * Engine parity: the flag compares |x − med| against ONE precomputed
+    * threshold factor times MAD (a single correctly-rounded multiply),
+    * so the decision is bit-portable; `robust_z` is a division and is
+    * expected to be micro-rounded by callers that gate on it. An
+    * all-equal group has MAD 0: every row off the median flags, and
+    * robust_z is NULL (no finite scale exists). */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Double = 3.5, approx: Boolean = false,
+                  accuracy: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "madOutliers needs group columns")
+    require(k > 0, s"k must be positive, got $k")
+    val pct = if (approx) s"approx_percentile(%s, 0.5, $accuracy)"
+              else "percentile(%s, 0.5)"
+    val gCols = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(gCols: _*)
+      .agg(expr(pct.format(valueCol)).as("__med"))
+    val withMed = df.join(broadcast(med), groupCols)
+      .withColumn("__ad", abs(v - col("__med")))
+    val mad = withMed.groupBy(gCols: _*)
+      .agg(expr(pct.format("__ad")).as("__mad"))
+    // 0.6745 ~ Phi^-1(0.75): |x-med|/MAD in "equivalent sigmas"
+    val thresholdFactor = k / 0.6745
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("robust_z",
+        when(col("__mad") > 0.0,
+          lit(0.6745) * (v - col("__med")) / col("__mad")))
+      .withColumn("is_outlier",
+        col("__ad") > lit(thresholdFactor) * col("__mad"))
+      .drop("__ad")
+      .withColumnRenamed("__med", "group_median")
+      .withColumnRenamed("__mad", "group_mad")
+  }
+
   def bandFilter(df: DataFrame, valueCol: String, lo: Double, hi: Double,
                  by: Seq[String] = Nil, approx: Boolean = false,
                  accuracy: Int = 10000): DataFrame = {

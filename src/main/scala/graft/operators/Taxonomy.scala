@@ -33,8 +33,11 @@ object Taxonomy {
       s"category names must be unique: ${categories.map(_._1)}")
     require(categories.forall(_._2.nonEmpty), "every category needs keywords")
     val ltoks = TextFunctions.tokens(lower(col(textCol)))
+    // coalesce: a NULL text must count 0 and route to 'none', not leak
+    // NULL counts into the argmax struct sort
     val cntCols = categories.map { case (cat, kws) =>
-      size(filter(ltoks, t => t.isin(kws: _*))).as(s"cnt_$cat")
+      coalesce(size(filter(ltoks, t => t.isin(kws: _*))), lit(0))
+        .as(s"cnt_$cat")
     }
     val counted = docs.select(col(idCol) +: cntCols: _*)
     val maxCnt = categories.map(c => col(s"cnt_${c._1}"))

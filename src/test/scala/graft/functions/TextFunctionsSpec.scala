@@ -295,4 +295,42 @@ class TextFunctionsSpec extends SparkSpec {
     // fewer than 2 distinct stopwords
     assert(!gopherOf("cats dogs birds fish mice run")("stops_ok"))
   }
+
+  // ---- charEntropy ----
+
+  private def entropyOf(t: String): Double =
+    doc(t).select(TextFunctions.charEntropy(col("text")))
+      .collect()(0).getDouble(0)
+
+  private def referenceEntropy(t: String): Double = {
+    val cs = t.toCharArray.filter(_ => true).map(_.toString)
+    val n = cs.length.toDouble
+    val st = cs.groupBy(identity).values
+      .map(g => g.length.toDouble * math.log(g.length)).sum
+    math.log(n) - st / n
+  }
+
+  test("charEntropy matches a driver-side count-identity reference") {
+    for (t <- Seq("aabbcc", "hello world", "abcabcabcx",
+        "the quick brown fox")) {
+      assert(approx(entropyOf(t), referenceEntropy(t), 1e-9), t)
+    }
+  }
+
+  test("charEntropy: single-char repetition is 0, uniform k-symbol " +
+    "text is ln k, empty and NULL are 0") {
+    // ln n - (k·ln k)/n leaves ~1 ulp residue even for a single run
+    assert(approx(entropyOf("aaaaaa"), 0.0, 1e-12))
+    assert(approx(entropyOf("abcd"), math.log(4.0), 1e-12))
+    assert(entropyOf("") == 0.0)
+    assert(df("text STRING", Row(null))
+      .select(TextFunctions.charEntropy(col("text")))
+      .collect()(0).getDouble(0) == 0.0)
+  }
+
+  test("charEntropy: non-ASCII chars count as distinct symbols") {
+    // 2 distinct cyrillic chars, uniform -> ln 2
+    assert(approx(entropyOf("дадада".filter(_ != 'а') + "ддд"), 0.0, 1e-12))
+    assert(approx(entropyOf("дя"), math.log(2.0), 1e-12))
+  }
 }

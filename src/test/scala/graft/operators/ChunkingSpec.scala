@@ -108,4 +108,54 @@ class ChunkingSpec extends SparkSpec {
       Chunking.cdcChunks(d, "doc_id", "text", "XYZ")
     }
   }
+
+  // ---- slidingChunks (RAG windowing) ----
+
+  private def sliding(text: String, window: Int, stride: Int)
+      : Seq[(Long, Int, String)] =
+    Chunking.slidingChunks(
+        df("doc_id BIGINT, text STRING", Row(1L, text)),
+        "doc_id", "text", window, stride)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(1).toLong, r.getInt(2), r.getString(3))).toSeq
+
+  test("slidingChunks matches a driver-side reference window walk " +
+    "(overlap, ragged tail)") {
+    val toks = (1 to 11).map(i => s"t$i")
+    val got = sliding(toks.mkString(" "), window = 4, stride = 3)
+    // reference: starts 0,3,6,9 — last start covers token 10 (ragged 2)
+    val exp = Seq(0, 3, 6, 9).zipWithIndex.map { case (st, i) =>
+      val w = toks.slice(st, st + 4)
+      (i.toLong, w.length, w.mkString(" "))
+    }
+    assert(got == exp)
+  }
+
+  test("slidingChunks boundary counts: n == window gives one full " +
+    "chunk; n == window+1 gives two") {
+    assert(sliding((1 to 4).map("t" + _).mkString(" "), 4, 2) ==
+      Seq((0L, 4, "t1 t2 t3 t4")))
+    val two = sliding((1 to 5).map("t" + _).mkString(" "), 4, 2)
+    assert(two == Seq((0L, 4, "t1 t2 t3 t4"), (1L, 3, "t3 t4 t5")))
+  }
+
+  test("slidingChunks: stride == window tiles without overlap and " +
+    "covers every token exactly once") {
+    val got = sliding((1 to 10).map("t" + _).mkString(" "), 5, 5)
+    assert(got.map(_._3).mkString(" ") == (1 to 10).map("t" + _)
+      .mkString(" "))
+    assert(got.map(_._2) == Seq(5, 5))
+  }
+
+  test("slidingChunks: NULL text yields zero chunks; stride bounds " +
+    "are enforced") {
+    val d = df("doc_id BIGINT, text STRING", Row(1L, null))
+    assert(Chunking.slidingChunks(d, "doc_id", "text", 4, 2).count() == 0)
+    intercept[IllegalArgumentException] {
+      Chunking.slidingChunks(d, "doc_id", "text", 4, 5) // stride > window
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.slidingChunks(d, "doc_id", "text", 0, 1)
+    }
+  }
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+
+  /** Driver-side reference: the same integer power iteration. */
+  private def refPageRank(edges: Seq[(Long, Long)], iterations: Int,
+                          dampingPct: Long = 85L): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val out = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = (Graph.Pico - Graph.Pico * dampingPct / 100L) / n
+    var r = nodes.map(_ -> Graph.Pico / n).toMap
+    for (_ <- 0 until iterations) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val dangShare = dangling / n
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      r = nodes.map(v => v ->
+        (base + dampingPct * (in.getOrElse(v, 0L) + dangShare) / 100L))
+        .toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iterations: Int)
+      : Map[Long, Long] =
+    Graph.pageRank(
+        df("src BIGINT, dst BIGINT",
+          edges.map(p => Row(p._1, p._2)): _*),
+        "src", "dst", iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank matches the driver-side integer reference exactly " +
+    "(cycle + hub + dangling sink, duplicate edges collapsed)") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),       // cycle
+      (1L, 4L), (2L, 4L), (3L, 4L),       // hub in-links
+      (4L, 5L),                           // 5 is a dangling sink
+      (1L, 2L))                           // duplicate must collapse
+    for (iters <- Seq(0, 1, 3, 10)) {
+      assert(run(edges, iters) == refPageRank(edges, iters),
+        s"iterations=$iters")
+    }
+  }
+
+  test("pageRank: the hub of a star out-ranks the spokes; total mass " +
+    "is conserved up to bounded floor leak") {
+    val spokes = (2L to 9L)
+    val edges = spokes.flatMap(s => Seq((s, 1L), (1L, s)))
+    val got = run(edges, 10)
+    assert(spokes.forall(s => got(1L) > got(s)))
+    val total = got.values.sum
+    // each division floors away < 1 pico-unit; per iteration the leak is
+    // bounded by edges + nodes + 2 (dangling + damping floors)
+    val bound = 10L * (edges.distinct.size + got.size + 2)
+    assert(total <= Graph.Pico && total >= Graph.Pico - bound,
+      s"mass $total outside [${Graph.Pico - bound}, ${Graph.Pico}]")
+  }
+
+  test("pageRank: all-dangling graph (no second-hop edges) keeps " +
+    "uniform ranks; degenerate inputs rejected") {
+    // 1->2, 3->4: sources never receive, sinks only receive — symmetric
+    val got = run(Seq((1L, 2L), (3L, 4L)), 5)
+    assert(got(1L) == got(3L) && got(2L) == got(4L))
+    assert(got(2L) > got(1L))
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df("src BIGINT, dst BIGINT", Row(1L, 2L)),
+        "src", "dst", iterations = -1)
+    }
+  }
+}

@@ -161,4 +161,55 @@ class QuantilesSpec extends SparkSpec {
     assert(Set(out(2L), out(4L)) == Set(0.0, 0.2))
     assert(out(7L) == 0.0 && out(9L) == 0.0 && out(10L) == 0.5)
   }
+
+  // ---- madOutliers ----
+
+  private def interpMedian(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val h = (s.length - 1) * 0.5
+    val lo = s(h.toInt); val hi = s(math.ceil(h).toInt)
+    lo + (hi - lo) * (h - h.toInt)
+  }
+
+  test("madOutliers matches a driver-side median/MAD reference and " +
+    "flags only the planted outlier") {
+    val base = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0)
+    val vals = base :+ 1000.0
+    val rows = vals.zipWithIndex.map { case (v, i) => Row(i.toLong, "g", v) }
+    val d = df("id BIGINT, grp STRING, v DOUBLE", rows: _*)
+    val out = Quantiles.madOutliers(d, Seq("grp"), "v")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("group_median"), r.getAs[Double]("group_mad"),
+          r.getAs[Any]("robust_z"), r.getAs[Boolean]("is_outlier"))))
+      .toMap
+    val med = interpMedian(vals)
+    val mad = interpMedian(vals.map(v => math.abs(v - med)))
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val (gmed, gmad, z, flag) = out(i.toLong)
+      assert(gmed == med && gmad == mad)
+      assert(approx(z.asInstanceOf[Double], 0.6745 * (v - med) / mad))
+      assert(flag == (math.abs(v - med) > 3.5 / 0.6745 * mad), s"v=$v")
+    }
+    assert(out.values.count(_._4) == 1)
+    assert(out(9L)._4) // the planted 1000.0
+  }
+
+  test("madOutliers: an all-equal group has MAD 0 — off-median rows " +
+    "flag, robust_z is NULL; groups are independent") {
+    val d = df("id BIGINT, grp STRING, v DOUBLE",
+      Row(1L, "a", 5.0), Row(2L, "a", 5.0), Row(3L, "a", 5.0),
+      Row(4L, "a", 7.0),
+      Row(5L, "b", 1.0), Row(6L, "b", 2.0), Row(7L, "b", 3.0))
+    val out = Quantiles.madOutliers(d, Seq("grp"), "v")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Any]("robust_z"), r.getAs[Boolean]("is_outlier"))))
+      .toMap
+    // group a: median 5, MAD 0 -> only the 7.0 flags, z NULL everywhere
+    assert(out(4L)._2 && !out(1L)._2 && !out(2L)._2 && !out(3L)._2)
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_)._1 == null))
+    // group b: clean spread, nothing flags, z finite
+    assert(Seq(5L, 6L, 7L).forall(id => !out(id)._2 && out(id)._1 != null))
+  }
 }
