@@ -69,7 +69,8 @@ object Sampling {
         transform(sequence(lit(1), length(s)),
           i => ascii(s.substr(i, lit(1)))),
         lit(0L),
-        (h, c) => pmod(h * lit(31L) + c.cast("long"), lit(2147483648L))))
+        (h, c) => (h * lit(31L) + c.cast("long"))
+          .bitwiseAND(lit(2147483647L))))
 
   /** The portable bucket hash in [0, HashRange): the top 20 bits of
     * [[mix31]]. Any long key works: `pmod` keeps the Spark side
@@ -114,9 +115,13 @@ object Sampling {
     * BIGINT arithmetic plus xor(). */
   def mix31(key: Column, seed: Column): Column = {
     val rounds = Seq(2654435761L, 2246822519L, 3266489917L)
-    rounds.foldLeft(pmod(key.cast("long") + seed, lit(2147483648L))) {
+    // mod 2^31 spelled as AND (2^31-1): bit-identical to pmod for any
+    // sign (two's complement), one codegen op instead of mod+correction.
+    // The SQL twins keep the positive-mod form — values agree exactly.
+    def mod31(c: Column): Column = c.bitwiseAND(lit(2147483647L))
+    rounds.foldLeft(mod31(key.cast("long") + seed)) {
       (x, c) =>
-        val y = pmod(shiftright(x * lit(c), 13), lit(2147483648L))
+        val y = mod31(shiftright(x * lit(c), 13))
         y.bitwiseXOR(shiftright(y, 16))
     }
   }

@@ -107,7 +107,8 @@ object HashSignatures {
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      h = (h * 31L + cp) % 2147483648L
+      // mod 2^31 == AND (2^31-1) for any sign: one cycle, no idiv
+      h = (h * 31L + cp) & 2147483647L
       i += Character.charCount(cp)
     }
     h
@@ -121,11 +122,13 @@ object HashSignatures {
     * below 2^63 — bit-identical to the Column form and to the BIGINT
     * SQL twin (DedupSpec pins the Column differential). */
   def mix31(key: Long, seed: Long): Long = {
-    var x = java.lang.Math.floorMod(key + seed, 2147483648L)
+    // floorMod(x, 2^31) == x & (2^31-1) for any sign (two's complement):
+    // the AND form keeps the 3-round loop free of idiv — this kernel
+    // runs k times per shingle in the minhash inner loop
+    var x = (key + seed) & 2147483647L
     var r = 0
     while (r < 3) {
-      val y = java.lang.Math.floorMod((x * Mix31Rounds(r)) >> 13,
-        2147483648L)
+      val y = ((x * Mix31Rounds(r)) >> 13) & 2147483647L
       x = y ^ (y >>> 16)
       r += 1
     }
