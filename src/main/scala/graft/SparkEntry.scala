@@ -1442,6 +1442,15 @@ object SparkEntry {
           col("sum_value"))
     }),
 
+    // --- session path mining: within-session event-type transition
+    //     counts (the funnel table) — one per-key window shuffle +
+    //     one partial-agg count, no (key, session) re-exchange ---
+    "q_session_paths" -> ((s, dir) => {
+      Sessionize.transitions(eventsNs(s, dir), Seq("user_id"), "ts_ns",
+        "event_type", gapNs = 30L * 60 * 1000000000L,
+        tieBreak = "event_id")
+    }),
+
     // --- A-family extension: weekly cohort retention over purchase
     //     activity (Cohorts scaladoc: everything after the first
     //     shuffle runs on the distinct (user, week) activity frame,
@@ -2365,6 +2374,23 @@ object SparkEntry {
         .withColumn("pred",
           when(col("event_id") % 3 === 0, -1L).otherwise(1L))
       graft.ml.DirectionModel.confusionMatrix(preds, "actual", "pred")
+    }),
+
+    // --- M9 extension: calibration/reliability bins. The probe score
+    //     is built on a DYADIC grid (hash/2^20 halved, quarter-weight
+    //     label, eighth offset), so every bin's double sum is exact and
+    //     order-independent — mean_p gates bit-for-bit cross-engine ---
+    "q_calibration" -> ((s, dir) => {
+      val preds = eventsNs(s, dir)
+        .withColumn("label",
+          when(side(col("event_type")) === -1, 1L).otherwise(0L))
+        .withColumn("p",
+          lit(0.5) * Sampling.unitHash(col("event_id"), 7L)
+            + lit(0.25) * col("label").cast("double") + lit(0.125))
+      graft.ml.DirectionModel.calibrationBins(preds, "p", "label")
+        .select(col("bin"), col("n"), col("n_pos"),
+          r6(col("mean_p")).as("mean_p_micro"),
+          r6(col("frac_pos")).as("frac_pos_micro"))
     }),
 
     // --- M13: per-row regression diagnostics (leverage, standardized
@@ -3962,6 +3988,25 @@ object SparkEntry {
          |  ${MoneySum("value")} AS sum_value
          |FROM tagged GROUP BY 1, 2""".stripMargin,
 
+    // session paths: a transition = consecutive per-user events within
+    // the session gap (the same pairs the session rule groups)
+    "q_session_paths" ->
+      s"""WITH e AS ($EventsNs),
+         |nxt AS (
+         |  SELECT event_type,
+         |    LEAD(ts_ns) OVER (PARTITION BY user_id
+         |      ORDER BY ts_ns, event_id) AS next_ts,
+         |    LEAD(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts_ns, event_id) AS next_type,
+         |    ts_ns
+         |  FROM e)
+         |SELECT event_type AS from_step, next_type AS to_step,
+         |  COUNT(*) AS n_transitions
+         |FROM nxt
+         |WHERE next_ts IS NOT NULL
+         |  AND next_ts - ts_ns <= ${30L * 60 * 1000000000L}
+         |GROUP BY 1, 2""".stripMargin,
+
     // weekly purchase retention: the matrix replayed relationally
     "q_retention" ->
       s"""WITH e AS ($EventsNs),
@@ -5166,6 +5211,22 @@ object SparkEntry {
          |  CAST(CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS BIGINT) AS pred,
          |  COUNT(*) AS n
          |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // calibration bins: the dyadic-grid score makes SUM(p) exact in
+    // double, so mean_p matches bit-for-bit without decimal plumbing
+    "q_calibration" ->
+      s"""WITH e AS ($EventsNs),
+         |p AS (
+         |  SELECT CASE WHEN ($Side) = -1 THEN 1 ELSE 0 END AS label,
+         |    0.5 * ((${HashSql("event_id", 7L)}) / 1048576.0)
+         |      + 0.25 * CAST(CASE WHEN ($Side) = -1 THEN 1 ELSE 0 END AS DOUBLE)
+         |      + 0.125 AS p
+         |  FROM e)
+         |SELECT LEAST(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+         |  COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS n_pos,
+         |  ${R6("SUM(p) / COUNT(*)")} AS mean_p_micro,
+         |  ${R6("CAST(SUM(label) AS DOUBLE) / COUNT(*)")} AS frac_pos_micro
+         |FROM p GROUP BY 1""".stripMargin,
 
     "q_m13_diagnostics" ->
       s"""WITH g AS (

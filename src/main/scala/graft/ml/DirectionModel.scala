@@ -131,6 +131,33 @@ object DirectionModel {
         col(predCol).cast(predictions.schema(labelCol).dataType).as(predCol))
       .agg(count(lit(1)).as("n"))
 
+  /** M9 extension: calibration (reliability) table — `nBins` equal-width
+    * bins of the predicted probability vs the empirical positive rate,
+    * the standard "is 0.8 really 80%?" diagnostic behind Platt scaling /
+    * isotonic recalibration decisions. ONE partial-aggregated groupBy to
+    * ≤ nBins rows; p = 1.0 folds into the top bin.
+    *
+    * `mean_p` divides a plain double sum: when the caller's probability
+    * column lives on a dyadic grid (hash-derived scores, quantized model
+    * outputs), every partial sum is exact and the result is
+    * order-independent and engine-portable; for free-form doubles it
+    * carries the usual summation-order ulp noise — micro-round before
+    * gating on it. */
+  def calibrationBins(predictions: DataFrame, probCol: String,
+                      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val p = col(probCol).cast("double")
+    predictions
+      .groupBy(least(floor(p * nBins), lit(nBins - 1L)).cast("long")
+        .as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(p).as("__sum_p"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("__sum_p") / col("n")).as("mean_p"),
+        (col("n_pos").cast("double") / col("n")).as("frac_pos"))
+  }
+
   /** M9: per-class precision / recall / F1 from the confusion counts
     * (sklearn classification_report shape, including its zero conventions:
     * a class never predicted correctly still appears, with precision 0

@@ -28,6 +28,30 @@ object Sessionize {
       .drop("__start")
   }
 
+  /** Session path mining: counts of consecutive `stepCol` transitions
+    * (from → to) within a session — the funnel/journey frequency table
+    * ("view → click → purchase") real product analytics run over event
+    * logs. A transition exists between an event and the NEXT event of
+    * the same key when their gap is ≤ `gapNs` — exactly the pairs that
+    * share a session under [[withSessionId]]'s rule, but computed
+    * WITHOUT materializing session ids: one `lead` over the per-key
+    * window (the same single shuffle sessionization itself pays — no
+    * second exchange on (key, session)), then a partial-aggregated
+    * count to the O(|steps|²) transition frame. */
+  def transitions(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  stepCol: String, gapNs: Long,
+                  tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieBreak))
+    df.withColumn("__next_ts", lead(col(tsCol), 1).over(w))
+      .withColumn("__next_step", lead(col(stepCol), 1).over(w))
+      .filter(col("__next_ts").isNotNull &&
+        col("__next_ts") - col(tsCol) <= gapNs)
+      .groupBy(col(stepCol).as("from_step"),
+        col("__next_step").as("to_step"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Session summary table: one row per (key, session) with bounds,
     * duration, and event count. */
   def sessions(df: DataFrame, keyCols: Seq[String], tsCol: String,

@@ -119,4 +119,25 @@ class DirectionModelSpec extends SparkSpec {
     val probs = preds.select(avg(col("pred_prob"))).collect()(0).getDouble(0)
     assert(probs > 0.05 && probs < 0.95)
   }
+
+  test("calibrationBins: bin edges, top-bin fold, counts, exact means") {
+    val rows = Seq(
+      (0.05, 0L), (0.05, 1L),          // bin 0: frac_pos 0.5
+      (0.10, 0L),                      // exactly on an edge -> bin 1
+      (0.55, 1L), (0.575, 1L),         // bin 5
+      (1.0, 1L))                       // p = 1.0 folds into bin 9
+      .zipWithIndex.map { case ((p, l), i) =>
+        org.apache.spark.sql.Row(i.toLong, p, l) }
+    val d = df("id BIGINT, p DOUBLE, label BIGINT", rows: _*)
+    val out = DirectionModel.calibrationBins(d, "p", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 5L, 9L))
+    assert(out(0L) == ((2L, 1L, 0.05, 0.5)))
+    assert(out(1L) == ((1L, 0L, 0.10, 0.0)))
+    assert(out(5L)._1 == 2L && out(5L)._2 == 2L)
+    assert(approx(out(5L)._3, 0.5625) && out(5L)._4 == 1.0)
+    assert(out(9L) == ((1L, 1L, 1.0, 1.0)))
+  }
 }

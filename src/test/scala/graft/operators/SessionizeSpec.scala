@@ -42,4 +42,50 @@ class SessionizeSpec extends SparkSpec {
     assert(out.filter(col("k") === "a").count() == 2)
     assert(out.filter(col("k") === "b").count() == 1)
   }
+
+  private def evStep(rows: (String, Long, Long, String)*) =
+    df("k STRING, id BIGINT, ts BIGINT, step STRING",
+      rows.map(r => Row(r._1, r._2, r._3, r._4)): _*)
+
+  test("transitions: within-gap consecutive pairs only; session breaks " +
+    "and key boundaries yield no transition") {
+    val d = evStep(
+      ("u", 1L, 0L, "view"), ("u", 2L, 50L, "click"),
+      ("u", 3L, 100L, "view"),
+      ("u", 4L, 300L, "buy"),   // gap 200 > 100: new session, no edge
+      ("u", 5L, 350L, "view"),
+      ("v", 6L, 360L, "click")) // other key: never pairs with u's 350
+    val got = Sessionize.transitions(d, Seq("k"), "ts", "step", 100L, "id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("view", "click") -> 1L, ("click", "view") -> 1L,
+      ("buy", "view") -> 1L))
+  }
+
+  test("transitions equal the withSessionId-based reference (pairs " +
+    "grouped by explicit session ids) on a randomized fixture") {
+    val rnd = new scala.util.Random(7)
+    val steps = Array("a", "b", "c")
+    val rows = (1 to 120).map { i =>
+      (s"u${rnd.nextInt(4)}", i.toLong, rnd.nextInt(2000).toLong,
+        steps(rnd.nextInt(3)))
+    }
+    val d = evStep(rows: _*)
+    val got = Sessionize.transitions(d, Seq("k"), "ts", "step", 150L, "id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // reference: tag sessions, pair consecutive rows inside each session
+    val tagged = Sessionize.withSessionId(d, Seq("k"), "ts", 150L, "id")
+      .select("k", "session_id", "ts", "id", "step").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val ref = tagged.groupBy(t => (t._1, t._2)).values.toSeq.flatMap {
+      sess =>
+        sess.sortBy(t => (t._3, t._4)).toList.sliding(2).collect {
+          case List(a, b) => (a._5, b._5)
+        }
+    }.groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    assert(got == ref)
+  }
 }
