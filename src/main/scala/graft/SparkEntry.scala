@@ -3075,6 +3075,24 @@ object SparkEntry {
         .select(col("node"), col("rank_pico"))
     }),
 
+    // --- graph: exact per-node triangle counts over the REPEAT
+    //     co-purchase part graph (part pairs sharing >= 2 orders — the
+    //     affinity threshold that keeps a uniform-assignment graph from
+    //     going complete, the way a raw co-order graph does here).
+    //     Degree orientation bounds the wedge join at O(m^1.5) total ---
+    "q_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+      Graph.triangleCounts(pairs, "src", "dst")
+    }),
+
     // --- W4+W5 composition: trailing top-performer selection
     //     (ClOp_analysis.ipynb cells 8-10 shape: top-N by trailing PnL,
     //     exclusive window — no lookahead) ---
@@ -5641,6 +5659,27 @@ object SparkEntry {
          |$iterCtes
          |SELECT node, r AS rank_pico FROM r$iters""".stripMargin
     },
+
+    // triangles: exact enumeration over the same repeat-co-purchase
+    // edge set (u < v is already canonical; counts are exact
+    // regardless of enumeration order)
+    "q_triangles" ->
+      s"""WITH e AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |t AS (
+         |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+         |  FROM e e1
+         |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+         |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |c AS (
+         |  SELECT n1 AS node FROM t
+         |  UNION ALL SELECT n2 FROM t
+         |  UNION ALL SELECT n3 FROM t)
+         |SELECT node, COUNT(*) AS n_triangles FROM c GROUP BY 1""".stripMargin,
 
     "q_trailing_topk" ->
       s"""WITH e AS ($EventsNs),

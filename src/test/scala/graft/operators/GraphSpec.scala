@@ -61,6 +61,49 @@ class GraphSpec extends SparkSpec {
       s"mass $total outside [${Graph.Pico - bound}, ${Graph.Pico}]")
   }
 
+  // ---- triangleCounts ----
+
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+    val nodes = und.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val es = und.toSet
+    val tri = for {
+      i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+      if es((i, j)) && es((j, k)) && es((i, k))
+    } yield (i, j, k)
+    tri.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(p => p).view.mapValues(_.size.toLong).toMap
+  }
+
+  private def runTri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(
+        df("src BIGINT, dst BIGINT", edges.map(p => Row(p._1, p._2)): _*),
+        "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: hand graph — K4 minus an edge, self-loops and " +
+    "duplicate/reversed edges ignored") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),      // triangle 1-2-3
+      (2L, 4L), (3L, 4L),                // triangle 2-3-4 (with 2-3)
+      (3L, 2L), (2L, 2L), (1L, 2L),      // reversed, loop, duplicate
+      (5L, 6L))                          // triangle-free appendage
+    val got = runTri(edges)
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts matches brute-force enumeration on random " +
+    "graphs (including degree skew)") {
+    val rnd = new scala.util.Random(11)
+    // skewed: node 0 connects to many — exercises the orientation
+    val skew = (1L to 15L).map(i => (0L, i))
+    val rand = (1 to 60).map(_ =>
+      (rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+    val edges = skew ++ rand
+    assert(runTri(edges) == refTriangles(edges))
+  }
+
   test("pageRank: all-dangling graph (no second-hop edges) keeps " +
     "uniform ranks; degenerate inputs rejected") {
     // 1->2, 3->4: sources never receive, sinks only receive — symmetric
