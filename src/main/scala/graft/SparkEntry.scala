@@ -608,6 +608,16 @@ object SparkEntry {
     * deterministic and layout-independent: a CONSTANT event-id cap (gate
     * cost and counts don't scale with SF), the portable hash split, and
     * hash-derived noise. */
+  /** Shared probe frame of the calibration gates (batch + streaming
+    * faces): binary label from the side tag, score on a dyadic grid so
+    * bin sums are exact in double (see q_calibration). */
+  private def calibrationFrame(ev: DataFrame): DataFrame =
+    ev.withColumn("label",
+        when(side(col("event_type")) === -1, 1L).otherwise(0L))
+      .withColumn("p",
+        lit(0.5) * Sampling.unitHash(col("event_id"), 7L)
+          + lit(0.25) * col("label").cast("double") + lit(0.125))
+
   private val MlGateCols = Seq("f_sig", "f_n1", "f_n2")
   private def mlPlanted(s: SparkSession, dir: String): DataFrame = {
     val base = eventsNs(s, dir)
@@ -2381,13 +2391,29 @@ object SparkEntry {
     //     label, eighth offset), so every bin's double sum is exact and
     //     order-independent — mean_p gates bit-for-bit cross-engine ---
     "q_calibration" -> ((s, dir) => {
-      val preds = eventsNs(s, dir)
-        .withColumn("label",
-          when(side(col("event_type")) === -1, 1L).otherwise(0L))
-        .withColumn("p",
-          lit(0.5) * Sampling.unitHash(col("event_id"), 7L)
-            + lit(0.25) * col("label").cast("double") + lit(0.125))
+      val preds = calibrationFrame(eventsNs(s, dir))
       graft.ml.DirectionModel.calibrationBins(preds, "p", "label")
+        .select(col("bin"), col("n"), col("n_pos"),
+          r6(col("mean_p")).as("mean_p_micro"),
+          r6(col("frac_pos")).as("frac_pos_micro"))
+    }),
+
+    // --- §2.10: streaming calibration — the SAME reliability
+    //     aggregation maintained BY the streaming engine (complete
+    //     mode; bounded state: ≤ nBins groups of sums/counts). Counts
+    //     and the exact dyadic sums add across micro-batches, so the
+    //     stream equals the batch table bit-for-bit and the batch
+    //     oracle gates the streaming engine itself ---
+    "q_stream_calibration" -> ((s, dir) => {
+      val schema = Tables.events(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val preds = calibrationFrame(
+        Tables.tsToNs(stream).withColumnRenamed("ts", "ts_ns"))
+      val bins = graft.ml.DirectionModel.calibrationBins(preds, "p",
+        "label")
+      graft.streaming.StreamingOi.replayComplete(bins,
+          "graft_stream_cal_" + graft.streaming.StreamingOi.nextSinkId())
         .select(col("bin"), col("n"), col("n_pos"),
           r6(col("mean_p")).as("mean_p_micro"),
           r6(col("frac_pos")).as("frac_pos_micro"))
@@ -3487,6 +3513,9 @@ object SparkEntry {
     "q_stream_quality" -> oracleSqlBase("q_quality_score"),
     "q_stream_decontam" -> oracleSqlBase("q_decontam_tag"),
     "q_stream_sample" -> oracleSqlBase("q_sample_bernoulli"),
+    // streaming calibration == batch calibration (counts and exact
+    // dyadic sums add across micro-batches)
+    "q_stream_calibration" -> oracleSqlBase("q_calibration"),
     "q_stream_split" ->
       s"""SELECT doc_id,
          |  ${HashSql("doc_id", 3L)} < ${Sampling.threshold(0.25)}
