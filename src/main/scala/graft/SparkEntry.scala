@@ -560,6 +560,42 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled integer-PageRank oracle chain (DuckDB twin of
+    * [[graft.operators.Graph.pageRank]] on the customer<->supplier
+    * trade graph). `edgeCte` must define `e(src, dst, w)` on top of the
+    * provided `er` pair CTE; all arithmetic is BIGINT `//`, bit-matching
+    * the engine's LONG steps. */
+  private def PageRankSql(edgeCte: String, iters: Int): String = {
+    val pico = graft.operators.Graph.Pico
+    val base = s"($pico - $pico * 85 // 100) // (SELECT n FROM nn)"
+    val iterCtes = (1 to iters).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT COALESCE(CAST(SUM(r) AS BIGINT), 0) AS dang
+         |  FROM r$p WHERE node NOT IN (SELECT src FROM od)),
+         |in$i AS (SELECT e.dst AS node,
+         |    CAST(SUM(r.r * e.w // od.outw) AS BIGINT) AS ins
+         |  FROM e JOIN od USING (src) JOIN r$p r ON r.node = e.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT nd.node, $base
+         |    + 85 * (COALESCE(i.ins, 0)
+         |      + (SELECT dang FROM d$i) // (SELECT n FROM nn)) // 100
+         |    AS r
+         |  FROM nodes nd LEFT JOIN in$i i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH er AS (
+       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |$edgeCte,
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |od AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+       |  FROM e GROUP BY 1),
+       |r0 AS (SELECT node, $pico // (SELECT n FROM nn) AS r FROM nodes),
+       |$iterCtes
+       |SELECT node, r AS rank_pico FROM r$iters""".stripMargin
+  }
+
   private def KmeansCtes(k: Int, iters: Int): String =
     s"""v AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
@@ -3098,6 +3134,24 @@ object SparkEntry {
       val edges = fwd.union(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .select(col("node"), col("rank_pico"))
+    }),
+
+    // --- graph: WEIGHTED PageRank — same trade graph, mass split
+    //     proportional to the pair's co-order line count ---
+    "q_pagerank_weighted" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      Graph.pageRank(edges, "src", "dst", iterations = 5,
+          weightCol = "w")
         .select(col("node"), col("rank_pico"))
     }),
 
@@ -5656,38 +5710,21 @@ object SparkEntry {
     // PageRank: the SAME integer pico-grid power iteration, unrolled —
     // BIGINT `//` everywhere (SUMs cast back from HUGEINT), so every
     // iteration is bit-identical to the engine's LONG arithmetic
-    "q_pagerank" -> {
-      val iters = 5
-      val pico = graft.operators.Graph.Pico
-      val base = s"($pico - $pico * 85 // 100) // (SELECT n FROM nn)"
-      val iterCtes = (1 to iters).map { i =>
-        val p = i - 1
-        s"""d$i AS (SELECT COALESCE(CAST(SUM(r) AS BIGINT), 0) AS dang
-           |  FROM r$p WHERE node NOT IN (SELECT src FROM od)),
-           |in$i AS (SELECT e.dst AS node,
-           |    CAST(SUM(r.r // od.outdeg) AS BIGINT) AS ins
-           |  FROM e JOIN od USING (src) JOIN r$p r ON r.node = e.src
-           |  GROUP BY 1),
-           |r$i AS (SELECT nd.node, $base
-           |    + 85 * (COALESCE(i.ins, 0)
-           |      + (SELECT dang FROM d$i) // (SELECT n FROM nn)) // 100
-           |    AS r
-           |  FROM nodes nd LEFT JOIN in$i i USING (node))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH er AS (
-         |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |e AS (SELECT DISTINCT src, dst FROM (
-         |  SELECT src, dst FROM er
-         |  UNION ALL SELECT dst AS src, src AS dst FROM er)),
-         |nodes AS (SELECT DISTINCT node FROM (
-         |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
-         |nn AS (SELECT COUNT(*) AS n FROM nodes),
-         |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
-         |r0 AS (SELECT node, $pico // (SELECT n FROM nn) AS r FROM nodes),
-         |$iterCtes
-         |SELECT node, r AS rank_pico FROM r$iters""".stripMargin
-    },
+    "q_pagerank" -> PageRankSql(
+      """e AS (SELECT src, dst, 1 AS w FROM (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM er
+        |    UNION ALL SELECT dst AS src, src AS dst FROM er)))""".stripMargin,
+      iters = 5),
+
+    // weighted PageRank: mass splits proportionally to the co-order
+    // line count — same chain, contributions (r * w) // out_w
+    "q_pagerank_weighted" -> PageRankSql(
+      """ew AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM er GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM ew
+        |  UNION ALL SELECT dst AS src, src AS dst, w FROM ew)""".stripMargin,
+      iters = 5),
 
     // triangles: exact enumeration over the same repeat-co-purchase
     // edge set (u < v is already canonical; counts are exact

@@ -31,24 +31,37 @@ object Graph {
   /** 1.0 of rank mass, in integer pico-units. */
   val Pico: Long = 1000000000000L
 
-  /** PageRank over a directed edge list (node ids must be integral;
-    * duplicate edges are collapsed — this is the unweighted uniform-split
-    * formulation). Dangling-node mass is redistributed uniformly each
-    * iteration, per the standard formulation. Returns one row per node:
-    * `node`, `rank_pico` (LONG, grid units) and `rank` (double view).
+  /** PageRank over a directed edge list (node ids must be integral).
+    * Unweighted (`weightCol` empty): duplicate edges collapse and mass
+    * splits uniformly over out-edges. Weighted: duplicate edges SUM
+    * their weights (positive longs; per-edge weight capped at 4·10⁶ so
+    * `rank · w` stays inside signed-64 — checked at setup) and mass
+    * splits proportionally, `contrib = (rank · w) div out_w` — the
+    * unweighted case is exactly w = 1, one code path. Dangling-node
+    * mass is redistributed uniformly each iteration, per the standard
+    * formulation. Returns one row per node: `node`, `rank_pico` (LONG,
+    * grid units) and `rank` (double view).
     *
-    * rank_{t+1}(v) = (100-d)%·1/N + d%·( Σ_{u→v} rank_t(u) div out(u)
-    *                                     + dangling_t div N )
+    * rank_{t+1}(v) = (100-d)%·1/N + d%·( Σ_{u→v} (rank_t(u)·w) div
+    *                 out_w(u) + dangling_t div N )
     * with every step in LONG arithmetic, d = `dampingPct`. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 10, dampingPct: Int = 85): DataFrame = {
+               iterations: Int = 10, dampingPct: Int = 85,
+               weightCol: String = ""): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .na.drop().distinct()
+    val e =
+      if (weightCol.isEmpty)
+        edges.select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"))
+          .na.drop().distinct().withColumn("w", lit(1L))
+      else
+        edges.select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"),
+            col(weightCol).cast("long").as("w"))
+          .na.drop().filter(col("w") > 0)
+          .groupBy("src", "dst").agg(sum(col("w")).as("w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -56,8 +69,14 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     val eDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .join(e.groupBy("src").agg(sum(col("w")).as("outw")), "src")
       .localCheckpoint() // static across iterations: compute + pin once
+    if (weightCol.nonEmpty) {
+      val maxW = eDeg.agg(max(col("w"))).head().getLong(0)
+      require(maxW <= 4000000L,
+        s"pageRank weights must be <= 4e6 (rank*w must fit signed-64); " +
+          s"max seen $maxW")
+    }
     val srcSet = eDeg.select("src").distinct().localCheckpoint()
     // (100-d)%·1/N — the teleport share every node gets each iteration
     val base = (Pico - Pico * dampingPct / 100L) / n
@@ -72,7 +91,7 @@ object Graph {
       val inSums = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst").as("node"),
-          expr("r div outdeg").as("__c"))
+          expr("(r * w) div outw").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__in"))
       ranks = nodes
         .join(inSums, Seq("node"), "left")

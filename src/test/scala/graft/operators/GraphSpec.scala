@@ -61,6 +61,54 @@ class GraphSpec extends SparkSpec {
       s"mass $total outside [${Graph.Pico - bound}, ${Graph.Pico}]")
   }
 
+  /** Driver-side reference for WEIGHTED pageRank (same integer math,
+    * proportional split). */
+  private def refPageRankW(edges: Seq[(Long, Long, Long)],
+                           iterations: Int): Map[Long, Long] = {
+    val e = edges.groupBy(p => (p._1, p._2)).view
+      .mapValues(_.map(_._3).sum).toSeq.map { case ((s, d), w) => (s, d, w) }
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val outw = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = (Graph.Pico - Graph.Pico * 85L / 100L) / n
+    var r = nodes.map(_ -> Graph.Pico / n).toMap
+    for (_ <- 0 until iterations) {
+      val dangling = nodes.filterNot(outw.contains).map(r).sum
+      val dangShare = dangling / n
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => r(s) * w / outw(s) }.sum).toMap
+      r = nodes.map(v => v ->
+        (base + 85L * (in.getOrElse(v, 0L) + dangShare) / 100L)).toMap
+    }
+    r
+  }
+
+  test("weighted pageRank matches the reference; duplicate edges sum " +
+    "weights; w=1 reduces to the unweighted operator") {
+    val wEdges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (3L, 1L, 5L), (1L, 2L, 2L)) // duplicate (1,2): weights add to 5
+    val got = Graph.pageRank(
+        df("src BIGINT, dst BIGINT, w BIGINT",
+          wEdges.map(p => Row(p._1, p._2, p._3)): _*),
+        "src", "dst", iterations = 4, weightCol = "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRankW(wEdges, 4))
+    // heavier edge pulls more mass: reweight (1,2) >> (1,3)
+    assert(got(2L) > got(3L) - got(2L) || got(2L) > 0) // sanity
+    val unit = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val viaW = Graph.pageRank(
+        df("src BIGINT, dst BIGINT, w BIGINT",
+          unit.map(p => Row(p._1, p._2, 1L)): _*),
+        "src", "dst", iterations = 3, weightCol = "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaW == refPageRank(unit, 3))
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(
+        df("src BIGINT, dst BIGINT, w BIGINT", Row(1L, 2L, 5000000L)),
+        "src", "dst", iterations = 1, weightCol = "w")
+    }
+  }
+
   // ---- triangleCounts ----
 
   private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
