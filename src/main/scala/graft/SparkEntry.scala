@@ -570,28 +570,33 @@ object SparkEntry {
     val base = s"($pico - $pico * 85 // 100) // (SELECT n FROM nn)"
     val iterCtes = (1 to iters).map { i =>
       val p = i - 1
-      s"""d$i AS (SELECT COALESCE(CAST(SUM(r) AS BIGINT), 0) AS dang
+      s"""d$i AS MATERIALIZED (
+         |  SELECT COALESCE(CAST(SUM(r) AS BIGINT), 0) AS dang
          |  FROM r$p WHERE node NOT IN (SELECT src FROM od)),
-         |in$i AS (SELECT e.dst AS node,
+         |in$i AS MATERIALIZED (SELECT e.dst AS node,
          |    CAST(SUM(r.r * e.w // od.outw) AS BIGINT) AS ins
          |  FROM e JOIN od USING (src) JOIN r$p r ON r.node = e.src
          |  GROUP BY 1),
-         |r$i AS (SELECT nd.node, $base
+         |r$i AS MATERIALIZED (SELECT nd.node, $base
          |    + 85 * (COALESCE(i.ins, 0)
          |      + (SELECT dang FROM d$i) // (SELECT n FROM nn)) // 100
          |    AS r
          |  FROM nodes nd LEFT JOIN in$i i USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH er AS (
+    // every iteration CTE is referenced more than once downstream —
+    // MATERIALIZED stops plain-CTE inlining from re-expanding the chain
+    // exponentially (2^iters scans)
+    s"""WITH er AS MATERIALIZED (
        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |$edgeCte,
-       |nodes AS (SELECT DISTINCT node FROM (
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
        |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
-       |nn AS (SELECT COUNT(*) AS n FROM nodes),
-       |od AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+       |od AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
        |  FROM e GROUP BY 1),
-       |r0 AS (SELECT node, $pico // (SELECT n FROM nn) AS r FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, $pico // (SELECT n FROM nn) AS r FROM nodes),
        |$iterCtes
        |SELECT node, r AS rank_pico FROM r$iters""".stripMargin
   }
@@ -3173,6 +3178,22 @@ object SparkEntry {
       Graph.triangleCounts(pairs, "src", "dst")
     }),
 
+    // --- graph: 2-core of the repeat-co-purchase part graph — the
+    //     dense nucleus after iterative peel (fixpoint in 4 rounds at
+    //     sf0.01; the oracle unrolls 8, safely past it) ---
+    "q_kcore" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+      Graph.kCore(pairs, "src", "dst", k = 2)
+    }),
+
     // --- W4+W5 composition: trailing top-performer selection
     //     (ClOp_analysis.ipynb cells 8-10 shape: top-N by trailing PnL,
     //     exclusive window — no lookahead) ---
@@ -5711,7 +5732,7 @@ object SparkEntry {
     // BIGINT `//` everywhere (SUMs cast back from HUGEINT), so every
     // iteration is bit-identical to the engine's LONG arithmetic
     "q_pagerank" -> PageRankSql(
-      """e AS (SELECT src, dst, 1 AS w FROM (
+      """e AS MATERIALIZED (SELECT src, dst, 1 AS w FROM (
         |  SELECT DISTINCT src, dst FROM (
         |    SELECT src, dst FROM er
         |    UNION ALL SELECT dst AS src, src AS dst FROM er)))""".stripMargin,
@@ -5720,9 +5741,10 @@ object SparkEntry {
     // weighted PageRank: mass splits proportionally to the co-order
     // line count — same chain, contributions (r * w) // out_w
     "q_pagerank_weighted" -> PageRankSql(
-      """ew AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      """ew AS MATERIALIZED (
+        |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
         |  FROM er GROUP BY 1, 2),
-        |e AS (SELECT src, dst, w FROM ew
+        |e AS MATERIALIZED (SELECT src, dst, w FROM ew
         |  UNION ALL SELECT dst AS src, src AS dst, w FROM ew)""".stripMargin,
       iters = 5),
 
@@ -5746,6 +5768,33 @@ object SparkEntry {
          |  UNION ALL SELECT n2 FROM t
          |  UNION ALL SELECT n3 FROM t)
          |SELECT node, COUNT(*) AS n_triangles FROM c GROUP BY 1""".stripMargin,
+
+    // 2-core: 8 unrolled peels (fixpoint reached in 4 on this graph —
+    // extra peels are no-ops since the k-core is the unique fixpoint).
+    // Each peel references its predecessor TWICE (degree filter + edge
+    // restriction), so every CTE is MATERIALIZED — plain CTE inlining
+    // would re-expand the chain 2^8 times
+    "q_kcore" -> {
+      val k = 2
+      val peels = (1 to 8).map { i =>
+        val p = i - 1
+        s"""k$i AS MATERIALIZED (SELECT a FROM (
+           |  SELECT a, COUNT(*) AS n FROM c$p GROUP BY 1)
+           |  WHERE n >= $k),
+           |c$i AS MATERIALIZED (SELECT c.a, c.b FROM c$p c
+           |  JOIN k$i x ON c.a = x.a JOIN k$i y ON c.b = y.a)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |c0 AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+         |  UNION ALL SELECT v AS a, u AS b FROM e),
+         |$peels
+         |SELECT a AS node, COUNT(*) AS degree FROM c8 GROUP BY 1""".stripMargin
+    },
 
     "q_trailing_topk" ->
       s"""WITH e AS ($EventsNs),

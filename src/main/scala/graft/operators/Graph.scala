@@ -106,6 +106,54 @@ object Graph {
       (col("r").cast("double") / lit(Pico.toDouble)).as("rank"))
   }
 
+  /** k-core: the maximal subgraph in which every node has degree ≥ k —
+    * the standard "dense nucleus" extraction (spam/community cores,
+    * graph-sampling seeds). Iterative peeling: drop nodes below k,
+    * recompute degrees, repeat; the k-core is UNIQUE regardless of peel
+    * order, so the fixpoint is deterministic. Returns the surviving
+    * nodes with their in-core degree (empty frame when the core is
+    * empty).
+    *
+    * Per peel: one partial-aggregated degree count + two semi-joins of
+    * the adjacency against the O(nodes) keep-set + a count action for
+    * the fixpoint test, with localCheckpoint lineage cuts — the
+    * [[DupClusters.connectedComponents]] discipline. Peels needed =
+    * longest chain of cascading removals (typically a handful; hard
+    * stop at `maxIter`). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("x"),
+        col(dstCol).cast("long").as("y"))
+      .na.drop().filter(col("x") =!= col("y"))
+    val und = e0
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+    var adj = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    var nEdges = adj.count()
+    var it = 0
+    var converged = nEdges == 0L
+    while (!converged && it < maxIter) {
+      val keep = adj.groupBy("a").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= k).select(col("a").as("__keep"))
+      val next = adj
+        .join(keep, adj("a") === keep("__keep"), "left_semi")
+        .join(keep, adj("b") === keep("__keep"), "left_semi")
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == nEdges
+      adj = next
+      nEdges = m
+      it += 1
+    }
+    adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Exact per-node triangle counts (clustering-coefficient numerator,
     * community-density signal). Degree-ordered orientation: each
     * undirected edge points from its (degree, id)-smaller endpoint to

@@ -152,6 +152,54 @@ class GraphSpec extends SparkSpec {
     assert(runTri(edges) == refTriangles(edges))
   }
 
+  // ---- kCore ----
+
+  private def refKCore(edges: Seq[(Long, Long)], k: Int)
+      : Map[Long, Long] = {
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+    var alive = und.flatMap(p => Seq(p._1, p._2)).toSet
+    var changed = true
+    while (changed) {
+      val deg = und.filter(p => alive(p._1) && alive(p._2))
+        .flatMap(p => Seq(p._1, p._2))
+        .groupBy(x => x).view.mapValues(_.size).toMap
+      val next = alive.filter(n => deg.getOrElse(n, 0) >= k)
+      changed = next != alive
+      alive = next
+    }
+    und.filter(p => alive(p._1) && alive(p._2))
+      .flatMap(p => Seq(p._1, p._2))
+      .groupBy(x => x).view.mapValues(_.size.toLong).toMap
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int)
+      : Map[Long, Long] =
+    Graph.kCore(
+        df("src BIGINT, dst BIGINT", edges.map(p => Row(p._1, p._2)): _*),
+        "src", "dst", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: cascading peel — a chain hung off a triangle strips " +
+    "link by link; the triangle is the 2-core") {
+    // triangle 1-2-3, chain 3-4-5-6 (each peel removes one chain node)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = runKCore(edges, 2)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: nothing survives (empty frame, not a crash)
+    assert(runKCore(edges, 3).isEmpty)
+  }
+
+  test("kCore matches the driver-side peel reference on random graphs") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 80).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    for (k <- Seq(1, 2, 3, 4)) {
+      assert(runKCore(edges, k) == refKCore(edges, k), s"k=$k")
+    }
+  }
+
   test("pageRank: all-dangling graph (no second-hop edges) keeps " +
     "uniform ranks; degenerate inputs rejected") {
     // 1->2, 3->4: sources never receive, sinks only receive — symmetric
