@@ -2439,6 +2439,16 @@ object SparkEntry {
           r6(col("frac_pos")).as("frac_pos_micro"))
     }),
 
+    // --- M9 extension: per-segment ROC-AUC via the Mann-Whitney
+    //     identity (tie-averaged ranks; ONE ordered-window shuffle) ---
+    "q_auc" -> ((s, dir) => {
+      val preds = calibrationFrame(eventsNs(s, dir))
+        .withColumn("seg", pmod(col("user_id"), lit(4L)))
+      graft.ml.DirectionModel.rocAuc(preds, "p", "label", Seq("seg"))
+        .select(col("seg"), col("n_pos"), col("n_neg"),
+          r6(col("auc")).as("auc_micro"))
+    }),
+
     // --- §2.10: streaming calibration — the SAME reliability
     //     aggregation maintained BY the streaming engine (complete
     //     mode; bounded state: ≤ nBins groups of sums/counts). Counts
@@ -5349,6 +5359,28 @@ object SparkEntry {
          |  ${R6("SUM(p) / COUNT(*)")} AS mean_p_micro,
          |  ${R6("CAST(SUM(label) AS DOUBLE) / COUNT(*)")} AS frac_pos_micro
          |FROM p GROUP BY 1""".stripMargin,
+
+    // per-segment AUC: the Mann-Whitney rank identity on the same
+    // dyadic score — tie-averaged ranks exactly as q_a14_mannwhitney
+    "q_auc" ->
+      s"""WITH e AS ($EventsNs),
+         |p AS (
+         |  SELECT user_id % 4 AS seg,
+         |    CASE WHEN ($Side) = -1 THEN 1 ELSE 0 END AS label,
+         |    0.5 * ((${HashSql("event_id", 7L)}) / 1048576.0)
+         |      + 0.25 * CAST(CASE WHEN ($Side) = -1 THEN 1 ELSE 0 END AS DOUBLE)
+         |      + 0.125 AS p
+         |  FROM e),
+         |ranked AS (
+         |  SELECT seg, label,
+         |    (2 * RANK() OVER (PARTITION BY seg ORDER BY p) +
+         |     COUNT(*) OVER (PARTITION BY seg, p) - 1)::DOUBLE / 2.0 AS r
+         |  FROM p)
+         |SELECT seg,
+         |  CAST(SUM(label) AS BIGINT) AS n_pos,
+         |  CAST(SUM(1 - label) AS BIGINT) AS n_neg,
+         |  ${R6("(SUM(CASE WHEN label = 1 THEN r ELSE 0.0 END) - SUM(label) * (SUM(label) + 1) / 2.0) / CAST(SUM(label) * SUM(1 - label) AS DOUBLE)")} AS auc_micro
+         |FROM ranked GROUP BY 1""".stripMargin,
 
     "q_m13_diagnostics" ->
       s"""WITH g AS (

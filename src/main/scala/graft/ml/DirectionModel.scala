@@ -158,6 +158,29 @@ object DirectionModel {
         (col("n_pos").cast("double") / col("n")).as("frac_pos"))
   }
 
+  /** M9 extension: ROC-AUC by the Mann–Whitney identity — AUC =
+    * U / (n⁺·n⁻) with tie-averaged ranks, i.e. the probability a random
+    * positive out-scores a random negative (ties count half). Exact,
+    * no curve discretization; rides [[graft.operators.DistTests
+    * .mannWhitneyU]]'s ordered-window machinery: ONE shuffle on
+    * (group, score order), nothing collected. `groupCols` keys per-slice
+    * AUCs (per-source, per-segment model monitoring); a slice whose
+    * labels are all one class yields NULL (no pairs to order). */
+  def rocAuc(predictions: DataFrame, probCol: String, labelCol: String,
+             groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "rocAuc needs group columns (use a constant column for global AUC)")
+    val tagged = predictions.withColumn("__cls",
+      when(col(labelCol) > 0, "pos").otherwise("neg"))
+    graft.operators.DistTests
+      .mannWhitneyU(tagged, groupCols, "__cls", "pos", probCol)
+      .select(groupCols.map(col) ++ Seq(
+        col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("u_stat") / (col("n_a") * col("n_b")).cast("double"))
+          .as("auc")): _*)
+  }
+
   /** M9: per-class precision / recall / F1 from the confusion counts
     * (sklearn classification_report shape, including its zero conventions:
     * a class never predicted correctly still appears, with precision 0

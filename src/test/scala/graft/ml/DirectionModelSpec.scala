@@ -120,6 +120,25 @@ class DirectionModelSpec extends SparkSpec {
     assert(probs > 0.05 && probs < 0.95)
   }
 
+  test("rocAuc: hand AUC with ties counting half; one-class group is " +
+    "NULL; perfect separation is 1.0") {
+    def rows(g: String, ps: Seq[(Double, Long)]) =
+      ps.map { case (p, l) => org.apache.spark.sql.Row(g, p, l) }
+    val d = df("seg STRING, p DOUBLE, label BIGINT",
+      (rows("a", Seq(0.1 -> 0L, 0.4 -> 0L, 0.4 -> 1L, 0.8 -> 1L)) ++
+        rows("b", Seq(0.2 -> 1L, 0.3 -> 1L)) ++
+        rows("c", Seq(0.1 -> 0L, 0.2 -> 0L, 0.9 -> 1L))): _*)
+    val out = DirectionModel.rocAuc(d, "p", "label", Seq("seg"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Any]("auc")))).toMap
+    // group a: pairs (pos, neg): (0.4,0.1)=1, (0.4,0.4)=0.5, (0.8,0.1)=1,
+    // (0.8,0.4)=1 -> AUC = 3.5/4
+    assert(out("a")._1 == 2L && out("a")._2 == 2L)
+    assert(approx(out("a")._3.asInstanceOf[Double], 3.5 / 4))
+    assert(out("b")._3 == null)       // no negatives
+    assert(out("c")._3.asInstanceOf[Double] == 1.0)
+  }
+
   test("calibrationBins: bin edges, top-bin fold, counts, exact means") {
     val rows = Seq(
       (0.05, 0L), (0.05, 1L),          // bin 0: frac_pos 0.5
