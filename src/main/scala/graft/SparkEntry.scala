@@ -3380,6 +3380,24 @@ object SparkEntry {
           r6(col("score")).as("score_micro"))
     }),
 
+    // --- LLM ops: NDCG@10 of the BM25 ranker over three query pools
+    //     (binary relevance = all query terms matched). DECIMAL-summed
+    //     position gains make the metric bit-portable ---
+    "q_ndcg" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pool = ndcgQueries.map { case (qid, terms) =>
+        Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 20)
+          .select(lit(qid).as("qid"), col("doc_id"),
+            (col("n_terms") === terms.size).cast("int").as("rel"),
+            col("score"))
+      }.reduce(_.unionByName(_))
+      Retrieval.ndcgAtK(pool, Seq("qid"), "doc_id", "score", "rel",
+          k = 10)
+        .select(col("qid"), col("n_candidates"),
+          r6(col("dcg")).as("dcg_micro"),
+          r6(col("ndcg")).as("ndcg_micro"))
+    }),
+
     // --- LLM ops: embedding unit-normalization (row-local, double
     //     arithmetic end-to-end) — long format for the oracle compare ---
     "q_embed_normalize" -> ((s, dir) => {
@@ -3584,6 +3602,14 @@ object SparkEntry {
     * generated from it), so the two sides cannot drift. Categories must
     * stay alphabetical — the generated ties-to-smaller-name CASE chain
     * depends on it and the oracle builder enforces it. */
+  /** Shared query set of the q_ndcg gate — ONE constant feeds the Spark
+    * face and the SQL twin. Every term is drawn from the corpus
+    * generator's vocabulary so each pool has real hits. */
+  private val ndcgQueries: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("table", "scan"),
+    "q2" -> Seq("vector", "join"),
+    "q3" -> Seq("stream", "filter"))
+
   private val taxonomyLexicon: Seq[(String, Seq[String])] = Seq(
     "compute" -> Seq("agg", "filter", "group", "hash", "join", "merge",
       "query", "scan", "sort", "window"),
@@ -6737,6 +6763,63 @@ object SparkEntry {
          |  FROM sc GROUP BY 1)
          |SELECT doc_id, n_terms, ${R6("score")} AS score_micro
          |FROM agg ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // NDCG@10: per-query bm25 pools (the q_bm25 chain, parametrized)
+    // -> binary relevance -> rank windows -> DECIMAL-summed gains
+    "q_ndcg" -> {
+      val blocks = ndcgQueries.zipWithIndex.map { case ((qid, ts), i) =>
+        val inList = ts.map(t => s"'$t'").mkString(", ")
+        s"""p$i AS MATERIALIZED (
+           |  SELECT '$qid' AS qid, doc_id,
+           |    CASE WHEN n_terms = ${ts.size} THEN 1 ELSE 0 END AS rel,
+           |    score
+           |  FROM (
+           |    SELECT doc_id, COUNT(*) AS n_terms,
+           |      CAST(SUM(CAST(s AS DECIMAL(18,8))) AS DOUBLE) AS score
+           |    FROM (
+           |      SELECT doc_id,
+           |        (ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1.0)))
+           |          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+           |      FROM (
+           |        SELECT doc_id, dl, term, tf,
+           |          COUNT(*) OVER (PARTITION BY term) AS df
+           |        FROM (
+           |          SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits
+           |          WHERE term IN ($inList) GROUP BY 1, 2, 3)), stats)
+           |    GROUP BY 1)
+           |  ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin
+      }.mkString(",\n")
+      val pools = ndcgQueries.indices.map(i => s"SELECT * FROM p$i")
+        .mkString(" UNION ALL ")
+      def decGain(pos: String): String =
+        s"CASE WHEN $pos <= 10 THEN CAST(rel / (ln($pos + 1.0) / ln(2.0)) " +
+          "AS DECIMAL(18,8)) ELSE CAST(0 AS DECIMAL(18,8)) END"
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |stats AS MATERIALIZED (
+         |  SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM toks),
+         |hits AS MATERIALIZED (
+         |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+         |$blocks,
+         |pool AS (SELECT * FROM ($pools)),
+         |ranked AS (
+         |  SELECT qid, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, doc_id) AS pr,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, doc_id) AS pi
+         |  FROM pool),
+         |agg AS (
+         |  SELECT qid,
+         |    CAST(SUM(${decGain("pr")}) AS DOUBLE) AS dcg,
+         |    CAST(SUM(${decGain("pi")}) AS DOUBLE) AS idcg,
+         |    COUNT(*) AS n_candidates
+         |  FROM ranked GROUP BY 1)
+         |SELECT qid, n_candidates, ${R6("dcg")} AS dcg_micro,
+         |  ${R6("CASE WHEN idcg > 0.0 THEN dcg / idcg END")} AS ndcg_micro
+         |FROM agg""".stripMargin
+    },
 
     // unit normalization: parallel unnests zip, dim is 0-based to match
     // posexplode

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -218,5 +218,41 @@ object Retrieval {
         col("c2"), ratio.as("pmi_ratio"), log(ratio).as("pmi"))
       .sort(col("pmi_ratio").desc, col("w1"), col("w2"))
       .limit(topK)
+  }
+
+  /** NDCG@k per query — the standard graded ranking-quality metric for
+    * a retrieval stack (BM25 / vector / hybrid evaluation). Rank by
+    * (score desc, id) for DCG, by (relevance desc, id) for the ideal;
+    * gain = rel / log₂(pos + 1); ndcg = DCG / IDCG (NULL when the query
+    * has no relevant candidates). One exchange on the query key with
+    * two in-partition sorts — work is bounded by each query's candidate
+    * pool, never the corpus. Per-position gains are summed through
+    * DECIMAL(18,8): the quantization is engine-identical (same double
+    * in, same decimal out), the sum exact and order-independent — so
+    * the metric is bit-portable, at a harmless 1e-8 truncation of an
+    * eval score. */
+  def ndcgAtK(scored: DataFrame, queryCols: Seq[String], idCol: String,
+              scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(queryCols.nonEmpty, "ndcgAtK needs query key columns")
+    require(k > 0, s"ndcgAtK: k must be positive, got $k")
+    val q = queryCols.map(col)
+    val byScore = Window.partitionBy(q: _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val byRel = Window.partitionBy(q: _*)
+      .orderBy(col(relCol).desc, col(idCol))
+    def gain(pos: Column): Column =
+      col(relCol).cast("double") /
+        (log(pos.cast("double") + lit(1.0)) / log(lit(2.0)))
+    def decSum(pos: Column): Column =
+      sum(when(pos <= k, gain(pos).cast("decimal(18,8)"))
+        .otherwise(lit(0).cast("decimal(18,8)"))).cast("double")
+    scored
+      .withColumn("__pr", row_number().over(byScore).cast("long"))
+      .withColumn("__pi", row_number().over(byRel).cast("long"))
+      .groupBy(q: _*)
+      .agg(decSum(col("__pr")).as("dcg"), decSum(col("__pi")).as("idcg"),
+        count(lit(1)).as("n_candidates"))
+      .withColumn("ndcg",
+        when(col("idcg") > 0.0, col("dcg") / col("idcg")))
   }
 }

@@ -140,4 +140,33 @@ class RetrievalSpec extends SparkSpec {
     assert(top == Seq("big" -> "apple", "is" -> "big", "new" -> "york"),
       s"got $top")
   }
+
+  test("ndcgAtK: hand-computed DCG/IDCG, cutoff at k, no-relevant " +
+    "query NULL, perfect ranking 1.0") {
+    import org.apache.spark.sql.Row
+    // qa: rels at score-ranks 1,3 of 4 -> DCG = 1/log2(2) + 1/log2(4)
+    //     IDCG = 1/log2(2) + 1/log2(3)
+    val d = df("qid STRING, doc BIGINT, score DOUBLE, rel INT",
+      Row("qa", 1L, 9.0, 1), Row("qa", 2L, 8.0, 0),
+      Row("qa", 3L, 7.0, 1), Row("qa", 4L, 6.0, 0),
+      Row("qb", 1L, 5.0, 0), Row("qb", 2L, 4.0, 0),
+      Row("qc", 1L, 3.0, 1), Row("qc", 2L, 2.0, 0))
+    val out = Retrieval.ndcgAtK(d, Seq("qid"), "doc", "score", "rel",
+        k = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getAs[Any]("ndcg")))).toMap
+    def q(x: Double) =
+      new java.math.BigDecimal(x).setScale(8,
+        java.math.RoundingMode.HALF_UP).doubleValue()
+    // k=2 cutoff: qa's rank-3 relevant doc contributes to NEITHER dcg
+    // (score rank 3 > 2) NOR idcg (ideal rank 2 <= 2 — wait, ideal
+    // rank of the second relevant IS 2, inside the cut)
+    val dcgA = q(1.0 / (math.log(2.0) / math.log(2.0)))
+    val idcgA = dcgA + q(1.0 / (math.log(3.0) / math.log(2.0)))
+    assert(approx(out("qa")._1, dcgA, 1e-7))
+    assert(approx(out("qa")._2, idcgA, 1e-7))
+    assert(approx(out("qa")._3.asInstanceOf[Double], dcgA / idcgA, 1e-7))
+    assert(out("qb")._3 == null)
+    assert(out("qc")._3.asInstanceOf[Double] == 1.0)
+  }
 }
