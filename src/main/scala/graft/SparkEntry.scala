@@ -2439,6 +2439,15 @@ object SparkEntry {
           r6(col("frac_pos")).as("frac_pos_micro"))
     }),
 
+    // --- dependence probe: mutual information between event_type and
+    //     a user segment — one joint-count shuffle, pico-nat-quantized
+    //     term sum (order-independent, engine-exact) ---
+    "q_mutual_info" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+        .withColumn("seg", pmod(col("user_id"), lit(8L)))
+      DistTests.mutualInformation(ev, "event_type", "seg")
+    }),
+
     // --- M9 extension: per-segment ROC-AUC via the Mann-Whitney
     //     identity (tie-averaged ranks; ONE ordered-window shuffle) ---
     "q_auc" -> ((s, dir) => {
@@ -5385,6 +5394,29 @@ object SparkEntry {
          |  ${R6("SUM(p) / COUNT(*)")} AS mean_p_micro,
          |  ${R6("CAST(SUM(label) AS DOUBLE) / COUNT(*)")} AS frac_pos_micro
          |FROM p GROUP BY 1""".stripMargin,
+
+    // mutual information: exact-count ratios, ln on identical doubles,
+    // pico-nat LONG quantization before the sum — mirrors the engine
+    "q_mutual_info" ->
+      s"""WITH e AS ($EventsNs),
+         |t AS (SELECT event_type AS x, user_id % 8 AS y FROM e),
+         |j AS (SELECT x, y, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM j GROUP BY 1),
+         |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM j GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
+         |terms AS (
+         |  SELECT (CAST(c AS DOUBLE) / n) *
+         |    ln((CAST(c AS DOUBLE) * n) /
+         |      (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) AS term
+         |  FROM j JOIN mx USING (x) JOIN my USING (y), nn),
+         |agg AS (
+         |  SELECT CAST(SUM(CAST(floor(term * 1e12 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS mi_pico,
+         |    COUNT(*) AS n_pairs
+         |  FROM terms)
+         |SELECT mi_pico, CAST(mi_pico AS DOUBLE) / 1e12 AS mi_nats,
+         |  (SELECT n FROM nn) AS n, n_pairs
+         |FROM agg""".stripMargin,
 
     // per-segment AUC: the Mann-Whitney rank identity on the same
     // dyadic score — tie-averaged ranks exactly as q_a14_mannwhitney

@@ -111,4 +111,46 @@ object DistTests {
         first(col("__N")).cast("long").as("n_pooled"),
         countDistinct(col(sampleCol)).as("k_samples"))
   }
+
+  /** Mutual information (nats) between two categorical columns — the
+    * dependence probe behind feature selection, leakage detection
+    * ("does this metadata column predict the label?"), and
+    * stratification checks. MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over
+    * the joint distribution; 0 iff independent.
+    *
+    * ONE corpus shuffle (the joint (x, y) count — partial-aggregated);
+    * marginals are second-level aggregates of the O(|X|·|Y|) joint
+    * frame, joined back broadcast. Every probability is a ratio of
+    * exact integer counts, and each pair's term is quantized to a
+    * pico-nat LONG before the final sum — order-independent and
+    * engine-portable (the ln of identical doubles bit-matches, the
+    * charEntropy precedent). NULL categories count as their own level
+    * (null-safe grouping). Returns one row: `mi_pico` (LONG pico-nats),
+    * `mi_nats` (double view), `n` rows, `n_pairs` distinct cells. */
+  def mutualInformation(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    val joint = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val mx = joint.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
+    val my = joint.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
+    val nTot = joint.agg(sum(col("__c")).as("__n"))
+    // null-safe joins: a NULL category is a real level of the marginal
+    val withM = joint
+      .join(broadcast(mx), joint("__x") <=> mx("__x"), "inner")
+      .drop(mx("__x"))
+      .join(broadcast(my), joint("__y") <=> my("__y"), "inner")
+      .drop(my("__y"))
+      .crossJoin(broadcast(nTot))
+    val term = (col("__c").cast("double") / col("__n")) *
+      log((col("__c").cast("double") * col("__n")) /
+        (col("__cx").cast("double") * col("__cy")))
+    withM.agg(
+        sum(floor(term * lit(1e12) + lit(0.5)).cast("long"))
+          .as("mi_pico"),
+        first(col("__n")).as("n"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("mi_pico"),
+        (col("mi_pico").cast("double") / lit(1e12)).as("mi_nats"),
+        col("n"), col("n_pairs"))
+  }
 }

@@ -91,4 +91,32 @@ class SkewAndDistSpec extends SparkSpec {
     assert(aSame < aDisj)
     assert(aDisj > 5.0) // strongly separated samples
   }
+
+  test("mutualInformation: hand-computed MI; independent columns give " +
+    "0; perfect dependence gives the marginal entropy") {
+    import org.apache.spark.sql.Row
+    def mi(rows: Seq[(String, Long)]): (Long, Long, Long) = {
+      val r = DistTests.mutualInformation(
+        df("x STRING, y BIGINT", rows.map(t => Row(t._1, t._2)): _*),
+        "x", "y").collect()(0)
+      (r.getAs[Long]("mi_pico"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pairs"))
+    }
+    // independence: x and y uniform and unrelated (all 4 cells equal)
+    val ind = Seq("a" -> 0L, "a" -> 1L, "b" -> 0L, "b" -> 1L)
+    assert(mi(ind) == ((0L, 4L, 4L)))
+    // perfect dependence, uniform binary: MI = ln 2
+    val dep = Seq("a" -> 0L, "a" -> 0L, "b" -> 1L, "b" -> 1L)
+    val (pico, n, pairs) = mi(dep)
+    assert(n == 4L && pairs == 2L)
+    assert(math.abs(pico / 1e12 - math.log(2.0)) < 1e-9)
+    // hand case: joint {a0:2, a1:1, b1:1} — MI = sum c/N ln(cN/(cx cy))
+    val hand = Seq("a" -> 0L, "a" -> 0L, "a" -> 1L, "b" -> 1L)
+    val terms = Seq((2.0, 3.0, 2.0), (1.0, 3.0, 2.0), (1.0, 1.0, 2.0))
+      .map { case (c, cx, cy) =>
+        math.floor((c / 4.0) * math.log(c * 4.0 / (cx * cy)) * 1e12 + 0.5)
+          .toLong
+      }.sum
+    assert(mi(hand)._1 == terms)
+  }
 }
