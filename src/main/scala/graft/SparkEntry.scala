@@ -2448,6 +2448,14 @@ object SparkEntry {
       DistTests.mutualInformation(ev, "event_type", "seg")
     }),
 
+    // --- dependence probe: chi-square independence test + Cramér's V
+    //     on the same contingency machinery (zero cells densified) ---
+    "q_chi_square" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+        .withColumn("seg", pmod(col("user_id"), lit(8L)))
+      DistTests.chiSquare(ev, "event_type", "seg")
+    }),
+
     // --- M9 extension: per-segment ROC-AUC via the Mann-Whitney
     //     identity (tie-averaged ranks; ONE ordered-window shuffle) ---
     "q_auc" -> ((s, dir) => {
@@ -5417,6 +5425,38 @@ object SparkEntry {
          |SELECT mi_pico, CAST(mi_pico AS DOUBLE) / 1e12 AS mi_nats,
          |  (SELECT n FROM nn) AS n, n_pairs
          |FROM agg""".stripMargin,
+
+    // chi-square: densified grid from the marginal cross, expected
+    // counts from exact integers, micro-quantized term sum
+    "q_chi_square" ->
+      s"""WITH e AS ($EventsNs),
+         |t AS (SELECT event_type AS x, user_id % 8 AS y FROM e),
+         |j AS (SELECT x, y, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM j GROUP BY 1),
+         |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM j GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
+         |kk AS (SELECT (SELECT COUNT(*) FROM mx) AS nx,
+         |  (SELECT COUNT(*) FROM my) AS ny),
+         |cells AS (
+         |  SELECT g.cx, g.cy, COALESCE(j.c, 0) AS o
+         |  FROM (SELECT mx.x, my.y, mx.cx, my.cy
+         |        FROM mx CROSS JOIN my) g
+         |  LEFT JOIN j ON j.x = g.x AND j.y = g.y),
+         |terms AS (
+         |  SELECT o, CAST(cx AS DOUBLE) * cy / n AS ex
+         |  FROM cells, nn),
+         |agg AS (
+         |  SELECT CAST(SUM(CAST(floor(
+         |      (o - ex) * (o - ex) / ex * 1e6 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS chi2_micro
+         |  FROM terms)
+         |SELECT chi2_micro, (SELECT n FROM nn) AS n,
+         |  (nx - 1) * (ny - 1) AS dof,
+         |  CASE WHEN LEAST(nx, ny) > 1 THEN
+         |    CAST(floor(sqrt(CAST(chi2_micro AS DOUBLE) / 1e6 /
+         |      ((SELECT n FROM nn) * (LEAST(nx, ny) - 1))) * 1e6 + 0.5)
+         |      AS BIGINT) END AS cramers_v_micro
+         |FROM agg, kk""".stripMargin,
 
     // per-segment AUC: the Mann-Whitney rank identity on the same
     // dyadic score — tie-averaged ranks exactly as q_a14_mannwhitney

@@ -112,6 +112,51 @@ object DistTests {
         countDistinct(col(sampleCol)).as("k_samples"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns, with Cramér's V effect size — MI's hypothesis-test
+    * sibling (same contingency machinery, calibrated null). Zero cells
+    * of the |X|×|Y| grid contribute their full expected count, so the
+    * grid is densified from the marginals (a tiny O(|X|·|Y|) cross of
+    * the two marginal frames) — NOT skipped, which would understate
+    * chi². Same scale shape as [[mutualInformation]]: one joint-count
+    * shuffle, everything after runs on O(|X|·|Y|) rows. Terms are
+    * quantized to micro LONGs before the sum (order-independent,
+    * engine-exact). Returns chi2_micro, dof, n, and cramers_v_micro
+    * (NULL when min(|X|,|Y|) = 1 — no association is measurable). */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    // marginals re-key to fresh names: the grid and the joint share a
+    // lineage, and a grid-vs-joint join on the original attributes trips
+    // Spark's ambiguous-self-join detection
+    val mx = joint.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
+      .withColumnRenamed("__x", "__gx")
+    val my = joint.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
+      .withColumnRenamed("__y", "__gy")
+    val nTot = joint.agg(sum(col("__c")).as("__n"))
+    val grid = mx.crossJoin(my).crossJoin(broadcast(nTot))
+    val cells = grid
+      .join(joint, col("__gx") <=> col("__x") &&
+        col("__gy") <=> col("__y"), "left")
+      .withColumn("__o", coalesce(col("__c"), lit(0L)))
+    val expected = col("__cx").cast("double") * col("__cy") / col("__n")
+    val term = (col("__o") - expected) * (col("__o") - expected) / expected
+    cells.agg(
+        sum(floor(term * lit(1e6) + lit(0.5)).cast("long"))
+          .as("chi2_micro"),
+        first(col("__n")).as("n"))
+      .crossJoin(broadcast(
+        mx.agg(count(lit(1)).as("__nx"))
+          .crossJoin(my.agg(count(lit(1)).as("__ny")))))
+      .select(col("chi2_micro"), col("n"),
+        ((col("__nx") - 1) * (col("__ny") - 1)).as("dof"),
+        when(least(col("__nx"), col("__ny")) > 1,
+          floor(sqrt(col("chi2_micro").cast("double") / lit(1e6) /
+            (col("n") * (least(col("__nx"), col("__ny")) - 1))) *
+            lit(1e6) + lit(0.5)).cast("long"))
+          .as("cramers_v_micro"))
+  }
+
   /** Mutual information (nats) between two categorical columns — the
     * dependence probe behind feature selection, leakage detection
     * ("does this metadata column predict the label?"), and

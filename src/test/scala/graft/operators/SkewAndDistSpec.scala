@@ -119,4 +119,37 @@ class SkewAndDistSpec extends SparkSpec {
       }.sum
     assert(mi(hand)._1 == terms)
   }
+
+  test("chiSquare: independence gives 0; 2x2 hand computation with a " +
+    "ZERO cell densified; dof and Cramér's V") {
+    import org.apache.spark.sql.Row
+    def chi(rows: Seq[(String, Long)]) = {
+      val r = DistTests.chiSquare(
+        df("x STRING, y BIGINT", rows.map(t => Row(t._1, t._2)): _*),
+        "x", "y").collect()(0)
+      (r.getAs[Long]("chi2_micro"), r.getAs[Long]("dof"),
+        r.getAs[Long]("n"), r.getAs[Any]("cramers_v_micro"))
+    }
+    val ind = Seq("a" -> 0L, "a" -> 1L, "b" -> 0L, "b" -> 1L)
+    assert(chi(ind) == ((0L, 1L, 4L, 0L)))
+    // joint {a0:2, a1:1, b1:1}, cell (b,0) is EMPTY but must still
+    // contribute its expected count: chi2 = sum (o-e)^2/e with
+    // e = cx*cy/n over all 4 cells
+    val dep = Seq("a" -> 0L, "a" -> 0L, "a" -> 1L, "b" -> 1L)
+    val cellsRef = Seq(
+      (2.0, 3.0, 2.0), (1.0, 3.0, 2.0), (0.0, 1.0, 2.0), (1.0, 1.0, 2.0))
+    val chi2Ref = cellsRef.map { case (o, cx, cy) =>
+      val e = cx * cy / 4.0
+      math.floor((o - e) * (o - e) / e * 1e6 + 0.5).toLong
+    }.sum
+    val (c2, dof, n, v) = chi(dep)
+    assert(c2 == chi2Ref && dof == 1L && n == 4L)
+    val vRef = math.floor(
+      math.sqrt(c2 / 1e6 / (4.0 * 1)) * 1e6 + 0.5).toLong
+    assert(v == vRef)
+    // single-level y: V undefined (NULL), dof 0
+    val one = Seq("a" -> 0L, "b" -> 0L)
+    val (c1, d1, _, v1) = chi(one)
+    assert(c1 == 0L && d1 == 0L && v1 == null)
+  }
 }
