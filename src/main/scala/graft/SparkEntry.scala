@@ -1014,6 +1014,16 @@ object SparkEntry {
           moneySum(col("value")).as("sum_value"))
     }),
 
+    // --- A7 extension: hourly per-user TWAP — holding-time-weighted
+    //     average (staircase, no bin carry); exact ns weights, decimal
+    //     value·dt sums ---
+    "q_twap" -> ((s, dir) => {
+      TimeBins.twap(eventsNs(s, dir), Seq("user_id"), "ts_ns", "value",
+          H, tieBreak = "event_id")
+        .select(col("user_id"), col("bin_ns"), col("n_obs"),
+          col("weight_ns"), r6(col("twap")).as("twap_micro"))
+    }),
+
     // --- A8: summary stats per group ---
     "q_a8_summary" -> ((s, dir) => {
       eventsNs(s, dir).groupBy(col("event_type")).agg(
@@ -3767,6 +3777,23 @@ object SparkEntry {
          |  COUNT(*) AS n, ${R6("AVG(value)")} AS avg_micro,
          |  ${MoneySum("value")} AS sum_value
          |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // TWAP: the same staircase holding-time weights (lead clipped at
+    // the bin edge), decimal value*dt sums
+    "q_twap" -> {
+      val binEnd = s"${FloorNs("ts_ns", H)} + $H"
+      s"""WITH e AS ($EventsNs),
+         |b AS (
+         |  SELECT user_id, value, ${FloorNs("ts_ns", H)} AS bin_ns,
+         |    LEAST(COALESCE(LEAD(ts_ns) OVER (PARTITION BY user_id
+         |        ORDER BY ts_ns, event_id), $binEnd), $binEnd) - ts_ns
+         |      AS dt
+         |  FROM e)
+         |SELECT user_id, bin_ns, COUNT(*) AS n_obs,
+         |  CAST(SUM(dt) AS BIGINT) AS weight_ns,
+         |  ${R6("CASE WHEN SUM(dt) > 0 THEN CAST(SUM(CAST(value * dt AS DECIMAL(28,4))) AS DOUBLE) / SUM(dt) END")} AS twap_micro
+         |FROM b GROUP BY 1, 2""".stripMargin
+    },
 
     "q_a8_summary" ->
       s"""SELECT event_type, COUNT(*) AS n, ${R6("AVG(value)")} AS mean_micro,

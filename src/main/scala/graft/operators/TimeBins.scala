@@ -73,4 +73,46 @@ object TimeBins {
         .filter(col(binCol) < col("__mx")).drop("__mx")
     }
   }
+
+  /** Time-weighted average per (key, bin) — the TWAP convention for
+    * irregular observations: each value HOLDS from its timestamp until
+    * the next observation of the same key or the bin's right edge,
+    * whichever comes first (staircase interpolation, no carry into the
+    * next bin), and the average weights each value by its holding time.
+    * A plain `avg` over-counts bursts; TWAP is the standard fix for
+    * quote/price panels sampled at event time.
+    *
+    * Holding times are exact LONG nanoseconds; value·dt products are
+    * summed through DECIMAL(28,4) (one identical double multiply, then
+    * exact order-independent decimal addition — the moneySum rule), so
+    * the aggregate is engine- and layout-exact. One window shuffle on
+    * the key (lead), one partial-agg shuffle to the (key, bin) frame.
+    * Tie timestamps get dt = 0 under the (ts, tieBreak) total order —
+    * only the last copy holds mass; the last event in each bin always
+    * holds to the edge, so every output bin has weight > 0. */
+  def twap(df: DataFrame, keyCols: Seq[String], tsCol: String,
+           valueCol: String, stepNs: Long, tieBreak: String): DataFrame = {
+    require(stepNs > 0, s"stepNs must be positive, got $stepNs")
+    require(keyCols.nonEmpty, "twap needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieBreak))
+    val binned = df
+      .withColumn("bin_ns", floorNs(col(tsCol), stepNs))
+      .withColumn("__end", col("bin_ns") + lit(stepNs))
+      .withColumn("__dt",
+        least(coalesce(lead(col(tsCol), 1).over(w), col("__end")),
+          col("__end")) - col(tsCol))
+    binned
+      .groupBy((keyCols.map(col) :+ col("bin_ns")): _*)
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("__dt")).as("weight_ns"),
+        sum((col(valueCol) * col("__dt")).cast("decimal(28,4)"))
+          .cast("double").as("__vdt"))
+      .withColumn("twap",
+        when(col("weight_ns") > 0,
+          col("__vdt") / col("weight_ns").cast("double")))
+      .drop("__vdt")
+  }
 }

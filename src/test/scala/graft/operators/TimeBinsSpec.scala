@@ -71,4 +71,30 @@ class TimeBinsSpec extends SparkSpec {
     assert(out == expect)
     assert(out - big < step && out % step == 0)
   }
+
+  test("twap: staircase holding-time weights — hand bin, burst " +
+    "robustness, tie timestamps, no carry across bins") {
+    // key u, bin [0, 100): v=10 holds [5,20), v=2 holds [20,90),
+    // v=8 holds [90,100) -> twap = (10*15 + 2*70 + 8*10)/95
+    val d = df("k STRING, id BIGINT, ts BIGINT, v DOUBLE",
+      Row("u", 1L, 5L, 10.0), Row("u", 2L, 20L, 2.0),
+      Row("u", 3L, 90L, 8.0),
+      // next bin: single event holds [150, 200)
+      Row("u", 4L, 150L, 4.0),
+      // key w: a 3-event burst at ts=10 (ties -> dt 0 for first two),
+      // then quiet — plain avg would say 34/4, twap holds v=1 for 90%
+      Row("w", 5L, 0L, 1.0), Row("w", 6L, 10L, 30.0),
+      Row("w", 7L, 10L, 2.0), Row("w", 8L, 10L, 1.0))
+    val out = TimeBins.twap(d, Seq("k"), "ts", "v", 100L, "id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("u", 0L)) ==
+      ((3L, 95L, (10.0 * 15 + 2.0 * 70 + 8.0 * 10) / 95.0)))
+    assert(out(("u", 100L)) == ((1L, 50L, 4.0)))
+    // burst: first copy holds [0,10), last tie copy holds [10,100)
+    val (n, wgt, tw) = out(("w", 0L))
+    assert(n == 4L && wgt == 100L)
+    assert(approx(tw, (1.0 * 10 + 1.0 * 90) / 100.0))
+  }
 }
