@@ -1758,6 +1758,29 @@ object SparkEntry {
           r6(col("o_totalprice")).as("price_micro"))
     }),
 
+    // --- SCD Type-2 dimension history: init without the %7 keys at
+    //     t=0, one merge batch at t=1000 that doubles %5 balances
+    //     (changed -> close + reopen), repeats the rest verbatim
+    //     (no-op), and introduces the %7 keys (insert). The final
+    //     history must reproduce the relational replay exactly ---
+    "q_scd2" -> ((s, dir) => {
+      val root = tableOpsRoot(dir) + "_scd2"
+      rmTree(root)
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      graft.tables.TableOps.scd2Overwrite(
+        dim.filter(col("c_custkey") % 7 =!= 0), root, asOfNs = 0L)
+      val batch = dim.withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") * 2.0)
+          .otherwise(col("c_acctbal")))
+      graft.tables.TableOps.scd2Merge(s, root, batch,
+        Seq("c_custkey"), asOfNs = 1000L)
+      graft.tables.TableOps.read(s, root)
+        .select(col("c_custkey"), col("c_name"),
+          r6(col("c_acctbal")).as("bal_micro"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+    }),
+
     // --- Iceberg-style time travel: per-snapshot row count + exact
     //     money sum across the WHOLE version history (v1 base, v2 after
     //     the merge, v3 after the delete) — each VERSION AS OF read must
@@ -4473,6 +4496,40 @@ object SparkEntry {
          |  UNION ALL SELECT * FROM upd)
          |SELECT o_orderkey, o_custkey, ${R6("o_totalprice")} AS price_micro
          |FROM v2 WHERE o_totalprice >= 50000.0""".stripMargin,
+
+    // SCD2: the relational replay — changed keys contribute a closed
+    // copy plus a reopened one; no-op updates keep the t=0 row; %7
+    // keys insert at t=1000. Null-safe attribute comparison mirrors
+    // the engine's <=> per column
+    "q_scd2" ->
+      s"""WITH dim AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         |init AS (SELECT * FROM dim WHERE c_custkey % 7 <> 0),
+         |upd AS (SELECT c_custkey, c_name,
+         |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2.0
+         |         ELSE c_acctbal END AS c_acctbal FROM dim),
+         |changed AS (
+         |  SELECT i.c_custkey FROM init i JOIN upd u USING (c_custkey)
+         |  WHERE u.c_acctbal IS DISTINCT FROM i.c_acctbal
+         |     OR u.c_name IS DISTINCT FROM i.c_name),
+         |rows_out AS (
+         |  SELECT i.c_custkey, i.c_name, i.c_acctbal,
+         |    CAST(0 AS BIGINT) AS valid_from,
+         |    CAST(1000 AS BIGINT) AS valid_to, FALSE AS is_current
+         |  FROM init i JOIN changed USING (c_custkey)
+         |  UNION ALL
+         |  SELECT i.c_custkey, i.c_name, i.c_acctbal,
+         |    CAST(0 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         |  FROM init i
+         |  WHERE i.c_custkey NOT IN (SELECT c_custkey FROM changed)
+         |  UNION ALL
+         |  SELECT u.c_custkey, u.c_name, u.c_acctbal,
+         |    CAST(1000 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         |  FROM upd u
+         |  WHERE u.c_custkey % 7 = 0
+         |     OR u.c_custkey IN (SELECT c_custkey FROM changed))
+         |SELECT c_custkey, c_name, ${R6("c_acctbal")} AS bal_micro,
+         |  valid_from, valid_to, is_current
+         |FROM rows_out""".stripMargin,
 
     "q_table_history" ->
       s"""WITH v1 AS (

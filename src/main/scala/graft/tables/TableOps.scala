@@ -113,6 +113,68 @@ object TableOps {
     commit(read(spark, root).filter(!predicate || predicate.isNull),
       root, partitionBy)
 
+  private val Scd2Meta = Seq("valid_from", "valid_to", "is_current")
+
+  /** Create/replace a table as an SCD Type-2 dimension: every row of
+    * `df` becomes current as of `asOfNs` (valid_from = asOfNs,
+    * valid_to = NULL, is_current = true). */
+  def scd2Overwrite(df: DataFrame, root: String, asOfNs: Long,
+                    partitionBy: Seq[String] = Nil): Int =
+    commit(df
+      .withColumn("valid_from", lit(asOfNs))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true)), root, partitionBy)
+
+  /** SCD Type-2 MERGE — the dimension-history upsert every warehouse
+    * runs: an update whose attributes DIFFER from the key's current row
+    * closes that row (valid_to = asOfNs, is_current = false) and opens
+    * a new current row; an identical update is a no-op; a new key
+    * inserts as current; closed history is never touched. Attribute
+    * comparison is null-safe per column (a NULL attribute equals NULL).
+    * `updates` must carry exactly one row per key (the caller's batch
+    * dedup — enforced cheaply by requiring no duplicate keys would cost
+    * a shuffle here, so it is a documented contract, as with MERGE).
+    *
+    * Three key-joins of the CURRENT slice vs the update batch (history
+    * rows never enter a join), one snapshot write. */
+  def scd2Merge(spark: SparkSession, root: String, updates: DataFrame,
+                keys: Seq[String], asOfNs: Long,
+                partitionBy: Seq[String] = Nil): Int = {
+    val target = read(spark, root)
+    require(Scd2Meta.forall(target.columns.contains),
+      s"not an SCD2 table (missing ${Scd2Meta.mkString("/")}): " +
+        s"${target.columns.mkString(", ")}")
+    val attrs = target.columns.toSeq
+      .filterNot(c => keys.contains(c) || Scd2Meta.contains(c))
+    val u = updates.select((keys ++ attrs).map(col): _*)
+    val cur = target.filter(col("is_current"))
+    val hist = target.filter(!col("is_current"))
+    val t = cur.alias("t")
+    val uu = u.withColumn("__m", lit(true)).alias("u")
+    val keyCond = keys.map(k => col(s"t.$k") <=> col(s"u.$k"))
+      .reduce(_ && _)
+    val sameAttrs = attrs.map(a => col(s"t.$a") <=> col(s"u.$a"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val j = t.join(uu, keyCond, "left")
+    val changed = col("__m").isNotNull && !sameAttrs
+    val keep = j.filter(!changed).select(col("t.*"))
+    val closedRows = j.filter(changed).select(col("t.*"))
+      .withColumn("valid_to", lit(asOfNs))
+      .withColumn("is_current", lit(false))
+    val reopened = j.filter(changed)
+      .select((keys ++ attrs).map(a => col(s"u.$a").as(a)): _*)
+    val inserts = u.alias("u2").join(cur.alias("t2"),
+      keys.map(k => col(s"u2.$k") <=> col(s"t2.$k")).reduce(_ && _),
+      "left_anti")
+    val opened = reopened.unionByName(inserts)
+      .withColumn("valid_from", lit(asOfNs))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    commit(hist.unionByName(keep).unionByName(closedRows)
+      .unionByName(opened.select(target.columns.map(col): _*)),
+      root, partitionBy)
+  }
+
   /** Dynamic partition overwrite: replace only the partitions present in
     * `replacement`, keep all others (INSERT OVERWRITE ... PARTITION). */
   def overwritePartitions(spark: SparkSession, root: String,

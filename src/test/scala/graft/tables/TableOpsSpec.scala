@@ -151,4 +151,40 @@ class TableOpsSpec extends SparkSpec {
       java.nio.file.Paths.get(root, "_latest")).trim
     assert(ptr.matches("v\\d{5}"))
   }
+
+  test("scd2Merge: changed closes + reopens, identical is a no-op, " +
+    "new key inserts, history accumulates over batches") {
+    val root = tmp()
+    TableOps.scd2Overwrite(base(), root, asOfNs = 0L)
+    // batch 1 @ t=100: id 1 changes, id 2 identical, id 4 new
+    TableOps.scd2Merge(spark, root,
+      df("id BIGINT, ticker STRING, v DOUBLE",
+        Row(1L, "A", 10.0), Row(2L, "A", 2.0), Row(4L, "C", 4.0)),
+      Seq("id"), asOfNs = 100L)
+    def snap() = TableOps.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getBoolean(5), r.getDouble(2))).toSet
+    assert(snap() == Set(
+      (1L, 0L, Some(100L), false, 1.0),   // closed
+      (1L, 100L, None, true, 10.0),       // reopened
+      (2L, 0L, None, true, 2.0),          // no-op: original row kept
+      (3L, 0L, None, true, 3.0),          // untouched by the batch
+      (4L, 100L, None, true, 4.0)))       // insert
+    // batch 2 @ t=200: id 1 changes AGAIN — history keeps both layers
+    TableOps.scd2Merge(spark, root,
+      df("id BIGINT, ticker STRING, v DOUBLE", Row(1L, "A", 11.0)),
+      Seq("id"), asOfNs = 200L)
+    val h1 = snap().filter(_._1 == 1L)
+    assert(h1 == Set(
+      (1L, 0L, Some(100L), false, 1.0),
+      (1L, 100L, Some(200L), false, 10.0),
+      (1L, 200L, None, true, 11.0)))
+    // merging the identical batch again is a full no-op on content
+    val before = snap()
+    TableOps.scd2Merge(spark, root,
+      df("id BIGINT, ticker STRING, v DOUBLE", Row(1L, "A", 11.0)),
+      Seq("id"), asOfNs = 300L)
+    assert(snap() == before)
+  }
 }
