@@ -356,6 +356,33 @@ class PlanQualitySpec extends SparkSpec {
       "calibration must shuffle exactly once:\n" + p.take(2000))
   }
 
+  test("q_twap: one key-window exchange + one partial-agg bin count; " +
+    "decimal partial sums present") {
+    val p = plan("q_twap")
+    assert(p.contains("partial_sum"), p.take(2000))
+    // the (key, bin) groupBy is satisfied by the lead-window's
+    // hash(user_id) distribution — the whole TWAP is ONE exchange
+    assert(occurrences(p, "Exchange hashpartitioning") == 1,
+      "TWAP must reuse the window exchange for the bin aggregate:\n" +
+        p.take(2000))
+  }
+
+  test("q_mutual_info / q_chi_square: ONE corpus-frame exchange (the " +
+    "joint count); marginals join broadcast, never sort-merge") {
+    for (q <- Seq("q_mutual_info", "q_chi_square")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q:\n" + p.take(2000))
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q:\n" + p.take(2000))
+    }
+  }
+
+  test("q_ndcg: per-pool plans are TakeOrdered (no global sort " +
+    "exchange for the top-k cut)") {
+    val p = plan("q_ndcg")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("pageRank iteration: contribution counts partial-aggregate; " +
     "the dangling probe is an aggregate, not a collect of ranks") {
     // one manual iteration over a tiny edge frame — the per-iteration
