@@ -3238,6 +3238,24 @@ object SparkEntry {
       Graph.triangleCounts(pairs, "src", "dst")
     }),
 
+    // --- graph: common-neighbor link prediction on the repeat
+    //     co-purchase graph — top-50 non-adjacent pairs by shared
+    //     neighbors, with neighborhood Jaccard ---
+    "q_link_pred" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+      Graph.linkPredictions(pairs, "src", "dst", topK = 50)
+        .select(col("x"), col("y"), col("common"), col("deg_x"),
+          col("deg_y"), r6(col("jaccard")).as("jaccard_micro"))
+    }),
+
     // --- graph: 2-core of the repeat-co-purchase part graph — the
     //     dense nucleus after iterative peel (fixpoint in 4 rounds at
     //     sf0.01; the oracle unrolls 8, safely past it) ---
@@ -5982,6 +6000,36 @@ object SparkEntry {
          |  UNION ALL SELECT n2 FROM t
          |  UNION ALL SELECT n3 FROM t)
          |SELECT node, COUNT(*) AS n_triangles FROM c GROUP BY 1""".stripMargin,
+
+    // link prediction: wedge join at the shared neighbor over the same
+    // repeat-co-purchase edges, NOT EXISTS anti vs the edge set
+    "q_link_pred" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS MATERIALIZED (SELECT u AS c, v AS n FROM e
+         |  UNION ALL SELECT v AS c, u AS n FROM e),
+         |deg AS MATERIALIZED (
+         |  SELECT n AS node, COUNT(*) AS deg FROM adj GROUP BY 1),
+         |centers AS MATERIALIZED (
+         |  SELECT a.c, a.n FROM adj a JOIN deg d ON d.node = a.c
+         |  WHERE d.deg <= 1000),
+         |pairs AS (
+         |  SELECT w1.n AS x, w2.n AS y, COUNT(*) AS common
+         |  FROM centers w1 JOIN centers w2
+         |    ON w1.c = w2.c AND w1.n < w2.n
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT p.* FROM pairs p
+         |  WHERE NOT EXISTS (SELECT 1 FROM e
+         |    WHERE e.u = p.x AND e.v = p.y))
+         |SELECT x, y, common, dx.deg AS deg_x, dy.deg AS deg_y,
+         |  ${R6("CAST(common AS DOUBLE) / (dx.deg + dy.deg - common)")} AS jaccard_micro
+         |FROM cand JOIN deg dx ON dx.node = x JOIN deg dy ON dy.node = y
+         |ORDER BY common DESC, x, y LIMIT 50""".stripMargin,
 
     // 2-core: 8 unrolled peels (fixpoint reached in 4 on this graph —
     // extra peels are no-ops since the k-core is the unique fixpoint).

@@ -200,6 +200,34 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  // ---- linkPredictions ----
+
+  test("linkPredictions: common-neighbor counts and Jaccard on a hand " +
+    "graph; existing edges excluded; hub centers capped") {
+    // path 1-2-3 plus 1-4, 3-4: candidates (1,3) via centers {2,4},
+    // (2,4) via centers {1,3}; (1,3) and (2,4) are NOT edges
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L))
+    val got = Graph.linkPredictions(
+        df("src BIGINT, dst BIGINT", edges.map(p => Row(p._1, p._2)): _*),
+        "src", "dst")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // all four nodes have degree 2; jaccard = 2/(2+2-2) = 1.0
+    assert(got == Map(
+      (1L, 3L) -> ((2L, 2L, 2L, 1.0)),
+      (2L, 4L) -> ((2L, 2L, 2L, 1.0))))
+    // capping the center degree at 2 removes nothing here; at the
+    // minimum cap the star center is excluded: star 10-(11,12,13)
+    // yields pairs only via center 10 (deg 3 > cap 2) -> empty
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L))
+    val capped = Graph.linkPredictions(
+      df("src BIGINT, dst BIGINT", star.map(p => Row(p._1, p._2)): _*),
+      "src", "dst", maxCenterDeg = 2)
+    assert(capped.count() == 0)
+  }
+
   test("pageRank: all-dangling graph (no second-hop edges) keeps " +
     "uniform ranks; degenerate inputs rejected") {
     // 1->2, 3->4: sources never receive, sinks only receive — symmetric
