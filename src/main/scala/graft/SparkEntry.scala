@@ -3466,6 +3466,21 @@ object SparkEntry {
           r6(col("ndcg")).as("ndcg_micro"))
     }),
 
+    // --- LLM ops: reciprocal rank @10 over the same BM25 pools ---
+    "q_mrr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pool = ndcgQueries.map { case (qid, terms) =>
+        Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 20)
+          .select(lit(qid).as("qid"), col("doc_id"),
+            (col("n_terms") === terms.size).cast("int").as("rel"),
+            col("score"))
+      }.reduce(_.unionByName(_))
+      Retrieval.reciprocalRankAtK(pool, Seq("qid"), "doc_id", "score",
+          "rel", k = 10)
+        .select(col("qid"), col("first_rel_rank"),
+          r6(col("rr")).as("rr_micro"))
+    }),
+
     // --- LLM ops: embedding unit-normalization (row-local, double
     //     arithmetic end-to-end) — long format for the oracle compare ---
     "q_embed_normalize" -> ((s, dir) => {
@@ -3677,6 +3692,45 @@ object SparkEntry {
     "q1" -> Seq("table", "scan"),
     "q2" -> Seq("vector", "join"),
     "q3" -> Seq("stream", "filter"))
+
+  /** Shared WITH-prefix of the q_ndcg / q_mrr oracles: the parametrized
+    * bm25 chain per [[ndcgQueries]] entry, unioned into `pool(qid,
+    * doc_id, rel, score)`. */
+  private lazy val NdcgPoolSql: String = {
+    val blocks = ndcgQueries.zipWithIndex.map { case ((qid, ts), i) =>
+      val inList = ts.map(t => s"'$t'").mkString(", ")
+      s"""p$i AS MATERIALIZED (
+         |  SELECT '$qid' AS qid, doc_id,
+         |    CASE WHEN n_terms = ${ts.size} THEN 1 ELSE 0 END AS rel,
+         |    score
+         |  FROM (
+         |    SELECT doc_id, COUNT(*) AS n_terms,
+         |      CAST(SUM(CAST(s AS DECIMAL(18,8))) AS DOUBLE) AS score
+         |    FROM (
+         |      SELECT doc_id,
+         |        (ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1.0)))
+         |          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+         |      FROM (
+         |        SELECT doc_id, dl, term, tf,
+         |          COUNT(*) OVER (PARTITION BY term) AS df
+         |        FROM (
+         |          SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits
+         |          WHERE term IN ($inList) GROUP BY 1, 2, 3)), stats)
+         |    GROUP BY 1)
+         |  ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin
+    }.mkString(",\n")
+    val pools = ndcgQueries.indices.map(i => s"SELECT * FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |stats AS MATERIALIZED (
+       |  SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM toks),
+       |hits AS MATERIALIZED (
+       |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+       |$blocks,
+       |pool AS (SELECT * FROM ($pools))""".stripMargin
+  }
 
   private val taxonomyLexicon: Seq[(String, Seq[String])] = Seq(
     "compute" -> Seq("agg", "filter", "group", "hash", "join", "merge",
@@ -6971,42 +7025,10 @@ object SparkEntry {
     // NDCG@10: per-query bm25 pools (the q_bm25 chain, parametrized)
     // -> binary relevance -> rank windows -> DECIMAL-summed gains
     "q_ndcg" -> {
-      val blocks = ndcgQueries.zipWithIndex.map { case ((qid, ts), i) =>
-        val inList = ts.map(t => s"'$t'").mkString(", ")
-        s"""p$i AS MATERIALIZED (
-           |  SELECT '$qid' AS qid, doc_id,
-           |    CASE WHEN n_terms = ${ts.size} THEN 1 ELSE 0 END AS rel,
-           |    score
-           |  FROM (
-           |    SELECT doc_id, COUNT(*) AS n_terms,
-           |      CAST(SUM(CAST(s AS DECIMAL(18,8))) AS DOUBLE) AS score
-           |    FROM (
-           |      SELECT doc_id,
-           |        (ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1.0)))
-           |          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
-           |      FROM (
-           |        SELECT doc_id, dl, term, tf,
-           |          COUNT(*) OVER (PARTITION BY term) AS df
-           |        FROM (
-           |          SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits
-           |          WHERE term IN ($inList) GROUP BY 1, 2, 3)), stats)
-           |    GROUP BY 1)
-           |  ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin
-      }.mkString(",\n")
-      val pools = ndcgQueries.indices.map(i => s"SELECT * FROM p$i")
-        .mkString(" UNION ALL ")
       def decGain(pos: String): String =
         s"CASE WHEN $pos <= 10 THEN CAST(rel / (ln($pos + 1.0) / ln(2.0)) " +
           "AS DECIMAL(18,8)) ELSE CAST(0 AS DECIMAL(18,8)) END"
-      s"""WITH toks AS MATERIALIZED (
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-         |  FROM documents),
-         |stats AS MATERIALIZED (
-         |  SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM toks),
-         |hits AS MATERIALIZED (
-         |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
-         |$blocks,
-         |pool AS (SELECT * FROM ($pools)),
+      s"""$NdcgPoolSql,
          |ranked AS (
          |  SELECT qid, rel,
          |    ROW_NUMBER() OVER (PARTITION BY qid
@@ -7024,6 +7046,23 @@ object SparkEntry {
          |  ${R6("CASE WHEN idcg > 0.0 THEN dcg / idcg END")} AS ndcg_micro
          |FROM agg""".stripMargin
     },
+
+    // MRR: first relevant position under the same ranking
+    "q_mrr" ->
+      s"""$NdcgPoolSql,
+         |ranked AS (
+         |  SELECT qid, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, doc_id) AS pr
+         |  FROM pool),
+         |agg AS (
+         |  SELECT qid,
+         |    MIN(CASE WHEN rel > 0 AND pr <= 10 THEN pr END)
+         |      AS first_rel_rank
+         |  FROM ranked GROUP BY 1)
+         |SELECT qid, first_rel_rank,
+         |  ${R6("COALESCE(1.0 / first_rel_rank, 0.0)")} AS rr_micro
+         |FROM agg""".stripMargin,
 
     // unit normalization: parallel unnests zip, dim is 0-based to match
     // posexplode

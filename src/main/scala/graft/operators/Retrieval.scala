@@ -231,6 +231,30 @@ object Retrieval {
     * in, same decimal out), the sum exact and order-independent — so
     * the metric is bit-portable, at a harmless 1e-8 truncation of an
     * eval score. */
+  /** Reciprocal rank @k per query — 1/position of the FIRST relevant
+    * candidate under (score desc, id) order, 0 when no relevant lands
+    * inside the cut (the no-hit convention that makes the mean over
+    * queries the usual MRR). Same single query-key exchange as
+    * [[ndcgAtK]]; 1/pos of an integer position is one division of
+    * identical doubles — engine-exact without decimal plumbing. */
+  def reciprocalRankAtK(scored: DataFrame, queryCols: Seq[String],
+                        idCol: String, scoreCol: String, relCol: String,
+                        k: Int): DataFrame = {
+    require(queryCols.nonEmpty, "reciprocalRankAtK needs query keys")
+    require(k > 0, s"reciprocalRankAtK: k must be positive, got $k")
+    val q = queryCols.map(col)
+    val byScore = Window.partitionBy(q: _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored
+      .withColumn("__pr", row_number().over(byScore).cast("long"))
+      .groupBy(q: _*)
+      .agg(min(when(col(relCol) > 0 && col("__pr") <= k, col("__pr")))
+        .as("first_rel_rank"))
+      .withColumn("rr",
+        coalesce(lit(1.0) / col("first_rel_rank").cast("double"),
+          lit(0.0)))
+  }
+
   def ndcgAtK(scored: DataFrame, queryCols: Seq[String], idCol: String,
               scoreCol: String, relCol: String, k: Int): DataFrame = {
     require(queryCols.nonEmpty, "ndcgAtK needs query key columns")

@@ -169,4 +169,20 @@ class RetrievalSpec extends SparkSpec {
     assert(out("qb")._3 == null)
     assert(out("qc")._3.asInstanceOf[Double] == 1.0)
   }
+
+  test("reciprocalRankAtK: first-relevant position, cutoff, and the " +
+    "0.0 no-hit convention") {
+    import org.apache.spark.sql.Row
+    val d = df("qid STRING, doc BIGINT, score DOUBLE, rel INT",
+      Row("qa", 1L, 9.0, 0), Row("qa", 2L, 8.0, 1), Row("qa", 3L, 7.0, 1),
+      Row("qb", 1L, 5.0, 0), Row("qb", 2L, 4.0, 0),
+      Row("qc", 1L, 3.0, 0), Row("qc", 2L, 2.0, 0), Row("qc", 3L, 1.0, 1))
+    val out = Retrieval.reciprocalRankAtK(d, Seq("qid"), "doc", "score",
+        "rel", k = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Any]("first_rel_rank"), r.getDouble(2)))).toMap
+    assert(out("qa") == ((2L, 0.5)))
+    assert(out("qb") == ((null, 0.0)))       // nothing relevant
+    assert(out("qc") == ((null, 0.0)))       // relevant exists, beyond k
+  }
 }
