@@ -142,13 +142,21 @@ object DirectionModel {
     * outputs), every partial sum is exact and the result is
     * order-independent and engine-portable; for free-form doubles it
     * carries the usual summation-order ulp noise — micro-round before
-    * gating on it. */
+    * gating on it.
+    *
+    * The probability column's domain is non-null p ∈ [0, 1]; out-of-range
+    * values clamp into the edge bins (a miscalibrated-but-finite score
+    * still lands in a diagnosable bin) and a NULL p groups under a NULL
+    * bin row rather than vanishing — both visible, neither silent. */
   def calibrationBins(predictions: DataFrame, probCol: String,
                       labelCol: String, nBins: Int = 10): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
     val p = col(probCol).cast("double")
     predictions
-      .groupBy(least(floor(p * nBins), lit(nBins - 1L)).cast("long")
+      // the isNotNull guard matters: least/greatest SKIP nulls in Spark,
+      // so without it a NULL p would clamp silently into an edge bin
+      .groupBy(when(p.isNotNull, greatest(lit(0L),
+          least(floor(p * nBins), lit(nBins - 1L)))).cast("long")
         .as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col(labelCol).cast("long")).as("n_pos"),

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -132,5 +132,119 @@ object Multimodal {
     df.select(col("*"),
       posexplode(sf(col(contentCol))).as(Seq("frame_index", "frame")))
       .withColumn("frame_index", col("frame_index").cast("long"))
+  }
+}
+
+/** REAL image-container header parsing over BINARY columns — unlike
+  * [[Multimodal.StubCodec]] this is not a fake: PNG dimensions sit at a
+  * fixed offset in the IHDR chunk and JPEG dimensions in the first SOF
+  * segment, both pure public-format byte arithmetic (PNG spec §11.2.2;
+  * JPEG/JFIF ISO 10918 segment structure), so a media lake's width/
+  * height/format columns come straight off the binary payloads with no
+  * codec library at all.
+  *
+  * Everything is built from codegen'd built-ins (`hex`, `substr`,
+  * `conv`, comparisons) — zero UDFs, so the parse inlines into
+  * whole-stage codegen and pushes through a 100 TB binaryFile scan at
+  * column speed. The byte walk works on the hex string view (two chars
+  * per byte): position arithmetic stays exact and the same logic is
+  * expressible in any SQL engine, which is what lets the driver's DuckDB
+  * oracle replay it bit-for-bit.
+  *
+  * Malformed inputs (truncated header, wrong magic, a segment walk that
+  * runs off the payload or past [[ImageHeaders.MaxJpegSegments]]) yield
+  * NULL format/width/height — never a garbage dimension. */
+object ImageHeaders {
+
+  /** JPEG segment-walk bound: APPn/COM/DQT/DHT segments are skipped via
+    * their length prefixes until a SOF marker; a file whose SOF sits
+    * deeper than this many leading segments parses as NULL (raise for
+    * exotic metadata-heavy files — each step is one more inlined
+    * expression, not a join). */
+  val MaxJpegSegments = 4
+
+  private val PngMagicHex = "89504E470D0A1A0A"
+  private val SofMarkers = Seq("FFC0", "FFC1", "FFC2")
+
+  private def beHex(digits: Int, v: Column): Column =
+    lpad(hex(v), digits, "0")
+
+  /** Synthesize a minimal well-formed PNG: magic + IHDR chunk (13-byte
+    * payload: width, height BE-32, bit depth 8, color type 2 truecolor,
+    * zeroed method bytes and CRC) + `body` as opaque trailing data.
+    * Dimension fields are REAL per the spec — [[parse]] reads back
+    * exactly what went in. */
+  def pngBytes(width: Column, height: Column, body: Column): Column =
+    concat(
+      unhex(concat(lit(PngMagicHex + "0000000D49484452"),
+        beHex(8, width), beHex(8, height), lit("080200000000000000"))),
+      body.cast("binary"))
+
+  /** Synthesize a baseline JFIF JPEG: SOI, APP0 of variable length
+    * (5-byte "JFIF\0" identifier + `padBytes` zeros — the length prefix
+    * is what the segment walk must honor), an optional zero-payload APP1
+    * (`extraApp1` — a second segment to hop), then SOF0 with REAL
+    * height/width BE-16 and a standard 3-component spec, and `body` as
+    * opaque trailing data. */
+  def jpegBytes(width: Column, height: Column, padBytes: Column,
+                extraApp1: Column, body: Column): Column = {
+    val pad = lit("0" * 512).substr(lit(1), (padBytes * 2).cast("int"))
+    concat(
+      unhex(concat(
+        lit("FFD8FFE0"), beHex(4, padBytes + lit(7)), lit("4A46494600"),
+        pad,
+        when(extraApp1, lit("FFE100040000")).otherwise(lit("")),
+        lit("FFC0001108"), beHex(4, height), beHex(4, width),
+        lit("03011100021101031101"))),
+      body.cast("binary"))
+  }
+
+  /** Parse a binary payload's image header: returns a struct
+    * `(format STRING, width INT, height INT)` — `png` via the IHDR
+    * fixed offsets, `jpeg` via a bounded length-prefixed segment walk to
+    * the first SOF0/1/2 marker, all-NULL for anything else. */
+  def parse(content: Column): Column = {
+    val hexs = hex(content)
+    val n = length(content).cast("long")
+
+    // PNG: magic at bytes 1-8, "IHDR" at 13-16, width/height BE-32 at
+    // 17-20 / 21-24 (hex chars 33-40 / 41-48)
+    val pngOk = n >= 24L && hexs.substr(1, 16) === PngMagicHex &&
+      hexs.substr(25, 8) === "49484452"
+    val pngW = conv(hexs.substr(33, 8), 16, 10).cast("long")
+    val pngH = conv(hexs.substr(41, 8), 16, 10).cast("long")
+
+    // JPEG: SOI then length-prefixed segments; byte position p (1-based)
+    // maps to hex char 2p-1. Each walk step either stands on a SOF
+    // marker, hops one segment (2 marker bytes + BE-16 length that
+    // counts itself), or dies to NULL on a non-marker byte — truncation
+    // and garbage both null-propagate through substr/conv.
+    def markerAt(pos: Column): Column =
+      hexs.substr((pos * 2 - 1).cast("int"), lit(4))
+    def segLen(pos: Column): Column =
+      conv(hexs.substr((pos * 2 + 3).cast("int"), lit(4)), 16, 10)
+        .cast("long")
+    var pos: Column = lit(3L)
+    for (_ <- 0 until MaxJpegSegments) {
+      val m = markerAt(pos)
+      pos = when(m.isin(SofMarkers: _*), pos)
+        .when(m.startsWith("FF") && m =!= "FFD9",
+          pos + lit(2L) + segLen(pos))
+        .otherwise(lit(null).cast("long"))
+    }
+    val sof = markerAt(pos)
+    // SOF payload: len(2) precision(1) height(2) width(2) — height at
+    // bytes pos+5..pos+6 (hex 2·pos+9), width at pos+7..pos+8 (2·pos+13)
+    val jpegOk = n >= 4L && hexs.substr(1, 4) === "FFD8" &&
+      sof.isin(SofMarkers: _*) && n >= pos + 8L
+    val jH = conv(hexs.substr((pos * 2 + 9).cast("int"), lit(4)), 16, 10)
+      .cast("long")
+    val jW = conv(hexs.substr((pos * 2 + 13).cast("int"), lit(4)), 16, 10)
+      .cast("long")
+
+    struct(
+      when(pngOk, lit("png")).when(jpegOk, lit("jpeg")).as("format"),
+      when(pngOk, pngW).when(jpegOk, jW).cast("int").as("width"),
+      when(pngOk, pngH).when(jpegOk, jH).cast("int").as("height"))
   }
 }

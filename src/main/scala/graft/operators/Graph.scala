@@ -31,6 +31,13 @@ object Graph {
   /** 1.0 of rank mass, in integer pico-units. */
   val Pico: Long = 1000000000000L
 
+  /** Result of a [[pageRankRun]]: the rank frame plus how many
+    * iterations actually ran (== the requested count unless convergence
+    * stopped it early) and the final L1 rank delta in pico-units (None
+    * when convergence tracking was off or zero iterations ran). */
+  final case class PageRankRun(ranks: DataFrame, iterationsRun: Int,
+                               finalDeltaPico: Option[Long])
+
   /** PageRank over a directed edge list (node ids must be integral).
     * Unweighted (`weightCol` empty): duplicate edges collapse and mass
     * splits uniformly over out-edges. Weighted: duplicate edges SUM
@@ -44,13 +51,36 @@ object Graph {
     *
     * rank_{t+1}(v) = (100-d)%·1/N + d%·( Σ_{u→v} (rank_t(u)·w) div
     *                 out_w(u) + dangling_t div N )
-    * with every step in LONG arithmetic, d = `dampingPct`. */
+    * with every step in LONG arithmetic, d = `dampingPct`.
+    *
+    * `convergeEpsPico > 0` enables convergence-based early exit: the L1
+    * rank delta Σ|r_t+1 − r_t| (EXACT on the pico grid — no float
+    * tolerance ambiguity) is read off the just-checkpointed frame each
+    * iteration, and the loop stops once delta ≤ eps. At 100 TB the
+    * iteration count IS the cost (each is a join + partial-agg shuffle
+    * round over the full edge set), so stopping three iterations early
+    * on an already-mixed graph saves three full shuffle rounds; the
+    * delta scan itself reads the checkpointed rank frame (O(nodes), no
+    * shuffle beyond a partial agg). Default 0 keeps the fixed-iteration
+    * contract the DuckDB oracle's unrolled CTE chain replays. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 10, dampingPct: Int = 85,
-               weightCol: String = ""): DataFrame = {
+               weightCol: String = "", convergeEpsPico: Long = 0L)
+      : DataFrame =
+    pageRankRun(edges, srcCol, dstCol, iterations, dampingPct, weightCol,
+      convergeEpsPico).ranks
+
+  /** [[pageRank]] with run metadata (iterations actually executed, final
+    * L1 delta) — see the scaladoc there for the convergence contract. */
+  def pageRankRun(edges: DataFrame, srcCol: String, dstCol: String,
+                  iterations: Int = 10, dampingPct: Int = 85,
+                  weightCol: String = "", convergeEpsPico: Long = 0L)
+      : PageRankRun = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
+    require(convergeEpsPico >= 0L,
+      s"convergeEpsPico must be >= 0, got $convergeEpsPico")
     val e =
       if (weightCol.isEmpty)
         edges.select(col(srcCol).cast("long").as("src"),
@@ -81,7 +111,10 @@ object Graph {
     // (100-d)%·1/N — the teleport share every node gets each iteration
     val base = (Pico - Pico * dampingPct / 100L) / n
     var ranks = nodes.withColumn("r", lit(Pico / n)).localCheckpoint()
-    for (_ <- 0 until iterations) {
+    var it = 0
+    var lastDelta: Option[Long] = None
+    var converged = false
+    while (it < iterations && !converged) {
       // the dangling mass rides into the update as a broadcast 1-row
       // aggregate instead of a driver collect: ONE action per iteration
       // (the localCheckpoint), not two
@@ -93,17 +126,34 @@ object Graph {
         .select(col("dst").as("node"),
           expr("(r * w) div outw").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__in"))
-      ranks = nodes
+      // join FROM ranks (same node universe as `nodes`) so the previous
+      // rank rides along for the exact L1 delta without a second join
+      val next = ranks
+        .select(col("node"), col("r").as("__prev"))
         .join(inSums, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(base) + expr(
             s"($dampingPct * (coalesce(__in, 0L) + __dang div $n)) " +
-              "div 100")).as("r"))
+              "div 100")).as("r"),
+          col("__prev"))
         .localCheckpoint()
+      if (convergeEpsPico > 0L) {
+        // scan of the just-materialized checkpoint (O(nodes) partial agg,
+        // no shuffle rounds) — exact on the integer grid
+        val delta = next.agg(
+          coalesce(sum(abs(col("r") - col("__prev"))), lit(0L)))
+          .head().getLong(0)
+        lastDelta = Some(delta)
+        converged = delta <= convergeEpsPico
+      }
+      ranks = next.select("node", "r")
+      it += 1
     }
-    ranks.select(col("node"), col("r").as("rank_pico"),
-      (col("r").cast("double") / lit(Pico.toDouble)).as("rank"))
+    PageRankRun(
+      ranks.select(col("node"), col("r").as("rank_pico"),
+        (col("r").cast("double") / lit(Pico.toDouble)).as("rank")),
+      it, lastDelta)
   }
 
   /** k-core: the maximal subgraph in which every node has degree ≥ k —
@@ -151,6 +201,15 @@ object Graph {
       nEdges = m
       it += 1
     }
+    // a partial (non-fixpoint) peel is a SUPERSET of the k-core, not the
+    // k-core — returning it silently would poison every consumer, so a
+    // maxIter exhaustion is loud (raise maxIter for adversarially deep
+    // cascades; each peel strictly removes >= 1 edge, so maxIter bounds
+    // only pathological chains, not normal graphs)
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not reach the peel fixpoint in $maxIter iterations " +
+          s"($nEdges directed edges still changing); raise maxIter")
     adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
   }
 

@@ -220,17 +220,6 @@ object Retrieval {
       .limit(topK)
   }
 
-  /** NDCG@k per query — the standard graded ranking-quality metric for
-    * a retrieval stack (BM25 / vector / hybrid evaluation). Rank by
-    * (score desc, id) for DCG, by (relevance desc, id) for the ideal;
-    * gain = rel / log₂(pos + 1); ndcg = DCG / IDCG (NULL when the query
-    * has no relevant candidates). One exchange on the query key with
-    * two in-partition sorts — work is bounded by each query's candidate
-    * pool, never the corpus. Per-position gains are summed through
-    * DECIMAL(18,8): the quantization is engine-identical (same double
-    * in, same decimal out), the sum exact and order-independent — so
-    * the metric is bit-portable, at a harmless 1e-8 truncation of an
-    * eval score. */
   /** Reciprocal rank @k per query — 1/position of the FIRST relevant
     * candidate under (score desc, id) order, 0 when no relevant lands
     * inside the cut (the no-hit convention that makes the mean over
@@ -255,6 +244,17 @@ object Retrieval {
           lit(0.0)))
   }
 
+  /** NDCG@k per query — the standard graded ranking-quality metric for
+    * a retrieval stack (BM25 / vector / hybrid evaluation). Rank by
+    * (score desc, id) for DCG, by (relevance desc, id) for the ideal;
+    * gain = rel / log₂(pos + 1); ndcg = DCG / IDCG (NULL when the query
+    * has no relevant candidates). One exchange on the query key with
+    * two in-partition sorts — work is bounded by each query's candidate
+    * pool, never the corpus. Per-position gains are summed through
+    * DECIMAL(18,8): the quantization is engine-identical (same double
+    * in, same decimal out), the sum exact and order-independent — so
+    * the metric is bit-portable, at a harmless 1e-8 truncation of an
+    * eval score. */
   def ndcgAtK(scored: DataFrame, queryCols: Seq[String], idCol: String,
               scoreCol: String, relCol: String, k: Int): DataFrame = {
     require(queryCols.nonEmpty, "ndcgAtK needs query key columns")

@@ -89,7 +89,14 @@ object TimeBins {
     * the key (lead), one partial-agg shuffle to the (key, bin) frame.
     * Tie timestamps get dt = 0 under the (ts, tieBreak) total order —
     * only the last copy holds mass; the last event in each bin always
-    * holds to the edge, so every output bin has weight > 0. */
+    * holds to the edge, so every output bin has weight > 0.
+    *
+    * NULL-value rows are dropped BEFORE the window: a missing
+    * observation is not a new level, so the previous value's staircase
+    * extends across it (its holding time flows to the prior observation,
+    * not into a silent weight_ns inflation with no matching value·dt
+    * mass). `n_obs` counts the non-null observations; a (key, bin) whose
+    * observations are all NULL emits no row. */
   def twap(df: DataFrame, keyCols: Seq[String], tsCol: String,
            valueCol: String, stepNs: Long, tieBreak: String): DataFrame = {
     require(stepNs > 0, s"stepNs must be positive, got $stepNs")
@@ -98,6 +105,7 @@ object TimeBins {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col(tieBreak))
     val binned = df
+      .filter(col(valueCol).isNotNull)
       .withColumn("bin_ns", floorNs(col(tsCol), stepNs))
       .withColumn("__end", col("bin_ns") + lit(stepNs))
       .withColumn("__dt",

@@ -159,4 +159,22 @@ class DirectionModelSpec extends SparkSpec {
     assert(approx(out(5L)._3, 0.5625) && out(5L)._4 == 1.0)
     assert(out(9L) == ((1L, 1L, 1.0, 1.0)))
   }
+
+  test("calibrationBins: out-of-range p clamps to edge bins, NULL p " +
+    "groups under a NULL bin row (nothing silent)") {
+    val d = df("id BIGINT, p DOUBLE, label BIGINT",
+      org.apache.spark.sql.Row(0L, -0.3, 0L),   // below 0 -> bin 0
+      org.apache.spark.sql.Row(1L, 1.7, 1L),    // above 1 -> bin 9
+      org.apache.spark.sql.Row(2L, null, 1L),   // NULL -> NULL bin
+      org.apache.spark.sql.Row(3L, 0.42, 1L))   // in-domain unaffected
+    val out = DirectionModel.calibrationBins(d, "p", "label")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(Some(0L), Some(9L), Some(4L), None))
+    assert(out(Some(0L)) == ((1L, 0L)))
+    assert(out(Some(9L)) == ((1L, 1L)))
+    assert(out(None) == ((1L, 1L)))
+    assert(out(Some(4L)) == ((1L, 1L)))
+  }
 }

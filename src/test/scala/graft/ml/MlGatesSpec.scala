@@ -31,10 +31,50 @@ class MlGatesSpec extends SparkSpec {
     assert(a.forall(_.getAs[Boolean]("prob_in_unit")))
   }
 
-  test("q_m3_rf_lr: RF grid-CV and LR both beat the planted signal") {
-    val rows = SparkEntry.queries("q_m3_rf_lr")(spark, sf).collect()
-    assert(rows.map(_.getString(0)).toSet == Set("rf", "lr"))
-    assert(rows.forall(_.getAs[Boolean]("beats_planted")),
-      s"below planted bar: ${rows.mkString("; ")}")
+  test("q_m3_rf_lr: RF grid-CV and LR both beat the planted signal, " +
+    "rerun-stable") {
+    val a = SparkEntry.queries("q_m3_rf_lr")(spark, sf).collect()
+    val b = SparkEntry.queries("q_m3_rf_lr")(spark, sf).collect()
+    assert(a.sortBy(_.getString(0)).toSeq == b.sortBy(_.getString(0)).toSeq,
+      "rf/lr gate not deterministic across reruns")
+    assert(a.map(_.getString(0)).toSet == Set("rf", "lr"))
+    assert(a.forall(_.getAs[Boolean]("beats_planted")),
+      s"below planted bar: ${a.mkString("; ")}")
+  }
+
+  test("two GBT fits on the same split yield the identical confusion " +
+    "matrix; every test row is predicted; labels remap to {-1,+1} only") {
+    import org.apache.spark.sql.functions._
+    // planted two-sided signal: direction = sign of a linear combo the
+    // model can recover; features are hash-derived (deterministic)
+    val base = spark.range(0, 400).select(
+      col("id"),
+      (pmod(col("id") * 2654435761L, lit(1000)) / 1000.0 - 0.5).as("f1"),
+      (pmod(col("id") * 40503L, lit(1000)) / 1000.0 - 0.5).as("f2"))
+    val planted = base
+      .withColumn("direction",
+        when(col("f1") * 2.0 + col("f2") > 0, 1).otherwise(-1))
+      .withColumn("is_test", pmod(col("id"), lit(4)) === 0)
+    val prep = DirectionModel.prepareTraining(planted, Seq("f1", "f2"))
+    val train = prep.filter(!col("is_test"))
+    val test = prep.filter(col("is_test"))
+    val nTest = test.count()
+    def fitConfusion(): Seq[(Int, Int, Long)] = {
+      val m = DirectionModel.gbtPipeline(Seq("f1", "f2"),
+        maxDepth = 3, maxIter = 5, subsample = 1.0).fit(train)
+      val preds = DirectionModel.attachPredictions(m, test)
+      assert(preds.count() == nTest, "a prediction row per test row")
+      assert(preds.select("pred_dir").distinct().collect()
+        .map(_.getInt(0)).toSet.subsetOf(Set(-1, 1)),
+        "pred_dir must remap to the {-1,+1} domain")
+      DirectionModel.confusionMatrix(preds, "direction", "pred_dir")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    }
+    val c1 = fitConfusion()
+    val c2 = fitConfusion()
+    assert(c1 == c2,
+      s"fixed-seed GBT refit changed the confusion matrix:\n$c1\nvs\n$c2")
+    assert(c1.map(_._3).sum == nTest, "confusion counts cover all rows")
   }
 }

@@ -57,4 +57,85 @@ class MultimodalSpec extends SparkSpec {
       .map(_.getAs[Array[Byte]](0))
     assert(frames.forall(_.nonEmpty))
   }
+
+  // ---- ImageHeaders: REAL container parsing (no stub) ----
+
+  private def parseOne(content: Array[Byte])
+      : (Option[String], Option[Int], Option[Int]) = {
+    val r = df("content BINARY", Row(content))
+      .select(ImageHeaders.parse(col("content")).as("m"))
+      .select(col("m.format"), col("m.width"), col("m.height"))
+      .collect()(0)
+    (Option(r.getString(0)),
+      if (r.isNullAt(1)) None else Some(r.getInt(1)),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)))
+  }
+
+  private def synth(pngNotJpeg: Boolean, w: Int, h: Int, pad: Int = 0,
+                    extraApp1: Boolean = false,
+                    body: String = "payload"): Array[Byte] = {
+    val c = if (pngNotJpeg)
+      ImageHeaders.pngBytes(lit(w), lit(h), lit(body))
+    else
+      ImageHeaders.jpegBytes(lit(w), lit(h), lit(pad), lit(extraApp1),
+        lit(body))
+    df("x INT", Row(1)).select(c.as("c")).collect()(0).getAs[Array[Byte]](0)
+  }
+
+  test("ImageHeaders: PNG and JPEG round-trip their real dimensions " +
+    "(IHDR fixed offsets; SOF behind 1 or 2 length-prefixed segments)") {
+    assert(parseOne(synth(pngNotJpeg = true, 640, 480)) ==
+      ((Some("png"), Some(640), Some(480))))
+    assert(parseOne(synth(pngNotJpeg = true, 1, 65535)) ==
+      ((Some("png"), Some(1), Some(65535))))
+    for (pad <- Seq(0, 1, 63); extra <- Seq(false, true)) {
+      assert(parseOne(synth(pngNotJpeg = false, 1920, 1080, pad, extra)) ==
+        ((Some("jpeg"), Some(1920), Some(1080))),
+        s"pad=$pad extraApp1=$extra")
+    }
+  }
+
+  test("ImageHeaders: PNG magic verified byte-for-byte — a JPEG body " +
+    "with PNG-like size is not misparsed, and vice versa") {
+    val png = synth(pngNotJpeg = true, 100, 200)
+    val jpg = synth(pngNotJpeg = false, 100, 200)
+    assert(parseOne(png)._1.contains("png"))
+    assert(parseOne(jpg)._1.contains("jpeg"))
+  }
+
+  test("ImageHeaders: truncated and corrupt headers parse to NULLs, " +
+    "never garbage dimensions") {
+    val png = synth(pngNotJpeg = true, 640, 480)
+    val jpg = synth(pngNotJpeg = false, 640, 480, pad = 3)
+    // truncated before the dimension fields
+    assert(parseOne(png.take(10)) == ((None, None, None)))
+    assert(parseOne(png.take(20)) == ((None, None, None)))
+    assert(parseOne(jpg.take(6)) == ((None, None, None)))
+    // JPEG truncated mid-walk (inside APP0, before SOF)
+    assert(parseOne(jpg.take(12)) == ((None, None, None)))
+    // corrupt magic / flipped chunk tag
+    val badMagic = png.clone(); badMagic(0) = 0x42
+    assert(parseOne(badMagic) == ((None, None, None)))
+    val badIhdr = png.clone(); badIhdr(12) = 'X'.toByte
+    assert(parseOne(badIhdr) == ((None, None, None)))
+    // garbage that is neither container
+    assert(parseOne("not an image at all".getBytes("UTF-8")) ==
+      ((None, None, None)))
+    assert(parseOne(Array.emptyByteArray) == ((None, None, None)))
+    // a JPEG whose walk never reaches SOF inside MaxJpegSegments: chain
+    // of empty APP1 segments (each FFE1 0002) deeper than the bound
+    val deep = "FFD8" +
+      ("FFE1" + "0002") * (ImageHeaders.MaxJpegSegments + 1) +
+      "FFC0001108" + "0100" + "0100" + "03011100021101031101"
+    val deepBytes = deep.sliding(2, 2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    assert(parseOne(deepBytes) == ((None, None, None)))
+    // ...but the same chain within the bound parses fine
+    val ok = "FFD8" +
+      ("FFE1" + "0002") * (ImageHeaders.MaxJpegSegments - 1) +
+      "FFC0001108" + "0100" + "0100" + "03011100021101031101"
+    val okBytes = ok.sliding(2, 2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    assert(parseOne(okBytes) == ((Some("jpeg"), Some(256), Some(256))))
+  }
 }

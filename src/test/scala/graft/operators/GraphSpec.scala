@@ -228,6 +228,49 @@ class GraphSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("pageRank convergence: a mixed graph stops early, matches the " +
+    "fixed-iteration result at the stop point, and reports the delta") {
+    // symmetric 2-cycle: uniform start IS the fixpoint, so iteration 1
+    // has delta 0 and the loop must stop there
+    val cyc = df("src BIGINT, dst BIGINT", Row(1L, 2L), Row(2L, 1L))
+    val runConv = Graph.pageRankRun(cyc, "src", "dst", iterations = 10,
+      convergeEpsPico = 0L + 1L)
+    assert(runConv.iterationsRun == 1,
+      s"expected early stop at 1, ran ${runConv.iterationsRun}")
+    assert(runConv.finalDeltaPico.contains(0L))
+    val fixed = Graph.pageRank(cyc, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val conv = runConv.ranks
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv == fixed)
+    // a non-trivial graph with a loose eps also exits before maxIter,
+    // and the result equals running exactly iterationsRun fixed rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
+    val g = df("src BIGINT, dst BIGINT", edges.map(p => Row(p._1, p._2)): _*)
+    val r2 = Graph.pageRankRun(g, "src", "dst", iterations = 50,
+      convergeEpsPico = Graph.Pico / 100L) // 1% of total mass
+    assert(r2.iterationsRun < 50, "loose eps should converge well before 50")
+    assert(r2.ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == refPageRank(edges, r2.iterationsRun))
+    // eps off (default 0) keeps the fixed-iteration contract: no delta
+    // action, all iterations run
+    val r3 = Graph.pageRankRun(g, "src", "dst", iterations = 7)
+    assert(r3.iterationsRun == 7 && r3.finalDeltaPico.isEmpty)
+  }
+
+  test("kCore: maxIter exhaustion before the fixpoint is loud, never a " +
+    "silent superset") {
+    // path 1-2-3-4-5-6-7: k=2 peels both ends each round, needs 3+ peels
+    val path = (1L to 6L).map(i => (i, i + 1))
+    val g = df("src BIGINT, dst BIGINT", path.map(p => Row(p._1, p._2)): _*)
+    val e = intercept[IllegalStateException] {
+      Graph.kCore(g, "src", "dst", k = 2, maxIter = 1)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    // with room to finish, the same graph converges to the empty core
+    assert(Graph.kCore(g, "src", "dst", k = 2).count() == 0)
+  }
+
   test("pageRank: all-dangling graph (no second-hop edges) keeps " +
     "uniform ranks; degenerate inputs rejected") {
     // 1->2, 3->4: sources never receive, sinks only receive — symmetric

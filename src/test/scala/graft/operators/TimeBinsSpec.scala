@@ -97,4 +97,22 @@ class TimeBinsSpec extends SparkSpec {
     assert(n == 4L && wgt == 100L)
     assert(approx(tw, (1.0 * 10 + 1.0 * 90) / 100.0))
   }
+
+  test("twap: NULL values extend the prior staircase level instead of " +
+    "deflating the bin; all-NULL bins emit no row") {
+    // v=10 holds [0,60) because the NULL at ts=30 is not a new level;
+    // v=4 holds [60,100) -> twap = (10*60 + 4*40)/100
+    val d = df("k STRING, id BIGINT, ts BIGINT, v DOUBLE",
+      Row("u", 1L, 0L, 10.0), Row("u", 2L, 30L, null),
+      Row("u", 3L, 60L, 4.0),
+      // key x: only NULL observations -> no output row at all
+      Row("x", 4L, 10L, null))
+    val out = TimeBins.twap(d, Seq("k"), "ts", "v", 100L, "id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(("u", 0L)))
+    assert(out(("u", 0L)) ==
+      ((2L, 100L, (10.0 * 60 + 4.0 * 40) / 100.0)))
+  }
 }
