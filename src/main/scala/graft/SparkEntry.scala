@@ -564,12 +564,21 @@ object SparkEntry {
     * [[graft.operators.Graph.pageRank]] on the customer<->supplier
     * trade graph). `edgeCte` must define `e(src, dst, w)` on top of the
     * provided `er` pair CTE; all arithmetic is BIGINT `//`, bit-matching
-    * the engine's LONG steps. */
-  private def PageRankSql(edgeCte: String, iters: Int): String = {
+    * the engine's LONG steps. `seedWhere` (a predicate over `node`)
+    * switches to the PERSONALIZED chain: teleport, dangling share, and
+    * the initial mass go to the seed set only, divided by the seed
+    * count — the twin of [[graft.operators.Graph.personalizedPageRank]]. */
+  private def PageRankSql(edgeCte: String, iters: Int,
+                          seedWhere: Option[String] = None): String = {
     val pico = graft.operators.Graph.Pico
-    val base = s"($pico - $pico * 85 // 100) // (SELECT n FROM nn)"
+    // receiver count: all N nodes, or the |S| seeds (rc CTE)
+    val rc = seedWhere.fold("(SELECT n FROM nn)")(_ => "(SELECT s FROM ss)")
+    def seeded(term: String): String =
+      seedWhere.fold(term)(w => s"CASE WHEN $w THEN $term ELSE 0 END")
+    val base = seeded(s"($pico - $pico * 85 // 100) // $rc")
     val iterCtes = (1 to iters).map { i =>
       val p = i - 1
+      val dangShare = seeded(s"(SELECT dang FROM d$i) // $rc")
       s"""d$i AS MATERIALIZED (
          |  SELECT COALESCE(CAST(SUM(r) AS BIGINT), 0) AS dang
          |  FROM r$p WHERE node NOT IN (SELECT src FROM od)),
@@ -579,10 +588,12 @@ object SparkEntry {
          |  GROUP BY 1),
          |r$i AS MATERIALIZED (SELECT nd.node, $base
          |    + 85 * (COALESCE(i.ins, 0)
-         |      + (SELECT dang FROM d$i) // (SELECT n FROM nn)) // 100
+         |      + $dangShare) // 100
          |    AS r
          |  FROM nodes nd LEFT JOIN in$i i USING (node))""".stripMargin
     }.mkString(",\n")
+    val seedCte = seedWhere.fold("")(w =>
+      s",\nss AS MATERIALIZED (SELECT COUNT(*) AS s FROM nodes WHERE $w)")
     // every iteration CTE is referenced more than once downstream —
     // MATERIALIZED stops plain-CTE inlining from re-expanding the chain
     // exponentially (2^iters scans)
@@ -592,11 +603,11 @@ object SparkEntry {
        |$edgeCte,
        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
        |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
-       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)$seedCte,
        |od AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
        |  FROM e GROUP BY 1),
        |r0 AS MATERIALIZED (
-       |  SELECT node, $pico // (SELECT n FROM nn) AS r FROM nodes),
+       |  SELECT node, ${seeded(s"$pico // $rc")} AS r FROM nodes),
        |$iterCtes
        |SELECT node, r AS rank_pico FROM r$iters""".stripMargin
   }
@@ -3220,6 +3231,26 @@ object SparkEntry {
       val edges = fwd.union(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .select(col("node"), col("rank_pico"))
+    }),
+
+    // --- graph: PERSONALIZED PageRank — teleport/dangling mass to a
+    //     seed set only (every 10th customer: node % 20 = 0 — even ids
+    //     are customers, and the modulus keeps seeds present down to
+    //     sf0.001). Rank = importance relative to the seeds; same
+    //     pico-grid chain, replayed by the seeded oracle variant ---
+    "q_ppr" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      val edges = fwd.union(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.personalizedPageRank(edges, "src", "dst",
+          n => pmod(n, lit(20L)) === 0L, iterations = 5)
         .select(col("node"), col("rank_pico"))
     }),
 
@@ -6046,6 +6077,15 @@ object SparkEntry {
         |    SELECT src, dst FROM er
         |    UNION ALL SELECT dst AS src, src AS dst FROM er)))""".stripMargin,
       iters = 5),
+
+    // personalized PageRank: the same unrolled chain with teleport,
+    // dangling share, and initial mass confined to the seed predicate
+    "q_ppr" -> PageRankSql(
+      """e AS MATERIALIZED (SELECT src, dst, 1 AS w FROM (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM er
+        |    UNION ALL SELECT dst AS src, src AS dst FROM er)))""".stripMargin,
+      iters = 5, seedWhere = Some("node % 20 = 0")),
 
     // weighted PageRank: mass splits proportionally to the co-order
     // line count — same chain, contributions (r * w) // out_w

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed PageRank by integer power iteration — link-graph
@@ -70,11 +70,34 @@ object Graph {
     pageRankRun(edges, srcCol, dstCol, iterations, dampingPct, weightCol,
       convergeEpsPico).ranks
 
+  /** Personalized PageRank: teleport and dangling mass flow to the
+    * `seedPred` node set ONLY (uniformly over the |S| seeds) instead of
+    * the whole graph — rank becomes "importance relative to the seeds",
+    * the standard tool for seed-expansion curation (grow a trusted
+    * domain list), topic-conditioned dedup canonicalization, and
+    * related-entity retrieval. Initial mass sits entirely on the seeds.
+    * Same integer pico-grid, same one-join + one-partial-agg iteration
+    * shape, same oracle replayability as [[pageRank]]; nodes unreachable
+    * from the seed set converge to rank 0. `seedPred` is a Column
+    * predicate over the node id (e.g. `n => pmod(n, lit(20)) === 0`) so
+    * seed membership is evaluated row-local — a seed TABLE instead would
+    * be one extra broadcast join per iteration; pass a predicate on a
+    * precomputed tag when the seed set is extensional. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seedPred: Column => Column,
+                           iterations: Int = 10, dampingPct: Int = 85,
+                           weightCol: String = "",
+                           convergeEpsPico: Long = 0L): DataFrame =
+    pageRankRun(edges, srcCol, dstCol, iterations, dampingPct, weightCol,
+      convergeEpsPico, Some(seedPred)).ranks
+
   /** [[pageRank]] with run metadata (iterations actually executed, final
-    * L1 delta) — see the scaladoc there for the convergence contract. */
+    * L1 delta) — see the scaladoc there for the convergence contract,
+    * and [[personalizedPageRank]] for `seedPred`. */
   def pageRankRun(edges: DataFrame, srcCol: String, dstCol: String,
                   iterations: Int = 10, dampingPct: Int = 85,
-                  weightCol: String = "", convergeEpsPico: Long = 0L)
+                  weightCol: String = "", convergeEpsPico: Long = 0L,
+                  seedPred: Option[Column => Column] = None)
       : PageRankRun = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
@@ -108,9 +131,22 @@ object Graph {
           s"max seen $maxW")
     }
     val srcSet = eDeg.select("src").distinct().localCheckpoint()
-    // (100-d)%·1/N — the teleport share every node gets each iteration
-    val base = (Pico - Pico * dampingPct / 100L) / n
-    var ranks = nodes.withColumn("r", lit(Pico / n)).localCheckpoint()
+    // teleport mass (100-d)% of Pico: spread over all N nodes, or — in
+    // the personalized case — over the |S| seed nodes only
+    val teleport = Pico - Pico * dampingPct / 100L
+    // mass receivers: (isSeed flag column, receiver count) — the flag is
+    // row-local, so personalization adds ZERO joins per iteration
+    val (isSeed, recv) = seedPred match {
+      case None => (lit(true), n)
+      case Some(p) =>
+        val s = nodes.filter(p(col("node"))).count()
+        require(s > 0, "personalized pageRank: seed predicate matches " +
+          "no node in the graph")
+        (p(col("node")), s)
+    }
+    var ranks = nodes
+      .withColumn("r", when(isSeed, lit(Pico / recv)).otherwise(lit(0L)))
+      .localCheckpoint()
     var it = 0
     var lastDelta: Option[Long] = None
     var converged = false
@@ -132,10 +168,13 @@ object Graph {
         .select(col("node"), col("r").as("__prev"))
         .join(inSums, Seq("node"), "left")
         .crossJoin(broadcast(dang))
+        .withColumn("__recv",
+          when(isSeed, coalesce(col("__in"), lit(0L))
+            + expr(s"__dang div $recv"))
+          .otherwise(coalesce(col("__in"), lit(0L))))
         .select(col("node"),
-          (lit(base) + expr(
-            s"($dampingPct * (coalesce(__in, 0L) + __dang div $n)) " +
-              "div 100")).as("r"),
+          (when(isSeed, lit(teleport / recv)).otherwise(lit(0L)) +
+            expr(s"($dampingPct * __recv) div 100")).as("r"),
           col("__prev"))
         .localCheckpoint()
       if (convergeEpsPico > 0L) {

@@ -228,6 +228,56 @@ class GraphSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  /** Driver-side reference for PERSONALIZED pageRank: teleport/dangling
+    * mass to the seed set only, integer math as in [[refPageRank]]. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+                     iterations: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val s = nodes.count(seeds)
+    val out = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val teleport = Graph.Pico - Graph.Pico * 85L / 100L
+    var r = nodes.map(v =>
+      v -> (if (seeds(v)) Graph.Pico / s else 0L)).toMap
+    for (_ <- 0 until iterations) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / out(u) }.sum).toMap
+      r = nodes.map { v =>
+        val recvIn = in.getOrElse(v, 0L) +
+          (if (seeds(v)) dangling / s else 0L)
+        v -> ((if (seeds(v)) teleport / s else 0L) + 85L * recvIn / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank: seed-confined teleport matches the " +
+    "integer reference; unreachable nodes get 0; empty seed set rejected") {
+    // 1,2,3 reachable from seed 1; 7 is a dangling sink (its mass must
+    // teleport back to the SEED, not spread uniformly); 5<->6 is a
+    // component the seed never reaches (rank must decay to 0 there)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 7L),
+      (5L, 6L), (6L, 5L))
+    val g = df("src BIGINT, dst BIGINT", edges.map(p => Row(p._1, p._2)): _*)
+    for (iters <- Seq(1, 3, 8)) {
+      val got = Graph.personalizedPageRank(g, "src", "dst",
+          n => n === 1L, iterations = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refPpr(edges, Set(1L), iters), s"iterations=$iters")
+    }
+    val converged = Graph.personalizedPageRank(g, "src", "dst",
+        n => n === 1L, iterations = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(converged(5L) == 0L && converged(6L) == 0L,
+      "seed-unreachable component must decay to zero rank")
+    assert(converged(1L) > converged(2L) && converged(2L) > converged(3L))
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(g, "src", "dst", n => n === 99L,
+        iterations = 1)
+    }
+  }
+
   test("pageRank convergence: a mixed graph stops early, matches the " +
     "fixed-iteration result at the stop point, and reports the delta") {
     // symmetric 2-cycle: uniform start IS the fixpoint, so iteration 1
