@@ -3305,7 +3305,8 @@ object SparkEntry {
         .filter(col("__n") >= 2)
       Graph.linkPredictions(pairs, "src", "dst", topK = 50)
         .select(col("x"), col("y"), col("common"), col("deg_x"),
-          col("deg_y"), r6(col("jaccard")).as("jaccard_micro"))
+          col("deg_y"), r6(col("jaccard")).as("jaccard_micro"),
+          r6(col("adamic_adar")).as("adamic_adar_micro"))
     }),
 
     // --- graph: 2-core of the repeat-co-purchase part graph — the
@@ -6132,10 +6133,12 @@ object SparkEntry {
          |deg AS MATERIALIZED (
          |  SELECT n AS node, COUNT(*) AS deg FROM adj GROUP BY 1),
          |centers AS MATERIALIZED (
-         |  SELECT a.c, a.n FROM adj a JOIN deg d ON d.node = a.c
+         |  SELECT a.c, a.n, d.deg AS cdeg
+         |  FROM adj a JOIN deg d ON d.node = a.c
          |  WHERE d.deg <= 1000),
          |pairs AS (
-         |  SELECT w1.n AS x, w2.n AS y, COUNT(*) AS common
+         |  SELECT w1.n AS x, w2.n AS y, COUNT(*) AS common,
+         |    SUM(CAST(1.0 / ln(w1.cdeg) AS DECIMAL(18,8))) AS aa
          |  FROM centers w1 JOIN centers w2
          |    ON w1.c = w2.c AND w1.n < w2.n
          |  GROUP BY 1, 2),
@@ -6144,7 +6147,8 @@ object SparkEntry {
          |  WHERE NOT EXISTS (SELECT 1 FROM e
          |    WHERE e.u = p.x AND e.v = p.y))
          |SELECT x, y, common, dx.deg AS deg_x, dy.deg AS deg_y,
-         |  ${R6("CAST(common AS DOUBLE) / (dx.deg + dy.deg - common)")} AS jaccard_micro
+         |  ${R6("CAST(common AS DOUBLE) / (dx.deg + dy.deg - common)")} AS jaccard_micro,
+         |  ${R6("CAST(aa AS DOUBLE)")} AS adamic_adar_micro
          |FROM cand JOIN deg dx ON dx.node = x JOIN deg dy ON dy.node = y
          |ORDER BY common DESC, x, y LIMIT 50""".stripMargin,
 

@@ -267,8 +267,15 @@ object Graph {
     * down-weighting): a neighbor shared by everyone predicts nothing,
     * and one viral node must not turn the job quadratic. Counts are
     * then "common neighbors of degree ≤ maxCenterDeg" — deterministic
-    * and documented, with Jaccard over the FULL degrees. Existing edges
-    * are anti-joined out; ordering ties break on the pair. */
+    * and documented, with Jaccard over the FULL degrees. The
+    * Adamic–Adar score Σ_c 1/ln(deg(c)) rides the same wedge aggregate
+    * (the SOFT version of the hub rule — a rare shared neighbor is
+    * worth more than a common one; shared centers always have deg ≥ 2,
+    * so ln never hits 0): per-center terms are quantized to
+    * DECIMAL(18,8) before summing, making the sum exact and
+    * order-independent (the NDCG gain rule), engine-portable at a 1e-8
+    * truncation. Existing edges are anti-joined out; ordering ties
+    * break on the pair. */
   def linkPredictions(edges: DataFrame, srcCol: String, dstCol: String,
                       maxCenterDeg: Int = 1000,
                       topK: Int = 100): DataFrame = {
@@ -289,11 +296,13 @@ object Graph {
     val centers = adj
       .join(deg.select(col("node").as("c"), col("deg").as("cdeg")), "c")
       .filter(col("cdeg") <= maxCenterDeg)
-    val w1 = centers.select(col("c"), col("n").as("x"))
+    val w1 = centers.select(col("c"), col("n").as("x"), col("cdeg"))
     val w2 = centers.select(col("c"), col("n").as("y"))
     val pairs = w1.join(w2, Seq("c"))
       .filter(col("x") < col("y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("common"))
+      .groupBy("x", "y").agg(count(lit(1)).as("common"),
+        sum((lit(1.0) / log(col("cdeg").cast("double")))
+          .cast("decimal(18,8)")).as("__aa"))
       .join(und, col("x") === col("u") && col("y") === col("v"),
         "left_anti")
     pairs
@@ -303,7 +312,8 @@ object Graph {
         col("common").cast("double") /
           (col("deg_x") + col("deg_y") - col("common")).cast("double"))
       .select(col("x"), col("y"), col("common"), col("deg_x"),
-        col("deg_y"), col("jaccard"))
+        col("deg_y"), col("jaccard"),
+        col("__aa").cast("double").as("adamic_adar"))
       .sort(col("common").desc, col("x"), col("y"))
       .limit(topK)
   }

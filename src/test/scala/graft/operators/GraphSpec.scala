@@ -207,10 +207,11 @@ class GraphSpec extends SparkSpec {
     // path 1-2-3 plus 1-4, 3-4: candidates (1,3) via centers {2,4},
     // (2,4) via centers {1,3}; (1,3) and (2,4) are NOT edges
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L))
-    val got = Graph.linkPredictions(
+    val rows = Graph.linkPredictions(
         df("src BIGINT, dst BIGINT", edges.map(p => Row(p._1, p._2)): _*),
         "src", "dst")
       .collect()
+    val got = rows
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
       .toMap
@@ -218,6 +219,13 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(
       (1L, 3L) -> ((2L, 2L, 2L, 1.0)),
       (2L, 4L) -> ((2L, 2L, 2L, 1.0))))
+    // Adamic-Adar: two shared centers of degree 2 -> 2/ln(2), through
+    // the per-term DECIMAL(18,8) quantization
+    val aaTerm = BigDecimal(1.0 / math.log(2.0))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      assertApprox(r.getDouble(6), 2 * aaTerm, 1e-12)
+    }
     // capping the center degree at 2 removes nothing here; at the
     // minimum cap the star center is excluded: star 10-(11,12,13)
     // yields pairs only via center 10 (deg 3 > cap 2) -> empty
