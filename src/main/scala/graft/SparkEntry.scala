@@ -3414,6 +3414,21 @@ object SparkEntry {
           nearDupJaccard = 0.0, seed = 5L))
     }),
 
+    // --- LLM ops: token-yield curve (r12) — cumulative token budget by
+    //     quality decile, top tier first: the "where does the quality
+    //     bar land for an N-token budget" planning curve. Decile edges
+    //     from distributed exact percentiles (never a global ntile
+    //     sort); row-local tier assignment; one partial-agg groupBy to
+    //     <= 10 rows; bounded cumulative walk ---
+    "q_token_yield" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("__q"),
+        TextFunctions.nTokens(col("text")).cast("long").as("__tok"))
+      Curation.tokenYieldCurve(d, "__q", "__tok", buckets = 10)
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          col("cum_tokens"), r6(col("cum_frac")).as("cum_frac_micro"))
+    }),
+
     // --- LLM ops: decontamination DROP face — the corpus that survives
     //     removing docs sharing >= 2 distinct 3-grams with the eval set;
     //     count + id checksum, fully SQL-expressible ---
@@ -6958,6 +6973,58 @@ object SparkEntry {
          |UNION ALL SELECT 'sampled', (SELECT COUNT(*) FROM s)
          |UNION ALL SELECT 'near_dup', (SELECT COUNT(*) FROM s)
          |UNION ALL SELECT 'packed', (SELECT COUNT(*) FROM s)""".stripMargin,
+
+    // token-yield curve: decile edges via quantile_cont (the
+    // winsorize-proven exactPercentiles twin), row-local tier counts,
+    // bounded cumulative window — bucket 1 = top quality tier
+    "q_token_yield" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(trim(text), '\\s+') AS toks,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(toks) AS ntok,
+         |    CAST(len(toks) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(ltoks, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','are','was',
+         |       'it','that','this','for','on','with','as','at','by','be'],
+         |      x))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(length(regexp_replace(text,
+         |      '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         |      AS DOUBLE) / length(text) AS upper_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, ntok,
+         |    GREATEST(0.0, LEAST(1.0,
+         |      0.5 * (LEAST(nt / 50.0, 1.0) *
+         |        CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END)
+         |      + 0.5 * LEAST(stop_ratio * 4.0, 1.0)
+         |      - LEAST(punct_ratio * 2.0, 0.5)
+         |      - LEAST(upper_ratio * 2.0, 0.5))) AS quality
+         |  FROM m),
+         |th AS (SELECT quantile_cont(quality,
+         |    [${(1 until 10).map(i => s"0.$i").mkString(", ")}]) AS t
+         |  FROM q),
+         |b AS (
+         |  SELECT doc_id, ntok,
+         |    10 - len(list_filter(th.t, x -> quality >= x)) AS bucket
+         |  FROM q, th),
+         |g AS (
+         |  SELECT bucket, COUNT(*) AS n_docs,
+         |    CAST(SUM(ntok) AS BIGINT) AS sum_tokens
+         |  FROM b GROUP BY 1),
+         |c AS (
+         |  SELECT bucket, n_docs, sum_tokens,
+         |    CAST(SUM(sum_tokens) OVER (ORDER BY bucket) AS BIGINT)
+         |      AS cum_tokens,
+         |    CAST(SUM(sum_tokens) OVER () AS BIGINT) AS total
+         |  FROM g)
+         |SELECT bucket, n_docs, sum_tokens, cum_tokens,
+         |  ${R6("cum_tokens::DOUBLE / total")} AS cum_frac_micro
+         |FROM c""".stripMargin,
 
     // decontamination drop face: survivors after removing docs sharing
     // >= 2 distinct 3-grams with the eval slice

@@ -269,4 +269,51 @@ object Curation {
       .select(col(idCol), col(sourceCol), col("epoch_copy"),
         col("cleaned"), col("quality_score"), col("n_tokens_clean"))
   }
+
+  /** Token-yield curve: how many training tokens survive at each quality
+    * tier — the planning tool behind "where do we set the quality bar for
+    * an N-token budget?". Documents are cut into `buckets` equal-count
+    * tiers by exact quality percentiles (bucket 1 = highest quality);
+    * each output row carries the tier's doc/token mass plus the
+    * cumulative token count and fraction from the top tier down, so the
+    * curve reads directly as budget-vs-threshold.
+    *
+    * Scale shape — deliberately NOT a global sort + ntile (a 100 TB
+    * corpus cannot single-partition sort): tier edges come from
+    * [[Quantiles.exactPercentiles]] (distributed, driver gets
+    * buckets-1 doubles), the tier assignment is a row-local comparison
+    * chain against those literals, and the aggregation is ONE partial-agg
+    * groupBy to ≤ buckets rows. The cumulative walk is a window over that
+    * ≤ buckets-row frame (the bounded post-aggregate pattern). Ties
+    * exactly on a tier edge go to the better tier (>= threshold), so the
+    * tiers are equal-count only up to ties; a tier emptied by ties emits
+    * no row. */
+  def tokenYieldCurve(docs: DataFrame, qualityCol: String,
+                      tokensCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val thresholds = Quantiles.exactPercentiles(docs, qualityCol, qs)
+    val q = col(qualityCol).cast("double")
+    val nAtOrAbove = thresholds
+      .map(t => when(q >= lit(t), 1).otherwise(0))
+      .reduce(_ + _)
+    val perTier = docs
+      .filter(q.isNotNull)
+      .withColumn("bucket", (lit(buckets) - nAtOrAbove).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("sum_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perTier
+      .withColumn("cum_tokens", sum(col("sum_tokens")).over(w))
+      .withColumn("cum_frac",
+        col("cum_tokens").cast("double") /
+          sum(col("sum_tokens")).over(all).cast("double"))
+  }
 }

@@ -163,4 +163,34 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("tokenYieldCurve: equal-count tiers, top tier first, cumulative " +
+    "tokens and fractions; on-edge ties go to the better tier") {
+    import org.apache.spark.sql.Row
+    // 10 docs, quality 0.1..1.0, tokens 10*quality — with buckets=2 the
+    // median threshold is (0.5+0.6)/2 = 0.55: docs .6-.1.0 are tier 1
+    val d = df("doc_id BIGINT, q DOUBLE, tok BIGINT",
+      (1 to 10).map(i => Row(i.toLong, i / 10.0, i.toLong)): _*)
+    val out = Curation.tokenYieldCurve(d, "q", "tok", buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((5L, 40L, 40L, 40.0 / 55.0))) // tokens 6..10
+    assert(out(2L) == ((5L, 15L, 55L, 1.0)))         // tokens 1..5
+    // on-edge: all equal quality -> every doc >= every threshold ->
+    // everything lands in tier 1, lower tiers emit no rows
+    val tied = df("doc_id BIGINT, q DOUBLE, tok BIGINT",
+      (1 to 6).map(i => Row(i.toLong, 0.5, 1L)): _*)
+    val t = Curation.tokenYieldCurve(tied, "q", "tok", buckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 6L))
+    // NULL quality rows are excluded, not silently bucketed
+    val withNull = df("doc_id BIGINT, q DOUBLE, tok BIGINT",
+      Row(1L, 0.2, 5L), Row(2L, null, 100L), Row(3L, 0.8, 7L))
+    val n = Curation.tokenYieldCurve(withNull, "q", "tok", buckets = 2)
+      .agg(org.apache.spark.sql.functions.sum("sum_tokens"))
+      .collect()(0).getLong(0)
+    assert(n == 12L)
+  }
 }
