@@ -3325,6 +3325,39 @@ object SparkEntry {
       Graph.kCore(pairs, "src", "dst", k = 2)
     }),
 
+    // --- graph: degree distribution of the repeat-co-purchase graph
+    //     (log2-binned via integer bit-length — no libm log2 parity
+    //     risk) ---
+    "q_degree_dist" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+      Graph.degreeDistribution(pairs, "src", "dst")
+    }),
+
+    // --- graph: degree assortativity — do hubs link to hubs? The
+    //     one-number health check for hub-cap defenses ---
+    "q_assortativity" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+      Graph.degreeAssortativity(pairs, "src", "dst")
+        .select(col("n_pairs"),
+          r6(col("assortativity")).as("assortativity_micro"))
+    }),
+
     // --- W4+W5 composition: trailing top-performer selection
     //     (ClOp_analysis.ipynb cells 8-10 shape: top-N by trailing PnL,
     //     exclusive window — no lookahead) ---
@@ -6166,6 +6199,45 @@ object SparkEntry {
          |  ${R6("CAST(aa AS DOUBLE)")} AS adamic_adar_micro
          |FROM cand JOIN deg dx ON dx.node = x JOIN deg dy ON dy.node = y
          |ORDER BY common DESC, x, y LIMIT 50""".stripMargin,
+
+    // degree distribution: log2 bin via integer bit-length (bin()
+    // string), never libm log2 — exact cross-engine
+    "q_degree_dist" ->
+      s"""WITH e AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS (SELECT u AS c, v AS n FROM e
+         |  UNION ALL SELECT v AS c, u AS n FROM e),
+         |deg AS (SELECT c AS node, COUNT(*) AS degree
+         |  FROM adj GROUP BY 1),
+         |g AS (SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1)
+         |SELECT degree, n_nodes,
+         |  CAST(length(bin(degree)) - 1 AS BIGINT) AS log2_bin
+         |FROM g""".stripMargin,
+
+    // assortativity: Pearson corr of endpoint degrees over the
+    // both-orientations edge list
+    "q_assortativity" ->
+      s"""WITH e AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS (SELECT u AS c, v AS n FROM e
+         |  UNION ALL SELECT v AS c, u AS n FROM e),
+         |deg AS (SELECT c AS node, COUNT(*) AS deg
+         |  FROM adj GROUP BY 1),
+         |p AS (
+         |  SELECT da.deg AS dx, db.deg AS dy
+         |  FROM adj a JOIN deg da ON da.node = a.c
+         |  JOIN deg db ON db.node = a.n)
+         |SELECT COUNT(*) AS n_pairs,
+         |  ${R6("corr(dx, dy)")} AS assortativity_micro
+         |FROM p""".stripMargin,
 
     // 2-core: 8 unrolled peels (fixpoint reached in 4 on this graph —
     // extra peels are no-ops since the k-core is the unique fixpoint).

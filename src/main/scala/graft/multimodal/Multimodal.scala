@@ -202,10 +202,50 @@ object ImageHeaders {
   /** Parse a binary payload's image header: returns a struct
     * `(format STRING, width INT, height INT)` — `png` via the IHDR
     * fixed offsets, `jpeg` via a bounded length-prefixed segment walk to
-    * the first SOF0/1/2 marker, all-NULL for anything else. */
-  def parse(content: Column): Column = {
-    val hexs = hex(content)
-    val n = length(content).cast("long")
+    * the first SOF0/1/2 marker, all-NULL for anything else.
+    *
+    * Expression-size discipline (this is a PLANNING problem, not an
+    * execution one): every intermediate that is referenced more than
+    * once is bound to a lambda variable — the hex view via a 1-element
+    * transform, and the segment walk via an `aggregate` fold whose
+    * accumulator IS the walk position. A naive unrolled walk embeds
+    * pos_i ~6 times inside pos_{i+1}, i.e. a 6^steps-node tree, which
+    * cost ~6.4 s of Catalyst optimization per query construction
+    * (measured at 4 steps; execution itself was 0.6 s). Bound, the tree
+    * is linear in the step count and planning is milliseconds. */
+  def parse(content: Column): Column =
+    element_at(transform(array(hex(content)), hs =>
+      element_at(transform(array(jpegSofPos(hs)), pos =>
+        parseAt(hs, pos)), 1)), 1)
+
+  private def markerAt(hexs: Column, pos: Column): Column =
+    hexs.substr((pos * 2 - 1).cast("int"), lit(4))
+
+  private def segLen(hexs: Column, pos: Column): Column =
+    conv(hexs.substr((pos * 2 + 3).cast("int"), lit(4)), 16, 10)
+      .cast("long")
+
+  /** Byte position (1-based) of the first SOF marker, walking at most
+    * [[MaxJpegSegments]] length-prefixed segments from the post-SOI
+    * position; NULL once the walk leaves the payload or meets a
+    * non-marker byte. The fold's accumulator is the position — each
+    * step references the BOUND accumulator, keeping the tree linear. */
+  private def jpegSofPos(hexs: Column): Column =
+    aggregate(
+      sequence(lit(1), lit(MaxJpegSegments)),
+      lit(3L),
+      (pos, _) => {
+        val m = markerAt(hexs, pos)
+        when(m.isin(SofMarkers: _*), pos)
+          .when(m.startsWith("FF") && m =!= "FFD9",
+            pos + lit(2L) + segLen(hexs, pos))
+          .otherwise(lit(null).cast("long"))
+      })
+
+  /** Assemble the result struct from the bound hex view and the bound
+    * final walk position. */
+  private def parseAt(hexs: Column, pos: Column): Column = {
+    val n = (length(hexs) / 2).cast("long")
 
     // PNG: magic at bytes 1-8, "IHDR" at 13-16, width/height BE-32 at
     // 17-20 / 21-24 (hex chars 33-40 / 41-48)
@@ -215,24 +255,10 @@ object ImageHeaders {
     val pngH = conv(hexs.substr(41, 8), 16, 10).cast("long")
 
     // JPEG: SOI then length-prefixed segments; byte position p (1-based)
-    // maps to hex char 2p-1. Each walk step either stands on a SOF
-    // marker, hops one segment (2 marker bytes + BE-16 length that
-    // counts itself), or dies to NULL on a non-marker byte — truncation
-    // and garbage both null-propagate through substr/conv.
-    def markerAt(pos: Column): Column =
-      hexs.substr((pos * 2 - 1).cast("int"), lit(4))
-    def segLen(pos: Column): Column =
-      conv(hexs.substr((pos * 2 + 3).cast("int"), lit(4)), 16, 10)
-        .cast("long")
-    var pos: Column = lit(3L)
-    for (_ <- 0 until MaxJpegSegments) {
-      val m = markerAt(pos)
-      pos = when(m.isin(SofMarkers: _*), pos)
-        .when(m.startsWith("FF") && m =!= "FFD9",
-          pos + lit(2L) + segLen(pos))
-        .otherwise(lit(null).cast("long"))
-    }
-    val sof = markerAt(pos)
+    // maps to hex char 2p-1. `pos` is the bound final walk position —
+    // a SOF marker byte index, or NULL when the walk died (truncation
+    // and garbage null-propagate through substr/conv).
+    val sof = markerAt(hexs, pos)
     // SOF payload: len(2) precision(1) height(2) width(2) — height at
     // bytes pos+5..pos+6 (hex 2·pos+9), width at pos+7..pos+8 (2·pos+13)
     val jpegOk = n >= 4L && hexs.substr(1, 4) === "FFD8" &&

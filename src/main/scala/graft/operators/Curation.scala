@@ -292,12 +292,23 @@ object Curation {
                       tokensCol: String, buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val qs = (1 until buckets).map(_.toDouble / buckets)
-    val thresholds = Quantiles.exactPercentiles(docs, qualityCol, qs)
+    // persisted: the percentile pass scans the scored frame three times
+    // (sketch, below-counts, bracket histogram) and the curve once more —
+    // when quality is a computed expression (the usual case) each scan
+    // would otherwise re-run the scoring over the full corpus. Projected
+    // to the two needed columns first so the cache holds doubles+longs,
+    // not documents. Lifetime as in curateFull: Verify/Bench clear
+    // caches between queries.
+    val scored = docs
+      .select(col(qualityCol).cast("double").as(qualityCol),
+        col(tokensCol).cast("long").as(tokensCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thresholds = Quantiles.exactPercentiles(scored, qualityCol, qs)
     val q = col(qualityCol).cast("double")
     val nAtOrAbove = thresholds
       .map(t => when(q >= lit(t), 1).otherwise(0))
       .reduce(_ + _)
-    val perTier = docs
+    val perTier = scored
       .filter(q.isNotNull)
       .withColumn("bucket", (lit(buckets) - nAtOrAbove).cast("long"))
       .groupBy("bucket")

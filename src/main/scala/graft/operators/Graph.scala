@@ -318,6 +318,61 @@ object Graph {
       .limit(topK)
   }
 
+  /** Degree distribution of the undirected graph: one row per distinct
+    * degree with its node count plus the log₂ bin (power-law graphs are
+    * read on log-log axes; the bin is `length(bin(degree)) - 1` — pure
+    * integer arithmetic, so no libm log2 whose last-ulp rounding could
+    * flip a floor at exact powers of two across engines). Two partial-agg
+    * shuffles total (degree count, then degree histogram — the second is
+    * over ≤ distinct-degree rows). The shape every corpus/link-graph
+    * health check starts from: spot super-hubs, disconnected dust, and
+    * truncation artifacts before running the expensive operators. */
+  def degreeDistribution(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .na.drop().filter(col("a") =!= col("b"))
+    val und = e0
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .withColumn("log2_bin", (length(bin(col("degree"))) - 1).cast("long"))
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over the (both-orientations) edge list — positive means hubs link
+    * to hubs (social-style), negative means hubs link to leaves
+    * (web/infrastructure-style). THE one-number summary of whether
+    * hub-cap style defenses ([[linkPredictions]], LSH maxBucket) will
+    * bite on this graph. One degree aggregate + two broadcast-friendly
+    * joins + a single-row corr aggregate; nothing collected. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .na.drop().filter(col("a") =!= col("b"))
+    val und = e0
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("c"), col("v").as("n"))
+      .union(und.select(col("v").as("c"), col("u").as("n")))
+    val deg = adj.groupBy(col("c").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    adj
+      .join(deg.select(col("node").as("c"), col("deg").as("dx")), "c")
+      .join(deg.select(col("node").as("n"), col("deg").as("dy")), "n")
+      .agg(count(lit(1)).as("n_pairs"),
+        corr(col("dx").cast("double"), col("dy").cast("double"))
+          .as("assortativity"))
+  }
+
   /** Exact per-node triangle counts (clustering-coefficient numerator,
     * community-density signal). Degree-ordered orientation: each
     * undirected edge points from its (degree, id)-smaller endpoint to

@@ -200,6 +200,36 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  // ---- degree diagnostics ----
+
+  test("degreeDistribution: histogram with integer log2 bins; " +
+    "duplicate/reversed edges and self-loops collapse first") {
+    // star 0-(1,2,3,4) plus chord 1-2: deg(0)=4, deg(1)=deg(2)=2,
+    // deg(3)=deg(4)=1; noise edges must not change it
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L),
+      (2L, 1L), (1L, 0L), (3L, 3L))
+    val got = Graph.degreeDistribution(
+        df("src BIGINT, dst BIGINT", edges.map(p => Row(p._1, p._2)): _*),
+        "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 0L)),   // two leaves, log2 bin 0
+      2L -> ((2L, 1L)),   // two chord nodes, bin 1
+      4L -> ((1L, 2L))))  // the hub, bin 2
+  }
+
+  test("degreeAssortativity: a star is perfectly disassortative (-1); " +
+    "pair count covers both orientations") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val out = Graph.degreeAssortativity(
+        df("src BIGINT, dst BIGINT", star.map(p => Row(p._1, p._2)): _*),
+        "src", "dst")
+      .collect()(0)
+    assert(out.getLong(0) == 6L) // 3 undirected edges x 2 orientations
+    assertApprox(out.getDouble(1), -1.0, 1e-12)
+  }
+
   // ---- linkPredictions ----
 
   test("linkPredictions: common-neighbor counts and Jaccard on a hand " +
