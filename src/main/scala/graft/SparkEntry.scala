@@ -3341,6 +3341,40 @@ object SparkEntry {
       Graph.degreeDistribution(pairs, "src", "dst")
     }),
 
+    // --- graph: local clustering coefficient — community density per
+    //     node over the oriented-wedge triangle counts ---
+    "q_clustering_coef" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+      Graph.clusteringCoefficients(pairs, "src", "dst")
+        .select(col("node"), col("degree"), col("n_triangles"),
+          r6(col("clustering_coef")).as("clustering_micro"))
+    }),
+
+    // --- graph: 2-hop neighborhood reach + truncated harmonic
+    //     centrality — the scalable (bounded-k) centrality face ---
+    "q_khop" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+      Graph.kHopNeighborhood(pairs, "src", "dst", maxHops = 2)
+        .select(col("node"), col("n_reachable"),
+          r6(col("harmonic")).as("harmonic_micro"))
+    }),
+
     // --- graph: degree assortativity — do hubs link to hubs? The
     //     one-number health check for hub-cap defenses ---
     "q_assortativity" -> ((s, dir) => {
@@ -6167,6 +6201,34 @@ object SparkEntry {
          |  UNION ALL SELECT n3 FROM t)
          |SELECT node, COUNT(*) AS n_triangles FROM c GROUP BY 1""".stripMargin,
 
+    // local clustering coefficient: 2T / (d(d-1)) over the same exact
+    // triangle enumeration + degree count; deg-1 nodes report 0
+    "q_clustering_coef" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |t AS (
+         |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+         |  FROM e e1
+         |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+         |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |tc AS (
+         |  SELECT node, COUNT(*) AS n_triangles FROM (
+         |    SELECT n1 AS node FROM t
+         |    UNION ALL SELECT n2 FROM t
+         |    UNION ALL SELECT n3 FROM t) GROUP BY 1),
+         |deg AS (
+         |  SELECT node, COUNT(*) AS degree FROM (
+         |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+         |  GROUP BY 1)
+         |SELECT d.node, d.degree,
+         |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+         |  ${R6("CASE WHEN d.degree >= 2 THEN CAST(COALESCE(tc.n_triangles, 0) * 2 AS DOUBLE) / (d.degree * (d.degree - 1)) ELSE 0.0 END")} AS clustering_micro
+         |FROM deg d LEFT JOIN tc ON tc.node = d.node""".stripMargin,
+
     // link prediction: wedge join at the shared neighbor over the same
     // repeat-co-purchase edges, NOT EXISTS anti vs the edge set
     "q_link_pred" ->
@@ -6217,6 +6279,34 @@ object SparkEntry {
          |SELECT degree, n_nodes,
          |  CAST(length(bin(degree)) - 1 AS BIGINT) AS log2_bin
          |FROM g""".stripMargin,
+
+    // 2-hop neighborhood: distance-1 pairs are the adjacency, distance-2
+    // pairs the frontier join minus self minus known — first (minimal)
+    // distance kept, per-term 1/d DECIMAL-quantized
+    "q_khop" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS MATERIALIZED (SELECT u AS c, v AS n FROM e
+         |  UNION ALL SELECT v AS c, u AS n FROM e),
+         |d1 AS MATERIALIZED (SELECT c AS node, n AS other FROM adj),
+         |n2 AS MATERIALIZED (
+         |  SELECT DISTINCT d1.node, a.n AS other
+         |  FROM d1 JOIN adj a ON a.c = d1.other
+         |  WHERE a.n <> d1.node),
+         |d2 AS (
+         |  SELECT node, other FROM n2
+         |  WHERE NOT EXISTS (SELECT 1 FROM d1
+         |    WHERE d1.node = n2.node AND d1.other = n2.other)),
+         |k AS (
+         |  SELECT node, 1 AS d FROM d1
+         |  UNION ALL SELECT node, 2 AS d FROM d2)
+         |SELECT node, COUNT(*) AS n_reachable,
+         |  ${R6("CAST(SUM(CAST(1.0 / d AS DECIMAL(18,8))) AS DOUBLE)")} AS harmonic_micro
+         |FROM k GROUP BY 1""".stripMargin,
 
     // assortativity: Pearson corr of endpoint degrees over the
     // both-orientations edge list

@@ -344,6 +344,38 @@ object Graph {
       .withColumn("log2_bin", (length(bin(col("degree"))) - 1).cast("long"))
   }
 
+  /** Local clustering coefficient per node: 2·T / (deg·(deg−1)) — the
+    * fraction of a node's neighbor pairs that are themselves connected
+    * (community density; near-1 inside tight clusters, near-0 for
+    * star/broadcast hubs). Triangle counts come from the O(m^1.5)
+    * oriented wedge join of [[triangleCounts]]; degree-1 nodes (no
+    * neighbor pair to close) are reported with coefficient 0, matching
+    * the usual convention. One extra broadcast-friendly join over the
+    * triangle pass. */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .na.drop().filter(col("a") =!= col("b"))
+    val und = e0
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(edges, srcCol, dstCol)
+    deg
+      .join(tri, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering_coef",
+        when(col("degree") >= 2,
+          (col("n_triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Degree assortativity: the Pearson correlation of endpoint degrees
     * over the (both-orientations) edge list — positive means hubs link
     * to hubs (social-style), negative means hubs link to leaves
@@ -371,6 +403,59 @@ object Graph {
       .agg(count(lit(1)).as("n_pairs"),
         corr(col("dx").cast("double"), col("dy").cast("double"))
           .as("assortativity"))
+  }
+
+  /** Bounded-k-hop neighborhood stats per node: how many nodes sit
+    * within ≤ `maxHops` (excluding self) and the harmonic-centrality
+    * partial sum Σ 1/dist over them — the truncated version of the
+    * classic centrality that IS the scalable one (full closeness needs
+    * all-pairs distances; bounded-k is the standard web/social-scale
+    * substitute, and k ∈ {2, 3} already separates cores from periphery).
+    *
+    * Level-synchronous BFS: per hop ONE frontier×adjacency equi-join,
+    * a distinct, and an anti-join against the known set (so each pair
+    * keeps its FIRST — minimal — distance), with localCheckpoint
+    * lineage cuts per level. The known set is Σ_v |B_k(v)| pairs —
+    * linear in the answer, never materializing anything the result
+    * doesn't need; per-term 1/d is quantized to DECIMAL(18,8) so the
+    * harmonic sum is exact, order-independent, and engine-portable. */
+  def kHopNeighborhood(edges: DataFrame, srcCol: String, dstCol: String,
+                       maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8,
+      s"maxHops must be in [1, 8] (the pair set grows with the k-ball " +
+        s"volume), got $maxHops")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .na.drop().filter(col("a") =!= col("b"))
+    val und = e0
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("c"), col("v").as("n"))
+      .union(und.select(col("v").as("c"), col("u").as("n")))
+      .localCheckpoint()
+    var known = adj.select(col("c").as("node"), col("n").as("other"))
+      .withColumn("d", lit(1))
+      .localCheckpoint()
+    var frontier = known
+    for (h <- 2 to maxHops) {
+      val nxt = frontier
+        .join(adj, frontier("other") === adj("c"))
+        .select(frontier("node").as("node"), adj("n").as("other"))
+        .filter(col("other") =!= col("node"))
+        .distinct()
+        .join(known.select("node", "other"), Seq("node", "other"),
+          "left_anti")
+        .withColumn("d", lit(h))
+        .localCheckpoint()
+      known = known.union(nxt).localCheckpoint()
+      frontier = nxt
+    }
+    known.groupBy("node").agg(
+      count(lit(1)).as("n_reachable"),
+      sum((lit(1.0) / col("d").cast("double")).cast("decimal(18,8)"))
+        .cast("double").as("harmonic"))
   }
 
   /** Exact per-node triangle counts (clustering-coefficient numerator,

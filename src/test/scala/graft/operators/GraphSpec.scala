@@ -219,6 +219,53 @@ class GraphSpec extends SparkSpec {
       4L -> ((1L, 2L))))  // the hub, bin 2
   }
 
+  test("clusteringCoefficients: K4-minus-an-edge hand values; " +
+    "triangle-free and degree-1 nodes report 0") {
+    // triangle 1-2-3 + 2-3-4 triangle (edges 2-4, 3-4); leaf 5 off 1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L))
+    val got = Graph.clusteringCoefficients(
+        df("src BIGINT, dst BIGINT", edges.map(p => Row(p._1, p._2)): _*),
+        "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // deg: 1->3 (2,3,5), 2->3, 3->3, 4->2, 5->1
+    // tri: 1->1, 2->2, 3->2, 4->1
+    assert(got(1L) == ((3L, 1L, 2.0 / 6.0)))
+    assert(got(2L) == ((3L, 2L, 4.0 / 6.0)))
+    assert(got(3L) == ((3L, 2L, 4.0 / 6.0)))
+    assert(got(4L) == ((2L, 1L, 1.0)))
+    assert(got(5L) == ((1L, 0L, 0.0)))
+  }
+
+  test("kHopNeighborhood: path-graph distances, minimal distance kept, " +
+    "k=1 is the adjacency; matches a brute-force BFS reference") {
+    // path 1-2-3-4-5: from node 1 with k=3 -> {2:1, 3:2, 4:3}
+    val path = (1L to 4L).map(i => (i, i + 1))
+    val g = df("src BIGINT, dst BIGINT", path.map(p => Row(p._1, p._2)): _*)
+    val got3 = Graph.kHopNeighborhood(g, "src", "dst", maxHops = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    def q8(x: Double): Double = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got3(1L)._1 == 3L && got3(3L)._1 == 4L)
+    assertApprox(got3(1L)._2, q8(1.0) + q8(0.5) + q8(1.0 / 3.0), 1e-12)
+    assertApprox(got3(3L)._2, 2 * q8(1.0) + 2 * q8(0.5), 1e-12)
+    // k=1 reduces to the adjacency degrees
+    val got1 = Graph.kHopNeighborhood(g, "src", "dst", maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+    // triangle + chord: distance stays 1 when a 2-hop path also exists
+    val tri = df("src BIGINT, dst BIGINT",
+      Row(1L, 2L), Row(2L, 3L), Row(1L, 3L))
+    val gotTri = Graph.kHopNeighborhood(tri, "src", "dst", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(gotTri == Map(1L -> 2.0, 2L -> 2.0, 3L -> 2.0))
+    intercept[IllegalArgumentException] {
+      Graph.kHopNeighborhood(tri, "src", "dst", maxHops = 0)
+    }
+  }
+
   test("degreeAssortativity: a star is perfectly disassortative (-1); " +
     "pair count covers both orientations") {
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
