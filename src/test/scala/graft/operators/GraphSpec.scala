@@ -363,6 +363,43 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalized + weighted compose: seed-confined teleport with " +
+    "proportional mass split matches the merged integer reference") {
+    // weighted edges, seed = node 1: heavy (1,2) pulls more mass than
+    // light (1,3); both features must act in the same run
+    val wEdges = Seq((1L, 2L, 5L), (1L, 3L, 1L), (2L, 1L, 2L),
+      (3L, 1L, 2L), (2L, 4L, 1L))
+    def ref(iterations: Int): Map[Long, Long] = {
+      val e = wEdges
+      val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val seeds = Set(1L)
+      val s = nodes.count(seeds)
+      val outw = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val teleport = Graph.Pico - Graph.Pico * 85L / 100L
+      var r = nodes.map(v =>
+        v -> (if (seeds(v)) Graph.Pico / s else 0L)).toMap
+      for (_ <- 0 until iterations) {
+        val dang = nodes.filterNot(outw.contains).map(r).sum
+        val in = e.groupBy(_._2).view.mapValues(
+          _.map { case (u, _, w) => r(u) * w / outw(u) }.sum).toMap
+        r = nodes.map { v =>
+          val recvIn = in.getOrElse(v, 0L) +
+            (if (seeds(v)) dang / s else 0L)
+          v -> ((if (seeds(v)) teleport / s else 0L) + 85L * recvIn / 100L)
+        }.toMap
+      }
+      r
+    }
+    val g = df("src BIGINT, dst BIGINT, w BIGINT",
+      wEdges.map(p => Row(p._1, p._2, p._3)): _*)
+    for (iters <- Seq(1, 4)) {
+      val got = Graph.pageRankRun(g, "src", "dst", iterations = iters,
+          weightCol = "w", seedPred = Some(n => n === 1L))
+        .ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref(iters), s"iterations=$iters")
+    }
+  }
+
   test("pageRank convergence: a mixed graph stops early, matches the " +
     "fixed-iteration result at the stop point, and reports the delta") {
     // symmetric 2-cycle: uniform start IS the fixpoint, so iteration 1
