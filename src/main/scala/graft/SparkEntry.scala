@@ -2492,6 +2492,21 @@ object SparkEntry {
       graft.ml.DirectionModel.confusionMatrix(preds, "actual", "pred")
     }),
 
+    // --- M9 extension: Cohen's kappa — chance-corrected agreement on
+    //     the same deterministic (actual, pred) frame as q_m9_confusion;
+    //     all inputs integer counts, so po/pe/kappa are identical double
+    //     arithmetic cross-engine ---
+    "q_kappa" -> ((s, dir) => {
+      val preds = eventsNs(s, dir)
+        .withColumn("actual", side(col("event_type")).cast("long"))
+        .withColumn("pred",
+          when(col("event_id") % 3 === 0, -1L).otherwise(1L))
+      graft.ml.DirectionModel.cohenKappa(preds, "actual", "pred")
+        .select(col("n"), r6(col("po")).as("po_micro"),
+          r6(col("pe")).as("pe_micro"),
+          r6(col("kappa")).as("kappa_micro"))
+    }),
+
     // --- M9 extension: calibration/reliability bins. The probe score
     //     is built on a DYADIC grid (hash/2^20 halved, quarter-weight
     //     label, eighth offset), so every bin's double sum is exact and
@@ -5679,6 +5694,33 @@ object SparkEntry {
          |  CAST(CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS BIGINT) AS pred,
          |  COUNT(*) AS n
          |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // Cohen's kappa off the same confusion counts as q_m9_confusion
+    "q_kappa" ->
+      s"""WITH e AS ($EventsNs),
+         |cm AS (
+         |  SELECT CAST($Side AS BIGINT) AS l,
+         |    CAST(CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END
+         |      AS BIGINT) AS p,
+         |    COUNT(*) AS n
+         |  FROM e GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |    CAST(COALESCE(SUM(CASE WHEN l = p THEN n END), 0)
+         |      AS BIGINT) AS agree
+         |  FROM cm),
+         |rm AS (SELECT l AS c, CAST(SUM(n) AS BIGINT) AS nl
+         |  FROM cm GROUP BY 1),
+         |pm AS (SELECT p AS c, CAST(SUM(n) AS BIGINT) AS np
+         |  FROM cm GROUP BY 1),
+         |ee AS (
+         |  SELECT CAST(COALESCE(SUM(rm.nl * pm.np), 0) AS BIGINT) AS e2
+         |  FROM rm JOIN pm USING (c))
+         |SELECT nn AS n,
+         |  ${R6("agree::DOUBLE / nn")} AS po_micro,
+         |  ${R6("e2::DOUBLE / (nn * nn)")} AS pe_micro,
+         |  ${R6("CASE WHEN e2::DOUBLE / (nn * nn) < 1.0 THEN (agree::DOUBLE / nn - e2::DOUBLE / (nn * nn)) / (1.0 - e2::DOUBLE / (nn * nn)) END")} AS kappa_micro
+         |FROM tot, ee""".stripMargin,
 
     // calibration bins: the dyadic-grid score makes SUM(p) exact in
     // double, so mean_p matches bit-for-bit without decimal plumbing

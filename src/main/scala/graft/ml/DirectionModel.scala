@@ -189,6 +189,40 @@ object DirectionModel {
           .as("auc")): _*)
   }
 
+  /** M9 extension: Cohen's kappa — chance-corrected agreement between
+    * two label columns, κ = (p_o − p_e)/(1 − p_e) with p_o the observed
+    * agreement rate and p_e the marginal-product chance rate. The
+    * standard one-number check for rater/model agreement beyond raw
+    * accuracy (and for annotation-quality audits between two labeling
+    * runs). ONE corpus shuffle: the (label, pred) confusion counts;
+    * totals and both marginals are derived from that ≤ classes² frame.
+    * Returns one row: `n`, `po`, `pe`, `kappa` (NULL when p_e = 1 —
+    * degenerate single-cell agreement has no chance correction). */
+  def cohenKappa(predictions: DataFrame, labelCol: String,
+                 predCol: String): DataFrame = {
+    val cm = confusionMatrix(predictions, labelCol, predCol)
+      .withColumnRenamed(labelCol, "__l")
+      .withColumnRenamed(predCol, "__p")
+      .localCheckpoint() // tiny; referenced by four derivations below
+    val tot = cm.agg(sum(col("n")).as("__n"),
+      coalesce(sum(when(col("__l") === col("__p"), col("n"))), lit(0L))
+        .as("__agree"))
+    val rowM = cm.groupBy(col("__l").as("__c"))
+      .agg(sum(col("n")).as("__nl"))
+    val colM = cm.groupBy(col("__p").as("__c"))
+      .agg(sum(col("n")).as("__np"))
+    val chance = rowM.join(colM, Seq("__c"))
+      .agg(coalesce(sum(col("__nl") * col("__np")), lit(0L)).as("__ee"))
+    tot.crossJoin(chance)
+      .select(col("__n").as("n"),
+        (col("__agree").cast("double") / col("__n")).as("po"),
+        (col("__ee").cast("double") / (col("__n") * col("__n")))
+          .as("pe"))
+      .withColumn("kappa",
+        when(col("pe") < 1.0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
+
   /** M9: per-class precision / recall / F1 from the confusion counts
     * (sklearn classification_report shape, including its zero conventions:
     * a class never predicted correctly still appears, with precision 0

@@ -160,6 +160,32 @@ class DirectionModelSpec extends SparkSpec {
     assert(out(9L) == ((1L, 1L, 1.0, 1.0)))
   }
 
+  test("cohenKappa: textbook two-rater fixture, perfect agreement, " +
+    "degenerate single-cell NULL") {
+    import org.apache.spark.sql.Row
+    def rows(l: String, p: String, k: Int) =
+      Seq.fill(k)(Row(l, p))
+    // 20 AA, 5 AB, 10 BA, 15 BB: po = 0.7, pe = 0.5, kappa = 0.4
+    val d = df("l STRING, p STRING",
+      (rows("A", "A", 20) ++ rows("A", "B", 5) ++
+        rows("B", "A", 10) ++ rows("B", "B", 15)): _*)
+    val r = DirectionModel.cohenKappa(d, "l", "p").collect()(0)
+    assert(r.getLong(0) == 50L)
+    assertApprox(r.getDouble(1), 0.7)
+    assertApprox(r.getDouble(2), 0.5)
+    assertApprox(r.getDouble(3), 0.4)
+    // perfect agreement over two classes: po = 1, kappa = 1
+    val perfect = df("l STRING, p STRING",
+      (rows("A", "A", 3) ++ rows("B", "B", 2)): _*)
+    val rp = DirectionModel.cohenKappa(perfect, "l", "p").collect()(0)
+    assertApprox(rp.getDouble(1), 1.0)
+    assertApprox(rp.getDouble(3), 1.0)
+    // degenerate: every row in ONE cell -> pe = 1, kappa undefined
+    val deg = df("l STRING, p STRING", rows("A", "A", 4): _*)
+    val rd = DirectionModel.cohenKappa(deg, "l", "p").collect()(0)
+    assert(rd.isNullAt(3))
+  }
+
   test("calibrationBins: out-of-range p clamps to edge bins, NULL p " +
     "groups under a NULL bin row (nothing silent)") {
     val d = df("id BIGINT, p DOUBLE, label BIGINT",
