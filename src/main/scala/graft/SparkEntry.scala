@@ -2552,6 +2552,24 @@ object SparkEntry {
     //     and the exact dyadic sums add across micro-batches, so the
     //     stream equals the batch table bit-for-bit and the batch
     //     oracle gates the streaming engine itself ---
+    // --- §2.10: streaming confusion matrix — counts are algebraic, so
+    //     the complete-mode stream aggregate equals the batch operator
+    //     exactly and the batch oracle gates the streaming engine ---
+    "q_stream_confusion" -> ((s, dir) => {
+      val schema = Tables.events(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = Tables.tsToNs(stream).withColumnRenamed("ts", "ts_ns")
+      val preds = ev
+        .withColumn("actual", side(col("event_type")).cast("long"))
+        .withColumn("pred",
+          when(col("event_id") % 3 === 0, -1L).otherwise(1L))
+      val cm = graft.ml.DirectionModel.confusionMatrix(preds, "actual",
+        "pred")
+      graft.streaming.StreamingOi.replayComplete(cm,
+        "graft_stream_conf_" + graft.streaming.StreamingOi.nextSinkId())
+    }),
+
     "q_stream_calibration" -> ((s, dir) => {
       val schema = Tables.events(s, dir).schema
       val stream = s.readStream.schema(schema)
@@ -3899,6 +3917,8 @@ object SparkEntry {
     // streaming calibration == batch calibration (counts and exact
     // dyadic sums add across micro-batches)
     "q_stream_calibration" -> oracleSqlBase("q_calibration"),
+    // streaming confusion counts are algebraic — batch twin gates it
+    "q_stream_confusion" -> oracleSqlBase("q_m9_confusion"),
     "q_stream_split" ->
       s"""SELECT doc_id,
          |  ${HashSql("doc_id", 3L)} < ${Sampling.threshold(0.25)}
