@@ -3514,6 +3514,17 @@ object SparkEntry {
           nearDupJaccard = 0.0, seed = 5L))
     }),
 
+    // --- LLM ops: source-balance audit (r12) — token-mass Gini across
+    //     sources, the mixture-skew one-number check ---
+    "q_source_balance" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"),
+        TextFunctions.nTokens(col("text")).cast("long").as("__tok"))
+      Curation.sourceBalance(d, "source", "__tok")
+        .select(col("n_sources"), col("total_tokens"),
+          r6(col("max_share")).as("max_share_micro"),
+          r6(col("gini")).as("gini_micro"))
+    }),
+
     // --- LLM ops: token-yield curve (r12) — cumulative token budget by
     //     quality decile, top tier first: the "where does the quality
     //     bar land for an N-token budget" planning curve. Decile edges
@@ -7197,6 +7208,26 @@ object SparkEntry {
          |UNION ALL SELECT 'sampled', (SELECT COUNT(*) FROM s)
          |UNION ALL SELECT 'near_dup', (SELECT COUNT(*) FROM s)
          |UNION ALL SELECT 'packed', (SELECT COUNT(*) FROM s)""".stripMargin,
+
+    // source balance: per-source token sums, pairwise |xi - xj| on the
+    // tiny aggregate, Gini = sad / (2 k total)
+    "q_source_balance" ->
+      s"""WITH per AS (
+         |  SELECT source,
+         |    CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+         |      AS BIGINT) AS t
+         |  FROM documents GROUP BY 1),
+         |tot AS (
+         |  SELECT COUNT(*) AS k, CAST(SUM(t) AS BIGINT) AS tt,
+         |    CAST(MAX(t) AS BIGINT) AS mx
+         |  FROM per),
+         |pr AS (
+         |  SELECT CAST(SUM(ABS(a.t - b.t)) AS BIGINT) AS sad
+         |  FROM per a, per b)
+         |SELECT k AS n_sources, tt AS total_tokens,
+         |  ${R6("mx::DOUBLE / tt")} AS max_share_micro,
+         |  ${R6("sad::DOUBLE / (2.0 * k * tt)")} AS gini_micro
+         |FROM tot, pr""".stripMargin,
 
     // token-yield curve: decile edges via quantile_cont (the
     // winsorize-proven exactPercentiles twin), row-local tier counts,

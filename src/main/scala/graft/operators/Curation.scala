@@ -270,6 +270,36 @@ object Curation {
         col("cleaned"), col("quality_score"), col("n_tokens_clean"))
   }
 
+  /** Source-balance summary: is the training mixture dominated by one
+    * source? One row — source count, total token mass, the largest
+    * source's share, and the Gini coefficient of token mass across
+    * sources (0 = perfectly even, → 1 = one source holds everything).
+    * The first thing a mixture audit reads before tuning
+    * [[Sampling.mixturePlan]] weights.
+    *
+    * ONE corpus shuffle (per-source token sums); the Gini's pairwise
+    * |x_i − x_j| runs on the ≤ sources² cross of that tiny aggregate —
+    * sources number in the dozens at any scale, so the quadratic is on
+    * a constant-sized frame, never the corpus. */
+  def sourceBalance(docs: DataFrame, sourceCol: String,
+                    tokensCol: String): DataFrame = {
+    val per = docs
+      .groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol).cast("long")).as("__t"))
+    val tot = per.agg(count(lit(1)).as("n_sources"),
+      sum(col("__t")).as("total_tokens"), max(col("__t")).as("__mx"))
+    val sad = per.select(col("__t").as("__a"))
+      .crossJoin(per.select(col("__t").as("__b")))
+      .agg(sum(abs(col("__a") - col("__b"))).as("__sad"))
+    tot.crossJoin(sad)
+      .select(col("n_sources"), col("total_tokens"),
+        (col("__mx").cast("double") / col("total_tokens"))
+          .as("max_share"),
+        (col("__sad").cast("double") /
+          (lit(2.0) * col("n_sources") * col("total_tokens")))
+          .as("gini"))
+  }
+
   /** Token-yield curve: how many training tokens survive at each quality
     * tier — the planning tool behind "where do we set the quality bar for
     * an N-token budget?". Documents are cut into `buckets` equal-count

@@ -164,6 +164,28 @@ class CurationSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("sourceBalance: hand Gini values — even split is 0, full " +
+    "concentration approaches (k-1)/k, max share exact") {
+    import org.apache.spark.sql.Row
+    def run(rows: Seq[(String, Long)]): (Long, Long, Double, Double) = {
+      val d = df("source STRING, tok BIGINT",
+        rows.map(r => Row(r._1, r._2)): _*)
+      val r = Curation.sourceBalance(d, "source", "tok").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    // perfectly even: gini 0
+    val even = run(Seq("a" -> 10L, "b" -> 10L, "c" -> 10L, "d" -> 10L))
+    assert(even == ((4L, 40L, 0.25, 0.0)))
+    // all mass in one of 4 sources: gini = (k-1)/k = 0.75
+    val conc = run(Seq("a" -> 100L, "b" -> 0L, "c" -> 0L, "d" -> 0L))
+    assert(conc._1 == 4L && conc._3 == 1.0)
+    assertApprox(conc._4, 0.75)
+    // textbook: (1,2,3,4): sad = 2*(1+2+3+1+2+1) = 20; gini = 20/(2*4*10)
+    val mix = run(Seq("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
+    assertApprox(mix._4, 0.25)
+    assert(mix._3 == 0.4)
+  }
+
   test("tokenYieldCurve: equal-count tiers, top tier first, cumulative " +
     "tokens and fractions; on-edge ties go to the better tier") {
     import org.apache.spark.sql.Row
