@@ -37,6 +37,23 @@ object Bench {
     val queries = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
 
+    // Contention sentinel: a fixed-cost data-independent aggregation
+    // (100M-row hash-sum, same on every machine and scale factor) timed
+    // exactly like the real queries. Two rounds running, the driver's
+    // bench artifact inflated 3-5x on a handful of queries purely from
+    // machine load; calib_sec lets any reader normalize a run against
+    // the recorded quiet-machine value (COVERAGE.md) instead of
+    // adjudicating by hand. Warm once, then min-of-3 (same estimator
+    // rationale as the query loop below).
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, cpus.toInt)
+        .selectExpr("sum(xxhash64(id)) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce()
+    val calib = (1 to 3).map(_ => calibOnce()).min
+
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       // drop persisted blocks a query left behind so later warmups don't
@@ -85,7 +102,7 @@ object Bench {
     // "env" records what the numbers were measured on — round-7 showed
     // two runs of identical code 2-3x apart across sessions, so a bench
     // artifact without its environment is not comparable to anything
-    val env = s""""reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${Runtime.getRuntime.maxMemory() / (1 << 30)}"""
+    val env = s""""reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${Runtime.getRuntime.maxMemory() / (1 << 30)},"calib_sec":${fmt(calib)}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     def jstr(s: String): String =
@@ -109,7 +126,7 @@ object Bench {
     // until the budget is spent; the full breakdown is in bench_full.json.
     val budget = 1600
     val header =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${errors.size},"queries":"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${errors.size},"calib_sec":${fmt(calib)},"queries":"""
     val footer = s""","sf":"$sfDir"}"""
     val slowestFirst = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val fixed = header.length + footer.length + 2 // braces of "queries"

@@ -620,6 +620,79 @@ object SparkEntry {
       // historical alias: the ungeneralized builder exposed `af`
       ""
 
+  /** DuckDB twin of [[graft.operators.Embeddings.pcaPowerProject]] over
+    * the embeddings table: exact-decimal covariance, `iters` power
+    * iterations per component, canonical sign, Rayleigh deflation — all
+    * unrolled to CTEs replaying the engine's DECIMAL(30,15) sums and
+    * IEEE double scalar steps bit-for-bit. Emits `xc` (centered long
+    * frame), `u0..u{k-1}` (canonical components), and `comps`
+    * (comp, i, v). MATERIALIZED stops plain-CTE inlining from
+    * re-expanding the deflation chain exponentially (the PageRankSql
+    * lesson). */
+  private def PcaCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""x AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         |    unnest(list_transform(embedding, e -> e::DOUBLE)) AS xv
+         |  FROM embeddings),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+         |dd AS (SELECT CAST(COUNT(DISTINCT dim) AS DOUBLE) AS d FROM x),
+         |mu AS MATERIALIZED (
+         |  SELECT dim,
+         |    CAST(SUM(CAST(xv AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM x GROUP BY dim),
+         |xc AS MATERIALIZED (
+         |  SELECT vec_id, dim, xv - m AS v FROM x JOIN mu USING (dim)),
+         |cov0 AS MATERIALIZED (
+         |  SELECT a.dim AS i, b.dim AS j,
+         |    CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,15))) AS DOUBLE)
+         |      / (SELECT n FROM nn) AS c
+         |  FROM xc a JOIN xc b USING (vec_id) GROUP BY 1, 2)""".stripMargin)
+    for (c <- 0 until k) {
+      sb.append(
+        s""",
+           |v${c}_0 AS (SELECT DISTINCT dim AS i,
+           |  1.0 / sqrt((SELECT d FROM dd)) AS v FROM x)""".stripMargin)
+      for (t <- 1 to iters) {
+        sb.append(
+          s""",
+             |w${c}_$t AS MATERIALIZED (
+             |  SELECT cv.i,
+             |    CAST(SUM(CAST(cv.c * v.v AS DECIMAL(30,15))) AS DOUBLE) AS w
+             |  FROM cov$c cv JOIN v${c}_${t - 1} v ON cv.j = v.i GROUP BY 1),
+             |nr${c}_$t AS (SELECT sqrt(CAST(SUM(CAST(w * w
+             |  AS DECIMAL(30,15))) AS DOUBLE)) AS nr FROM w${c}_$t),
+             |v${c}_$t AS MATERIALIZED (
+             |  SELECT i, w / (SELECT nr FROM nr${c}_$t) AS v
+             |  FROM w${c}_$t)""".stripMargin)
+      }
+      sb.append(
+        s""",
+           |sg$c AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+           |  FROM v${c}_$iters ORDER BY abs(v) DESC, i LIMIT 1),
+           |u$c AS MATERIALIZED (
+           |  SELECT i, v * (SELECT s FROM sg$c) AS v FROM v${c}_$iters)""".stripMargin)
+      if (c < k - 1) {
+        sb.append(
+          s""",
+             |lam$c AS (SELECT CAST(SUM(CAST(cv.c * a.v * b.v
+             |    AS DECIMAL(30,15))) AS DOUBLE) AS l
+             |  FROM cov$c cv JOIN u$c a ON cv.i = a.i
+             |    JOIN u$c b ON cv.j = b.i),
+             |cov${c + 1} AS MATERIALIZED (
+             |  SELECT cv.i, cv.j,
+             |    cv.c - (SELECT l FROM lam$c) * a.v * b.v AS c
+             |  FROM cov$c cv JOIN u$c a ON cv.i = a.i
+             |    JOIN u$c b ON cv.j = b.i)""".stripMargin)
+      }
+    }
+    sb.append(",\ncomps AS (" + (0 until k).map(c =>
+      s"SELECT $c AS comp, i, v FROM u$c").mkString("\n  UNION ALL ") + ")")
+    sb.toString
+  }
+
   /** events with ts as epoch-nanos long (column `ts_ns`), truncated to
     * whole microseconds: DuckDB (the oracle) reads parquet TIMESTAMP(NANOS)
     * as µs TIMESTAMP, so sub-µs nanos exist only on the Spark side —
@@ -3692,14 +3765,17 @@ object SparkEntry {
         .select(col("label"), col("dim"), r6(col("mean")).as("mean_micro"))
     }),
 
-    // --- LLM ops: PCA projection to 8 dims. Rows-only: component
-    //     signs/values depend on float summation order, so no
-    //     cross-engine oracle; semantics pinned in EmbeddingsSpec ---
+    // --- LLM ops: PCA projection to 4 components by deterministic
+    //     power iteration (decimal-summed covariance, canonical signs,
+    //     deflation) — the oracle unrolls the SAME iterations in SQL,
+    //     so projections hash-match across engines. The LAPACK-backed
+    //     pcaProject stays the library fast path (EmbeddingsSpec pins
+    //     both agree on the spanned subspace) ---
     "q_pca" -> ((s, dir) => {
-      Embeddings.pcaProject(Tables.embeddings(s, dir), Seq("vec_id"),
-          "embedding", k = 8)
-        .select(col("vec_id"), posexplode(col("projected")))
-        .select(col("vec_id"), col("pos").as("dim"), col("col").as("value"))
+      Embeddings.pcaPowerProject(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 4, iters = 6)
+        .select(col("vec_id"), col("comp").cast("long").as("comp"),
+          r6(col("value")).as("value_micro"))
     }),
 
     // --- LLM ops: per-source quantile rank — the normalization that
@@ -7499,6 +7575,16 @@ object SparkEntry {
          |  ${R6("CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)")}
          |    AS mean_micro
          |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // PCA by unrolled power iteration: decimal covariance, canonical
+    // signs, deflation — the whole trainer replayed under the oracle
+    "q_pca" ->
+      s"""WITH ${PcaCtes(4, 6)}
+         |SELECT xc.vec_id, CAST(comps.comp AS BIGINT) AS comp,
+         |  ${R6("CAST(SUM(CAST(xc.v * comps.v AS DECIMAL(30,15))) " +
+                "AS DOUBLE)")} AS value_micro
+         |FROM xc JOIN comps ON xc.dim = comps.i
+         |GROUP BY 1, 2""".stripMargin,
 
     // One group-wide window in SQL vs the Spark side's two-level scan —
     // equality proves the bucketed construction IS the group rank.

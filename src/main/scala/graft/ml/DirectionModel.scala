@@ -211,12 +211,17 @@ object DirectionModel {
       .agg(sum(col("n")).as("__nl"))
     val colM = cm.groupBy(col("__p").as("__c"))
       .agg(sum(col("n")).as("__np"))
+    // marginal products and n*n in DOUBLE, not LONG: at ~3e9+ rows the
+    // LONG products silently wrap (non-ANSI) and pe comes out wrong with
+    // no error; pe only needs double precision, and at test scale the
+    // integer-valued doubles are exact, so the oracle hash is unchanged
     val chance = rowM.join(colM, Seq("__c"))
-      .agg(coalesce(sum(col("__nl") * col("__np")), lit(0L)).as("__ee"))
+      .agg(coalesce(sum(col("__nl").cast("double") * col("__np")),
+        lit(0.0)).as("__ee"))
     tot.crossJoin(chance)
       .select(col("__n").as("n"),
         (col("__agree").cast("double") / col("__n")).as("po"),
-        (col("__ee").cast("double") / (col("__n") * col("__n")))
+        (col("__ee") / (col("__n").cast("double") * col("__n")))
           .as("pe"))
       .withColumn("kappa",
         when(col("pe") < 1.0,

@@ -175,10 +175,15 @@ object ImageHeaders {
     * Dimension fields are REAL per the spec — [[parse]] reads back
     * exactly what went in. */
   def pngBytes(width: Column, height: Column, body: Column): Column =
-    concat(
-      unhex(concat(lit(PngMagicHex + "0000000D49484452"),
-        beHex(8, width), beHex(8, height), lit("080200000000000000"))),
-      body.cast("binary"))
+    // guard the 32-bit BE fields: lpad would TRUNCATE a longer hex
+    // string, silently synthesizing a "valid" header with wrong
+    // dimensions — out-of-range dims must be NULL, never corrupted
+    when(width.between(0L, 0xFFFFFFFFL) &&
+        height.between(0L, 0xFFFFFFFFL),
+      concat(
+        unhex(concat(lit(PngMagicHex + "0000000D49484452"),
+          beHex(8, width), beHex(8, height), lit("080200000000000000"))),
+        body.cast("binary")))
 
   /** Synthesize a baseline JFIF JPEG: SOI, APP0 of variable length
     * (5-byte "JFIF\0" identifier + `padBytes` zeros — the length prefix
@@ -189,14 +194,20 @@ object ImageHeaders {
   def jpegBytes(width: Column, height: Column, padBytes: Column,
                 extraApp1: Column, body: Column): Column = {
     val pad = lit("0" * 512).substr(lit(1), (padBytes * 2).cast("int"))
-    concat(
-      unhex(concat(
-        lit("FFD8FFE0"), beHex(4, padBytes + lit(7)), lit("4A46494600"),
-        pad,
-        when(extraApp1, lit("FFE100040000")).otherwise(lit("")),
-        lit("FFC0001108"), beHex(4, height), beHex(4, width),
-        lit("03011100021101031101"))),
-      body.cast("binary"))
+    // guard the 16-bit BE dimension fields (lpad truncation would keep
+    // only the LEADING hex digits of an oversized value) and the pad
+    // source's 256-byte cap — out-of-range inputs are NULL, never a
+    // well-formed header carrying wrong numbers
+    when(width.between(0L, 0xFFFFL) && height.between(0L, 0xFFFFL) &&
+        padBytes.between(0L, 256L),
+      concat(
+        unhex(concat(
+          lit("FFD8FFE0"), beHex(4, padBytes + lit(7)), lit("4A46494600"),
+          pad,
+          when(extraApp1, lit("FFE100040000")).otherwise(lit("")),
+          lit("FFC0001108"), beHex(4, height), beHex(4, width),
+          lit("03011100021101031101"))),
+        body.cast("binary")))
   }
 
   /** Parse a binary payload's image header: returns a struct

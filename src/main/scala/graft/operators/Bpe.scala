@@ -20,8 +20,8 @@ import graft.functions.TextFunctions
   * the merge. Rounds persist/unpersist the state frame like the k-means
   * loop (Clustering.scala) so round r doesn't re-execute rounds 1..r-1.
   *
-  * Engine-portable by construction: symbols are code points (RE2 `.`
-  * scan, never UTF-16 halves), symbols never contain spaces (words are
+  * Engine-portable by construction: symbols are code points (zero-width
+  * split, never UTF-16 halves), symbols never contain spaces (words are
   * `\s+` tokens), and the merge application is a left-fold whose
   * accumulator is the space-joined merged prefix — the same fold DuckDB
   * replays via `list_reduce`, which is what puts the whole trainer
@@ -37,6 +37,19 @@ object Bpe {
   final case class Merge(round: Int, symA: String, symB: String,
                          merged: String, pairCount: Long)
 
+  /** Code-point symbols of a token, space-joined. `split` on the empty
+    * pattern advances one code point per match (a zero-width regex match
+    * never lands inside a surrogate pair), and the filter drops the
+    * zero-width edge artifacts the engine may emit. Equivalent to a
+    * per-character `regexp_extract_all(w, ".")` scan, which this
+    * replaces: that form inlined a regex-engine invocation PER CHARACTER
+    * into the hashAgg whole-stage-codegen unit, blowing the Janino
+    * compile (13k-line unit) and silently dropping the trainer to
+    * interpreted execution. The HOF filter binds a lambda instead of
+    * unrolling, so the generated unit stays small. */
+  private[operators] def charSyms(tok: Column): Column =
+    array_join(filter(split(tok, ""), s => s =!= ""), " ")
+
   /** Initial trainer state: one row per distinct lowercased token with
     * its corpus frequency and the space-joined code-point symbols. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
@@ -44,8 +57,7 @@ object Bpe {
         .as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .withColumn("syms",
-        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "))
+      .withColumn("syms", charSyms(col("w")))
 
   /** Adjacent symbol pairs of one state row, as "a b" strings (the
     * q_pmi bigram shape — unambiguous because symbols have no spaces). */
@@ -121,8 +133,7 @@ object Bpe {
     * folds, no shuffle); returns the space-joined pieces per token,
     * tokens joined by " | ". */
   def applyMerges(text: Column, merges: Seq[Merge]): Column = {
-    val segTok = (tok: Column) => merges.foldLeft(
-      array_join(regexp_extract_all(tok, lit("."), lit(0)), " ")) {
+    val segTok = (tok: Column) => merges.foldLeft(charSyms(tok)) {
       (s, m) => mergeFold(s, m.symA, m.symB)
     }
     array_join(transform(TextFunctions.tokens(lower(text)),

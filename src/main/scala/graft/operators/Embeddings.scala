@@ -80,6 +80,122 @@ object Embeddings {
       .select(idCols.map(col) :+ vector_to_array(col("__p")).as(outCol): _*)
   }
 
+  /** Deterministic top-k PCA by power iteration with deflation —
+    * engine-portable where [[pcaProject]] (Spark ML / LAPACK) is not:
+    * every corpus-sized or dimension-sized sum runs through
+    * DECIMAL(30,15) (exact, order-independent), every scalar step
+    * (normalize, sign flip, deflate) is identical IEEE double
+    * arithmetic, and each component's sign is canonicalized so its
+    * largest-|loading| coordinate is positive (ties to the smallest
+    * dim). Same corpus + k + iters = bit-identical projections on any
+    * partitioning or engine — the DuckDB oracle unrolls the same
+    * iterations in SQL (the q_kmeans discipline).
+    *
+    * Scale shape: the covariance is ONE corpus pass — a row-local outer
+    * product (the centered vector bound once per row via the HOF-binding
+    * idiom) partial-aggregated map-side into d^2 cells; every iteration
+    * afterwards works on that d^2-row frame (localCheckpoint'd so
+    * lineage never re-touches the corpus), collecting only d doubles per
+    * step. The projection is a second corpus pass joined against the
+    * k*d broadcast component frame. O(d^2) driver state — fine to
+    * d ~ 10^3; power iteration needs the dominant eigengap for fast
+    * convergence, `iters` trades accuracy for work.
+    *
+    * Returns long format (idCol, comp, value): the centered projection
+    * onto each canonical component, comp in [0, k). */
+  def pcaPowerProject(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    require(k > 0, s"pcaPowerProject: k must be positive, got $k")
+    require(iters >= 1, s"pcaPowerProject: iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    val Dec = "decimal(30,15)"
+    val dv = transform(col(vecCol), _.cast("double"))
+    val base = df.select(col(idCol).as("__id"), dv.as("__v"))
+    val d = base.select(size(col("__v")).as("d")).head.getInt(0)
+    val n = base.count()
+    require(n > 0, "pcaPowerProject: empty input")
+
+    // per-dim mean, exact decimal — d doubles to the driver
+    val muRows = base
+      .select(posexplode(col("__v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg((sum(col("x").cast(Dec)).cast("double") / count(lit(1)))
+        .as("m"))
+      .collect()
+    val mu = Array.ofDim[Double](d)
+    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    val muLit = typedlit(mu.toSeq)
+    val centered = zip_with(col("__v"), muLit, (x, m) => x - m)
+
+    // covariance: bound centered vector -> d^2 products per row,
+    // partial-agg'd map-side; i = pos / d, j = pos % d
+    val outer = element_at(transform(array(centered), c =>
+      flatten(transform(c, xi => transform(c, xj => xi * xj)))), 1)
+    var cov = base
+      .select(posexplode(outer).as(Seq("pos", "p")))
+      .groupBy(floor(col("pos") / d).cast("int").as("i"),
+        pmod(col("pos"), lit(d)).cast("int").as("j"))
+      .agg((sum(col("p").cast(Dec)).cast("double") / lit(n.toDouble))
+        .as("c"))
+      .localCheckpoint()
+
+    val comps = Array.ofDim[Array[Double]](k)
+    for (ci <- 0 until k) {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      for (_ <- 1 to iters) {
+        val vLit = typedlit(v.toSeq)
+        // w = C*v and its norm in ONE tiny job, both decimal-summed
+        val row = cov.groupBy(col("i"))
+          .agg(sum((col("c") * element_at(vLit, col("j") + 1)).cast(Dec))
+            .cast("double").as("w"))
+          .agg(collect_list(struct(col("i"), col("w"))).as("ws"),
+            sqrt(sum((col("w") * col("w")).cast(Dec)).cast("double"))
+              .as("nr"))
+          .head()
+        val nr = row.getDouble(1)
+        require(nr > 0.0,
+          s"pcaPowerProject: zero-norm iterate at component $ci " +
+            "(rank-deficient covariance; lower k)")
+        val w = Array.ofDim[Double](d)
+        row.getSeq[org.apache.spark.sql.Row](0)
+          .foreach(r => w(r.getInt(0)) = r.getDouble(1))
+        v = w.map(_ / nr)
+      }
+      // canonical sign: largest-|loading| coordinate positive, ties to
+      // the smallest dim (strict > keeps the first maximum)
+      var bi = 0
+      for (i <- 1 until d) if (math.abs(v(i)) > math.abs(v(bi))) bi = i
+      val sg = if (v(bi) < 0) -1.0 else 1.0
+      v = v.map(_ * sg)
+      comps(ci) = v
+      if (ci < k - 1) {
+        // deflate: C <- C - lambda * v v^T, lambda = v^T C v
+        val vLit = typedlit(v.toSeq)
+        val lam = cov
+          .agg(sum(((col("c") * element_at(vLit, col("i") + 1))
+              * element_at(vLit, col("j") + 1)).cast(Dec))
+            .cast("double"))
+          .head.getDouble(0)
+        cov = cov.select(col("i"), col("j"),
+          (col("c") - (lit(lam) * element_at(vLit, col("i") + 1))
+            * element_at(vLit, col("j") + 1)).as("c"))
+          .localCheckpoint()
+      }
+    }
+
+    // projection: one corpus pass against the broadcast k*d components
+    import spark.implicits._
+    val compDf = (for (ci <- 0 until k; dim <- 0 until d)
+      yield (ci, dim, comps(ci)(dim))).toDF("comp", "dim", "cv")
+    base
+      .select(col("__id"), posexplode(centered).as(Seq("dim", "v")))
+      .join(broadcast(compDf), "dim")
+      .groupBy(col("__id"), col("comp"))
+      .agg(sum((col("v") * col("cv")).cast(Dec)).cast("double")
+        .as("value"))
+      .select(col("__id").as(idCol), col("comp"), col("value"))
+  }
+
   /** Scalar int8 quantization, per-vector min/max affine code — the 4x
     * memory cut that makes a 10^10-vector ANN index executor-resident.
     * Returns struct(lo, step, q: array<tinyint>) with

@@ -401,8 +401,12 @@ object Graph {
       .join(deg.select(col("node").as("c"), col("deg").as("dx")), "c")
       .join(deg.select(col("node").as("n"), col("deg").as("dy")), "n")
       .agg(count(lit(1)).as("n_pairs"),
-        corr(col("dx").cast("double"), col("dy").cast("double"))
-          .as("assortativity"))
+        // degree-regular graphs have zero degree variance: Spark corr
+        // yields NaN there while DuckDB yields NULL — align on NULL.
+        // (Residual ulp risk from partial-agg co-moment order remains;
+        // the gate quantizes through r6 like the other graph metrics.)
+        nanvl(corr(col("dx").cast("double"), col("dy").cast("double")),
+          lit(null).cast("double")).as("assortativity"))
   }
 
   /** Bounded-k-hop neighborhood stats per node: how many nodes sit

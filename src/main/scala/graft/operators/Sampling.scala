@@ -409,8 +409,13 @@ object Sampling {
     require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
     require(maxEpochs > 0.0, s"maxEpochs must be positive, got $maxEpochs")
     val b = lit(budgetTokens.toDouble)
-    val ord = Window.orderBy(col("cap"), col("source"))
-    val all = Window.partitionBy()
+    // partitionBy(lit(1)): semantically identical on this per-source
+    // aggregate (tens of rows, documented), but silences the "No
+    // Partition Defined" WindowExec warning — which otherwise trains
+    // bench-log readers to ignore a REAL unpartitioned corpus window
+    val one = lit(1)
+    val ord = Window.partitionBy(one).orderBy(col("cap"), col("source"))
+    val all = Window.partitionBy(one)
     val caps = df.where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol).as("source"))
       .agg(coalesce(sum(col(tokenCol).cast("long")), lit(0L))

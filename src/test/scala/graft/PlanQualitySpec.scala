@@ -413,6 +413,19 @@ class PlanQualitySpec extends SparkSpec {
       "scan must prune to the two referenced columns: " + read)
   }
 
+  test("codegen-fallback tripwire armed; q_bpe_train compiles under it") {
+    // the shared session must keep fallback disabled so ANY gate query
+    // whose generated code fails to compile throws loudly (SparkEntrySpec
+    // runs them all); and the BPE trainer — the one confirmed r12
+    // fallback — must execute under that regime
+    assert(spark.conf.get("spark.sql.codegen.fallback") == "false",
+      "test session lost the codegen-fallback tripwire")
+    val out = SparkEntry.queries("q_bpe_train")(spark, sf)
+    assert(out.count() > 0)
+    val seg = SparkEntry.queries("q_bpe_segment")(spark, sf)
+    assert(seg.count() > 0)
+  }
+
   test("personalized pageRank: seed confinement is row-local — the " +
     "per-iteration plan has exactly the exchanges of the global variant") {
     import org.apache.spark.sql.functions._

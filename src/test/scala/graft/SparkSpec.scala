@@ -13,6 +13,12 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Tripwire: a whole-stage-codegen compile failure must FAIL the
+      // suite, not silently fall back to interpreted execution (r12: the
+      // BPE hashAgg unit blew the Janino budget and ran un-codegen'd with
+      // green tests — a 5-10x scan-speed loss only visible at scale).
+      // SparkEntrySpec runs every gate query, so this guards all of them.
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -72,6 +72,39 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("pcaPowerProject: matches the anisotropy pcaProject finds, " +
+    "canonical sign, layout-stable to the bit") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      val t = rnd.nextGaussian() * 10
+      Row(i.toLong, Seq(t.toFloat, t.toFloat,
+        (rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val d = df("id BIGINT, v ARRAY<FLOAT>", rows: _*)
+    def run(in: org.apache.spark.sql.DataFrame) =
+      Embeddings.pcaPowerProject(in, "id", "v", k = 2, iters = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+        .toMap
+    val p = run(d)
+    def variance(xs: Iterable[Double]): Double = {
+      val mean = xs.sum / xs.size
+      xs.map(x => (x - mean) * (x - mean)).sum / xs.size
+    }
+    val byComp = p.groupBy(_._1._2).view.mapValues(_.values).toMap
+    // the (1,1,0) spread dominates; component 0 must capture it
+    assert(variance(byComp(0)) > 100 * variance(byComp(1)),
+      "first power-iteration component not dominant")
+    // canonical sign: projections of the dominant direction correlate
+    // POSITIVELY with the generating t (largest |loading| is positive,
+    // and the loading vector is ~(+.707, +.707, ~0))
+    val t5 = rows(4).getSeq[Float](1).head.toDouble
+    val proj5 = p((5L, 0))
+    assert(math.signum(proj5) == math.signum(t5 * 1.414) ||
+      math.abs(t5) < 1e-6, s"sign not canonical: t=$t5 proj=$proj5")
+    // bit-stable under a different layout (the decimal-sum guarantee)
+    assert(p == run(d.repartition(7)), "projections drift under layout")
+  }
+
   test("quantizeInt8: codes span the full [-128, 127] range and " +
     "dequantize within step/2 per element") {
     val rnd = new scala.util.Random(13)
