@@ -185,6 +185,66 @@ object SparkEntry {
     root
   }
 
+  /** Late-data fixture for the q_stream_oi_late watermark gate: three
+    * modification-time-ordered parquet files replayed one per
+    * micro-batch.
+    *   file 0 — the on-time bulk (event_id % 7 != 0), original times;
+    *   file 1 — the % 7 == 0 rows arriving LATE: half re-timed to
+    *     maxT - 30 min (inside the 1 h watermark -> must be absorbed),
+    *     half rewound to the stream's FIRST window (hours past the
+    *     watermark -> must be dropped);
+    *   file 2+3 — two far-future sentinels (the q_stream_iceberg trick):
+    *     the first advances the watermark past every real window, the
+    *     second's batch runs UNDER that watermark so append emits all
+    *     closed windows before processAllAvailable returns.
+    * Margins are 30 min / hours — no window boundary sits near the
+    * watermark, so the kept/dropped split is deterministic. */
+  private def streamOiLateFixture(s: SparkSession, dir: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_oilate_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.ProcessHandle.current().pid()
+    rmTree(root)
+    val base = eventsNs(s, dir).select(
+      col("event_id"), col("ts_ns"),
+      pmod(col("user_id"), lit(5L)).cast("string").as("ticker"),
+      side(col("event_type")).as("direction"),
+      col("value").as("size"))
+    def withTime(df: DataFrame): DataFrame = df.withColumn("event_time",
+      timestamp_micros((col("ts_ns") / lit(1000L)).cast("long")))
+    val onTime = base.filter(col("event_id") % 7 =!= 0)
+    val Array(minTs, maxTs) = onTime
+      .agg(min(col("ts_ns")), max(col("ts_ns"))).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    // the bulk, then the max-ts row(s) as a SETTLE batch: the file
+    // source's filtering watermark lags one batch behind the displayed
+    // one (measured: a late row arriving in the very next batch after
+    // the bulk is absorbed, dropped=0; with one interposed batch it is
+    // dropped) — the settle file makes the bulk's watermark effective
+    // before the late file arrives
+    withTime(onTime.filter(col("ts_ns") =!= maxTs)).coalesce(1)
+      .write.parquet(root)
+    Thread.sleep(15)
+    withTime(onTime.filter(col("ts_ns") === maxTs)).coalesce(1)
+      .write.mode("append").parquet(root)
+    Thread.sleep(15)
+    val late = base.filter(col("event_id") % 7 === 0)
+      .withColumn("ts_ns", when(col("event_id") % 14 =!= 0,
+        lit(maxTs - M30)).otherwise(lit(minTs)))
+    withTime(late).coalesce(1).write.mode("append").parquet(root)
+    import s.implicits._
+    def sentinel(id: Long, tsNs: Long) = withTime(
+      Seq((id, tsNs, "~flush~", 1, 0.0))
+        .toDF("event_id", "ts_ns", "ticker", "direction", "size"))
+    Thread.sleep(15)
+    sentinel(-1L, maxTs + 2 * DAY).coalesce(1).write.mode("append")
+      .parquet(root)
+    Thread.sleep(15)
+    sentinel(-2L, maxTs + 4 * DAY).coalesce(1).write.mode("append")
+      .parquet(root)
+    root
+  }
+
   /** DuckDB twin of [[Sampling.bucketHash]] — the top 20 bits of the
     * mix31 avalanche draw, so sampling gates are bit-exact. All
     * positive-BIGINT arithmetic (see [[Mix31Sql]] for the sign-of-mod
@@ -709,6 +769,7 @@ object SparkEntry {
 
   private val H  = 3600L * 1000 * 1000 * 1000  // 1 hour in ns
   private val M15 = 15L * 60 * 1000 * 1000 * 1000
+  private val M30 = 30L * 60 * 1000 * 1000 * 1000
   private val M5  = 5L * 60 * 1000 * 1000 * 1000
   private val DAY = 24L * H
 
@@ -754,6 +815,25 @@ object SparkEntry {
       .withColumn("f_n2", pmod(col("event_id"), lit(7L)).cast("double"))
     Sampling.hashSplitTag(
       graft.ml.DirectionModel.prepareTraining(base, MlGateCols),
+      "event_id", 0.25, seed = 42L)
+  }
+
+  /** XOR of two hash features: linearly inseparable, so a depth-1 stump
+    * scores ~chance while any depth >= 2 tree separates it cleanly — the
+    * planted performance gap that lets the M3 CV gate PROVE model
+    * selection happened (a grid where every point ties demonstrates
+    * nothing). f_n1 is a pure-noise decoy. */
+  private val MlInteractionCols = Seq("f_a", "f_b", "f_n1")
+  private def mlInteraction(s: SparkSession, dir: String): DataFrame = {
+    val base = eventsNs(s, dir)
+      .filter(col("event_id") < 1024L)
+      .withColumn("f_a", Sampling.unitHash(col("event_id"), 11L))
+      .withColumn("f_b", Sampling.unitHash(col("event_id"), 13L))
+      .withColumn("f_n1", Sampling.unitHash(col("event_id"), 9L))
+      .withColumn("direction",
+        when((col("f_a") > 0.5) =!= (col("f_b") > 0.5), 1).otherwise(-1))
+    Sampling.hashSplitTag(
+      graft.ml.DirectionModel.prepareTraining(base, MlInteractionCols),
       "event_id", 0.25, seed = 42L)
   }
 
@@ -855,6 +935,29 @@ object SparkEntry {
         .select(col("bin_ns"), r6(col("order_imbalance")).as("oi_micro"))
       graft.streaming.StreamingOi.replayComplete(oi,
         "graft_stream_oi_" + graft.streaming.StreamingOi.nextSinkId())
+    }),
+
+    // --- §2.10: the WATERMARK face of windowedOi — out-of-order events
+    //     injected mid-replay: late rows INSIDE the 1 h watermark must be
+    //     absorbed into their (still-open) window, rows HOURS past it
+    //     must drop; append emits each window once on close. The oracle
+    //     is the batch aggregation over exactly the absorbable rows, so
+    //     a stream that kept a hopeless row (or lost a recoverable one)
+    //     hash-mismatches ---
+    "q_stream_oi_late" -> ((s, dir) => {
+      val root = streamOiLateFixture(s, dir)
+      val schema = s.read.parquet(root).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(root)
+      val oi = graft.streaming.StreamingOi.windowedOi(stream,
+        delta = "1 hour", watermark = "1 hour")
+      graft.streaming.StreamingOi.replayAppend(oi,
+          "graft_stream_oilate_" + graft.streaming.StreamingOi.nextSinkId())
+        .filter(col("ticker") =!= "~flush~")
+        .select((unix_micros(col("bin_start")) * 1000L).as("bin_ns"),
+          col("ticker"),
+          r6(col("order_imbalance")).as("oi_micro"),
+          col("n_events"))
     }),
 
     // --- §2.10: streaming iceberg-refill tagging — the
@@ -1331,6 +1434,62 @@ object SparkEntry {
           stddev_samp(col("value")).over(w)).as("z_micro"))
     }),
 
+    // --- O1: the full-frame time sort, hashable — global ordinal under
+    //     ORDER BY (ts_ns, event_id) via the two-level scan (no
+    //     corpus-wide window) ---
+    "q_o1_sort" -> ((s, dir) => {
+      graft.core.Prep.timeOrderSeq(eventsNs(s, dir), "ts_ns", "event_id")
+        .select(col("event_id"), col("pos"))
+    }),
+
+    // --- F4: datetime family — epoch-ns to calendar fields and a
+    //     formatted day string, then back to epoch-ns (round-trip) ---
+    "q_f4_datetime" -> ((s, dir) => {
+      val ts = timestamp_micros(expr("ts_ns div 1000"))
+      eventsNs(s, dir).select(col("event_id"),
+        year(ts).cast("long").as("y"),
+        month(ts).cast("long").as("mo"),
+        dayofmonth(ts).cast("long").as("d"),
+        hour(ts).cast("long").as("h"),
+        minute(ts).cast("long").as("mi"),
+        second(ts).cast("long").as("sec"),
+        date_format(ts, "yyyy-MM-dd").as("day_str"),
+        (unix_micros(ts) * 1000).as("rt_ns"))
+    }),
+
+    // --- F5: string family — the reference's filename split('_') +
+    //     numeric-field extract + substring membership, over a
+    //     synthesized LOBSTER-style name (source_lang_id.csv) ---
+    "q_f5_string" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("fname", concat(concat_ws("_", col("source"),
+          col("lang"), col("doc_id").cast("string")), lit(".csv")))
+        .select(col("doc_id"), col("fname"),
+          element_at(split(col("fname"), "_"), 1).as("src_part"),
+          element_at(split(col("fname"), "_"), 2).as("lang_part"),
+          regexp_extract(col("fname"), "([0-9]+)\\.csv$", 1)
+            .cast("long").as("id_num"),
+          col("fname").contains("en").as("has_en"))
+    }),
+
+    // --- F6: pd.cut twin — right-closed labeled spread buckets
+    //     (reference bins 0/500/1000/1500/2000/inf), counted against a
+    //     correctness flag; below-range rows drop like pandas NaN cut ---
+    "q_f6_bucketize" -> ((s, dir) => {
+      val spread = col("value") * 10.0
+      val bucket = when(spread > 0 && spread <= 500, "0-500")
+        .when(spread > 500 && spread <= 1000, "500-1000")
+        .when(spread > 1000 && spread <= 1500, "1000-1500")
+        .when(spread > 1500 && spread <= 2000, "1500-2000")
+        .when(spread > 2000, ">2000")
+      eventsNs(s, dir)
+        .withColumn("bucket", bucket)
+        .withColumn("correct", col("event_id") % 3 === 0)
+        .filter(col("bucket").isNotNull)
+        .groupBy(col("bucket"), col("correct"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // --- M5: simple OLS per group via regr_* aggregates ---
     "q_m5_regression" -> ((s, dir) => {
       Regression.simpleOlsByGroup(Tables.lineitem(s, dir),
@@ -1518,6 +1677,53 @@ object SparkEntry {
         .filter(col("n_train") === 3)
         .select(col("user_id"), col("day"),
           r6(col("icept") + col("slope") * col("day")).as("pred_micro"))
+    }),
+
+    // --- EP2 end-to-end: the reference's headline deliverable as ONE
+    //     chain (`portfolio_strategy_workflow.py:60-63` ->
+    //     `trading_strategy.py:347-464`): daily panel -> rolling
+    //     3-day refit of ret on OI (M8) -> out-of-sample signal ->
+    //     magnitude veto -> per-day rank, long top-2 / short bottom-2
+    //     (M11/W4) -> daily PnL on FORWARD returns (F9) -> one
+    //     skew/kurt-adjusted Sharpe row (M10). Every stage is the
+    //     already-oracled engine; the gate proves the COMPOSITION
+    //     hash-matches end-to-end ---
+    "q_ep2_full" -> ((s, dir) => {
+      val daily = eventsNs(s, dir)
+        .withColumn("day", (col("ts_ns") / lit(DAY)).cast("long"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(side(col("event_type")) * col("value")).as("oi"),
+          avg(col("value")).as("ret"))
+      val wTrain = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(-3, -1)
+      val wLead = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val sig = daily.select(col("user_id"), col("day"), col("oi"),
+          lead(col("ret"), 1).over(wLead).as("fret"),
+          regr_slope(col("ret"), col("oi")).over(wTrain).as("slope"),
+          regr_intercept(col("ret"), col("oi")).over(wTrain).as("icept"),
+          regr_count(col("ret"), col("oi")).over(wTrain).as("n_train"))
+        .filter(col("n_train") === 3 && col("fret").isNotNull)
+        .withColumn("signal", col("icept") + col("slope") * col("oi"))
+        .filter(abs(col("signal")) > lit(0.05)) // magnitude veto
+      val wRank = Window.partitionBy(col("day"))
+        .orderBy(col("signal").desc, col("user_id"))
+      val ranked = sig
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("n_users",
+          count(lit(1)).over(Window.partitionBy(col("day"))).cast("long"))
+      val pnl = ranked.groupBy(col("day")).agg(
+        (sum(when(col("rk") <= 2, col("fret")).otherwise(0.0)) -
+          sum(when(col("rk") > col("n_users") - 2, col("fret"))
+            .otherwise(0.0))).as("pnl"))
+      val aggs = Stats.sharpeColumns(col("pnl"))
+      pnl.agg(aggs.head, aggs.tail: _*)
+        .filter(col("n") >= 3 && col("sd_ret") > 0)
+        .select(col("n").cast("long").as("n_days"),
+          r6(col("mean_ret")).as("mean_micro"),
+          r6(col("sd_ret")).as("sd_micro"),
+          r6(col("sharpe")).as("sharpe_micro"),
+          r6(col("sharpe_tstat")).as("tstat_micro"),
+          r6(col("sharpe_annual")).as("annual_micro"))
     }),
 
     // --- F8+F9: linear signal + threshold/sign PnL per user ---
@@ -3554,28 +3760,39 @@ object SparkEntry {
             .as("prob_in_unit"))
     }),
 
-    // --- M3: RF grid-CV + LR — one-point grid and 2 folds keep the CV
-    //     machinery (the operator under test) without the full search's
-    //     benchmark cost; both models must beat the planted threshold ---
+    // --- M3: RF grid-CV + LR. The RF grid is a REAL 2-point maxDepth
+    //     search {1, 5} over the planted XOR interaction: a depth-1
+    //     stump is chance on XOR, so cross-validation demonstrably
+    //     SELECTS depth 5 (chosen_depth in the output; MlGatesSpec pins
+    //     it rerun-stable). LR stays on the linear fixture — XOR is
+    //     outside its hypothesis class by design ---
     "q_m3_rf_lr" -> ((s, dir) => {
-      val d = mlPlanted(s, dir)
-      val train = d.filter(!col("is_test"))
-      val test = d.filter(col("is_test"))
-      val rf = graft.ml.DirectionModel.rfCrossValidated(MlGateCols,
-          folds = 2, numTrees = Array(10), maxDepths = Array(3))
-        .fit(train).bestModel
+      val di = mlInteraction(s, dir)
+      val cvModel = graft.ml.DirectionModel.rfCrossValidated(
+          MlInteractionCols, folds = 2, numTrees = Array(10),
+          maxDepths = Array(1, 5))
+        .fit(di.filter(!col("is_test")))
+      val rf = cvModel.bestModel
         .asInstanceOf[org.apache.spark.ml.PipelineModel]
+      val rfDepth = rf.stages.last
+        .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel]
+        .getMaxDepth.toLong
+      val dl = mlPlanted(s, dir)
       val lr = graft.ml.DirectionModel.logisticPipeline(MlGateCols)
-        .fit(train)
-      def gate(model: org.apache.spark.ml.PipelineModel, name: String) =
+        .fit(dl.filter(!col("is_test")))
+      def gate(model: org.apache.spark.ml.PipelineModel, name: String,
+               test: DataFrame, depth: Column) =
         graft.ml.DirectionModel.attachPredictions(model, test)
           .agg(count(lit(1)).as("n_test"),
             sum(when(col("pred_dir") === col("direction"), 1L)
               .otherwise(0L)).as("__correct"))
           .select(lit(name).as("model"), col("n_test"),
             (col("__correct") >= col("n_test") * lit(0.8))
-              .as("beats_planted"))
-      gate(rf, "rf").unionByName(gate(lr, "lr"))
+              .as("beats_planted"),
+            depth.as("chosen_depth"))
+      gate(rf, "rf", di.filter(col("is_test")), lit(rfDepth))
+        .unionByName(gate(lr, "lr", dl.filter(col("is_test")),
+          lit(null).cast("long")))
     }),
 
     // --- LLM ops: the curation funnel audit as a declarative
@@ -4066,6 +4283,29 @@ object SparkEntry {
          |  ${R6(s"(SUM(CASE WHEN $Side = -1 THEN value ELSE 0 END) - SUM(CASE WHEN $Side = 1 THEN value ELSE 0 END)) / NULLIF(SUM(CASE WHEN $Side = -1 THEN value ELSE 0 END) + SUM(CASE WHEN $Side = 1 THEN value ELSE 0 END), 0)")} AS oi_micro
          |FROM e GROUP BY 1""".stripMargin,
 
+    // the watermark face: batch aggregation over exactly the rows a
+    // correct watermark replay absorbs — the on-time bulk plus the
+    // recoverable late rows (re-timed to maxT - 30 min), never the
+    // hopeless ones (rewound to the long-closed first window)
+    "q_stream_oi_late" ->
+      s"""WITH e AS ($EventsNs),
+         |b AS (
+         |  SELECT event_id, ts_ns,
+         |    CAST(user_id % 5 AS VARCHAR) AS ticker,
+         |    ($Side) AS side, value AS size
+         |  FROM e),
+         |mx AS (SELECT MAX(ts_ns) AS mt FROM b WHERE event_id % 7 <> 0),
+         |kept AS (
+         |  SELECT ticker, side, size, ts_ns FROM b WHERE event_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT ticker, side, size,
+         |    (SELECT mt FROM mx) - $M30 AS ts_ns
+         |  FROM b WHERE event_id % 7 = 0 AND event_id % 14 <> 0)
+         |SELECT (ts_ns // $H) * $H AS bin_ns, ticker,
+         |  ${R6("(SUM(CASE WHEN side = -1 THEN size ELSE 0 END) - SUM(CASE WHEN side = 1 THEN size ELSE 0 END)) / NULLIF(SUM(CASE WHEN side = -1 THEN size ELSE 0 END) + SUM(CASE WHEN side = 1 THEN size ELSE 0 END), 0)")} AS oi_micro,
+         |  COUNT(*) AS n_events
+         |FROM kept GROUP BY 1, 2""".stripMargin,
+
     // the streaming iceberg state machine vs the batch forward-as-of
     // match indicator — q_j3_asof's oracle restricted to the tag surface
     "q_stream_iceberg" ->
@@ -4310,6 +4550,58 @@ object SparkEntry {
          |FROM events
          |WINDOW w AS (PARTITION BY event_type)""".stripMargin,
 
+    // the two-level scan's ordinal IS the global ORDER BY rank
+    "q_o1_sort" ->
+      s"""WITH e AS ($EventsNs)
+         |SELECT event_id,
+         |  ROW_NUMBER() OVER (ORDER BY ts_ns, event_id) - 1 AS pos
+         |FROM e""".stripMargin,
+
+    "q_f4_datetime" ->
+      s"""WITH e AS ($EventsNs),
+         |t AS (SELECT event_id, make_timestamp(ts_ns // 1000) AS ts
+         |      FROM e)
+         |SELECT event_id,
+         |  CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS y,
+         |  CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS mo,
+         |  CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS d,
+         |  CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS h,
+         |  CAST(EXTRACT(MINUTE FROM ts) AS BIGINT) AS mi,
+         |  CAST(EXTRACT(SECOND FROM ts) AS BIGINT) AS sec,
+         |  strftime(ts, '%Y-%m-%d') AS day_str,
+         |  epoch_us(ts) * 1000 AS rt_ns
+         |FROM t""".stripMargin,
+
+    "q_f5_string" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    source || '_' || lang || '_' || CAST(doc_id AS VARCHAR)
+         |      || '.csv' AS fname
+         |  FROM documents)
+         |SELECT doc_id, fname,
+         |  string_split(fname, '_')[1] AS src_part,
+         |  string_split(fname, '_')[2] AS lang_part,
+         |  CAST(regexp_extract(fname, '([0-9]+)\\.csv$$', 1) AS BIGINT)
+         |    AS id_num,
+         |  contains(fname, 'en') AS has_en
+         |FROM f""".stripMargin,
+
+    "q_f6_bucketize" ->
+      s"""WITH e AS ($EventsNs),
+         |b AS (
+         |  SELECT event_id, value * 10.0 AS spread FROM e),
+         |t AS (
+         |  SELECT event_id,
+         |    CASE WHEN spread > 0 AND spread <= 500 THEN '0-500'
+         |         WHEN spread > 500 AND spread <= 1000 THEN '500-1000'
+         |         WHEN spread > 1000 AND spread <= 1500 THEN '1000-1500'
+         |         WHEN spread > 1500 AND spread <= 2000 THEN '1500-2000'
+         |         WHEN spread > 2000 THEN '>2000' END AS bucket,
+         |    event_id % 3 = 0 AS correct
+         |  FROM b)
+         |SELECT bucket, correct, COUNT(*) AS n
+         |FROM t WHERE bucket IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
     "q_m5_regression" ->
       s"""SELECT l_returnflag,
          |  ${R6("regr_slope(l_extendedprice, l_quantity)")} AS slope_micro,
@@ -4458,6 +4750,57 @@ object SparkEntry {
          |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
          |SELECT user_id, day, ${R6("icept + slope * day")} AS pred_micro
          |FROM r WHERE n_train = 3""".stripMargin,
+
+    // EP2 composition: every CTE is an already-proven oracle fragment
+    // (m8 rolling window, m11 rank/top-bottom, m10 power-sum Sharpe)
+    "q_ep2_full" ->
+      s"""WITH e AS ($EventsNs),
+         |daily AS (
+         |  SELECT user_id, ts_ns // ${DAY} AS day,
+         |    SUM(($Side) * value) AS oi, AVG(value) AS ret
+         |  FROM e GROUP BY 1, 2),
+         |r AS (
+         |  SELECT user_id, day, oi,
+         |    lead(ret) OVER (PARTITION BY user_id ORDER BY day) AS fret,
+         |    regr_slope(ret, oi) OVER w AS slope,
+         |    regr_intercept(ret, oi) OVER w AS icept,
+         |    regr_count(ret, oi) OVER w AS n_train
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+         |sig AS (
+         |  SELECT user_id, day, fret, icept + slope * oi AS signal
+         |  FROM r WHERE n_train = 3 AND fret IS NOT NULL),
+         |vet AS (SELECT * FROM sig WHERE abs(signal) > 0.05),
+         |ranked AS (
+         |  SELECT day, fret, signal,
+         |    ROW_NUMBER() OVER (PARTITION BY day
+         |      ORDER BY signal DESC, user_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY day) AS n_users
+         |  FROM vet),
+         |pnl AS (
+         |  SELECT day,
+         |    SUM(CASE WHEN rk <= 2 THEN fret ELSE 0.0 END)
+         |      - SUM(CASE WHEN rk > n_users - 2 THEN fret ELSE 0.0 END)
+         |      AS pnl
+         |  FROM ranked GROUP BY 1),
+         |s AS (
+         |  SELECT COUNT(*)::DOUBLE AS n, AVG(pnl) AS mean_ret,
+         |    stddev_samp(pnl) AS sd_ret, SUM(pnl) AS s1,
+         |    SUM(pnl*pnl) AS s2, SUM(pnl*pnl*pnl) AS s3,
+         |    SUM(pnl*pnl*pnl*pnl) AS s4
+         |  FROM pnl),
+         |m AS (
+         |  SELECT n, mean_ret, sd_ret, mean_ret / sd_ret AS sr,
+         |    (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) / pow(s2/n - (s1/n)*(s1/n), 1.5) AS g3,
+         |    ((s4 - 4*(s1/n)*s3 + 6*(s1/n)*(s1/n)*s2 - 4*(s1/n)*(s1/n)*(s1/n)*s1 + n*(s1/n)*(s1/n)*(s1/n)*(s1/n))/n) / pow(s2/n - (s1/n)*(s1/n), 2) AS g4
+         |  FROM s WHERE n >= 3 AND sd_ret > 0)
+         |SELECT CAST(n AS BIGINT) AS n_days,
+         |  ${R6("mean_ret")} AS mean_micro, ${R6("sd_ret")} AS sd_micro,
+         |  ${R6("mean_ret / sd_ret")} AS sharpe_micro,
+         |  ${R6("sr / sqrt((1.0 - g3*sr + (g4 - 1.0)*sr*sr/4.0) / (n - 1.0))")} AS tstat_micro,
+         |  ${R6("sr * sqrt(252.0)")} AS annual_micro
+         |FROM m""".stripMargin,
 
     "q_f8_f9_signal_pnl" ->
       s"""WITH e AS ($EventsNs),

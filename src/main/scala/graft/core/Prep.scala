@@ -41,6 +41,40 @@ object Prep {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** O1: the global time sort made explicit — each row's 0-based
+    * position under ORDER BY (tsCol, tieCol), computed WITHOUT a
+    * corpus-wide window via the two-level scan (the Packing/Sharding
+    * idiom): range-slice on the time axis (`sliceWidth` units of tsCol
+    * per slice — monotone, so slice order IS time order), within-slice
+    * row_number, tiny slice-count offsets cumulated and broadcast back.
+    * The reference sorts whole day-frames by datetime before as-of
+    * alignment (`order_imbalance.py:31-32`); this is that sort as a
+    * rank column a distributed engine can verify and reuse. */
+  def timeOrderSeq(df: DataFrame, tsCol: String, tieCol: String,
+                   sliceWidth: Long = 3600L * 1000 * 1000 * 1000,
+                   posCol: String = "pos"): DataFrame = {
+    require(sliceWidth > 0, s"sliceWidth must be positive, got $sliceWidth")
+    val sliced = df.withColumn("__slice",
+      expr(s"$tsCol div $sliceWidth"))
+    val inSlice = Window.partitionBy(col("__slice"))
+      .orderBy(col(tsCol), col(tieCol))
+    val within = sliced.withColumn("__rk",
+      row_number().over(inSlice).cast("long") - 1L)
+    // offsets over the tiny per-slice count frame (Sharding convention:
+    // the lit(0) key constant-folds to Exchange SinglePartition over a
+    // post-aggregate frame)
+    val sliceOrder = Window.partitionBy(lit(0)).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy(col("__slice"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(sliceOrder), lit(0L)))
+      .select(col("__slice"), col("__offset"))
+    within.join(broadcast(offsets), Seq("__slice"))
+      .withColumn(posCol, col("__offset") + col("__rk"))
+      .drop("__slice", "__rk", "__offset")
+  }
+
   /** Full prep chain in reference order: event time, session filter,
     * event key, dedup (`prediction_ML_pipeline.py:82-127`). */
   def prepare(df: DataFrame,

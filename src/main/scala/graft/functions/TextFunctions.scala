@@ -253,7 +253,17 @@ object TextFunctions {
 
   /** Shared argmax-over-language-scores tail of the langId variants.
     * The share denominator is clamped to 1 so empty text yields zero
-    * scores and the "en" fallback instead of an ANSI divide-by-zero. */
+    * scores and the "en" fallback instead of an ANSI divide-by-zero.
+    *
+    * The argmax is array_max over (score, -index) structs — NOT a
+    * when/otherwise fold: a fold embeds its accumulator twice per level
+    * (condition + otherwise), so six languages inline 2^6 copies of the
+    * regex scores into the generated unit, which blew the Janino budget
+    * and silently dropped the whole projection — including the
+    * PRODUCTION q_lang_id scan — to interpreted execution. Each score
+    * appears exactly once in the array; lexicographic struct max keeps
+    * the earlier-listed language on score ties via the negated index
+    * (the Clustering.assign discipline). */
   private def langIdFromScores(text: Column,
                                score: Seq[String] => Column): Column = {
     val n = greatest(length(text).cast("double"), lit(1.0))
@@ -263,19 +273,18 @@ object TextFunctions {
     val kana = share("\\x{3040}-\\x{30ff}")
     val hangul = share("\\x{ac00}-\\x{d7af}")
     val cyrillic = share("\\x{0400}-\\x{04ff}")
-    val scored = langMarkers.map { case (l, ms) => (l, score(ms)) }
-    val best = scored.tail.foldLeft(
-      struct(scored.head._2.as("s"), lit(scored.head._1).as("l"))) {
-      case (acc, (l, s)) =>
-        when(s > acc.getField("s"), struct(s.as("s"), lit(l).as("l")))
-          .otherwise(acc)
-    }
-    when(kana > 0.1, "ja")           // kana before CJK: kanji overlaps zh
-      .when(cjk > 0.2, "zh")
-      .when(hangul > 0.2, "ko")
-      .when(cyrillic > 0.2, "ru")
-      .when(best.getField("s") > 0, best.getField("l"))
-      .otherwise("en").as("lang_id")
+    val langs = langMarkers.map(_._1)
+    val scores = array(langMarkers.zipWithIndex.map { case ((_, ms), i) =>
+      struct(score(ms).as("s"), lit(-i).as("ni"))
+    }: _*)
+    element_at(transform(array(array_max(scores)), b =>
+      when(kana > 0.1, "ja")         // kana before CJK: kanji overlaps zh
+        .when(cjk > 0.2, "zh")
+        .when(hangul > 0.2, "ko")
+        .when(cyrillic > 0.2, "ru")
+        .when(b.getField("s") > 0,
+          element_at(typedlit(langs), (-b.getField("ni")) + 1))
+        .otherwise("en")), 1).as("lang_id")
   }
 
   /** Language-ID heuristic: script-range shares first (zh/ja/ru/ko), then

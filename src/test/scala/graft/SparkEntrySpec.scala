@@ -22,7 +22,13 @@ class SparkEntrySpec extends SparkSpec {
     SparkEntry.queries.foreach { case (name, fn) =>
       val out = fn(spark, sf)
       assert(out.columns.nonEmpty, s"$name: no columns")
-      val n = out.count()
+      // .rdd.count(), not .count(): a plain count lets Catalyst PRUNE
+      // every projected column, so an expression whose generated code
+      // doesn't compile sails through untested (q_lang_id's argmax fold
+      // hid exactly that way). The RDD conversion materializes every
+      // column, so with codegen fallback disabled (SparkSpec) this test
+      // is the compile tripwire for all gate expressions.
+      val n = out.rdd.count()
       if (!empties.contains(name))
         assert(n > 0, s"$name: returned 0 rows on sf0.001")
     }

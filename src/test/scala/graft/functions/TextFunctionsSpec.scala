@@ -171,6 +171,11 @@ class TextFunctionsSpec extends SparkSpec {
         Row(11, "le la les des est une et qu le la") :+
         Row(12, "plain text with no markers at all??") :+
         Row(13, ""): _*)
+    // both variants fused in one projection — this is ALSO the codegen
+    // tripwire for the argmax shape: the historical when/otherwise fold
+    // blew the Janino budget right here (and, silently, in production
+    // q_lang_id) until the array_max rewrite; fallback is disabled, so
+    // a regression fails loudly
     val snapDiff = snippets.select(
         TextFunctions.langId(col("text")).as("fast"),
         TextFunctions.langIdMultiPass(col("text")).as("ref"))

@@ -32,7 +32,7 @@ class MlGatesSpec extends SparkSpec {
   }
 
   test("q_m3_rf_lr: RF grid-CV and LR both beat the planted signal, " +
-    "rerun-stable") {
+    "CV selects the deep tree on the XOR interaction, rerun-stable") {
     val a = SparkEntry.queries("q_m3_rf_lr")(spark, sf).collect()
     val b = SparkEntry.queries("q_m3_rf_lr")(spark, sf).collect()
     assert(a.sortBy(_.getString(0)).toSeq == b.sortBy(_.getString(0)).toSeq,
@@ -40,6 +40,12 @@ class MlGatesSpec extends SparkSpec {
     assert(a.map(_.getString(0)).toSet == Set("rf", "lr"))
     assert(a.forall(_.getAs[Boolean]("beats_planted")),
       s"below planted bar: ${a.mkString("; ")}")
+    // the ACTUAL model selection: a depth-1 stump is chance on the XOR
+    // fixture, so CV over {1, 5} must pick 5 — a tie-free grid is what
+    // makes "CV machinery works" a falsifiable claim
+    val rf = a.find(_.getString(0) == "rf").get
+    assert(rf.getAs[Long]("chosen_depth") == 5L,
+      s"CV failed to select the interaction-capable depth: $rf")
   }
 
   test("two GBT fits on the same split yield the identical confusion " +
