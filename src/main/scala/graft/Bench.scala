@@ -47,8 +47,9 @@ object Bench {
     // rationale as the query loop below).
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
+      // bit_xor, not sum: summing 100M hashes overflows LONG under ANSI
       spark.range(0L, 100000000L, 1L, cpus.toInt)
-        .selectExpr("sum(xxhash64(id)) AS s").collect()
+        .selectExpr("bit_xor(xxhash64(id)) AS s").collect()
       (System.nanoTime() - t0) / 1e9
     }
     calibOnce()

@@ -199,7 +199,14 @@ object SparkEntry {
     *     closed windows before processAllAvailable returns.
     * Margins are 30 min / hours — no window boundary sits near the
     * watermark, so the kept/dropped split is deterministic. */
-  private def streamOiLateFixture(s: SparkSession, dir: String): String = {
+  // memoized per (JVM, sf dir): the fixture is a pure function of the
+  // events table, and Bench rebuilds each query per rep — re-deriving
+  // and re-writing the four files added ~3 s/rep of pure fixture IO
+  private val oiLateFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamOiLateFixture(s: SparkSession, dir: String): String =
+    oiLateFixtureCache.computeIfAbsent(dir, d => buildOiLateFixture(s, d))
+  private def buildOiLateFixture(s: SparkSession, dir: String): String = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_oilate_" +
       java.lang.Integer.toHexString(dir.hashCode) + "_" +
       java.lang.ProcessHandle.current().pid()
@@ -683,7 +690,7 @@ object SparkEntry {
   /** DuckDB twin of [[graft.operators.Embeddings.pcaPowerProject]] over
     * the embeddings table: exact-decimal covariance, `iters` power
     * iterations per component, canonical sign, Rayleigh deflation — all
-    * unrolled to CTEs replaying the engine's DECIMAL(30,15) sums and
+    * unrolled to CTEs replaying the engine's DECIMAL(30,12) sums and
     * IEEE double scalar steps bit-for-bit. Emits `xc` (centered long
     * frame), `u0..u{k-1}` (canonical components), and `comps`
     * (comp, i, v). MATERIALIZED stops plain-CTE inlining from
@@ -701,15 +708,20 @@ object SparkEntry {
          |dd AS (SELECT CAST(COUNT(DISTINCT dim) AS DOUBLE) AS d FROM x),
          |mu AS MATERIALIZED (
          |  SELECT dim,
-         |    CAST(SUM(CAST(xv AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+         |    CAST(SUM(CAST(xv AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
          |  FROM x GROUP BY dim),
          |xc AS MATERIALIZED (
          |  SELECT vec_id, dim, xv - m AS v FROM x JOIN mu USING (dim)),
-         |cov0 AS MATERIALIZED (
+         |covt AS MATERIALIZED (
          |  SELECT a.dim AS i, b.dim AS j,
-         |    CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,15))) AS DOUBLE)
+         |    CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,12))) AS DOUBLE)
          |      / (SELECT n FROM nn) AS c
-         |  FROM xc a JOIN xc b USING (vec_id) GROUP BY 1, 2)""".stripMargin)
+         |  FROM xc a JOIN xc b USING (vec_id)
+         |  WHERE a.dim <= b.dim GROUP BY 1, 2),
+         |cov0 AS MATERIALIZED (
+         |  SELECT i, j, c FROM covt
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, c FROM covt WHERE i < j)""".stripMargin)
     for (c <- 0 until k) {
       sb.append(
         s""",
@@ -720,10 +732,10 @@ object SparkEntry {
           s""",
              |w${c}_$t AS MATERIALIZED (
              |  SELECT cv.i,
-             |    CAST(SUM(CAST(cv.c * v.v AS DECIMAL(30,15))) AS DOUBLE) AS w
+             |    CAST(SUM(CAST(cv.c * v.v AS DECIMAL(30,12))) AS DOUBLE) AS w
              |  FROM cov$c cv JOIN v${c}_${t - 1} v ON cv.j = v.i GROUP BY 1),
              |nr${c}_$t AS (SELECT sqrt(CAST(SUM(CAST(w * w
-             |  AS DECIMAL(30,15))) AS DOUBLE)) AS nr FROM w${c}_$t),
+             |  AS DECIMAL(30,12))) AS DOUBLE)) AS nr FROM w${c}_$t),
              |v${c}_$t AS MATERIALIZED (
              |  SELECT i, w / (SELECT nr FROM nr${c}_$t) AS v
              |  FROM w${c}_$t)""".stripMargin)
@@ -738,7 +750,7 @@ object SparkEntry {
         sb.append(
           s""",
              |lam$c AS (SELECT CAST(SUM(CAST(cv.c * a.v * b.v
-             |    AS DECIMAL(30,15))) AS DOUBLE) AS l
+             |    AS DECIMAL(30,12))) AS DOUBLE) AS l
              |  FROM cov$c cv JOIN u$c a ON cv.i = a.i
              |    JOIN u$c b ON cv.j = b.i),
              |cov${c + 1} AS MATERIALIZED (
@@ -7924,7 +7936,7 @@ object SparkEntry {
     "q_pca" ->
       s"""WITH ${PcaCtes(4, 6)}
          |SELECT xc.vec_id, CAST(comps.comp AS BIGINT) AS comp,
-         |  ${R6("CAST(SUM(CAST(xc.v * comps.v AS DECIMAL(30,15))) " +
+         |  ${R6("CAST(SUM(CAST(xc.v * comps.v AS DECIMAL(30,12))) " +
                 "AS DOUBLE)")} AS value_micro
          |FROM xc JOIN comps ON xc.dim = comps.i
          |GROUP BY 1, 2""".stripMargin,

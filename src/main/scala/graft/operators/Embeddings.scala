@@ -93,13 +93,17 @@ object Embeddings {
     *
     * Scale shape: the covariance is ONE corpus pass — a row-local outer
     * product (the centered vector bound once per row via the HOF-binding
-    * idiom) partial-aggregated map-side into d^2 cells; every iteration
-    * afterwards works on that d^2-row frame (localCheckpoint'd so
-    * lineage never re-touches the corpus), collecting only d doubles per
-    * step. The projection is a second corpus pass joined against the
-    * k*d broadcast component frame. O(d^2) driver state — fine to
-    * d ~ 10^3; power iteration needs the dominant eigengap for fast
-    * convergence, `iters` trades accuracy for work.
+    * idiom) partial-aggregated map-side into d^2 cells COLLECTED to the
+    * driver; the power iteration itself is driver-side arithmetic over
+    * those d^2 doubles (a 64x64 matvec is microseconds — as Spark jobs
+    * it was 15 s/run of pure scheduler overhead, measured at sf0.1).
+    * Engine parity is preserved by construction: every "decimal sum" in
+    * the iteration calls Spark's own `Decimal.changePrecision` — the
+    * EXACT code path of `cast(x as decimal(30,15))` — and exact decimal
+    * addition is order-independent, so the driver fold equals the SQL
+    * SUM bit-for-bit. The projection is a second corpus pass joined
+    * against the k*d broadcast component frame. O(d^2) driver state —
+    * fine to d ~ 10^3; `iters` trades accuracy for work.
     *
     * Returns long format (idCol, comp, value): the centered projection
     * onto each canonical component, comp in [0, k). */
@@ -108,7 +112,13 @@ object Embeddings {
     require(k > 0, s"pcaPowerProject: k must be positive, got $k")
     require(iters >= 1, s"pcaPowerProject: iters must be >= 1, got $iters")
     val spark = df.sparkSession
-    val Dec = "decimal(30,15)"
+    // scale 12, not 15: products stay within ~3.6e13 unscaled, so the
+    // per-cell partial sums remain inside Spark's compact-long Decimal
+    // fast path (scale-15 unscaled values overflowed to the BigDecimal
+    // representation mid-sum — the measured cost driver of the whole
+    // covariance pass); 1e-12 cell precision is 6 orders below the r6
+    // output grid. Still exact + order-independent at any width.
+    val Dec = "decimal(30,12)"
     val dv = transform(col(vecCol), _.cast("double"))
     val base = df.select(col(idCol).as("__id"), dv.as("__v"))
     val d = base.select(size(col("__v")).as("d")).head.getInt(0)
@@ -127,38 +137,91 @@ object Embeddings {
     val muLit = typedlit(mu.toSeq)
     val centered = zip_with(col("__v"), muLit, (x, m) => x - m)
 
-    // covariance: bound centered vector -> d^2 products per row,
-    // partial-agg'd map-side; i = pos / d, j = pos % d
-    val outer = element_at(transform(array(centered), c =>
-      flatten(transform(c, xi => transform(c, xj => xi * xj)))), 1)
-    var cov = base
-      .select(posexplode(outer).as(Seq("pos", "p")))
-      .groupBy(floor(col("pos") / d).cast("int").as("i"),
-        pmod(col("pos"), lit(d)).cast("int").as("j"))
-      .agg((sum(col("p").cast(Dec)).cast("double") / lit(n.toDouble))
+    // covariance: ONE corpus pass with a per-partition exact-decimal
+    // UPPER-TRIANGLE combiner (the treeAggregate shape — symmetry halves
+    // the product mass) emitting d(d+1)/2 partial sums per partition;
+    // the shuffle carries partials, never products. mapPartitions here
+    // is the honest last-resort: the explode->hashAgg formulation paid
+    // ~1 us of row machinery per PRODUCT (d^2/2 rows per vector —
+    // measured 4-8 s at a mere 2000x64), while this loop is arithmetic
+    // only. Exactness is unchanged: each product goes through the SAME
+    // cast (Spark's Decimal.changePrecision = CAST(x AS DECIMAL(30,12)))
+    // and exact decimal addition is order-independent, so
+    // partition-partials + final decimal SUM equal the oracle's flat
+    // SUM bit-for-bit.
+    val nTri = d * (d + 1) / 2
+    val muB = mu
+    val dB = d
+    import spark.implicits._
+    val partials = base.select(col("__v"))
+      .mapPartitions { it =>
+        val acc = Array.fill(nTri)(java.math.BigDecimal.ZERO)
+        var any = false
+        val xc = Array.ofDim[Double](dB)
+        it.foreach { row =>
+          any = true
+          val arr = row.getSeq[Double](0)
+          var i = 0
+          while (i < dB) { xc(i) = arr(i) - muB(i); i += 1 }
+          var pos = 0
+          i = 0
+          while (i < dB) {
+            var j = i
+            while (j < dB) {
+              val p = org.apache.spark.sql.types.Decimal(xc(i) * xc(j))
+              require(p.changePrecision(30, 12),
+                "pcaPowerProject: product overflows DECIMAL(30,12)")
+              acc(pos) = acc(pos).add(p.toJavaBigDecimal)
+              pos += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else acc.iterator.zipWithIndex.map { case (bd, p) =>
+          (p, scala.math.BigDecimal(bd))
+        }
+      }
+      .toDF("pos", "partial")
+    val triSums = partials
+      .groupBy(col("pos"))
+      .agg((sum(col("partial")).cast("double") / lit(n.toDouble))
         .as("c"))
-      .localCheckpoint()
+      .collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val cov = Array.ofDim[Double](d * d)
+    var pos = 0
+    for (i <- 0 until d; j <- i until d) {
+      val c = triSums(pos)
+      cov(i * d + j) = c
+      cov(j * d + i) = c
+      pos += 1
+    }
+
+    // cast(x as decimal(30,15)) via Spark's own Decimal — the identical
+    // rounding (HALF_UP on the valueOf representation) the SQL path uses
+    def dec(x: Double): java.math.BigDecimal = {
+      val v = org.apache.spark.sql.types.Decimal(x)
+      require(v.changePrecision(30, 12),
+        s"pcaPowerProject: value $x overflows DECIMAL(30,12)")
+      v.toJavaBigDecimal
+    }
+    // SUM(CAST(term AS DECIMAL(30,15)))::DOUBLE — exact decimal addition
+    // is order-independent, so this fold IS the SQL aggregate
+    def decSum(terms: Iterator[Double]): Double =
+      terms.foldLeft(java.math.BigDecimal.ZERO)((a, x) => a.add(dec(x)))
+        .doubleValue()
 
     val comps = Array.ofDim[Array[Double]](k)
     for (ci <- 0 until k) {
       var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
       for (_ <- 1 to iters) {
-        val vLit = typedlit(v.toSeq)
-        // w = C*v and its norm in ONE tiny job, both decimal-summed
-        val row = cov.groupBy(col("i"))
-          .agg(sum((col("c") * element_at(vLit, col("j") + 1)).cast(Dec))
-            .cast("double").as("w"))
-          .agg(collect_list(struct(col("i"), col("w"))).as("ws"),
-            sqrt(sum((col("w") * col("w")).cast(Dec)).cast("double"))
-              .as("nr"))
-          .head()
-        val nr = row.getDouble(1)
+        val w = Array.tabulate(d)(i =>
+          decSum((0 until d).iterator.map(j => cov(i * d + j) * v(j))))
+        val nr = math.sqrt(decSum(w.iterator.map(x => x * x)))
         require(nr > 0.0,
           s"pcaPowerProject: zero-norm iterate at component $ci " +
             "(rank-deficient covariance; lower k)")
-        val w = Array.ofDim[Double](d)
-        row.getSeq[org.apache.spark.sql.Row](0)
-          .foreach(r => w(r.getInt(0)) = r.getDouble(1))
         v = w.map(_ / nr)
       }
       // canonical sign: largest-|loading| coordinate positive, ties to
@@ -170,16 +233,11 @@ object Embeddings {
       comps(ci) = v
       if (ci < k - 1) {
         // deflate: C <- C - lambda * v v^T, lambda = v^T C v
-        val vLit = typedlit(v.toSeq)
-        val lam = cov
-          .agg(sum(((col("c") * element_at(vLit, col("i") + 1))
-              * element_at(vLit, col("j") + 1)).cast(Dec))
-            .cast("double"))
-          .head.getDouble(0)
-        cov = cov.select(col("i"), col("j"),
-          (col("c") - (lit(lam) * element_at(vLit, col("i") + 1))
-            * element_at(vLit, col("j") + 1)).as("c"))
-          .localCheckpoint()
+        val vv = v
+        val lam = decSum((0 until d * d).iterator.map(p =>
+          (cov(p) * vv(p / d)) * vv(p % d)))
+        for (p <- 0 until d * d)
+          cov(p) = cov(p) - (lam * vv(p / d)) * vv(p % d)
       }
     }
 

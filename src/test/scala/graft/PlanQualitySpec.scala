@@ -413,6 +413,30 @@ class PlanQualitySpec extends SparkSpec {
       "scan must prune to the two referenced columns: " + read)
   }
 
+  test("timeOrderSeq: per-slice window + broadcast offsets — the only " +
+    "single-partition exchange carries the per-slice count aggregate") {
+    val p = plan("q_o1_sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "slice offsets must broadcast back, not shuffle the corpus:\n" +
+        p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assertSinglePartitionOnlyOverAggregates("q_o1_sort", p)
+  }
+
+  test("q_pca projection plan: centered corpus joins the broadcast " +
+    "component frame; iteration lineage is cut (no join pyramid, " +
+    "one corpus scan + the literal components)") {
+    val p = plan("q_pca")
+    assert(p.contains("BroadcastHashJoin"),
+      "components must broadcast onto the corpus:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // the power-iteration work ran eagerly behind localCheckpoints; the
+    // RETURNED plan must scan the corpus exactly once (the projection
+    // pass) — a cov-lineage leak would re-embed the scan per iteration
+    assert(occurrences(p, "FileScan") == 1,
+      "projection must be one corpus scan:\n" + p.take(2000))
+  }
+
   test("codegen-fallback tripwire armed; q_bpe_train compiles under it") {
     // the shared session must keep fallback disabled so ANY gate query
     // whose generated code fails to compile throws loudly (SparkEntrySpec

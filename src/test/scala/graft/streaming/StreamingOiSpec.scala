@@ -38,6 +38,47 @@ class StreamingOiSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedOi late data: inside-watermark stragglers absorbed into " +
+    "their open window; past-watermark rows dropped (never resurrect a " +
+    "closed window, never corrupt an emitted one)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Int, Long)]
+    val events = input.toDF()
+      .toDF("event_time", "ticker", "direction", "size")
+    val oi = StreamingOi.windowedOi(events, delta = "1 hour",
+      watermark = "1 hour")
+    val q = StreamingOi.startMemorySink(oi, "oi_late_test")
+    try {
+      // window A [00:00,01:00): one buy; then 10:00 advances wm to 09:00
+      input.addData(
+        (ts("2024-01-15 00:10:00"), "T", -1, 10L),
+        (ts("2024-01-15 10:00:00"), "T", -1, 1L))
+      q.processAllAvailable()
+      // late arrivals under wm 09:00: the 09:30 straggler's window
+      // [09:00,10:00) is still open -> absorbed; the 00:20 row's window
+      // closed long ago -> dropped
+      input.addData(
+        (ts("2024-01-15 09:30:00"), "T", 1, 4L),
+        (ts("2024-01-15 00:20:00"), "T", 1, 99L))
+      q.processAllAvailable()
+      // push wm past everything so all real windows emit
+      input.addData((ts("2024-01-16 12:00:00"), "T", -1, 1L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-17 12:00:00"), "T", -1, 1L))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM oi_late_test").collect()
+        .map(r => r.getAs[Timestamp]("bin_start") ->
+          (r.getAs[Double]("order_imbalance"), r.getAs[Long]("n_events")))
+        .toMap
+      // window A: ONLY the on-time buy (a kept 99-sell would flip OI)
+      assert(out(ts("2024-01-15 00:00:00")) == ((1.0, 1L)),
+        s"closed window corrupted: ${out.mkString("; ")}")
+      // window [09:00,10:00): the absorbed late sell -> (0-4)/4 = -1
+      assert(out(ts("2024-01-15 09:00:00")) == ((-1.0, 1L)),
+        s"straggler not absorbed: ${out.mkString("; ")}")
+    } finally q.stop()
+  }
+
   test("replayComplete: finite-replay streaming aggregation == the " +
     "batch aggregation, last (incomplete) bin included") {
     implicit val sqlCtx = spark.sqlContext
