@@ -199,6 +199,44 @@ object SparkEntry {
     *     closed windows before processAllAvailable returns.
     * Margins are 30 min / hours — no window boundary sits near the
     * watermark, so the kept/dropped split is deterministic. */
+  /** Fixture for the q_stream_join stream-stream outer-join gate:
+    * file 0 — every click + purchase row; files 1-2 — sentinel PAIRS
+    * (one row per stream side, users -1/-2, never matching each other)
+    * two days and four days past the data, so BOTH sides' watermarks
+    * advance and the left-outer null rows provably emit before the
+    * replay ends (the two-sentinel q_stream_iceberg trick — outer
+    * emission uses the watermark from the PREVIOUS batch). */
+  private val joinFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamJoinFixture(s: SparkSession, dir: String): String =
+    joinFixtureCache.computeIfAbsent(dir, d => buildStreamJoinFixture(s, d))
+  private def buildStreamJoinFixture(s: SparkSession, dir: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.ProcessHandle.current().pid()
+    rmTree(root)
+    def withTime(df: DataFrame): DataFrame = df.withColumn("event_time",
+      timestamp_micros((col("ts_ns") / lit(1000L)).cast("long")))
+    val base = eventsNs(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts_ns"), col("user_id"),
+        col("event_type"))
+    withTime(base).coalesce(1).write.parquet(root)
+    val maxTs = base.agg(max(col("ts_ns"))).head().getLong(0)
+    import s.implicits._
+    def sentinels(idBase: Long, tsNs: Long) = withTime(Seq(
+      (idBase, tsNs, -1L, "click"),
+      (idBase - 1, tsNs, -2L, "purchase"))
+      .toDF("event_id", "ts_ns", "user_id", "event_type"))
+    Thread.sleep(15)
+    sentinels(-10L, maxTs + 2 * DAY).coalesce(1).write.mode("append")
+      .parquet(root)
+    Thread.sleep(15)
+    sentinels(-20L, maxTs + 4 * DAY).coalesce(1).write.mode("append")
+      .parquet(root)
+    root
+  }
+
   // memoized per (JVM, sf dir): the fixture is a pure function of the
   // events table, and Bench rebuilds each query per rep — re-deriving
   // and re-writing the four files added ~3 s/rep of pure fixture IO
@@ -970,6 +1008,39 @@ object SparkEntry {
           col("ticker"),
           r6(col("order_imbalance")).as("oi_micro"),
           col("n_events"))
+    }),
+
+    // --- §2.10: STREAM-STREAM left-outer interval join — the one big
+    //     Structured Streaming primitive the other gates don't touch:
+    //     each click joined to same-user purchases within the following
+    //     hour, with watermarked state on BOTH sides; unmatched clicks
+    //     emit their null row only when the purchase watermark proves no
+    //     match can still arrive. Finite replay + sentinel pairs, gated
+    //     against the batch LEFT JOIN twin ---
+    "q_stream_join" -> ((s, dir) => {
+      val root = streamJoinFixture(s, dir)
+      val schema = s.read.parquet(root).schema
+      def sideStream(t: String): DataFrame =
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(root).filter(col("event_type") === t)
+      val clicks = sideStream("click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_ns").as("c_ts"), col("event_time").as("c_time"))
+        .withWatermark("c_time", "1 hour")
+      val purchases = sideStream("purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts_ns").as("p_ts"),
+          col("event_time").as("p_time"))
+        .withWatermark("p_time", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("user_id = p_user AND p_time >= c_time AND " +
+          "p_time <= c_time + interval 1 hour"),
+        "left_outer")
+      graft.streaming.StreamingOi.replayAppend(joined,
+          "graft_stream_join_" + graft.streaming.StreamingOi.nextSinkId())
+        .filter(col("user_id") >= 0)
+        .select(col("click_id"), col("user_id"), col("c_ts"),
+          col("purchase_id"), col("p_ts"))
     }),
 
     // --- §2.10: streaming iceberg-refill tagging — the
@@ -2470,6 +2541,38 @@ object SparkEntry {
         .select(col("doc_id"), col("__meta.format").as("format"),
           col("__meta.width").cast("long").as("width"),
           col("__meta.height").cast("long").as("height"),
+          length(col("__content")).cast("long").as("n_bytes"))
+    }),
+
+    // --- Multimodal: REAL WAV/RIFF audio-header parse (r13, the audio
+    //     twin of q_mm_features) — per doc a canonical PCM WAV with
+    //     doc-derived channels / rate / bit depth (every third doc
+    //     carries a doc-varying LIST chunk so the little-endian
+    //     length-prefixed chunk walk is exercised) is synthesized, then
+    //     channels / rate / bits / data size / integral duration are
+    //     read BACK off the bytes by WavHeaders.parse. Zero UDFs, zero
+    //     shuffles; the DuckDB twin replays the same hex walk ---
+    "q_mm_audio" -> ((s, dir) => {
+      import graft.multimodal.WavHeaders
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("__ch", lit(1L) + pmod(col("doc_id"), lit(2L)))
+        .withColumn("__rate",
+          lit(8000L) + pmod(col("doc_id"), lit(5L)) * 1000L)
+        .withColumn("__bits", lit(8L) + pmod(col("doc_id"), lit(2L)) * 8L)
+        .withColumn("__pad", pmod(col("doc_id"), lit(32L)) * 2L)
+      val content = WavHeaders.wavBytes(col("__ch"), col("__rate"),
+        col("__bits"), col("__pad"), pmod(col("doc_id"), lit(3L)) === 0L,
+        col("text"))
+      d.withColumn("__content", content)
+        .withColumn("__meta", WavHeaders.parse(col("__content")))
+        .select(col("doc_id"),
+          col("__meta.format").as("format"),
+          col("__meta.channels").cast("long").as("channels"),
+          col("__meta.sample_rate").as("sample_rate"),
+          col("__meta.bits").cast("long").as("bits"),
+          col("__meta.data_bytes").as("data_bytes"),
+          col("__meta.duration_ms").as("duration_ms"),
           length(col("__content")).cast("long").as("n_bytes"))
     }),
 
@@ -4094,6 +4197,21 @@ object SparkEntry {
         "n_chars", salts = 8)
     }),
 
+    // --- Skew: salt-REPLICATED join (the JOIN half of the skew story —
+    //     q_salted_agg covers aggregation): the big side salted, the
+    //     small dim exploded x8 so a hot key spreads over 8 reducers;
+    //     the salt is provably erased — the result hash-matches the
+    //     plain join ---
+    "q_salted_join" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dim = docs.groupBy(col("lang"))
+        .agg(avg(col("n_chars")).as("__a"))
+      SkewTools.withSalt(docs, 8)
+        .join(SkewTools.explodeSalt(dim, 8), Seq("lang", "__salt"))
+        .select(col("doc_id"), col("lang"),
+          r6(col("__a")).as("avg_chars_micro"))
+    }),
+
     // --- LLM ops: hybrid retrieval — BM25 lexical top-20 fused with
     //     cosine vector top-20 (vec_id plays doc_id) by reciprocal-rank
     //     fusion; both input rankings and the fusion are DuckDB-exact ---
@@ -4294,6 +4412,18 @@ object SparkEntry {
          |SELECT ${CeilNs("ts_ns", H)} AS bin_ns,
          |  ${R6(s"(SUM(CASE WHEN $Side = -1 THEN value ELSE 0 END) - SUM(CASE WHEN $Side = 1 THEN value ELSE 0 END)) / NULLIF(SUM(CASE WHEN $Side = -1 THEN value ELSE 0 END) + SUM(CASE WHEN $Side = 1 THEN value ELSE 0 END), 0)")} AS oi_micro
          |FROM e GROUP BY 1""".stripMargin,
+
+    // the stream-stream outer join vs the plain batch LEFT JOIN on the
+    // same interval condition — engine parity incl. the null face
+    "q_stream_join" ->
+      s"""WITH e AS ($EventsNs),
+         |c AS (SELECT event_id AS click_id, user_id, ts_ns AS c_ts
+         |  FROM e WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts_ns AS p_ts
+         |  FROM e WHERE event_type = 'purchase')
+         |SELECT c.click_id, c.user_id, c.c_ts, p.purchase_id, p.p_ts
+         |FROM c LEFT JOIN p ON c.user_id = p.user_id
+         |  AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + ${H}""".stripMargin,
 
     // the watermark face: batch aggregation over exactly the rows a
     // correct watermark replay absorbs — the on-time bulk plus the
@@ -8117,6 +8247,14 @@ object SparkEntry {
          |  MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
          |FROM documents GROUP BY 1""".stripMargin,
 
+    // the salted join vs the PLAIN join — equality proves the salt is
+    // pure physical spreading, zero semantic residue
+    "q_salted_join" ->
+      s"""WITH d AS (SELECT lang, AVG(n_chars) AS a
+         |  FROM documents GROUP BY 1)
+         |SELECT doc_id, documents.lang, ${R6("a")} AS avg_chars_micro
+         |FROM documents JOIN d USING (lang)""".stripMargin,
+
     // hybrid retrieval: the q_bm25 CTE chain (k=20, ranked) + the
     // q_ann_cosine chain (query 0, k=20) fused by 1/(60+rank) with
     // DECIMAL(18,12) contribution sums
@@ -8373,6 +8511,85 @@ object SparkEntry {
          |       WHEN jpeg_ok
          |         THEN ('0x' || substr(hs, (pos*2+9)::INT, 4))::BIGINT
          |       END AS height,
+         |  n AS n_bytes
+         |FROM p""".stripMargin
+    },
+
+    // WAV/RIFF twin: same synthesis and little-endian chunk walk,
+    // hex-digit-for-hex-digit (LE fields read by reversing byte pairs)
+    "q_mm_audio" -> {
+      // little-endian WRITE of SQL expr v in `bytes` bytes
+      def leW(v: String, bytes: Int): String =
+        (bytes - 1 to 0 by -1).map(i =>
+          s"substr(lpad(hex($v), ${bytes * 2}, '0'), ${i * 2 + 1}, 2)")
+          .mkString("(", " || ", ")")
+      // little-endian READ of `bytes` bytes at 1-based byte pos expr p
+      def leR(p: String, bytes: Int): String =
+        "('0x' || " + (bytes - 1 to 0 by -1).map(i =>
+          s"substr(hs, ((($p) + $i) * 2 - 1)::INT, 2)")
+          .mkString(" || ") + ")::BIGINT"
+      val steps = graft.multimodal.WavHeaders.MaxChunks
+      val walk = (1 to steps).map { i =>
+        val sz = leR("pos + 4", 4)
+        s"""w$i AS (
+           |  SELECT doc_id, n, hs, CASE
+           |      WHEN length(hs) < pos * 2 + 15 THEN NULL
+           |      WHEN substr(hs, (pos*2-1)::INT, 8) = '64617461' THEN pos
+           |      ELSE pos + 8 + $sz + ($sz % 2) END AS pos,
+           |    CASE WHEN substr(hs, (pos*2-1)::INT, 8) = '666D7420'
+           |        AND fmt = 0 THEN pos ELSE fmt END AS fmt,
+           |    CASE WHEN substr(hs, (pos*2-1)::INT, 8) = '64617461'
+           |        AND dat = 0 THEN pos ELSE dat END AS dat
+           |  FROM w${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH m0 AS (
+         |  SELECT doc_id, text,
+         |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+         |    CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS rate,
+         |    CAST(8 + (doc_id % 2) * 8 AS BIGINT) AS bits,
+         |    CAST((doc_id % 32) * 2 AS BIGINT) AS pad,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS dlen
+         |  FROM documents),
+         |m1 AS (
+         |  SELECT *, ch * (bits // 8) AS blk, rate * ch * (bits // 8) AS br,
+         |    36 + CASE WHEN doc_id % 3 = 0 THEN 8 + pad ELSE 0 END + dlen
+         |      AS rlen
+         |  FROM m0),
+         |syn AS (
+         |  SELECT doc_id,
+         |    from_hex('52494646' || ${leW("rlen", 4)} || '57415645'
+         |      || '666D7420' || ${leW("16", 4)} || ${leW("1", 2)}
+         |      || ${leW("ch", 2)} || ${leW("rate", 4)} || ${leW("br", 4)}
+         |      || ${leW("blk", 2)} || ${leW("bits", 2)}
+         |      || CASE WHEN doc_id % 3 = 0 THEN
+         |           '4C495354' || ${leW("pad", 4)}
+         |             || substr(repeat('0', 512), 1, (pad * 2)::INT)
+         |         ELSE '' END
+         |      || '64617461' || ${leW("dlen", 4)}) || encode(text)
+         |      AS content
+         |  FROM m1),
+         |w0 AS (
+         |  SELECT doc_id, CAST(octet_length(content) AS BIGINT) AS n,
+         |    hex(content) AS hs, CAST(13 AS BIGINT) AS pos,
+         |    CAST(0 AS BIGINT) AS fmt, CAST(0 AS BIGINT) AS dat
+         |  FROM syn),
+         |$walk,
+         |p AS (
+         |  SELECT doc_id, n, hs, fmt, dat,
+         |    (n >= 44 AND substr(hs, 1, 8) = '52494646'
+         |      AND substr(hs, 17, 8) = '57415645'
+         |      AND fmt > 0 AND dat > 0
+         |      AND n >= dat + 7 AND n >= fmt + 23) AS ok
+         |  FROM w$steps)
+         |SELECT doc_id,
+         |  CASE WHEN ok THEN 'wav' END AS format,
+         |  CASE WHEN ok THEN ${leR("fmt + 10", 2)} END AS channels,
+         |  CASE WHEN ok THEN ${leR("fmt + 12", 4)} END AS sample_rate,
+         |  CASE WHEN ok THEN ${leR("fmt + 22", 2)} END AS bits,
+         |  CASE WHEN ok THEN ${leR("dat + 4", 4)} END AS data_bytes,
+         |  CASE WHEN ok THEN (CASE WHEN ${leR("fmt + 16", 4)} > 0
+         |    THEN (${leR("dat + 4", 4)} * 1000) // ${leR("fmt + 16", 4)}
+         |    END) END AS duration_ms,
          |  n AS n_bytes
          |FROM p""".stripMargin
     }

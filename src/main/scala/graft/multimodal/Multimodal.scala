@@ -285,3 +285,136 @@ object ImageHeaders {
       when(pngOk, pngH).when(jpegOk, jH).cast("int").as("height"))
   }
 }
+
+/** REAL WAV/RIFF audio-container header parsing over BINARY columns —
+  * the audio twin of [[ImageHeaders]] (RIFF chunk structure per the
+  * public Microsoft/IBM WAVE spec): channels, sample rate, bit depth,
+  * data size, and integral duration come straight off the payload bytes
+  * with no codec library. RIFF is LITTLE-endian where PNG/JPEG are big —
+  * [[WavHeaders.le]] reads multi-byte fields by reversing byte pairs in
+  * the hex view.
+  *
+  * Same execution discipline as the image parser: codegen'd built-ins
+  * only (`hex`, `substr`, `conv`), zero UDFs; the chunk walk (fmt /
+  * LIST / data) is an `aggregate` fold whose accumulator carries
+  * (position, fmt-chunk pos, data-chunk pos) — bound once per step, so
+  * the expression tree is linear in [[WavHeaders.MaxChunks]]. Malformed
+  * input (wrong magic, truncation, walk running off the payload) yields
+  * an all-NULL struct, never garbage numbers. */
+object WavHeaders {
+
+  /** Chunk-walk bound: fmt / LIST / fact / data chunks are skipped via
+    * their length prefixes (with RIFF even-byte padding); a file whose
+    * data chunk sits deeper than this many chunks parses as NULL. */
+  val MaxChunks = 4
+
+  private val RiffHex = "52494646" // "RIFF"
+  private val WaveHex = "57415645" // "WAVE"
+  private val FmtHex  = "666D7420" // "fmt "
+  private val DataHex = "64617461" // "data"
+
+  /** Little-endian hex of `v` in `bytes` bytes (the WRITE side): the
+    * big-endian padded hex, byte pairs reversed. */
+  private def leHex(bytes: Int, v: Column): Column = {
+    val be = lpad(hex(v), bytes * 2, "0")
+    concat((bytes - 1 to 0 by -1).map(i => be.substr(i * 2 + 1, 2)): _*)
+  }
+
+  /** Unsigned little-endian integer of `nBytes` at 1-based byte
+    * position `bytePos` of the hex view (the READ side). */
+  private def le(hexs: Column, bytePos: Column, nBytes: Int): Column =
+    conv(concat((nBytes - 1 to 0 by -1).map(i =>
+      hexs.substr(((bytePos + i) * 2 - 1).cast("int"), lit(2))): _*),
+      16, 10).cast("long")
+
+  /** Synthesize a canonical PCM WAV: RIFF header, fmt chunk (format 1,
+    * REAL channels / sample rate / derived byte rate + block align /
+    * bit depth), an optional `listPad`-byte LIST chunk (so the walk has
+    * a length-prefixed chunk to hop), and a data chunk holding `body`.
+    * Out-of-range inputs (channels outside 1..255, bits not a whole
+    * byte multiple, odd or oversized pad, rate outside 1..384000) are
+    * NULL — never a well-formed header with corrupt fields. */
+  def wavBytes(channels: Column, sampleRate: Column, bits: Column,
+               listPad: Column, withList: Column, body: Column): Column = {
+    val bin = body.cast("binary")
+    val dataLen = length(bin).cast("long")
+    val blockAlign = channels * (bits / lit(8L)).cast("long")
+    val byteRate = sampleRate * blockAlign
+    val listLen = when(withList, lit(8L) + listPad).otherwise(lit(0L))
+    val riffLen = lit(36L) + listLen + dataLen
+    val listHex = when(withList,
+      concat(lit("4C495354"), leHex(4, listPad),
+        lit("0" * 512).substr(lit(1), (listPad * 2).cast("int"))))
+      .otherwise(lit(""))
+    when(channels.between(1L, 255L) && sampleRate.between(1L, 384000L) &&
+        bits.isin(8L, 16L, 32L) && listPad.between(0L, 256L) &&
+        pmod(listPad, lit(2L)) === 0L,
+      concat(
+        unhex(concat(
+          lit(RiffHex), leHex(4, riffLen), lit(WaveHex),
+          lit(FmtHex), leHex(4, lit(16L)), leHex(2, lit(1L)),
+          leHex(2, channels), leHex(4, sampleRate), leHex(4, byteRate),
+          leHex(2, blockAlign), leHex(2, bits),
+          listHex,
+          lit(DataHex), leHex(4, dataLen))),
+        bin))
+  }
+
+  /** Chunk walk from the first subchunk (byte 13): the accumulator is
+    * (pos, fmt-chunk byte pos, data-chunk byte pos); each step reads the
+    * chunk id and its length prefix, records fmt/data positions, and
+    * advances past the (even-padded) payload; the walk parks on the
+    * data chunk. NULL position once the walk leaves the payload. */
+  private def chunkWalk(hexs: Column): Column =
+    aggregate(
+      sequence(lit(1), lit(MaxChunks)),
+      struct(lit(13L).as("pos"), lit(0L).as("fmt"), lit(0L).as("dat")),
+      (acc, _) => {
+        val p = acc.getField("pos")
+        val cid = hexs.substr((p * 2 - 1).cast("int"), lit(8))
+        val size = le(hexs, p + 4L, 4)
+        val sizePad = size + pmod(size, lit(2L))
+        struct(
+          when(length(hexs) < (p * 2 + 15L), lit(null).cast("long"))
+            .when(cid === DataHex, p)
+            .otherwise(p + lit(8L) + sizePad).as("pos"),
+          when(cid === FmtHex && acc.getField("fmt") === 0L, p)
+            .otherwise(acc.getField("fmt")).as("fmt"),
+          when(cid === DataHex && acc.getField("dat") === 0L, p)
+            .otherwise(acc.getField("dat")).as("dat"))
+      })
+
+  /** Parse a binary payload's WAV header: struct `(format, channels,
+    * sample_rate, bits, data_bytes, duration_ms)` — all NULL unless the
+    * RIFF/WAVE magics hold and the walk found both fmt and data chunks
+    * inside the payload. duration_ms = data_bytes * 1000 / byte_rate,
+    * floored (integer-exact: the quotient's distance from an integer is
+    * >= 1/byte_rate, far above double rounding error). */
+  def parse(content: Column): Column =
+    element_at(transform(array(hex(content)), hs =>
+      element_at(transform(array(chunkWalk(hs)), w =>
+        parseAt(hs, w)), 1)), 1)
+
+  private def parseAt(hexs: Column, w: Column): Column = {
+    val n = (length(hexs) / 2).cast("long")
+    val fmtP = w.getField("fmt")
+    val datP = w.getField("dat")
+    val ok = n >= 44L &&
+      hexs.substr(1, 8) === RiffHex && hexs.substr(17, 8) === WaveHex &&
+      fmtP > 0L && datP > 0L && n >= datP + 7L && n >= fmtP + 23L
+    val channels = le(hexs, fmtP + 10L, 2)
+    val rate = le(hexs, fmtP + 12L, 4)
+    val byteRate = le(hexs, fmtP + 16L, 4)
+    val bits = le(hexs, fmtP + 22L, 2)
+    val dataLen = le(hexs, datP + 4L, 4)
+    val durMs = when(byteRate > 0L,
+      ((dataLen * 1000L) / byteRate).cast("long"))
+    struct(
+      when(ok, lit("wav")).as("format"),
+      when(ok, channels).cast("int").as("channels"),
+      when(ok, rate).as("sample_rate"),
+      when(ok, bits).cast("int").as("bits"),
+      when(ok, dataLen).as("data_bytes"),
+      when(ok, durMs).as("duration_ms"))
+  }
+}

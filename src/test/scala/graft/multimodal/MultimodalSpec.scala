@@ -138,4 +138,81 @@ class MultimodalSpec extends SparkSpec {
       .map(Integer.parseInt(_, 16).toByte).toArray
     assert(parseOne(okBytes) == ((Some("jpeg"), Some(256), Some(256))))
   }
+
+  // ---- WavHeaders: REAL RIFF/WAVE container parsing (no stub) ----
+
+  private def wavSynth(ch: Int, rate: Int, bits: Int, pad: Int = 0,
+                       withList: Boolean = false,
+                       body: String = "pcm-payload"): Array[Byte] = {
+    val c = WavHeaders.wavBytes(lit(ch.toLong), lit(rate.toLong),
+      lit(bits.toLong), lit(pad.toLong), lit(withList), lit(body))
+    df("x INT", Row(1)).select(c.as("c")).collect()(0).getAs[Array[Byte]](0)
+  }
+
+  private def wavParse(content: Array[Byte])
+      : Option[(Int, Long, Int, Long, Long)] = {
+    val r = df("content BINARY", Row(content))
+      .select(WavHeaders.parse(col("content")).as("m"))
+      .select(col("m.format"), col("m.channels"), col("m.sample_rate"),
+        col("m.bits"), col("m.data_bytes"), col("m.duration_ms"))
+      .collect()(0)
+    if (r.isNullAt(0)) None
+    else Some((r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4),
+      r.getLong(5)))
+  }
+
+  test("WavHeaders: canonical and LIST-chunked WAVs round-trip channels/" +
+    "rate/bits/data size; duration is the floored PCM formula") {
+    val body = "0123456789abcdef" // 16 bytes
+    // 2ch 16-bit 8000 Hz -> byte rate 32000; 16 bytes -> 0 ms (floor)
+    assert(wavParse(wavSynth(2, 8000, 16, body = body)) ==
+      Some((2, 8000L, 16, 16L, 0L)))
+    // 1ch 8-bit 1 Hz -> byte rate 1; 16 bytes -> 16000 ms
+    assert(wavParse(wavSynth(1, 1, 8, body = body)) ==
+      Some((1, 1L, 8, 16L, 16000L)))
+    // the length-prefixed LIST chunk is hopped, not misparsed
+    for (pad <- Seq(0, 2, 62))
+      assert(wavParse(wavSynth(1, 44100, 16, pad, withList = true,
+        body = body)) == Some((1, 44100L, 16, 16L, 0L)), s"pad=$pad")
+  }
+
+  test("WavHeaders: truncation, wrong magics, and out-of-range synth " +
+    "inputs all yield NULL, never garbage") {
+    val good = wavSynth(2, 16000, 16)
+    assert(wavParse(good).isDefined)
+    // truncated before the data chunk header completes
+    assert(wavParse(good.take(40)) == None)
+    assert(wavParse(good.take(8)) == None)
+    assert(wavParse(Array.emptyByteArray) == None)
+    // RIFF magic intact but WAVE form tag corrupted
+    val badWave = good.clone(); badWave(8) = 'X'.toByte
+    assert(wavParse(badWave) == None)
+    // a PNG is not a WAV
+    assert(wavParse(synth(pngNotJpeg = true, 10, 10)) == None)
+    // synth guards: zero channels, non-byte bit depth, odd pad -> NULL
+    val guards = df("x INT", Row(1)).select(
+      WavHeaders.wavBytes(lit(0L), lit(8000L), lit(16L), lit(0L),
+        lit(false), lit("b")).as("a"),
+      WavHeaders.wavBytes(lit(1L), lit(8000L), lit(12L), lit(0L),
+        lit(false), lit("b")).as("b"),
+      WavHeaders.wavBytes(lit(1L), lit(8000L), lit(16L), lit(3L),
+        lit(true), lit("b")).as("c")).collect()(0)
+    assert(guards.isNullAt(0) && guards.isNullAt(1) && guards.isNullAt(2))
+  }
+
+  test("WavHeaders: a data chunk deeper than MaxChunks parses NULL; " +
+    "within the bound it parses") {
+    def hexBytes(h: String): Array[Byte] =
+      h.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+    def junk(n: Int): String = ("4A554E4B" + "02000000" + "0000") * n
+    val fmt = "666D7420" + "10000000" + "0100" + "0100" +
+      "401F0000" + "401F0000" + "0100" + "0800"
+    def whole(nJunk: Int): String = {
+      val payload = fmt + junk(nJunk) + "64617461" + "04000000" + "AABBCCDD"
+      "52494646" + f"${payload.length / 2 + 4}%02X000000" + "57415645" +
+        payload
+    }
+    assert(wavParse(hexBytes(whole(WavHeaders.MaxChunks - 1))) == None)
+    assert(wavParse(hexBytes(whole(WavHeaders.MaxChunks - 2))).isDefined)
+  }
 }
