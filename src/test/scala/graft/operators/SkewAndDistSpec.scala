@@ -35,6 +35,27 @@ class SkewAndDistSpec extends SparkSpec {
     assert(out.select(col("__salt")).distinct().count() == 4)
   }
 
+  test("salted join == plain join, under any layout (salt values are " +
+    "nondeterministic; the RESULT must not be)") {
+    val big = df("k STRING, id BIGINT",
+      (1 to 40).map(i => Row(if (i % 5 == 0) "hot" else s"k${i % 3}",
+        i.toLong)): _*)
+    val dim = df("k STRING, v BIGINT",
+      Row("hot", 100L), Row("k0", 1L), Row("k1", 2L), Row("k2", 3L))
+    def run(b: org.apache.spark.sql.DataFrame) =
+      SkewTools.withSalt(b, 8)
+        .join(SkewTools.explodeSalt(dim, 8), Seq("k", "__salt"))
+        .select(col("id"), col("k"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val plain = big.join(dim, "k").select(col("id"), col("k"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(run(big) == plain)
+    assert(run(big.repartition(7)) == plain,
+      "salted join drifted under a different layout")
+  }
+
   test("mannWhitneyU matches hand computation (with ties)") {
     // A = {1, 3, 3}, B = {2, 4}: pooled sorted 1,2,3,3,4
     // avg ranks: 1->1, 2->2, 3->3.5(x2), 4->5 ; R_A = 1+3.5+3.5 = 8
