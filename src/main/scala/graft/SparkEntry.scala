@@ -199,6 +199,20 @@ object SparkEntry {
     *     closed windows before processAllAvailable returns.
     * Margins are 30 min / hours — no window boundary sits near the
     * watermark, so the kept/dropped split is deterministic. */
+  /** Run `f` with the session's shuffle-partition count — which fixes a
+    * streaming query's STATE partitioning at start — temporarily set to
+    * `n`. State-store fixed cost per partition per micro-batch dominates
+    * these bounded-state finite replays (measured on q_stream_join at
+    * sf0.1: 6.5 s at 16 state partitions, 3.7 s at 8, 2.7 s at 4 — same
+    * ~40k-row state). Results are partitioning-independent; at cluster
+    * scale the same knob goes UP with state volume. */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** Fixture for the q_stream_join stream-stream outer-join gate:
     * file 0 — every click + purchase row; files 1-2 — sentinel PAIRS
     * (one row per stream side, users -1/-2, never matching each other)
@@ -983,8 +997,10 @@ object SparkEntry {
       val oi = Imbalance.orderImbalance(ev, Seq(col("bin_ns")),
           side(col("event_type")), col("value"))
         .select(col("bin_ns"), r6(col("order_imbalance")).as("oi_micro"))
-      graft.streaming.StreamingOi.replayComplete(oi,
-        "graft_stream_oi_" + graft.streaming.StreamingOi.nextSinkId())
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayComplete(oi,
+          "graft_stream_oi_" + graft.streaming.StreamingOi.nextSinkId())
+      }
     }),
 
     // --- §2.10: the WATERMARK face of windowedOi — out-of-order events
@@ -1001,8 +1017,10 @@ object SparkEntry {
         .option("maxFilesPerTrigger", "1").parquet(root)
       val oi = graft.streaming.StreamingOi.windowedOi(stream,
         delta = "1 hour", watermark = "1 hour")
-      graft.streaming.StreamingOi.replayAppend(oi,
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayAppend(oi,
           "graft_stream_oilate_" + graft.streaming.StreamingOi.nextSinkId())
+      }
         .filter(col("ticker") =!= "~flush~")
         .select((unix_micros(col("bin_start")) * 1000L).as("bin_ns"),
           col("ticker"),
@@ -1043,8 +1061,10 @@ object SparkEntry {
         expr("user_id = p_user AND p_time >= c_time AND " +
           "p_time <= c_time + interval 1 hour"),
         "left_outer")
-      graft.streaming.StreamingOi.replayAppend(joined,
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayAppend(joined,
           "graft_stream_join_" + graft.streaming.StreamingOi.nextSinkId())
+      }
         .filter(col("user_id") >= 0)
         .select(col("click_id"), col("user_id"), col("c_ts"),
           col("purchase_id"), col("p_ts"))
@@ -1072,8 +1092,10 @@ object SparkEntry {
           col("ticker").cast("long").as("user_id"),
           col("tsNs").as("ts_ns"),
           col("iceberg").cast("long").as("matched"))
-      graft.streaming.StreamingOi.replayAppend(tagged,
-        "graft_stream_ice_" + graft.streaming.StreamingOi.nextSinkId())
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayAppend(tagged,
+          "graft_stream_ice_" + graft.streaming.StreamingOi.nextSinkId())
+      }
     }),
 
     // --- §2.10: streaming sessionization — the SAME gaps-and-islands
@@ -1103,8 +1125,10 @@ object SparkEntry {
           moneySum(col("value")).as("sum_value"))
         .select(col("user_id"), col("n_events"), col("session_start"),
           col("session_end"), col("sum_value"))
-      val mat = graft.streaming.StreamingOi.replayComplete(sess,
-        "graft_stream_sess_" + graft.streaming.StreamingOi.nextSinkId())
+      val mat = withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayComplete(sess,
+          "graft_stream_sess_" + graft.streaming.StreamingOi.nextSinkId())
+      }
       // session windows of one user are disjoint, so session_start alone
       // is already a total order; session_end in the orderBy makes the
       // determinism self-evident rather than a disjointness argument
@@ -1130,8 +1154,10 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val regs = Sketches.hllSketch(stream, Seq("event_type"), "user_id",
         p = 10, seed = 4L)
-      val materialized = graft.streaming.StreamingOi.replayComplete(regs,
-        "graft_stream_hll_" + graft.streaming.StreamingOi.nextSinkId())
+      val materialized = withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayComplete(regs,
+          "graft_stream_hll_" + graft.streaming.StreamingOi.nextSinkId())
+      }
       val est = Sketches.hllEstimate(materialized, Seq("event_type"))
       val exact = Tables.events(s, dir).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_distinct"))
@@ -1151,8 +1177,10 @@ object SparkEntry {
         .select(col("user_id"))
       val cells = Sketches.cmsSketch(stream, "user_id", depth = 4,
         width = 256, seed = 5L)
-      val materialized = graft.streaming.StreamingOi.replayComplete(cells,
-        "graft_stream_cms_" + graft.streaming.StreamingOi.nextSinkId())
+      val materialized = withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayComplete(cells,
+          "graft_stream_cms_" + graft.streaming.StreamingOi.nextSinkId())
+      }
       val ev = Tables.events(s, dir).select(col("user_id"))
       Sketches.cmsLookup(materialized, ev.distinct(), "user_id",
           depth = 4, width = 256, seed = 5L)
@@ -1183,8 +1211,10 @@ object SparkEntry {
           "text", watermark = "10 minutes")
         .select(md5(col("text")).as("digest"),
           length(col("text")).cast("long").as("text_len"))
-      graft.streaming.StreamingOi.replayAppend(kept,
-        "graft_stream_dedup_" + graft.streaming.StreamingOi.nextSinkId())
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayAppend(kept,
+          "graft_stream_dedup_" + graft.streaming.StreamingOi.nextSinkId())
+      }
     }),
 
     // --- §2.10: streaming quality scoring — the row-local batch scorer
@@ -1197,8 +1227,10 @@ object SparkEntry {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val scored = stream.select(col("doc_id"),
         r6(TextFunctions.qualityScore(col("text"))).as("quality_micro"))
-      graft.streaming.StreamingOi.replayAppend(scored,
-        "graft_stream_quality_" + graft.streaming.StreamingOi.nextSinkId())
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayAppend(scored,
+          "graft_stream_quality_" + graft.streaming.StreamingOi.nextSinkId())
+      }
     }),
 
     // --- §2.10: streaming deterministic sampling + split tagging — the
@@ -1213,8 +1245,10 @@ object SparkEntry {
       val kept = graft.streaming.StreamingDedup.sampleStream(
           stream, "doc_id", 0.1, seed = 1L)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      graft.streaming.StreamingOi.replayAppend(kept,
-        "graft_stream_sample_" + graft.streaming.StreamingOi.nextSinkId())
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayAppend(kept,
+          "graft_stream_sample_" + graft.streaming.StreamingOi.nextSinkId())
+      }
     }),
 
     "q_stream_split" -> ((s, dir) => {
@@ -1224,8 +1258,10 @@ object SparkEntry {
       val tagged = graft.streaming.StreamingDedup.splitStream(
           stream, "doc_id", 0.25, seed = 3L)
         .select(col("doc_id"), col("is_test"))
-      graft.streaming.StreamingOi.replayAppend(tagged,
-        "graft_stream_split_" + graft.streaming.StreamingOi.nextSinkId())
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayAppend(tagged,
+          "graft_stream_split_" + graft.streaming.StreamingOi.nextSinkId())
+      }
     }),
 
     // --- §2.10: streaming decontamination — bench grams built batch-side
@@ -1241,8 +1277,10 @@ object SparkEntry {
       val tagged = Decontam.tagContamination(
           stream.filter(pmod(col("doc_id"), lit(53L)) =!= 0), grams, "text")
         .select(col("doc_id"), col("n_overlap"))
-      graft.streaming.StreamingOi.replayAppend(tagged,
-        "graft_stream_decontam_" + graft.streaming.StreamingOi.nextSinkId())
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayAppend(tagged,
+          "graft_stream_decontam_" + graft.streaming.StreamingOi.nextSinkId())
+      }
     }),
 
     // --- A2: probability-weighted OI (lineitem: discount as pseudo-prob) ---
@@ -2967,8 +3005,10 @@ object SparkEntry {
           when(col("event_id") % 3 === 0, -1L).otherwise(1L))
       val cm = graft.ml.DirectionModel.confusionMatrix(preds, "actual",
         "pred")
-      graft.streaming.StreamingOi.replayComplete(cm,
-        "graft_stream_conf_" + graft.streaming.StreamingOi.nextSinkId())
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayComplete(cm,
+          "graft_stream_conf_" + graft.streaming.StreamingOi.nextSinkId())
+      }
     }),
 
     "q_stream_calibration" -> ((s, dir) => {
@@ -2979,8 +3019,10 @@ object SparkEntry {
         Tables.tsToNs(stream).withColumnRenamed("ts", "ts_ns"))
       val bins = graft.ml.DirectionModel.calibrationBins(preds, "p",
         "label")
-      graft.streaming.StreamingOi.replayComplete(bins,
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayComplete(bins,
           "graft_stream_cal_" + graft.streaming.StreamingOi.nextSinkId())
+      }
         .select(col("bin"), col("n"), col("n_pos"),
           r6(col("mean_p")).as("mean_p_micro"),
           r6(col("frac_pos")).as("frac_pos_micro"))
