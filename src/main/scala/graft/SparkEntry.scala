@@ -149,8 +149,7 @@ object SparkEntry {
     * exec's tolerance window AND a data batch runs afterwards to fire
     * the event-time timeouts — no reliance on no-data micro-batches.
     * Sentinel rows are type-1 submits with no pending exec on their key,
-    * so they emit nothing. Rebuilt per call (same isolation rule as the
-    * TableOps fixture). */
+    * so they emit nothing. */
   // memoized per (JVM, sf dir) like the other stream fixtures: pure
   // function of the events table; Bench rebuilds per rep otherwise
   private val iceFixtureCache =
@@ -1604,9 +1603,12 @@ object SparkEntry {
     //     numeric-field extract + substring membership, over a
     //     synthesized LOBSTER-style name (source_lang_id.csv) ---
     "q_f5_string" -> ((s, dir) => {
+      // concat with explicit separators, NOT concat_ws: concat_ws DROPS
+      // null fields while the oracle's || propagates them — a latent
+      // hash divergence the moment the table gains a NULL source/lang
       Tables.documents(s, dir)
-        .withColumn("fname", concat(concat_ws("_", col("source"),
-          col("lang"), col("doc_id").cast("string")), lit(".csv")))
+        .withColumn("fname", concat(col("source"), lit("_"), col("lang"),
+          lit("_"), col("doc_id").cast("string"), lit(".csv")))
         .select(col("doc_id"), col("fname"),
           element_at(split(col("fname"), "_"), 1).as("src_part"),
           element_at(split(col("fname"), "_"), 2).as("lang_part"),

@@ -54,8 +54,13 @@ object Prep {
                    sliceWidth: Long = 3600L * 1000 * 1000 * 1000,
                    posCol: String = "pos"): DataFrame = {
     require(sliceWidth > 0, s"sliceWidth must be positive, got $sliceWidth")
+    // NULL timestamps: a NULL slice key would silently vanish at the
+    // offsets equi-join — route them to a sentinel slice below every
+    // real one instead, which is also where ORDER BY puts NULLs in
+    // Spark (nulls first ascending), so the contract stays "ROW_NUMBER
+    // minus one" with null times leading
     val sliced = df.withColumn("__slice",
-      expr(s"$tsCol div $sliceWidth"))
+      coalesce(expr(s"$tsCol div $sliceWidth"), lit(Long.MinValue)))
     val inSlice = Window.partitionBy(col("__slice"))
       .orderBy(col(tsCol), col(tieCol))
     val within = sliced.withColumn("__rk",

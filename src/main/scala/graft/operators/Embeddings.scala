@@ -83,7 +83,7 @@ object Embeddings {
   /** Deterministic top-k PCA by power iteration with deflation —
     * engine-portable where [[pcaProject]] (Spark ML / LAPACK) is not:
     * every corpus-sized or dimension-sized sum runs through
-    * DECIMAL(30,15) (exact, order-independent), every scalar step
+    * DECIMAL(30,12) (exact, order-independent), every scalar step
     * (normalize, sign flip, deflate) is identical IEEE double
     * arithmetic, and each component's sign is canonicalized so its
     * largest-|loading| coordinate is positive (ties to the smallest
@@ -99,7 +99,7 @@ object Embeddings {
     * it was 15 s/run of pure scheduler overhead, measured at sf0.1).
     * Engine parity is preserved by construction: every "decimal sum" in
     * the iteration calls Spark's own `Decimal.changePrecision` — the
-    * EXACT code path of `cast(x as decimal(30,15))` — and exact decimal
+    * EXACT code path of `cast(x as decimal(30,12))` — and exact decimal
     * addition is order-independent, so the driver fold equals the SQL
     * SUM bit-for-bit. The projection is a second corpus pass joined
     * against the k*d broadcast component frame. O(d^2) driver state —
@@ -198,7 +198,7 @@ object Embeddings {
       pos += 1
     }
 
-    // cast(x as decimal(30,15)) via Spark's own Decimal — the identical
+    // cast(x as decimal(30,12)) via Spark's own Decimal — the identical
     // rounding (HALF_UP on the valueOf representation) the SQL path uses
     def dec(x: Double): java.math.BigDecimal = {
       val v = org.apache.spark.sql.types.Decimal(x)
@@ -206,7 +206,7 @@ object Embeddings {
         s"pcaPowerProject: value $x overflows DECIMAL(30,12)")
       v.toJavaBigDecimal
     }
-    // SUM(CAST(term AS DECIMAL(30,15)))::DOUBLE — exact decimal addition
+    // SUM(CAST(term AS DECIMAL(30,12)))::DOUBLE — exact decimal addition
     // is order-independent, so this fold IS the SQL aggregate
     def decSum(terms: Iterator[Double]): Double =
       terms.foldLeft(java.math.BigDecimal.ZERO)((a, x) => a.add(dec(x)))

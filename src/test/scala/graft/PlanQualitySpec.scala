@@ -430,9 +430,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "components must broadcast onto the corpus:\n" + p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
-    // the power-iteration work ran eagerly behind localCheckpoints; the
-    // RETURNED plan must scan the corpus exactly once (the projection
-    // pass) — a cov-lineage leak would re-embed the scan per iteration
+    // the power-iteration work ran eagerly (aggregates collected to the
+    // driver, components re-entering as literals); the RETURNED plan
+    // must scan the corpus exactly once (the projection pass) — a
+    // cov-lineage leak would re-embed the scan per iteration
     assert(occurrences(p, "FileScan") == 1,
       "projection must be one corpus scan:\n" + p.take(2000))
   }

@@ -58,4 +58,27 @@ class PrepAndFixtureSpec extends SparkSpec {
       (r.getDouble(0) * 1e6).toLong
     assert(r.getLong(1) == expect)
   }
+
+  test("timeOrderSeq: global (ts, tie) ordinal; NULL timestamps kept " +
+    "and ordered first (Spark nulls-first), never silently dropped") {
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(java.lang.Long.valueOf(7L * 3600L * 1000000000L + 5L), 1L),
+      Row(java.lang.Long.valueOf(2L * 3600L * 1000000000L), 2L),
+      Row(null.asInstanceOf[java.lang.Long], 3L),
+      Row(java.lang.Long.valueOf(2L * 3600L * 1000000000L), 0L),
+      Row(null.asInstanceOf[java.lang.Long], 1L))
+    val d = df("ts_ns BIGINT, id BIGINT", rows: _*)
+    val out = Prep.timeOrderSeq(d, "ts_ns", "id")
+      .select(col("pos"), col("ts_ns"), col("id")).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), r.getLong(2)))
+      .toMap
+    assert(out.size == 5, s"rows lost: $out")
+    // nulls first (tie on id), then ts ascending with id tiebreak
+    assert(out(0L)._1.isEmpty && out(0L)._2 == 1L)
+    assert(out(1L)._1.isEmpty && out(1L)._2 == 3L)
+    assert(out(2L) == ((Some(2L * 3600L * 1000000000L), 0L)))
+    assert(out(3L) == ((Some(2L * 3600L * 1000000000L), 2L)))
+    assert(out(4L)._2 == 1L)
+  }
 }
