@@ -260,6 +260,69 @@ object SparkEntry {
     root
   }
 
+  /** Fixture for the q_stream_dedup_late eviction gate, replayed one
+    * file per micro-batch:
+    *   file 0 — every event (content key "k<id>"), plus an IDENTICAL
+    *     in-batch duplicate for id % 11 == 0 (either copy hashing the
+    *     same, so which survives is immaterial);
+    *   file 1 — the max-ts row(s), carved out as the settle batch;
+    *   file 2 — a fresh-key sentinel at maxT (a second interposed batch,
+    *     so state EVICTION under the advanced watermark has provably run
+    *     before the re-arrivals, whatever the engine's one-batch lag);
+    *   file 3 — the probes: re-arrivals of keys whose originals are
+    *     OLDER than maxT-3h (state evicted -> KEPT again, the
+    *     at-least-once horizon semantics), re-arrivals of keys from the
+    *     last hour (state alive -> dropped), and fresh-key rows rewound
+    *     to minT (late -> dropped; they carry shifted ids so a wrongly
+    *     kept one shows up in the hash instead of being filtered away).
+    * Watermark 1 h; eviction boundary maxT-2h — every probe sits >= 1 h
+    * from it, so the kept set is deterministic. */
+  private val dedupLateFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamDedupLateFixture(s: SparkSession, dir: String): String =
+    dedupLateFixtureCache.computeIfAbsent(dir,
+      d => buildStreamDedupLateFixture(s, d))
+  private def buildStreamDedupLateFixture(s: SparkSession, dir: String)
+      : String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dl_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.ProcessHandle.current().pid()
+    rmTree(root)
+    val base = eventsNs(s, dir)
+      .select(col("event_id"), col("ts_ns"), col("value"))
+      .withColumn("content", concat(lit("k"), col("event_id")))
+    def withTime(df: DataFrame): DataFrame = df.withColumn("event_time",
+      timestamp_micros((col("ts_ns") / lit(1000L)).cast("long")))
+    val Array(minTs, maxTs) = base
+      .agg(min(col("ts_ns")), max(col("ts_ns"))).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val withDupes = base.unionByName(base.filter(col("event_id") % 11 === 0))
+    withTime(withDupes.filter(col("ts_ns") =!= maxTs)).coalesce(1)
+      .write.parquet(root)
+    Thread.sleep(15)
+    withTime(withDupes.filter(col("ts_ns") === maxTs)).coalesce(1)
+      .write.mode("append").parquet(root)
+    Thread.sleep(15)
+    import s.implicits._
+    withTime(Seq((-1L, maxTs, 0.0, "~s~"))
+        .toDF("event_id", "ts_ns", "value", "content")).coalesce(1)
+      .write.mode("append").parquet(root)
+    Thread.sleep(15)
+    val sevens = base.filter(col("event_id") % 7 === 0)
+    val re = sevens.filter(col("ts_ns") < maxTs - 3 * H)
+      .withColumn("ts_ns", lit(maxTs - M30))
+    val alive = sevens.filter(col("ts_ns") >= maxTs - H)
+      .withColumn("ts_ns", lit(maxTs - M30))
+    val late = base.filter(col("event_id") % 13 === 0)
+      .withColumn("content", concat(lit("late"), col("event_id")))
+      .withColumn("event_id", col("event_id") + lit(10000000L))
+      .withColumn("ts_ns", lit(minTs))
+    withTime(re.unionByName(alive).unionByName(late)).coalesce(1)
+      .write.mode("append").parquet(root)
+    root
+  }
+
   // memoized per (JVM, sf dir): the fixture is a pure function of the
   // events table, and Bench rebuilds each query per rep — re-deriving
   // and re-writing the four files added ~3 s/rep of pure fixture IO
@@ -1010,6 +1073,27 @@ object SparkEntry {
         graft.streaming.StreamingOi.replayComplete(oi,
           "graft_stream_oi_" + graft.streaming.StreamingOi.nextSinkId())
       }
+    }),
+
+    // --- §2.10: the EVICTION face of streaming dedup — state for a key
+    //     lives exactly one watermark horizon: an in-batch duplicate and
+    //     a re-arrival of a still-live key drop; a re-arrival AFTER the
+    //     horizon is kept again (the documented at-least-once
+    //     trade-off); a sub-watermark row drops as late. The oracle is
+    //     the exact expected kept set, so any deviation — a resurrected
+    //     duplicate, a lost re-arrival, a kept late row — hash-misses ---
+    "q_stream_dedup_late" -> ((s, dir) => {
+      val root = streamDedupLateFixture(s, dir)
+      val schema = s.read.parquet(root).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(root)
+      val kept = graft.streaming.StreamingDedup.firstCopy(stream,
+        "content", "event_time", "1 hour")
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayAppend(kept,
+          "graft_stream_dl_" + graft.streaming.StreamingOi.nextSinkId())
+      }
+        .select(col("event_id").as("k"), col("ts_ns"), col("value"))
     }),
 
     // --- §2.10: the WATERMARK face of windowedOi — out-of-order events
@@ -4490,6 +4574,21 @@ object SparkEntry {
          |SELECT c.click_id, c.user_id, c.c_ts, p.purchase_id, p.p_ts
          |FROM c LEFT JOIN p ON c.user_id = p.user_id
          |  AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + ${H}""".stripMargin,
+
+    // the dedup-eviction face: the exact expected kept set — every
+    // key's first copy, the fresh-key sentinel, and precisely the
+    // re-arrivals whose originals predate the eviction horizon
+    "q_stream_dedup_late" ->
+      s"""WITH e AS ($EventsNs),
+         |mx AS (SELECT MAX(ts_ns) AS mt FROM e)
+         |SELECT event_id AS k, ts_ns, value FROM e
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT) AS k, (SELECT mt FROM mx) AS ts_ns,
+         |  0.0 AS value
+         |UNION ALL
+         |SELECT event_id AS k, (SELECT mt FROM mx) - $M30 AS ts_ns, value
+         |FROM e WHERE event_id % 7 = 0
+         |  AND ts_ns < (SELECT mt FROM mx) - ${3 * H}""".stripMargin,
 
     // the watermark face: batch aggregation over exactly the rows a
     // correct watermark replay absorbs — the on-time bulk plus the
