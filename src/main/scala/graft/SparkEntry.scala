@@ -168,7 +168,7 @@ object SparkEntry {
     val base = eventsNs(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(
-        timestamp_micros((col("ts_ns") / lit(1000L)).cast("long"))
+        timestamp_micros(expr("ts_ns div 1000"))
           .as("event_time"),
         col("event_id"),
         col("user_id").cast("string").as("ticker"),
@@ -214,7 +214,12 @@ object SparkEntry {
     * these bounded-state finite replays (measured on q_stream_join at
     * sf0.1: 6.5 s at 16 state partitions, 3.7 s at 8, 2.7 s at 4 — same
     * ~40k-row state). Results are partitioning-independent; at cluster
-    * scale the same knob goes UP with state volume. */
+    * scale the same knob goes UP with state volume.
+    * SEQUENTIAL-ONLY: this mutates the shared session's conf and restores
+    * it in finally — safe because gate queries plan strictly one at a
+    * time (Verify and Bench both iterate serially). A future parallel
+    * harness must scope the override per query (SparkSession.newSession)
+    * instead of calling this. */
   private def withStatePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -239,7 +244,7 @@ object SparkEntry {
       java.lang.ProcessHandle.current().pid()
     rmTree(root)
     def withTime(df: DataFrame): DataFrame = df.withColumn("event_time",
-      timestamp_micros((col("ts_ns") / lit(1000L)).cast("long")))
+      timestamp_micros(expr("ts_ns div 1000")))
     val base = eventsNs(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("ts_ns"), col("user_id"),
@@ -292,7 +297,7 @@ object SparkEntry {
       .select(col("event_id"), col("ts_ns"), col("value"))
       .withColumn("content", concat(lit("k"), col("event_id")))
     def withTime(df: DataFrame): DataFrame = df.withColumn("event_time",
-      timestamp_micros((col("ts_ns") / lit(1000L)).cast("long")))
+      timestamp_micros(expr("ts_ns div 1000")))
     val Array(minTs, maxTs) = base
       .agg(min(col("ts_ns")), max(col("ts_ns"))).head() match {
       case r => Array(r.getLong(0), r.getLong(1))
@@ -341,7 +346,7 @@ object SparkEntry {
       side(col("event_type")).as("direction"),
       col("value").as("size"))
     def withTime(df: DataFrame): DataFrame = df.withColumn("event_time",
-      timestamp_micros((col("ts_ns") / lit(1000L)).cast("long")))
+      timestamp_micros(expr("ts_ns div 1000")))
     val onTime = base.filter(col("event_id") % 7 =!= 0)
     val Array(minTs, maxTs) = onTime
       .agg(min(col("ts_ns")), max(col("ts_ns"))).head() match {
@@ -1208,7 +1213,7 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val ev = Tables.tsToNs(stream).withColumnRenamed("ts", "ts_ns")
         .withColumn("event_time",
-          timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+          timestamp_micros(expr("ts_ns div 1000")))
       val sess = ev
         .groupBy(session_window(col("event_time"),
           "30 minutes 1 microseconds"), col("user_id"))
@@ -1894,7 +1899,7 @@ object SparkEntry {
     //     index over the previous 3 days, predict today ---
     "q_m8_rolling_refit" -> ((s, dir) => {
       val daily = eventsNs(s, dir)
-        .withColumn("day", (col("ts_ns") / lit(DAY)).cast("long"))
+        .withColumn("day", expr(s"ts_ns div $DAY"))
         .groupBy(col("user_id"), col("day"))
         .agg(sum(col("value")).as("v"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
@@ -1919,7 +1924,7 @@ object SparkEntry {
     //     hash-matches end-to-end ---
     "q_ep2_full" -> ((s, dir) => {
       val daily = eventsNs(s, dir)
-        .withColumn("day", (col("ts_ns") / lit(DAY)).cast("long"))
+        .withColumn("day", expr(s"ts_ns div $DAY"))
         .groupBy(col("user_id"), col("day"))
         .agg(sum(side(col("event_type")) * col("value")).as("oi"),
           avg(col("value")).as("ret"))
@@ -1958,7 +1963,7 @@ object SparkEntry {
     // --- F8+F9: linear signal + threshold/sign PnL per user ---
     "q_f8_f9_signal_pnl" -> ((s, dir) => {
       val daily = eventsNs(s, dir)
-        .withColumn("day", (col("ts_ns") / lit(DAY)).cast("long"))
+        .withColumn("day", expr(s"ts_ns div $DAY"))
         .groupBy(col("user_id"), col("day"))
         .agg(sum(side(col("event_type")) * col("value")).as("oi"),
           avg(col("value")).as("ret"))
@@ -2894,7 +2899,7 @@ object SparkEntry {
     //     the same normal equations via literal Cramer expansion ---
     "q_m5_full" -> ((s, dir) => {
       val daily = eventsNs(s, dir)
-        .withColumn("day", (col("ts_ns") / lit(DAY)).cast("long"))
+        .withColumn("day", expr(s"ts_ns div $DAY"))
         .groupBy(col("user_id"), col("day"))
         .agg(sum(side(col("event_type")) * col("value")).as("ret"),
           sum(col("value")).as("vsum"))
@@ -3974,7 +3979,7 @@ object SparkEntry {
     //     exclusive window — no lookahead) ---
     "q_trailing_topk" -> ((s, dir) => {
       val daily = eventsNs(s, dir)
-        .withColumn("day", (col("ts_ns") / lit(DAY)).cast("long"))
+        .withColumn("day", expr(s"ts_ns div $DAY"))
         .groupBy(col("user_id"), col("day"))
         .agg(moneySum(col("value")).as("pnl"))
       val panel = daily.select(col("user_id").as("ticker"),
@@ -4858,10 +4863,14 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY event_type)""".stripMargin,
 
     // the two-level scan's ordinal IS the global ORDER BY rank
+    // NULLS FIRST is explicit: timeOrderSeq routes NULL ts to the lowest
+    // slice (Spark ascending default), but DuckDB defaults to NULLS LAST —
+    // without the modifier the twins diverge the moment events carry a
+    // NULL ts (non-null today; the contract should not depend on that)
     "q_o1_sort" ->
       s"""WITH e AS ($EventsNs)
          |SELECT event_id,
-         |  ROW_NUMBER() OVER (ORDER BY ts_ns, event_id) - 1 AS pos
+         |  ROW_NUMBER() OVER (ORDER BY ts_ns NULLS FIRST, event_id) - 1 AS pos
          |FROM e""".stripMargin,
 
     "q_f4_datetime" ->

@@ -331,8 +331,9 @@ object WavHeaders {
     * REAL channels / sample rate / derived byte rate + block align /
     * bit depth), an optional `listPad`-byte LIST chunk (so the walk has
     * a length-prefixed chunk to hop), and a data chunk holding `body`.
-    * Out-of-range inputs (channels outside 1..255, bits not a whole
-    * byte multiple, odd or oversized pad, rate outside 1..384000) are
+    * Out-of-range inputs (channels outside 1..255, bits outside
+    * {8, 16, 32} — 24-bit PCM is valid WAV but this synthesizer does not
+    * emit it, odd or oversized pad, rate outside 1..384000) are
     * NULL — never a well-formed header with corrupt fields. */
   def wavBytes(channels: Column, sampleRate: Column, bits: Column,
                listPad: Column, withList: Column, body: Column): Column = {
