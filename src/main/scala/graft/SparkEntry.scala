@@ -912,6 +912,7 @@ object SparkEntry {
   private val M15 = 15L * 60 * 1000 * 1000 * 1000
   private val M30 = 30L * 60 * 1000 * 1000 * 1000
   private val M5  = 5L * 60 * 1000 * 1000 * 1000
+  private val S10 = 10L * 1000 * 1000 * 1000  // 10 s in ns (Cont OFI resample)
   private val DAY = 24L * H
 
   /** DuckDB twin of TimeBins.ceilNs (positive ts). */
@@ -2859,6 +2860,52 @@ object SparkEntry {
           .otherwise(side(col("event_type"))).cast("long").as("pred_dir"),
         r6(when(col("agg_ratio") <= 0, 1.0).when(col("agg_ratio") >= 1, 0.0)
           .otherwise(0.5)).as("pred_prob_micro"))
+    }),
+
+    // --- F2: Cont-style quote-change OFI e_n (EDA_SPY.ipynb cells 22-24):
+    //     sentinel filter -> per-user quote changes vs the previous quote
+    //     -> e_n indicator arithmetic -> 10 s resample (sum e_n, first
+    //     midprice) -> midprice diff across bins. Quotes synthesized on a
+    //     quarter-tick integer grid so zero price changes (both
+    //     indicators firing) actually occur and every sum is exact in
+    //     double. One keyed window per stage — no global window ---
+    "q_f2_cont_ofi" -> ((s, dir) => {
+      val q = eventsNs(s, dir)
+        .withColumn("ask", when(col("event_id") % 97 === 0,
+          lit(9999999999L).cast("double"))
+          .otherwise(lit(100.0) + (col("event_id") % 7).cast("double") * 0.25))
+        .withColumn("bid", when(col("event_id") % 89 === 0,
+          lit(-9999999999L).cast("double"))
+          .otherwise(lit(99.0) + (col("event_id") % 5).cast("double") * 0.25))
+        .withColumn("bid_size", (lit(100L) + col("event_id") % 50).cast("double"))
+        .withColumn("ask_size", (lit(100L) + col("event_id") % 37).cast("double"))
+        .filter(Microstructure.validQuote(col("ask"), col("bid")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val lagged = q.select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("ask"), col("bid"), col("ask_size"), col("bid_size"),
+        lag(col("ask"), 1).over(w).as("p_ask"),
+        lag(col("bid"), 1).over(w).as("p_bid"),
+        lag(col("ask_size"), 1).over(w).as("p_ask_size"),
+        lag(col("bid_size"), 1).over(w).as("p_bid_size"))
+      val binned = lagged
+        .withColumn("en", Microstructure.contOfi(
+          col("bid"), col("ask"), col("bid_size"), col("ask_size"),
+          col("p_bid"), col("p_ask"), col("p_bid_size"), col("p_ask_size")))
+        .withColumn("mid", Microstructure.midprice(col("ask"), col("bid")))
+        .withColumn("bin_ns", TimeBins.floorNs(col("ts_ns"), S10))
+      val wB = Window.partitionBy(col("user_id"), col("bin_ns"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val agg = binned.withColumn("__rn", row_number().over(wB))
+        .groupBy(col("user_id"), col("bin_ns"))
+        .agg(sum(col("en")).as("en_sum"),
+          max(when(col("__rn") === 1, col("mid"))).as("mid_first"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("bin_ns"))
+      agg.select(col("user_id"), col("bin_ns"),
+        r6(col("en_sum")).as("en_micro"),
+        r6(col("mid_first")).as("mid_micro"),
+        r6(col("mid_first") - lag(col("mid_first"), 1).over(wU))
+          .as("dmid_micro"))
     }),
 
     // --- J1: positional 1:1 alignment of two parallel streams (the
@@ -6304,6 +6351,40 @@ object SparkEntry {
          |       ELSE ($Side) END AS BIGINT) AS pred_dir,
          |  ${R6("CASE WHEN agg_ratio <= 0 THEN 1.0 WHEN agg_ratio >= 1 THEN 0.0 ELSE 0.5 END")} AS pred_prob_micro
          |FROM r""".stripMargin,
+
+    // NULL lag semantics match by construction: (NULL >= 0)::INT is NULL
+    // in both engines, so each user's first e_n is NULL and SUM skips it
+    "q_f2_cont_ofi" ->
+      s"""WITH e AS ($EventsNs),
+         |q AS (SELECT user_id, ts_ns, event_id,
+         |  CASE WHEN event_id % 97 = 0 THEN CAST(9999999999 AS DOUBLE)
+         |       ELSE 100.0 + (event_id % 7) * 0.25 END AS ask,
+         |  CASE WHEN event_id % 89 = 0 THEN CAST(-9999999999 AS DOUBLE)
+         |       ELSE 99.0 + (event_id % 5) * 0.25 END AS bid,
+         |  CAST(100 + event_id % 50 AS DOUBLE) AS bid_size,
+         |  CAST(100 + event_id % 37 AS DOUBLE) AS ask_size
+         |  FROM e),
+         |f AS (SELECT * FROM q
+         |  WHERE ask <> 9999999999 AND bid <> -9999999999),
+         |l AS (SELECT *,
+         |  LAG(ask) OVER w AS p_ask, LAG(bid) OVER w AS p_bid,
+         |  LAG(ask_size) OVER w AS p_ask_size,
+         |  LAG(bid_size) OVER w AS p_bid_size
+         |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+         |en AS (SELECT user_id, ts_ns, event_id, (ask + bid) / 2 AS mid,
+         |  (bid - p_bid >= 0)::INT * bid_size - (bid - p_bid <= 0)::INT * p_bid_size
+         |    - (ask - p_ask <= 0)::INT * ask_size + (ask - p_ask >= 0)::INT * p_ask_size AS en,
+         |  ${FloorNs("ts_ns", S10)} AS bin_ns
+         |  FROM l),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bin_ns
+         |    ORDER BY ts_ns, event_id) AS rn FROM en),
+         |a AS (SELECT user_id, bin_ns, SUM(en) AS en_sum,
+         |  MAX(CASE WHEN rn = 1 THEN mid END) AS mid_first
+         |  FROM r GROUP BY 1, 2)
+         |SELECT user_id, bin_ns, ${R6("en_sum")} AS en_micro,
+         |  ${R6("mid_first")} AS mid_micro,
+         |  ${R6("mid_first - LAG(mid_first) OVER (PARTITION BY user_id ORDER BY bin_ns)")} AS dmid_micro
+         |FROM a""".stripMargin,
 
     "q_j1_align" ->
       s"""WITH e AS ($EventsNs),

@@ -50,6 +50,25 @@ object Microstructure {
       .otherwise(lit(0L))
       .as("signed_size")
 
+  /** F2 (Cont-Kukanov-Stoikov quote-change OFI, `EDA_SPY.ipynb` cells
+    * 22-24): per quote update n vs the previous quote n-1,
+    *   e_n = 1{dB>=0}*bidSize_n - 1{dB<=0}*bidSize_{n-1}
+    *       - 1{dA<=0}*askSize_n + 1{dA>=0}*askSize_{n-1}
+    * where dB/dA are the bid/ask price changes. Both indicators fire on a
+    * zero change (size delta at an unchanged price level). Pass lag(...)
+    * columns for the prev_* arguments; on the first observation (null
+    * prevs) the indicator arithmetic yields NULL — the exact twin of the
+    * reference's 0 * NaN = NaN, so downstream sums skip it identically. */
+  def contOfi(bid: Column, ask: Column, bidSize: Column, askSize: Column,
+              prevBid: Column, prevAsk: Column,
+              prevBidSize: Column, prevAskSize: Column): Column = {
+    val db = bid - prevBid
+    val da = ask - prevAsk
+    ((db >= 0).cast("int") * bidSize - (db <= 0).cast("int") * prevBidSize -
+      (da <= 0).cast("int") * askSize + (da >= 0).cast("int") * prevAskSize)
+      .as("en")
+  }
+
   /** Sentinel-quote validity (`EDA.ipynb` cell 25): LOBSTER uses
     * +/-9999999999 for absent book sides. */
   def validQuote(ask: Column, bid: Column): Column =

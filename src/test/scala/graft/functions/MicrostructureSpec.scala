@@ -54,6 +54,29 @@ class MicrostructureSpec extends SparkSpec {
     assert(out.sameElements(Array(true, false, false)))
   }
 
+  test("contOfi: Cont quote-change e_n — up/down/zero changes and the " +
+      "NULL first observation") {
+    // (bid, ask, bsz, asz, p_bid, p_ask, p_bsz, p_asz)
+    val d = df("bid DOUBLE, ask DOUBLE, bsz DOUBLE, asz DOUBLE, " +
+      "pbid DOUBLE, pask DOUBLE, pbsz DOUBLE, pasz DOUBLE",
+      // bid up (+bsz), ask up (+p_asz): e = 10 - 0 - 0 + 4 = 14
+      Row(100.0, 101.0, 10.0, 3.0, 99.0, 100.5, 7.0, 4.0),
+      // bid down (-p_bsz), ask down (-asz): e = 0 - 7 - 3 + 0 = -10
+      Row(99.0, 100.0, 10.0, 3.0, 100.0, 101.0, 7.0, 4.0),
+      // both unchanged: both indicators fire per side
+      // e = 10 - 7 - 3 + 4 = 4  (pure size deltas)
+      Row(100.0, 101.0, 10.0, 3.0, 100.0, 101.0, 7.0, 4.0),
+      // first observation: null prevs -> NULL (pandas 0 * NaN = NaN twin)
+      Row(100.0, 101.0, 10.0, 3.0, null, null, null, null))
+    val out = d.select(Microstructure.contOfi(col("bid"), col("ask"),
+      col("bsz"), col("asz"), col("pbid"), col("pask"),
+      col("pbsz"), col("pasz"))).collect()
+    assertApprox(out(0).getDouble(0), 14.0)
+    assertApprox(out(1).getDouble(0), -10.0)
+    assertApprox(out(2).getDouble(0), 4.0)
+    assert(out(3).isNullAt(0))
+  }
+
   test("logReturn: NULL on null/zero prev, else ln(cur/prev)") {
     val d = df("cur DOUBLE, prev DOUBLE",
       Row(110.0, 100.0), Row(110.0, null), Row(110.0, 0.0))
