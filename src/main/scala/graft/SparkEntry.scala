@@ -1915,41 +1915,32 @@ object SparkEntry {
     }),
 
     // --- EP2 end-to-end: the reference's headline deliverable as ONE
-    //     chain (`portfolio_strategy_workflow.py:60-63` ->
-    //     `trading_strategy.py:347-464`): daily panel -> rolling
-    //     3-day refit of ret on OI (M8) -> out-of-sample signal ->
-    //     magnitude veto -> per-day rank, long top-2 / short bottom-2
-    //     (M11/W4) -> daily PnL on FORWARD returns (F9) -> one
-    //     skew/kurt-adjusted Sharpe row (M10). Every stage is the
-    //     already-oracled engine; the gate proves the COMPOSITION
-    //     hash-matches end-to-end ---
+    //     chain of the ENGINE'S OWN operators
+    //     (`portfolio_strategy_workflow.py:60-63` ->
+    //     `trading_strategy.py:347-464`): daily panel -> M8
+    //     Strategy.rollingRefitSignals (pooled cross-sectional OLS of ret
+    //     on OI over the previous 3 sessions, distributed power sums +
+    //     per-day QR solve) -> out-of-sample signal -> magnitude veto ->
+    //     M11/W4 Strategy.portfolio (per-day rank, top/bottom 25% with
+    //     sign agreement) -> daily long-short PnL on FORWARD returns (F9)
+    //     -> one M10 Stats.sharpeColumns row. The DuckDB twin re-derives
+    //     the SAME pooled rolling normal equations in closed form ---
     "q_ep2_full" -> ((s, dir) => {
       val daily = eventsNs(s, dir)
-        .withColumn("day", expr(s"ts_ns div $DAY"))
-        .groupBy(col("user_id"), col("day"))
+        .withColumn("date", expr(s"ts_ns div $DAY"))
+        .groupBy(col("user_id"), col("date"))
         .agg(sum(side(col("event_type")) * col("value")).as("oi"),
           avg(col("value")).as("ret"))
-      val wTrain = Window.partitionBy(col("user_id")).orderBy(col("day"))
-        .rowsBetween(-3, -1)
-      val wLead = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      val sig = daily.select(col("user_id"), col("day"), col("oi"),
-          lead(col("ret"), 1).over(wLead).as("fret"),
-          regr_slope(col("ret"), col("oi")).over(wTrain).as("slope"),
-          regr_intercept(col("ret"), col("oi")).over(wTrain).as("icept"),
-          regr_count(col("ret"), col("oi")).over(wTrain).as("n_train"))
-        .filter(col("n_train") === 3 && col("fret").isNotNull)
-        .withColumn("signal", col("icept") + col("slope") * col("oi"))
-        .filter(abs(col("signal")) > lit(0.05)) // magnitude veto
-      val wRank = Window.partitionBy(col("day"))
-        .orderBy(col("signal").desc, col("user_id"))
-      val ranked = sig
-        .withColumn("rk", row_number().over(wRank).cast("long"))
-        .withColumn("n_users",
-          count(lit(1)).over(Window.partitionBy(col("day"))).cast("long"))
-      val pnl = ranked.groupBy(col("day")).agg(
-        (sum(when(col("rk") <= 2, col("fret")).otherwise(0.0)) -
-          sum(when(col("rk") > col("n_users") - 2, col("fret"))
-            .otherwise(0.0))).as("pnl"))
+      val wLead = Window.partitionBy(col("user_id")).orderBy(col("date"))
+      val panel = daily.withColumn("fret", lead(col("ret"), 1).over(wLead))
+      val sig = graft.domain.Strategy
+        .rollingRefitSignals(panel, "ret", Seq("oi"), lookback = 3)
+        .filter(col("fret").isNotNull &&
+          abs(col("signal")) > lit(0.05)) // magnitude veto
+        .select(col("date").as("bin_ns"), col("user_id").as("ticker"),
+          col("signal"), col("fret"))
+      val (pnl, _) = graft.domain.Strategy
+        .portfolio(sig, pct = 0.25, retCol = "fret")
       val aggs = Stats.sharpeColumns(col("pnl"))
       pnl.agg(aggs.head, aggs.tail: _*)
         .filter(col("n") >= 3 && col("sd_ret") > 0)
@@ -5114,26 +5105,40 @@ object SparkEntry {
          |SELECT user_id, day, ${R6("icept + slope * day")} AS pred_micro
          |FROM r WHERE n_train = 3""".stripMargin,
 
-    // EP2 composition: every CTE is an already-proven oracle fragment
-    // (m8 rolling window, m11 rank/top-bottom, m10 power-sum Sharpe)
+    // EP2 composition: every CTE is an already-proven oracle fragment —
+    // the M8 pooled rolling normal equations in closed form (the twin of
+    // rollingRefitSignals' power-sum + QR path), M11 portfolio
+    // rank/top-bottom with pct sizing and sign agreement, M10 power-sum
+    // Sharpe
     "q_ep2_full" ->
       s"""WITH e AS ($EventsNs),
          |daily AS (
          |  SELECT user_id, ts_ns // ${DAY} AS day,
          |    SUM(($Side) * value) AS oi, AVG(value) AS ret
          |  FROM e GROUP BY 1, 2),
-         |r AS (
-         |  SELECT user_id, day, oi,
-         |    lead(ret) OVER (PARTITION BY user_id ORDER BY day) AS fret,
-         |    regr_slope(ret, oi) OVER w AS slope,
-         |    regr_intercept(ret, oi) OVER w AS icept,
-         |    regr_count(ret, oi) OVER w AS n_train
-         |  FROM daily
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY day
-         |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+         |panel AS (
+         |  SELECT user_id, day, oi, ret,
+         |    lead(ret) OVER (PARTITION BY user_id ORDER BY day) AS fret
+         |  FROM daily),
+         |day_sums AS (
+         |  SELECT day, COUNT(*)::DOUBLE AS c0, SUM(oi) AS sx,
+         |    SUM(oi*oi) AS sxx, SUM(ret) AS sy, SUM(oi*ret) AS sxy
+         |  FROM panel GROUP BY 1),
+         |rolled AS (
+         |  SELECT day, SUM(c0) OVER w AS n, SUM(sx) OVER w AS sx,
+         |    SUM(sxx) OVER w AS sxx, SUM(sy) OVER w AS sy,
+         |    SUM(sxy) OVER w AS sxy, COUNT(*) OVER w AS train_days
+         |  FROM day_sums
+         |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+         |betas AS (
+         |  SELECT day,
+         |    (sy*sxx - sx*sxy) / (n*sxx - sx*sx) AS b0,
+         |    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b1
+         |  FROM rolled WHERE train_days = 3 AND n*sxx - sx*sx <> 0),
          |sig AS (
-         |  SELECT user_id, day, fret, icept + slope * oi AS signal
-         |  FROM r WHERE n_train = 3 AND fret IS NOT NULL),
+         |  SELECT p.user_id, p.day, p.fret, b.b0 + b.b1 * p.oi AS signal
+         |  FROM panel p JOIN betas b ON p.day = b.day
+         |  WHERE p.fret IS NOT NULL),
          |vet AS (SELECT * FROM sig WHERE abs(signal) > 0.05),
          |ranked AS (
          |  SELECT day, fret, signal,
@@ -5143,8 +5148,10 @@ object SparkEntry {
          |  FROM vet),
          |pnl AS (
          |  SELECT day,
-         |    SUM(CASE WHEN rk <= 2 THEN fret ELSE 0.0 END)
-         |      - SUM(CASE WHEN rk > n_users - 2 THEN fret ELSE 0.0 END)
+         |    SUM(CASE WHEN rk <= GREATEST(FLOOR(n_users * 0.25), 1)
+         |          AND signal > 0 THEN fret ELSE 0.0 END)
+         |      - SUM(CASE WHEN rk > n_users - GREATEST(FLOOR(n_users * 0.25), 1)
+         |          AND signal < 0 THEN fret ELSE 0.0 END)
          |      AS pnl
          |  FROM ranked GROUP BY 1),
          |s AS (
