@@ -265,6 +265,68 @@ object SparkEntry {
     root
   }
 
+  /** Fixture for q_stream_join_xbatch — the CROSS-BATCH face of the
+    * stream-stream join (the one-batch gate above never probes the
+    * symmetric join state with a match arriving in a LATER micro-batch).
+    * One synthetic probe PAIR per base row with event_id % 13 == 0, on a
+    * user-id range (1e6 + event_id, unique per probe) disjoint from every
+    * real user — so probes can ONLY match their own partner and the base
+    * join surface is untouched. Replayed one file per micro-batch:
+    *   file 0 — every click + purchase row PLUS the probe clicks
+    *     (c_ts = maxT - 50 min); its end advances both watermarks to
+    *     maxT - 1 h;
+    *   file 1 — the probe purchases (p_ts = maxT - 30 min): 20 min into
+    *     their click's 1 h join window AND 30 min ABOVE the batch-0
+    *     watermark, so a correct engine MUST absorb them and join them
+    *     against batch-0 click state — an engine that dropped that state
+    *     across the batch boundary emits outer null rows for every probe
+    *     click instead and hash-mismatches. The first sentinel pair
+    *     rides in this file (watermark advance applies at batch END,
+    *     after the probes joined);
+    *   file 2 — the second sentinel pair, whose batch runs UNDER the
+    *     advanced watermark so every outer null row provably emits
+    *     before the replay ends. */
+  private val joinXbatchFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamJoinXbatchFixture(s: SparkSession, dir: String): String =
+    joinXbatchFixtureCache.computeIfAbsent(dir,
+      d => buildStreamJoinXbatchFixture(s, d))
+  private def buildStreamJoinXbatchFixture(s: SparkSession, dir: String)
+      : String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_joinx_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.ProcessHandle.current().pid()
+    rmTree(root)
+    def withTime(df: DataFrame): DataFrame = df.withColumn("event_time",
+      timestamp_micros(expr("ts_ns div 1000")))
+    val base = eventsNs(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts_ns"), col("user_id"),
+        col("event_type"))
+    val maxTs = base.agg(max(col("ts_ns"))).head().getLong(0)
+    def probeSide(idBase: Long, tsNs: Long, et: String): DataFrame =
+      base.filter(col("event_id") % 13 === 0)
+        .select((lit(idBase) - col("event_id")).as("event_id"),
+          lit(tsNs).as("ts_ns"),
+          (lit(1000000L) + col("event_id")).as("user_id"),
+          lit(et).as("event_type"))
+    val probeClicks = probeSide(-1000000L, maxTs - 5 * M10, "click")
+    val xbatch = probeSide(-2000000L, maxTs - M30, "purchase")
+    withTime(base.unionByName(probeClicks)).coalesce(1).write.parquet(root)
+    import s.implicits._
+    def sentinels(idBase: Long, tsNs: Long) = withTime(Seq(
+      (idBase, tsNs, -1L, "click"),
+      (idBase - 1, tsNs, -2L, "purchase"))
+      .toDF("event_id", "ts_ns", "user_id", "event_type"))
+    Thread.sleep(15)
+    withTime(xbatch).unionByName(sentinels(-10L, maxTs + 2 * DAY))
+      .coalesce(1).write.mode("append").parquet(root)
+    Thread.sleep(15)
+    sentinels(-20L, maxTs + 4 * DAY).coalesce(1).write.mode("append")
+      .parquet(root)
+    root
+  }
+
   /** Fixture for the q_stream_dedup_late eviction gate, replayed one
     * file per micro-batch:
     *   file 0 — every event (content key "k<id>"), plus an IDENTICAL
@@ -913,6 +975,7 @@ object SparkEntry {
   private val M30 = 30L * 60 * 1000 * 1000 * 1000
   private val M5  = 5L * 60 * 1000 * 1000 * 1000
   private val S10 = 10L * 1000 * 1000 * 1000  // 10 s in ns (Cont OFI resample)
+  private val M10 = 10L * 60 * 1000 * 1000 * 1000  // 10 min in ns
   private val DAY = 24L * H
 
   /** DuckDB twin of TimeBins.ceilNs (positive ts). */
@@ -1163,6 +1226,40 @@ object SparkEntry {
       withStatePartitions(s, 8) {
         graft.streaming.StreamingOi.replayAppend(joined,
           "graft_stream_join_" + graft.streaming.StreamingOi.nextSinkId())
+      }
+        .filter(col("user_id") >= 0)
+        .select(col("click_id"), col("user_id"), col("c_ts"),
+          col("purchase_id"), col("p_ts"))
+    }),
+
+    // --- §2.10: CROSS-BATCH face of the stream-stream join — same join,
+    //     replayed one file per micro-batch with synthetic purchases
+    //     arriving a batch AFTER their clicks (inside the window, above
+    //     the watermark). Proves the symmetric join state survives batch
+    //     boundaries: dropped click state would surface as outer null
+    //     rows where the batch LEFT JOIN twin has matches ---
+    "q_stream_join_xbatch" -> ((s, dir) => {
+      val root = streamJoinXbatchFixture(s, dir)
+      val schema = s.read.parquet(root).schema
+      def sideStream(t: String): DataFrame =
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(root).filter(col("event_type") === t)
+      val clicks = sideStream("click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_ns").as("c_ts"), col("event_time").as("c_time"))
+        .withWatermark("c_time", "1 hour")
+      val purchases = sideStream("purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts_ns").as("p_ts"),
+          col("event_time").as("p_time"))
+        .withWatermark("p_time", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("user_id = p_user AND p_time >= c_time AND " +
+          "p_time <= c_time + interval 1 hour"),
+        "left_outer")
+      withStatePartitions(s, 8) {
+        graft.streaming.StreamingOi.replayAppend(joined,
+          "graft_stream_joinx_" + graft.streaming.StreamingOi.nextSinkId())
       }
         .filter(col("user_id") >= 0)
         .select(col("click_id"), col("user_id"), col("c_ts"),
@@ -4614,6 +4711,32 @@ object SparkEntry {
          |  FROM e WHERE event_type = 'click'),
          |p AS (SELECT event_id AS purchase_id, user_id, ts_ns AS p_ts
          |  FROM e WHERE event_type = 'purchase')
+         |SELECT c.click_id, c.user_id, c.c_ts, p.purchase_id, p.p_ts
+         |FROM c LEFT JOIN p ON c.user_id = p.user_id
+         |  AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + ${H}""".stripMargin,
+
+    // the cross-batch face: the same LEFT JOIN, with both sides extended
+    // by the fixture's probe pairs (disjoint 1e6+ user range; click in
+    // batch 0 at maxT - 50 min, purchase in batch 1 at maxT - 30 min)
+    "q_stream_join_xbatch" ->
+      s"""WITH e AS ($EventsNs),
+         |b AS (SELECT event_id, user_id, ts_ns, event_type FROM e
+         |  WHERE event_type IN ('click', 'purchase')),
+         |mx AS (SELECT MAX(ts_ns) AS mt FROM b),
+         |pr AS (SELECT event_id, 1000000 + event_id AS user_id FROM b
+         |  WHERE event_id % 13 = 0),
+         |c AS (
+         |  SELECT event_id AS click_id, user_id, ts_ns AS c_ts
+         |  FROM b WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT -1000000 - event_id AS click_id, user_id,
+         |    (SELECT mt FROM mx) - ${5 * M10} AS c_ts FROM pr),
+         |p AS (
+         |  SELECT event_id AS purchase_id, user_id, ts_ns AS p_ts
+         |  FROM b WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT -2000000 - event_id AS purchase_id, user_id,
+         |    (SELECT mt FROM mx) - $M30 AS p_ts FROM pr)
          |SELECT c.click_id, c.user_id, c.c_ts, p.purchase_id, p.p_ts
          |FROM c LEFT JOIN p ON c.user_id = p.user_id
          |  AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + ${H}""".stripMargin,
