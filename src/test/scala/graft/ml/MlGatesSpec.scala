@@ -48,6 +48,66 @@ class MlGatesSpec extends SparkSpec {
       s"CV failed to select the interaction-capable depth: $rf")
   }
 
+  test("GBT ranks the planted signal feature FIRST in featureImportances " +
+    "with a dominant share") {
+    import org.apache.spark.sql.functions._
+    // f_sig carries the label's sign by construction (the q_m1 fixture
+    // shape); f_n1/f_n2 are hash noise — a learner that actually fit the
+    // planted signal must attribute nearly all split gain to f_sig
+    val cols = Seq("f_sig", "f_n1", "f_n2")
+    val base = spark.range(0, 1024).select(col("id"),
+      (pmod(col("id") * 2654435761L, lit(1000)) / 1000.0 - 0.5).as("h"))
+    val planted = base
+      .withColumn("direction", when(col("h") > 0, 1).otherwise(-1))
+      .withColumn("f_sig", col("direction") * (abs(col("h")) + 1.0))
+      .withColumn("f_n1", pmod(col("id") * 40503L, lit(1000)) / 1000.0)
+      .withColumn("f_n2", pmod(col("id"), lit(7)).cast("double"))
+    val prep = DirectionModel.prepareTraining(planted, cols)
+    val model = DirectionModel.gbtPipeline(cols,
+      maxDepth = 3, maxIter = 5, subsample = 1.0).fit(prep)
+    val imp = DirectionModel.featureImportances(model, cols)
+    val top = imp.maxBy(_._2)
+    assert(top._1 == "f_sig",
+      s"planted signal not the top importance: $imp")
+    assert(top._2 > 0.8,
+      s"planted signal share should dominate the noise decoys: $imp")
+  }
+
+  test("logistic pred_prob is CALIBRATED on the planted fixture: " +
+    "high-probability bins are enriched in positives") {
+    import org.apache.spark.sql.functions._
+    // the q_m2 gate only pins range/domain; this rides the q_calibration
+    // machinery (calibrationBins) to pin that the probabilities MEAN
+    // something — on a cleanly separable planted signal the top-half
+    // bins must be overwhelmingly positive and the bottom-half negative
+    val cols = Seq("f1", "f2")
+    val base = spark.range(0, 1000).select(col("id"),
+      (pmod(col("id") * 2654435761L, lit(1000)) / 1000.0 - 0.5).as("f1"),
+      (pmod(col("id") * 40503L, lit(1000)) / 1000.0 - 0.5).as("f2"))
+    val planted = base
+      .withColumn("direction",
+        when(col("f1") * 2.0 + col("f2") > 0, 1).otherwise(-1))
+      .withColumn("is_test", pmod(col("id"), lit(4)) === 0)
+    val prep = DirectionModel.prepareTraining(planted, cols)
+    val model = DirectionModel.logisticPipeline(cols)
+      .fit(prep.filter(!col("is_test")))
+    val preds = DirectionModel.attachPredictions(
+      model, prep.filter(col("is_test")))
+    val bins = DirectionModel
+      .calibrationBins(preds, "pred_prob", "label", nBins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (hiN, hiPos) = bins.filter(_._1 >= 5)
+      .foldLeft((0L, 0L)) { case ((n, p), b) => (n + b._2, p + b._3) }
+    val (loN, loPos) = bins.filter(_._1 < 5)
+      .foldLeft((0L, 0L)) { case ((n, p), b) => (n + b._2, p + b._3) }
+    assert(hiN > 0 && loN > 0, s"both probability halves populated: ${bins.toSeq}")
+    val hiRate = hiPos.toDouble / hiN
+    val loRate = loPos.toDouble / loN
+    assert(hiRate > 0.9 && loRate < 0.1,
+      s"probabilities not calibrated on the separable planted signal: " +
+        s"hi=$hiRate lo=$loRate bins=${bins.toSeq}")
+  }
+
   test("two GBT fits on the same split yield the identical confusion " +
     "matrix; every test row is predicted; labels remap to {-1,+1} only") {
     import org.apache.spark.sql.functions._
