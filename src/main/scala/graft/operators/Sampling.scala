@@ -409,10 +409,13 @@ object Sampling {
     require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
     require(maxEpochs > 0.0, s"maxEpochs must be positive, got $maxEpochs")
     val b = lit(budgetTokens.toDouble)
-    // partitionBy(lit(1)): semantically identical on this per-source
-    // aggregate (tens of rows, documented), but silences the "No
-    // Partition Defined" WindowExec warning — which otherwise trains
-    // bench-log readers to ignore a REAL unpartitioned corpus window
+    // partitionBy(lit(1)): the single partition is INTENDED — this window
+    // runs over the per-source aggregate (tens of rows, documented).
+    // Note the constant key does NOT silence the "No Partition Defined"
+    // WindowExec warning: Catalyst constant-folds foldable partition keys
+    // out of the spec, so the executed window is unpartitioned again.
+    // The expected warning sites are enumerated in COVERAGE.md ("WindowExec
+    // warning inventory") — all post-aggregate frames, none corpus-sized.
     val one = lit(1)
     val ord = Window.partitionBy(one).orderBy(col("cap"), col("source"))
     val all = Window.partitionBy(one)
