@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# One-shot LOBSTER 7z -> CSV extraction, the pre-conversion step in front
+# of graft.core.Ingest (the engine itself reads headerless CSV / parquet;
+# it does NOT embed a 7z codec — the reference streams archives via the
+# py7zr library, chunk_pipeline.py:36-48, which has no JVM analog in
+# this environment).
+#
+# Usage: tools/ingest_7z.sh <archive-dir> <out-dir>
+#   Extracts every *.7z under <archive-dir> into <out-dir>/<archive-stem>/
+#   using whichever of 7z / 7za / 7zr is on PATH.
+#
+# After extraction, load + convert once to the partitioned-parquet layout
+# every query reads (spark-shell or a small driver):
+#   val msgs = graft.core.Ingest.messagesCsv(spark, "<out-dir>/*/**_message_*.csv")
+#   graft.core.Ingest.writeEvents(msgs, "<events-parquet-dir>")
+set -euo pipefail
+
+if [ $# -ne 2 ]; then
+  echo "usage: $0 <archive-dir> <out-dir>" >&2
+  exit 2
+fi
+ARCHIVE_DIR=$1
+OUT_DIR=$2
+
+SEVENZ=""
+for c in 7z 7za 7zr; do
+  if command -v "$c" >/dev/null 2>&1; then SEVENZ=$c; break; fi
+done
+if [ -z "$SEVENZ" ]; then
+  cat >&2 <<'EOF'
+No 7z binary found on PATH (looked for 7z, 7za, 7zr).
+Install p7zip (e.g. `apt-get install p7zip-full`), or extract the
+archives manually with any 7z tool, then point
+graft.core.Ingest.messagesCsv / quotesCsv at the extracted CSVs.
+EOF
+  exit 1
+fi
+
+shopt -s nullglob
+found=0
+for a in "$ARCHIVE_DIR"/*.7z; do
+  found=1
+  stem=$(basename "$a" .7z)
+  dest="$OUT_DIR/$stem"
+  mkdir -p "$dest"
+  echo "extracting $a -> $dest"
+  "$SEVENZ" x -y -o"$dest" "$a" >/dev/null
+done
+if [ "$found" -eq 0 ]; then
+  echo "no *.7z archives under $ARCHIVE_DIR" >&2
+  exit 1
+fi
+echo "done; next: convert the CSVs to partitioned parquet (see header)."
