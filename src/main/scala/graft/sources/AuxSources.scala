@@ -68,6 +68,34 @@ object AuxSources {
   def loadModel(path: String): org.apache.spark.ml.PipelineModel =
     org.apache.spark.ml.PipelineModel.load(path)
 
+  /** S7 retry adapter — the SHAPE of the reference's external-feed fetch
+    * (`/root/reference/order_imbalance.py:51-81`: yfinance download, up
+    * to 10 attempts, 5 s delay between attempts, then give up loudly).
+    * The engine itself makes no network calls (zero-egress environment;
+    * fixture tables replace the feed), but the adapter is part of the
+    * source surface: it wraps ANY DataFrame loader into a retried one.
+    * Driver-side by design — opening a source is a driver action, and
+    * the returned frame's EXECUTION failures are covered by Spark's own
+    * task retries, not this loop. `sleep` is injectable so specs don't
+    * wait out real delays. */
+  def fetchWithRetry(load: () => DataFrame, maxAttempts: Int = 10,
+                     delayMs: Long = 5000L,
+                     sleep: Long => Unit = Thread.sleep): DataFrame = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxAttempts) {
+      try return load()
+      catch { case e: Exception =>
+        last = e
+        attempt += 1
+        if (attempt < maxAttempts) sleep(delayMs)
+      }
+    }
+    throw new RuntimeException(
+      s"source fetch failed after $maxAttempts attempts", last)
+  }
+
   /** Synthetic daily-bars fixture (S7 replacement): deterministic OHLC
     * walk per ticker over the trading calendar. */
   def syntheticDailyBars(spark: SparkSession, tickers: Seq[String],
