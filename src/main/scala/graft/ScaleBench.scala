@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Clustering
+
+/** Empirical scale-slope gate: measures how the top-cost operator
+  * families actually GROW with data size, instead of asserting it from
+  * plan shape (SCALE.md's reasoning is necessary but not sufficient —
+  * a constant can hide an O(n²) the plan audit never sees).
+  *
+  * Method: synthesize inflated copies of the sf0.1 tables at 4x and 16x
+  * under `target/scalebench/` (TESTDATA itself is read-only), run each
+  * selected query at 1x/4x/16x (min of `SPARK_GRAFT_SCALE_REPS`, default
+  * 2, after one warm-up), and fit the least-squares slope of
+  * log(time) vs log(scale). Fixed per-query overhead (scheduler, plan,
+  * JIT) biases the slope DOWN at these sizes, so a reading above the
+  * 1.3 gate is strong evidence of super-linear growth, not noise.
+  *
+  * Inflation preserves within-copy structure and decorrelates across
+  * copies, so outputs and candidate sets grow LINEARLY by construction
+  * (what real corpus growth looks like) and any super-linear time is
+  * the ENGINE's fault:
+  *   - events: ids/users shifted per copy, times unchanged (k× density
+  *     on the same span — slices/windows get k× rows each);
+  *   - documents: doc_id shifted; every token suffixed with the copy tag
+  *     (within-copy shingle structure identical, cross-copy near-dup
+  *     candidates impossible); n_chars recomputed;
+  *   - embeddings: vec_id shifted; a per-(copy, position) deterministic
+  *     sign flip — s∘x · s∘y = x·y, so within-copy cosines are EXACTLY
+  *     preserved while cross-copy vectors decorrelate;
+  *   - lineitem/orders: join/node keys shifted per copy (the trade graph
+  *     becomes k disjoint copies — k× nodes and edges, same degree
+  *     distribution).
+  *
+  * Two deliberate faces of SemDeDup: `q_semdedup_fixedk` runs the gate's
+  * fixed k=4 (cell size grows with n ⇒ within-cell pairs grow n²/k —
+  * EXPECTED super-linear, exempted and documented: that is a
+  * configuration property, the SemDeDup paper scales cluster count with
+  * corpus size) and `semdedup_scaledk` scales k with the corpus (cell
+  * size constant — gated linear like everything else).
+  *
+  * Output: SCALE_SLOPES.json (per-query times at each scale + slope +
+  * verdict) and one stdout JSON line; exit 1 if any non-exempt slope
+  * exceeds 1.3.
+  */
+object ScaleBench {
+
+  private val Sizes = Seq(1, 4, 16)
+  private val SlopeGate = 1.3
+
+  /** name -> (query(spark, dir, scale), exemption reason or null). */
+  private def entries: Seq[(String, (SparkSession, String, Int) => DataFrame,
+      String)] = {
+    def q(name: String): (SparkSession, String, Int) => DataFrame =
+      (s, dir, _) => SparkEntry.queries(name)(s, dir)
+    Seq(
+      // O1 two-level global sort (events)
+      ("q_o1_sort", q("q_o1_sort"), null),
+      // dedup family (documents)
+      ("q_dedup_exact", q("q_dedup_exact"), null),
+      ("q_dedup_jaccard", q("q_dedup_jaccard"), null),
+      ("q_minhash_lsh_pairs", q("q_minhash_lsh_pairs"), null),
+      ("q_dup_clusters", q("q_dup_clusters"), null),
+      ("q_curate_jaccard", q("q_curate_jaccard"), null),
+      // BPE training (documents; the r12 defect family)
+      ("q_bpe_train", q("q_bpe_train"), null),
+      // packing (documents)
+      ("q_pack_chunks", q("q_pack_chunks"), null),
+      // ANN family (embeddings; fixed query set, corpus grows)
+      ("q_ann_cosine", q("q_ann_cosine"), null),
+      ("q_pq_ann", q("q_pq_ann"), null),
+      // graph family (lineitem + orders; k disjoint graph copies)
+      ("q_pagerank", q("q_pagerank"), null),
+      ("q_kcore", q("q_kcore"), null),
+      // SemDeDup both faces (embeddings)
+      ("q_semdedup_fixedk", q("q_semdedup"),
+        "fixed k=4 configuration: cell size grows with n, within-cell " +
+          "pairs grow ~n^2/k by design; the scale path is k ∝ n " +
+          "(semdedup_scaledk below) — SemDeDup paper uses 50k clusters " +
+          "at corpus scale"),
+      ("semdedup_scaledk", (s, dir, scale) =>
+        Clustering.semDedup(Tables.embeddings(s, dir), "vec_id",
+            "embedding", k = 4 * scale, maxIter = 2, minCosine = 0.4)
+          .select(col("vec_id"), col("label")), null))
+  }
+
+  /** Write the k-times inflated sf0.1 tables under `outDir` (same file
+    * names Tables.load expects). Idempotent via a _BUILT marker.
+    * Package-visible so ScaleBenchSpec can pin the inflation invariants
+    * (exact k-times counts, within-copy cosine/shingle preservation,
+    * cross-copy decorrelation) at sf0.001. */
+  private[graft] def inflate(spark: SparkSession, srcDir: String,
+                             outDir: String, k: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_BUILT")
+    if (marker.exists()) return
+    val copies = 0 until k
+
+    def unionCopies(mk: Int => DataFrame): DataFrame =
+      copies.map(mk).reduce(_ unionByName _)
+
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    unionCopies { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * 10000000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+    }.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    unionCopies { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000000L))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "),
+            w => concat(w, lit(s"~$i")))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    unionCopies { i =>
+      if (i == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(i * 1000000000L))
+        .withColumn("embedding", transform(col("embedding"),
+          (x, j) => when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x)
+            .otherwise(-x)))
+    }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    unionCopies { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L))
+    }.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    unionCopies { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+    }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    ()
+  }
+
+  private[graft] def fitSlope(xs: Seq[Double], ys: Seq[Double]): Double = {
+    val n = xs.size.toDouble
+    val xb = xs.sum / n
+    val yb = ys.sum / n
+    val num = xs.zip(ys).map { case (x, y) => (x - xb) * (y - yb) }.sum
+    val den = xs.map(x => (x - xb) * (x - xb)).sum
+    num / den
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dirs: Map[Int, String] = Sizes.map { k =>
+      if (k == 1) k -> srcDir
+      else {
+        val out = s"target/scalebench/x$k"
+        System.err.println(s"[scale] building x$k under $out ...")
+        inflate(spark, srcDir, out, k)
+        k -> out
+      }
+    }.toMap
+
+    val chosen = entries.filter { case (n, _, _) => only.forall(_(n)) }
+    def fmt(v: Double): String = f"$v%.3f"
+    var failures = List.empty[String]
+    val results = chosen.map { case (name, fn, exempt) =>
+      val times = Sizes.map { k =>
+        val dir = dirs(k)
+        // one warm-up materialization, then min-of-reps (Bench rationale)
+        try fn(spark, dir, k).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] $name x$k warmup FAILED: $e")
+        }
+        val t = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir, k).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        spark.sharedState.cacheManager.clearCache()
+        System.err.println(s"[scale] $name x$k: ${fmt(t)} s")
+        k -> t
+      }
+      val slope = fitSlope(times.map(t => math.log(t._1.toDouble)),
+        times.map(t => math.log(t._2)))
+      val ok = slope <= SlopeGate || exempt != null
+      if (!ok) failures ::= name
+      System.err.println(f"[scale] $name slope = $slope%.2f " +
+        (if (exempt != null) "(EXEMPT)" else if (ok) "(ok)" else "(FAIL)"))
+      (name, times, slope, exempt, ok)
+    }
+
+    val json = results.map { case (name, times, slope, exempt, ok) =>
+      val ts = times.map { case (k, t) => s""""x$k":${fmt(t)}""" }
+        .mkString(",")
+      val ex = if (exempt == null) "null"
+        else "\"" + exempt.replace("\"", "'") + "\""
+      s""""$name":{$ts,"slope":${fmt(slope)},"exempt":$ex,"ok":$ok}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_slopes","gate":$SlopeGate,"reps":$reps,"cpus":"$cpus","sizes":[1,4,16],"sf":"$srcDir","n_fail":${failures.size},"queries":$json}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_SLOPES.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[scale] SLOPE GATE FAILED: " +
+        failures.sorted.mkString(", "))
+      sys.exit(1)
+    }
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the invariants ScaleBench's scale-slope gate rests on: the k-times
+  * inflation must grow every table EXACTLY k-fold while preserving
+  * within-copy structure (so per-copy work is identical to the original)
+  * and decorrelating across copies (so candidate sets grow linearly and
+  * any super-linear runtime is the engine's fault, not the fixture's).
+  * Runs at sf0.001 / k=2 — the same code path ScaleBench uses at sf0.1.
+  */
+class ScaleBenchSpec extends SparkSpec {
+
+  private val src = "/root/testdata/sf0.001"
+  private lazy val out: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scalebench-spec").toString
+    ScaleBench.inflate(spark, src, dir, 2)
+    dir
+  }
+
+  test("inflation doubles every table exactly") {
+    for (t <- Seq("events", "documents", "embeddings", "lineitem", "orders")) {
+      val n0 = spark.read.parquet(s"$src/$t.parquet").count()
+      val n1 = spark.read.parquet(s"$out/$t.parquet").count()
+      assert(n1 == 2 * n0, s"$t: $n1 != 2*$n0")
+    }
+  }
+
+  test("inflation is idempotent via the _BUILT marker") {
+    out // force the first build
+    assert(new java.io.File(s"$out/_BUILT").exists())
+    ScaleBench.inflate(spark, src, out, 2) // must be a no-op, not a rebuild
+    assert(spark.read.parquet(s"$out/events.parquet").count() ==
+      2 * spark.read.parquet(s"$src/events.parquet").count())
+  }
+
+  test("embedding sign-flip preserves within-copy dot products exactly") {
+    // s∘x · s∘y = Σ s_j² x_j y_j = x·y, and IEEE negation is exact, so the
+    // copy-1 pairwise dot products must be BIT-equal to copy 0's.
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 1000000000L)
+      .select(col("vec_id"), col("embedding"))
+    val copy = emb.filter(col("vec_id") >= 1000000000L)
+      .select((col("vec_id") - 1000000000L).as("vec_id"),
+        col("embedding").as("embedding1"))
+    def dot(a: String, b: String) =
+      aggregate(zip_with(col(a), col(b), (x, y) => x * y),
+        lit(0.0f), (acc, v) => acc + v)
+    val joined = base.join(copy, "vec_id").limit(50)
+      .crossJoin(base.join(copy, "vec_id").limit(50)
+        .select(col("vec_id").as("vid2"), col("embedding").as("emb2"),
+          col("embedding1").as("emb21")))
+      .filter(col("vec_id") < col("vid2"))
+    val mismatches = joined
+      .select(dot("embedding", "emb2").as("d0"),
+        dot("embedding1", "emb21").as("d1"))
+      .filter(col("d0") =!= col("d1")).count()
+    assert(mismatches == 0)
+    // ...and across copies the vectors genuinely differ (decorrelated).
+    val flipped = base.join(copy, "vec_id")
+      .filter(col("embedding") =!= col("embedding1")).count()
+    assert(flipped > 0)
+  }
+
+  test("document token tagging keeps within-copy shingles, kills cross-copy") {
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val base = docs.filter(col("doc_id") < 1000000000L)
+      .select(col("doc_id"), split(col("text"), " ").as("toks0"))
+    val copy = docs.filter(col("doc_id") >= 1000000000L)
+      .select((col("doc_id") - 1000000000L).as("doc_id"),
+        split(col("text"), " ").as("toks1"))
+    val j = base.join(copy, "doc_id")
+    // Same token count and per-position suffix "~1" — shingle structure
+    // inside the copy is isomorphic to the original's.
+    val bad = j.filter(size(col("toks0")) =!= size(col("toks1")) ||
+      exists(zip_with(col("toks0"), col("toks1"),
+        (a, b) => b =!= concat(a, lit("~1"))), x => x)).count()
+    assert(bad == 0)
+    // Zero shared tokens across copies -> cross-copy Jaccard candidates 0.
+    val shared = j.filter(
+      size(array_intersect(col("toks0"), col("toks1"))) > 0).count()
+    assert(shared == 0)
+    // n_chars was recomputed to match the tagged text.
+    val badLen = docs.filter(length(col("text")).cast("long") =!=
+      col("n_chars")).count()
+    assert(badLen == 0)
+  }
+
+  test("event times unchanged; id/user/key spaces disjoint per copy") {
+    val ev0 = spark.read.parquet(s"$src/events.parquet")
+    val ev1 = spark.read.parquet(s"$out/events.parquet")
+    // k× density on the SAME time span: distinct timestamps identical.
+    assert(ev1.select("ts").except(ev0.select("ts")).count() == 0)
+    // Disjoint id spaces: distinct counts double exactly.
+    assert(ev1.select("event_id").distinct.count() ==
+      2 * ev0.select("event_id").distinct.count())
+    assert(ev1.select("user_id").distinct.count() ==
+      2 * ev0.select("user_id").distinct.count())
+    val li0 = spark.read.parquet(s"$src/lineitem.parquet")
+    val li1 = spark.read.parquet(s"$out/lineitem.parquet")
+    assert(li1.select("l_orderkey").distinct.count() ==
+      2 * li0.select("l_orderkey").distinct.count())
+  }
+
+  test("fitSlope recovers exact power-law exponents") {
+    val xs = Seq(1.0, 4.0, 16.0).map(math.log)
+    assertApprox(ScaleBench.fitSlope(xs,
+      Seq(2.0, 8.0, 32.0).map(math.log)), 1.0)
+    assertApprox(ScaleBench.fitSlope(xs,
+      Seq(3.0, 48.0, 768.0).map(math.log)), 2.0)
+    assertApprox(ScaleBench.fitSlope(xs,
+      Seq(5.0, 5.0, 5.0).map(math.log)), 0.0)
+  }
+}
