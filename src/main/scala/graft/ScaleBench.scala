@@ -75,6 +75,25 @@ object ScaleBench {
       // graph family (lineitem + orders; k disjoint graph copies)
       ("q_pagerank", q("q_pagerank"), null),
       ("q_kcore", q("q_kcore"), null),
+      // retrieval (documents; vocab grows k-fold with the copy tags)
+      ("q_tfidf", q("q_tfidf"), null),
+      // decontamination (documents vs fixed benchmark gram set)
+      ("q_decontam", q("q_decontam"), null),
+      // SimHash Hamming pairs (documents; chunk-blocked, never all-pairs)
+      ("q_simhash_pairs", q("q_simhash_pairs"), null),
+      // exact-substring dedup (documents; grouped segment hashing)
+      ("q_substr_dedup", q("q_substr_dedup"), null),
+      // stateful event-order analytics (events; gaps-and-islands)
+      ("q_sessionize", q("q_sessionize"), null),
+      // sketch rollup (events; fixed-width HLL registers per cell)
+      ("q_hll_rollup", q("q_hll_rollup"), null),
+      // finance core (events is the 100 TB table; copies are disjoint
+      // user populations — per-user event counts unchanged, k× users)
+      ("q_j3_asof", q("q_j3_asof"), null),       // as-of join (union+lead)
+      ("q_a1_oi", q("q_a1_oi"), null),           // OI panel (map-side agg)
+      ("q_w3_rolling", q("q_w3_rolling"), null), // per-key feature window
+      ("q_m8_rolling_refit", q("q_m8_rolling_refit"), null), // rolling OLS
+      ("q_ep2_full", q("q_ep2_full"), null),     // full M8→M11→M10 chain
       // SemDeDup both faces (embeddings)
       ("q_semdedup_fixedk", q("q_semdedup"),
         "fixed k=4 configuration: cell size grows with n, within-cell " +
