@@ -5257,7 +5257,8 @@ object SparkEntry {
          |  SELECT day,
          |    (sy*sxx - sx*sxy) / (n*sxx - sx*sx) AS b0,
          |    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b1
-         |  FROM rolled WHERE train_days = 3 AND n*sxx - sx*sx <> 0),
+         |  FROM rolled WHERE train_days = 3
+         |    AND n*sxx - sx*sx > 1e-9 * (n*sxx + sx*sx)),
          |sig AS (
          |  SELECT p.user_id, p.day, p.fret, b.b0 + b.b1 * p.oi AS signal
          |  FROM panel p JOIN betas b ON p.day = b.day

@@ -123,12 +123,21 @@ object Strategy {
       val p = xyFlat.size
       val m = new Array2DRowRealMatrix(p, p)
       var idx = 0
+      var maxAbs = 0.0
       for (i <- 0 until p; j <- i until p) {
         m.setEntry(i, j, xxFlat(idx)); m.setEntry(j, i, xxFlat(idx))
+        maxAbs = math.max(maxAbs, math.abs(xxFlat(idx)))
         idx += 1
       }
       try {
-        val beta = new QRDecomposition(m).getSolver
+        // RELATIVE singularity threshold: the default exact-zero rDiag
+        // check only rejects bitwise-collinear windows, so a constant
+        // regressor whose determinant is pure fp summation noise would
+        // "solve" to garbage-huge betas — and which side of zero that
+        // noise lands on is engine-dependent (a latent oracle
+        // divergence). 1e-9 x the matrix scale drops anything
+        // conditioned worse than ~1e9, far above fp noise (~1e-16)
+        val beta = new QRDecomposition(m, 1e-9 * maxAbs).getSolver
           .solve(new ArrayRealVector(xyFlat.toArray))
         (0 until p).map(beta.getEntry)
       } catch { case _: Exception => null }
