@@ -48,7 +48,14 @@ import graft.operators.Clustering
   */
 object ScaleBench {
 
-  private val Sizes = Seq(1, 4, 16)
+  /** Gate sizes; override with SPARK_GRAFT_SCALE_SIZES (e.g. "1,64" +
+    * SPARK_GRAFT_SCALE_BUILD_ONLY=1 builds the x64 tables for the
+    * strong-scaling probe, tools/core_scaling.py, without timing). */
+  private def Sizes: Seq[Int] = sys.env.get("SPARK_GRAFT_SCALE_SIZES")
+    .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+  private def buildOnly: Boolean =
+    sys.env.get("SPARK_GRAFT_SCALE_BUILD_ONLY")
+      .exists(v => Set("1", "true", "yes").contains(v.trim.toLowerCase))
   private val SlopeGate = 1.3
 
   /** name -> (query(spark, dir, scale), exemption reason or null). */
@@ -113,8 +120,14 @@ object ScaleBench {
     * cross-copy decorrelation) at sf0.001. */
   private[graft] def inflate(spark: SparkSession, srcDir: String,
                              outDir: String, k: Int): Unit = {
+    // marker records WHAT was built (source + factor): a dir left over
+    // from a different SPARK_GRAFT_SF_DIR would otherwise be silently
+    // reused against a mismatched 1x baseline and every slope would
+    // compare different datasets
     val marker = new java.io.File(s"$outDir/_BUILT")
-    if (marker.exists()) return
+    val tag = s"src=${new java.io.File(srcDir).getAbsolutePath} k=$k"
+    if (marker.exists() && new String(java.nio.file.Files.readAllBytes(
+        marker.toPath), "UTF-8").trim == tag) return
     val copies = 0 until k
 
     def unionCopies(mk: Int => DataFrame): DataFrame =
@@ -161,7 +174,7 @@ object ScaleBench {
     }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
     marker.getParentFile.mkdirs()
-    marker.createNewFile()
+    java.nio.file.Files.write(marker.toPath, (tag + "\n").getBytes("UTF-8"))
     ()
   }
 
@@ -188,7 +201,8 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dirs: Map[Int, String] = Sizes.map { k =>
+    val sizes = Sizes
+    val dirs: Map[Int, String] = sizes.map { k =>
       if (k == 1) k -> srcDir
       else {
         val out = s"target/scalebench/x$k"
@@ -197,45 +211,74 @@ object ScaleBench {
         k -> out
       }
     }.toMap
+    if (buildOnly) {
+      System.err.println(s"[scale] build-only: ${dirs.values.mkString(", ")}")
+      spark.stop()
+      return
+    }
+    require(sizes.size >= 2,
+      s"need >= 2 sizes to fit a slope, got ${sizes.mkString(",")} " +
+        "(single-size builds go through SPARK_GRAFT_SCALE_BUILD_ONLY)")
 
+    // a typo'd SPARK_GRAFT_ONLY must fail loudly, not gate-pass an
+    // empty run (same contract as Bench)
+    val known = entries.map(_._1).toSet
+    only.foreach { names =>
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but names no entries")
+      val unknown = names.diff(known)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown entries: ${unknown.mkString(", ")}")
+    }
     val chosen = entries.filter { case (n, _, _) => only.forall(_(n)) }
     def fmt(v: Double): String = f"$v%.3f"
     var failures = List.empty[String]
     val results = chosen.map { case (name, fn, exempt) =>
-      val times = Sizes.map { k =>
+      // a broken entry must FAIL the gate with attribution and let the
+      // rest of the run complete — not crash with no artifact. A failed
+      // size records -1 and poisons the entry (slope null, ok false).
+      val times = sizes.map { k =>
         val dir = dirs(k)
         // one warm-up materialization, then min-of-reps (Bench rationale)
-        try fn(spark, dir, k).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[scale] $name x$k warmup FAILED: $e")
-        }
-        val t = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, dir, k).count()
-          (System.nanoTime() - t0) / 1e9
-        }.min
+        val t =
+          try {
+            fn(spark, dir, k).count()
+            (1 to reps).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, dir, k).count()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $name x$k FAILED: $e")
+            -1.0
+          }
         spark.sharedState.cacheManager.clearCache()
         System.err.println(s"[scale] $name x$k: ${fmt(t)} s")
         k -> t
       }
-      val slope = fitSlope(times.map(t => math.log(t._1.toDouble)),
-        times.map(t => math.log(t._2)))
-      val ok = slope <= SlopeGate || exempt != null
+      val errored = times.exists(_._2 < 0)
+      val slope =
+        if (errored) Double.NaN
+        else fitSlope(times.map(t => math.log(t._1.toDouble)),
+          times.map(t => math.log(t._2)))
+      val ok = !errored && (slope <= SlopeGate || exempt != null)
       if (!ok) failures ::= name
       System.err.println(f"[scale] $name slope = $slope%.2f " +
-        (if (exempt != null) "(EXEMPT)" else if (ok) "(ok)" else "(FAIL)"))
+        (if (errored) "(ERROR)"
+        else if (exempt != null) "(EXEMPT)"
+        else if (ok) "(ok)" else "(FAIL)"))
       (name, times, slope, exempt, ok)
     }
 
     val json = results.map { case (name, times, slope, exempt, ok) =>
       val ts = times.map { case (k, t) => s""""x$k":${fmt(t)}""" }
         .mkString(",")
+      val sl = if (slope.isNaN) "null" else fmt(slope)
       val ex = if (exempt == null) "null"
         else "\"" + exempt.replace("\"", "'") + "\""
-      s""""$name":{$ts,"slope":${fmt(slope)},"exempt":$ex,"ok":$ok}"""
+      s""""$name":{$ts,"slope":$sl,"exempt":$ex,"ok":$ok}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"scale_slopes","gate":$SlopeGate,"reps":$reps,"cpus":"$cpus","sizes":[1,4,16],"sf":"$srcDir","n_fail":${failures.size},"queries":$json}"""
+      s"""{"metric":"scale_slopes","gate":$SlopeGate,"reps":$reps,"cpus":"$cpus","sizes":[${sizes.mkString(",")}],"sf":"$srcDir","n_fail":${failures.size},"queries":$json}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_SLOPES.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)

@@ -35,6 +35,17 @@ class ScaleBenchSpec extends SparkSpec {
       2 * spark.read.parquet(s"$src/events.parquet").count())
   }
 
+  test("a marker from a different source dir forces a rebuild") {
+    out // force the first build
+    val marker = java.nio.file.Paths.get(s"$out/_BUILT")
+    java.nio.file.Files.write(marker, "src=/somewhere/else k=2\n".getBytes)
+    ScaleBench.inflate(spark, src, out, 2) // stale tag => rebuild + re-tag
+    val tag = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+    assert(tag == s"src=${new java.io.File(src).getAbsolutePath} k=2")
+    assert(spark.read.parquet(s"$out/events.parquet").count() ==
+      2 * spark.read.parquet(s"$src/events.parquet").count())
+  }
+
   test("embedding sign-flip preserves within-copy dot products exactly") {
     // s∘x · s∘y = Σ s_j² x_j y_j = x·y, and IEEE negation is exact, so the
     // copy-1 pairwise dot products must be BIT-equal to copy 0's.

@@ -35,14 +35,25 @@ def run_bench(data_dir: str, cores: int) -> dict:
     env.update({
         "SPARK_GRAFT_SF_DIR": data_dir,
         "SPARK_GRAFT_CPUS": str(cores),
+        # fixed partition count across core counts: partitioning is a
+        # property of the data; varying it with cores would conflate
+        # per-partition memory pressure with parallelism
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS": str(max(CORES)),
         "SPARK_GRAFT_REPS": "2",
         "SPARK_GRAFT_ONLY": ",".join(QUERIES),
     })
     cp = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
     with tempfile.TemporaryDirectory(prefix=f"corescale-{cores}-") as cwd:
         out = subprocess.run(
-            ["java", "-cp", cp, "-Xmx8g", "graft.Bench"],
+            ["java", "-cp", cp, "-Xmx16g", "graft.Bench"],
             cwd=cwd, env=env, capture_output=True, text=True, check=True)
+        # read the COMPLETE per-query breakdown the child writes in its
+        # cwd — the one-line stdout contract is size-limited and drops
+        # the fastest queries once the set grows
+        full = os.path.join(cwd, "bench_full.json")
+        if os.path.exists(full):
+            with open(full) as f:
+                return json.load(f)
     for line in out.stdout.splitlines():
         if '"metric"' in line:
             return json.loads(line)
@@ -50,14 +61,20 @@ def run_bench(data_dir: str, cores: int) -> dict:
 
 
 def main() -> None:
-    data = sys.argv[1] if len(sys.argv) > 1 else f"{REPO}/target/scalebench/x16"
+    # abspath: the Bench children run in temp cwds, so a relative data
+    # dir would resolve to nothing and every query would "fail" silently
+    data = os.path.abspath(
+        sys.argv[1] if len(sys.argv) > 1 else f"{REPO}/target/scalebench/x16")
     if not os.path.exists(f"{data}/_BUILT"):
         sys.exit(f"{data} not built — run `sbt \"runMain graft.ScaleBench\"` first")
     runs = {}
     for c in CORES:
         r = run_bench(data, c)
-        if r.get("errors"):
-            sys.exit(f"bench errors at cores={c}: {r['errors']}")
+        if r.get("errors") or r.get("n_failed"):
+            sys.exit(f"bench errors at cores={c}: {r.get('errors')}")
+        missing = [q for q in QUERIES if q not in r["queries"]]
+        if missing:
+            sys.exit(f"bench at cores={c} returned no time for: {missing}")
         runs[str(c)] = {"total": r["value"], "calib_sec": r["calib_sec"],
                         "queries": r["queries"]}
         print(f"[cores] local[{c}]: total {r['value']:.1f} s", file=sys.stderr)

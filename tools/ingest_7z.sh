@@ -36,16 +36,16 @@ EOF
   exit 1
 fi
 
-shopt -s nullglob
+# recursive: LOBSTER dumps often arrive as <archive-dir>/<ticker>/*.7z
 found=0
-for a in "$ARCHIVE_DIR"/*.7z; do
+while IFS= read -r -d '' a; do
   found=1
   stem=$(basename "$a" .7z)
   dest="$OUT_DIR/$stem"
   mkdir -p "$dest"
   echo "extracting $a -> $dest"
   "$SEVENZ" x -y -o"$dest" "$a" >/dev/null
-done
+done < <(find "$ARCHIVE_DIR" -type f -name '*.7z' -print0)
 if [ "$found" -eq 0 ]; then
   echo "no *.7z archives under $ARCHIVE_DIR" >&2
   exit 1
