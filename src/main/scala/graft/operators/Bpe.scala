@@ -93,6 +93,14 @@ object Bpe {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var state = wordCounts(docs, textCol).persist(lvl)
+    // deferred-unpersist round structure: ONE Spark job per round (the
+    // argmax), not two. Round r's argmax both materializes state r's
+    // cache and is the last reader of state r-1, so r-1 unpersists right
+    // after it — an eager persist+count job per round would double the
+    // fixed scheduler overhead that dominates when the vocab frame is
+    // small (measured: the 4->32-core strong-scaling probe showed this
+    // trainer's wall time RISING with cores on pure job overhead).
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     for (r <- 1 to rounds) {
       val best = state
@@ -101,17 +109,20 @@ object Bpe {
         .groupBy(col("bg")).agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("bg")).limit(1)
         .collect()
+      if (prev != null) { prev.unpersist(); prev = null }
       require(best.nonEmpty,
         s"corpus ran out of adjacent pairs at round $r")
       val bg = best.head.getString(0)
       val pc = best.head.getLong(1)
       val Array(a, b) = bg.split(" ", 2)
       merges += Merge(r, a, b, a + b, pc)
-      val next = state.withColumn("syms",
-        mergeFold(col("syms"), a, b)).persist(lvl)
-      next.count()
-      state.unpersist()
-      state = next
+      if (r < rounds) {
+        // the state after the FINAL merge has no reader — skip it
+        val next = state.withColumn("syms",
+          mergeFold(col("syms"), a, b)).persist(lvl)
+        prev = state
+        state = next
+      }
     }
     state.unpersist()
     merges.toSeq
