@@ -66,6 +66,9 @@ object ScaleBench {
     Seq(
       // O1 two-level global sort (events)
       ("q_o1_sort", q("q_o1_sort"), null),
+      // purged k-fold CV (events; ordinal + k-row extents, 5x fan-out
+      // output — must stay linear in n)
+      ("q_purged_cv", q("q_purged_cv"), null),
       // dedup family (documents)
       ("q_dedup_exact", q("q_dedup_exact"), null),
       ("q_dedup_jaccard", q("q_dedup_jaccard"), null),

@@ -2651,6 +2651,16 @@ object SparkEntry {
           .as("est_jaccard_micro"))
     }),
 
+    // --- Governance: measured LSH (b, r) operating point — banded
+    //     candidates vs exact PPJoin-verified Jaccard ground truth on
+    //     the same frame (sample-sized by contract at corpus scale);
+    //     confusion counts + precision/recall + the theoretical S-curve
+    //     capture at the threshold ---
+    "q_lsh_tuning" -> ((s, dir) => {
+      Dedup.lshOperatingPoint(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5, bands = 8, rowsPerBand = 4)
+    }),
+
     // --- LLM ops: SimHash near-dup pairs via chunk blocking (rows-only).
     //     maxDist=3 -> classic 4x16-bit pigeonhole: recall 1.0 by
     //     construction AND 16-bit bucket keys keep candidate volume
@@ -3416,6 +3426,32 @@ object SparkEntry {
           seed = 3L)
         .groupBy(col("is_test"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    }),
+
+    // --- M4 extension: purged k-fold time-series CV with embargo
+    //     (Lopez de Prado 2018 ch.7) — fold by the O1 global time
+    //     ordinal, purge = exact LONG-ns label-window overlap with the
+    //     test fold's label extent, embargo strip after it. The
+    //     leakage-safe k-fold face of the reference's forward-horizon
+    //     time split (prediction_ML_pipeline.py:183-204) ---
+    "q_purged_cv" -> ((s, dir) => {
+      graft.operators.PurgedSplit.purgedKFold(eventsNs(s, dir),
+        "ts_ns", "event_id", k = 5, labelHorizonNs = H, embargoNs = M30)
+    }),
+
+    // --- Governance: declarative constraint audit (Deequ shape) —
+    //     every row-local rule is one conditional sum in a SHARED
+    //     aggregation pass; uniqueness rules get their own partial-agg
+    //     groupBy. The per-ingest-batch quality gate ---
+    "q_audit" -> ((s, dir) => {
+      import graft.operators.Audit.Rule._
+      graft.operators.Audit.audit(eventsNs(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        Seq(NotNull("user_id"), InRange("value", 0.0, 100.0),
+          Matches("event_type", "[a-z]{4,6}"),
+          AcceptedValues("event_type", Seq("click", "view", "purchase")),
+          Unique(Seq("event_id")), Unique(Seq("user_id", "event_type"))))
     }),
 
     // --- LLM ops: per-row weighted acceptance sampling (quality-weighted
@@ -5549,6 +5585,62 @@ object SparkEntry {
     // the new-batch side (source <> src0) probes the corpus side (src0)
     // on the shared portable band buckets; est >= 0.5 is cnt >= 16 of
     // 32 slots exactly
+    // q_lsh_tuning twin: the q_minhash_lsh_pairs candidate CTEs + an
+    // exact all-pairs Jaccard ground truth off the SAME msh shingle
+    // sets, full-outer confusion counts; the S-curve constant is the
+    // identical driver-computed literal both engines interpolate
+    "q_lsh_tuning" ->
+      s"""WITH ${MinhashSigCtes(32)},
+         |bnd AS (
+         |  SELECT doc_id, sig, band,
+         |    list_reduce([0::BIGINT] ||
+         |        sig[band * 4 + 1 : band * 4 + 4],
+         |      (a, b) -> (a * 1000003 + b) % 2147483648) AS bfold
+         |  FROM (SELECT doc_id, sig,
+         |          unnest(generate_series(0, 7)) AS band
+         |        FROM sigs)),
+         |bkt AS (
+         |  SELECT doc_id, sig, band,
+         |    ${Mix31Sql("bfold", "900001 + band")} AS bucket
+         |  FROM bnd),
+         |bsz AS (
+         |  SELECT band, bucket, COUNT(*) AS bn FROM bkt GROUP BY 1, 2),
+         |cp AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bkt a
+         |  JOIN bsz c ON a.band = c.band AND a.bucket = c.bucket
+         |    AND c.bn <= 4096
+         |  JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id < b.doc_id),
+         |jex AS (
+         |  SELECT doc_id, len(shset) AS sz, unnest(shset) AS shingle
+         |  FROM msh WHERE len(shset) > 0),
+         |jp AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM jex a JOIN jex b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, a.sz, b.sz
+         |  HAVING COUNT(*)::DOUBLE
+         |    / (a.sz + b.sz - COUNT(*))::DOUBLE >= 0.5),
+         |fo AS (
+         |  SELECT CASE WHEN j.id_a IS NOT NULL THEN 1 ELSE 0 END AS t,
+         |    CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS c
+         |  FROM jp j FULL OUTER JOIN cp c
+         |    ON j.id_a = c.id_a AND j.id_b = c.id_b)
+         |SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS candidate_pairs,
+         |  CAST(COALESCE(SUM(t), 0) AS BIGINT) AS true_pairs,
+         |  CAST(COALESCE(SUM(t * c), 0) AS BIGINT) AS tp,
+         |  CAST(COALESCE(SUM((1 - t) * c), 0) AS BIGINT) AS fp,
+         |  CAST(COALESCE(SUM(t * (1 - c)), 0) AS BIGINT) AS fn,
+         |  CASE WHEN COALESCE(SUM(c), 0) > 0 THEN
+         |    CAST(floor(SUM(t * c)::DOUBLE / SUM(c) * 1e6 + 0.5)
+         |      AS BIGINT) END AS precision_micro,
+         |  CASE WHEN COALESCE(SUM(t), 0) > 0 THEN
+         |    CAST(floor(SUM(t * c)::DOUBLE / SUM(t) * 1e6 + 0.5)
+         |      AS BIGINT) END AS recall_micro,
+         |  ${Dedup.theoryCaptureMicro(0.5, 8, 4)} AS theory_capture_micro
+         |FROM fo""".stripMargin,
+
     "q_incr_neardup" ->
       s"""WITH ${MinhashSigCtes(32)},
          |sg AS (
@@ -6918,6 +7010,68 @@ object SparkEntry {
          |    AS is_test,
          |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
          |FROM documents GROUP BY 1""".stripMargin,
+
+    // q_purged_cv twin: the same ordinal (the q_o1_sort contract), the
+    // same integer fold arithmetic, the same LONG-ns role CASE — every
+    // decision integer-exact, so the 5x-fanout role surface hash-matches
+    "q_purged_cv" ->
+      s"""WITH e AS ($EventsNs),
+         |ord AS (SELECT event_id, ts_ns,
+         |    ROW_NUMBER() OVER (ORDER BY ts_ns NULLS FIRST, event_id) - 1
+         |      AS pos,
+         |    COUNT(*) OVER () AS n FROM e),
+         |f AS (SELECT event_id, ts_ns, (pos * 5) // n AS fold FROM ord),
+         |g AS (SELECT fold AS test_fold, MIN(ts_ns) AS lo,
+         |        MAX(ts_ns) AS hi FROM f GROUP BY fold)
+         |SELECT g.test_fold AS fold, f.event_id,
+         |  CASE WHEN f.fold = g.test_fold THEN 'test'
+         |    WHEN f.ts_ns <= g.hi + $H AND f.ts_ns + $H >= g.lo
+         |      THEN 'purged'
+         |    WHEN f.ts_ns > g.hi + $H AND f.ts_ns <= g.hi + $H + $M30
+         |      THEN 'embargo'
+         |    ELSE 'train' END AS role
+         |FROM f CROSS JOIN g""".stripMargin,
+
+    // q_audit twin: one SELECT per rule UNION ALL'd; HUGEINT sums cast
+    // to BIGINT; matches() replayed via regexp_full_match (the rule's
+    // RE2-subset full-match contract)
+    "q_audit" ->
+      s"""WITH e AS ($EventsNs),
+         |r AS (
+         |  SELECT 'not_null(user_id)' AS rule,
+         |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS violations,
+         |    COUNT(*) AS total FROM e
+         |  UNION ALL
+         |  SELECT 'in_range(value,0.0,100.0)',
+         |    CAST(SUM(CASE WHEN value IS NOT NULL
+         |      AND NOT (value BETWEEN 0.0 AND 100.0) THEN 1 ELSE 0 END)
+         |      AS BIGINT),
+         |    COUNT(*) FROM e
+         |  UNION ALL
+         |  SELECT 'matches(event_type)',
+         |    CAST(SUM(CASE WHEN event_type IS NOT NULL
+         |      AND NOT regexp_full_match(event_type, '[a-z]{4,6}')
+         |      THEN 1 ELSE 0 END) AS BIGINT),
+         |    COUNT(*) FROM e
+         |  UNION ALL
+         |  SELECT 'accepted_values(event_type)',
+         |    CAST(SUM(CASE WHEN event_type IS NOT NULL
+         |      AND event_type NOT IN ('click', 'view', 'purchase')
+         |      THEN 1 ELSE 0 END) AS BIGINT),
+         |    COUNT(*) FROM e
+         |  UNION ALL
+         |  SELECT 'unique(event_id)',
+         |    CAST(COALESCE(SUM(n - 1), 0) AS BIGINT),
+         |    CAST(COALESCE(SUM(n), 0) AS BIGINT)
+         |  FROM (SELECT COUNT(*) AS n FROM e GROUP BY event_id)
+         |  UNION ALL
+         |  SELECT 'unique(user_id,event_type)',
+         |    CAST(COALESCE(SUM(n - 1), 0) AS BIGINT),
+         |    CAST(COALESCE(SUM(n), 0) AS BIGINT)
+         |  FROM (SELECT COUNT(*) AS n FROM e GROUP BY user_id, event_type))
+         |SELECT rule, violations, total, violations = 0 AS pass
+         |FROM r""".stripMargin,
 
     "q_weighted_sample" ->
       s"""SELECT doc_id, n_chars FROM documents

@@ -754,4 +754,62 @@ object Dedup {
       .withColumn("n_kept", col("__cut.n_kept"))
       .drop("__rw_id", "__starts", "__cut")
   }
+
+  /** Measured (b, r) operating point of the banded MinHash-LSH pair
+    * generator against exact PPJoin-verified Jaccard ground truth —
+    * the "tune the banding on a sample BEFORE the full-corpus run"
+    * governance probe. The S-curve 1-(1-t^r)^b says what capture
+    * probability the banding gives a pair AT the threshold; this
+    * measures what it actually did on real data: candidates vs true
+    * pairs (full outer on the canonical id_a < id_b key), confusion
+    * counts, micro-rounded precision/recall, and the theoretical
+    * curve value for comparison.
+    *
+    * By contract this runs on a SAMPLE at corpus scale: the exact side
+    * is PPJoin-prefix-bounded but still quadratic in the worst case,
+    * so callers pass a `bernoulliSample`d slice and read the operating
+    * point off it — both generators are deterministic, so the measured
+    * point is rerun-stable. One report row.
+    */
+  def lshOperatingPoint(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        bands: Int = 8, rowsPerBand: Int = 4,
+                        maxBucket: Int = 4096, seed: Long = 0L)
+      : DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val exact = jaccardPairs(df, idCol, textCol, n, threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
+    val cand = minHashLshPairsPortable(df, idCol, textCol, n, bands,
+        rowsPerBand, maxBucket, seed)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__c"))
+    val micro = (x: org.apache.spark.sql.Column) =>
+      floor(x * 1e6 + 0.5).cast("long")
+    exact.join(cand, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("__c")), lit(0L)).as("candidate_pairs"),
+        coalesce(sum(col("__t")), lit(0L)).as("true_pairs"),
+        coalesce(sum(col("__t") * col("__c")), lit(0L)).as("tp"),
+        coalesce(sum(when(col("__t").isNull, col("__c"))), lit(0L))
+          .as("fp"),
+        coalesce(sum(when(col("__c").isNull, col("__t"))), lit(0L))
+          .as("fn"))
+      .withColumn("precision_micro",
+        when(col("candidate_pairs") > 0,
+          micro(col("tp").cast("double") / col("candidate_pairs"))))
+      .withColumn("recall_micro",
+        when(col("true_pairs") > 0,
+          micro(col("tp").cast("double") / col("true_pairs"))))
+      .withColumn("theory_capture_micro",
+        lit(theoryCaptureMicro(threshold, bands, rowsPerBand)))
+  }
+
+  /** Micro-rounded S-curve capture probability 1-(1-t^r)^b at the
+    * threshold — driver arithmetic shared verbatim with the SQL twin
+    * (both sides interpolate THIS value, so there is no cross-engine
+    * pow to diverge on). */
+  def theoryCaptureMicro(threshold: Double, bands: Int,
+                         rowsPerBand: Int): Long =
+    math.floor((1.0 - math.pow(1.0 - math.pow(threshold, rowsPerBand),
+      bands)) * 1e6 + 0.5).toLong
 }

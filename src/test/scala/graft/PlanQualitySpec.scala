@@ -423,6 +423,20 @@ class PlanQualitySpec extends SparkSpec {
     assertSinglePartitionOnlyOverAggregates("q_o1_sort", p)
   }
 
+  test("q_purged_cv: ordinal + fold machinery all broadcast onto the " +
+    "corpus (n frame, fold extents); no sort-merge join, no corpus " +
+    "window without partitioning") {
+    val p = plan("q_purged_cv")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the 1-row n frame and k-row extents must broadcast:\n" +
+        p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "fold fan-out must be a BROADCAST cross join:\n" + p.take(2000))
+    assertSinglePartitionOnlyOverAggregates("q_purged_cv", p)
+  }
+
   test("q_pca projection plan: centered corpus joins the broadcast " +
     "component frame; iteration lineage is cut (no join pyramid, " +
     "one corpus scan + the literal components)") {

@@ -520,4 +520,38 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("lshOperatingPoint: confusion counts reconcile against the " +
+      "two generators it audits") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota",  // near-dup of 1
+      3L -> "one two three four five six seven eight",
+      4L -> "one two three four five six seven eight",       // exact dup of 3
+      5L -> "totally different content with no overlap here at all")
+    val r = Dedup.lshOperatingPoint(d, "doc_id", "text",
+      n = 3, threshold = 0.5, bands = 8, rowsPerBand = 4).head()
+    val cand = r.getLong(r.fieldIndex("candidate_pairs"))
+    val truePairs = r.getLong(r.fieldIndex("true_pairs"))
+    val (tp, fp, fn) = (r.getLong(r.fieldIndex("tp")),
+      r.getLong(r.fieldIndex("fp")), r.getLong(r.fieldIndex("fn")))
+    // internal consistency: counts partition the pair universe
+    assert(tp + fp == cand, s"tp $tp + fp $fp != candidates $cand")
+    assert(tp + fn == truePairs, s"tp $tp + fn $fn != true $truePairs")
+    // ground truth on this fixture: (3,4) identical (J=1), (1,2) at
+    // J = 5/7 of the 6 trigrams... both >= 0.5
+    assert(truePairs == 2L)
+    // the exact-duplicate pair shares every signature slot, so every
+    // band agrees -> it MUST be an LSH candidate (tp >= 1)
+    assert(tp >= 1L)
+    // the S-curve constant is the driver formula verbatim
+    assert(r.getLong(r.fieldIndex("theory_capture_micro")) ==
+      Dedup.theoryCaptureMicro(0.5, 8, 4))
+    // precision/recall micro agree with the counts
+    if (cand > 0)
+      assert(r.getLong(r.fieldIndex("precision_micro")) ==
+        math.floor(tp.toDouble / cand * 1e6 + 0.5).toLong)
+    assert(r.getLong(r.fieldIndex("recall_micro")) ==
+      math.floor(tp.toDouble / truePairs * 1e6 + 0.5).toLong)
+  }
 }
