@@ -2569,6 +2569,18 @@ object SparkEntry {
           r6(col("js_contrib") * lit(1000.0)).as("js_milli_micro"))
     }),
 
+    // --- LLM ops: PSI drift — the model-monitoring industry's number
+    //     next to q_dist_drift's JS: same shares, eps-floored, weight
+    //     is the share DIFFERENCE so every term is >= 0 ---
+    "q_psi_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+      val neu = docs.filter(col("doc_id") % 5 =!= 0)
+      CorpusDiff.psiDrift(old, neu, "source")
+        .select(col("source"), col("n_old"), col("n_new"),
+          r6(col("psi_contrib") * lit(1000.0)).as("psi_milli_micro"))
+    }),
+
     // --- LLM ops: semantic snapshot drift — per-label embedding
     //     centroids (exact DECIMAL means) compared by cosine and L2;
     //     the content-moved check next to q_dist_drift's volume shares ---
@@ -2760,6 +2772,32 @@ object SparkEntry {
           .as("n_tokens_bpeish"),
         TextFunctions.seqFingerprintPortable(col("text"))
           .as("seq_fingerprint"))
+    }),
+
+    // --- LLM ops: Unicode canonicalization before dedup/hashing — the
+    //     native NFC normalizer expression (composed == decomposed
+    //     accents) + the full dedup-prep chain (NBSP-aware whitespace
+    //     collapse, Cc/Cf strip, lower, trim). The corpus is ASCII, so
+    //     each doc is decorated with deterministic doc_id-derived
+    //     unicode trouble (combining acute, precomposed é, NBSP, ZWSP,
+    //     tab, a control byte) that BOTH engines synthesize from the
+    //     same code points; the normalized strings hash-match only if
+    //     the two engines' NFC and category classes agree ---
+    "q_text_normalize" -> ((s, dir) => {
+      val dec = concat(
+        // decomposed e + COMBINING ACUTE U+0301 (NFC composes to U+00E9)
+        when(col("doc_id") % 3 === 0, lit("Cafe\u0301 ")).otherwise(lit("")),
+        // precomposed U+00E9 + NBSP (already NFC; NBSP folds to space)
+        when(col("doc_id") % 3 === 1, lit("Caf\u00E9\u00A0")).otherwise(lit("")),
+        // ZWSP (Cf, stripped), tab (collapsed), SOH control (Cc, stripped)
+        when(col("doc_id") % 2 === 0, lit("A\u200BB\tC\u0001 "))
+          .otherwise(lit("")),
+        col("text"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        length(dec).as("n_raw"),
+        TextFunctions.normalizeUnicode(dec, "NFC").as("nfc"),
+        length(TextFunctions.normalizeUnicode(dec, "NFC")).as("n_nfc"),
+        TextFunctions.canonicalizeForDedup(dec).as("canonical"))
     }),
 
     // --- Multimodal: REAL image-header parse over BINARY payloads
@@ -5988,6 +6026,29 @@ object SparkEntry {
           |      ELSE 0 END) / 2) * 1000""".stripMargin)} AS js_milli_micro
          |FROM s""".stripMargin,
 
+    // q_psi_drift twin: the q_dist_drift share CTEs + the eps-floored
+    // PSI functional (GREATEST against the 1e-6 floor on both sides)
+    "q_psi_drift" ->
+      s"""WITH o AS (
+         |  SELECT source, COUNT(*) AS n_old FROM documents
+         |  WHERE doc_id % 7 <> 0 GROUP BY 1),
+         |n AS (
+         |  SELECT source, COUNT(*) AS n_new FROM documents
+         |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(o.source, n.source) AS source,
+         |    CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+         |    CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+         |  FROM o FULL OUTER JOIN n ON o.source = n.source),
+         |s AS (
+         |  SELECT source, n_old, n_new,
+         |    GREATEST(n_old::DOUBLE / SUM(n_old) OVER (), 1e-6) AS p,
+         |    GREATEST(n_new::DOUBLE / SUM(n_new) OVER (), 1e-6) AS q
+         |  FROM j)
+         |SELECT source, n_old, n_new,
+         |  ${R6("(q - p) * ln(q / p) * 1000")} AS psi_milli_micro
+         |FROM s""".stripMargin,
+
     // centroids via the q_embed_meanpool DECIMAL-mean CTE per side,
     // assembled dim-ordered; cosine/L2 fold dims with the q_ann_cosine
     // list_sum shape — every step engine-exact
@@ -7231,6 +7292,33 @@ object SparkEntry {
          |SELECT q.doc_id, ${R6("quality")} AS quality_micro,
          |  f.n_tokens_bpeish, f.seq_fingerprint
          |FROM q JOIN f USING (doc_id)""".stripMargin,
+
+    // q_text_normalize twin: both engines synthesize the SAME decorated
+    // code points (chr() on the DuckDB side, unicode escapes on the
+    // Spark side), then nfc_normalize + the identical regex chain —
+    // hash equality is a cross-engine NFC + Unicode-category agreement
+    // proof, which the standard's normalization stability policy
+    // guarantees for assigned code points
+    "q_text_normalize" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 3 = 0
+         |       THEN 'Cafe' || chr(769) || ' ' ELSE '' END)
+         |    || (CASE WHEN doc_id % 3 = 1
+         |       THEN 'Caf' || chr(233) || chr(160) ELSE '' END)
+         |    || (CASE WHEN doc_id % 2 = 0
+         |       THEN 'A' || chr(8203) || 'B' || chr(9) || 'C'
+         |         || chr(1) || ' ' ELSE '' END)
+         |    || text AS dec
+         |  FROM documents)
+         |SELECT doc_id,
+         |  length(dec) AS n_raw,
+         |  nfc_normalize(dec) AS nfc,
+         |  length(nfc_normalize(dec)) AS n_nfc,
+         |  trim(lower(regexp_replace(regexp_replace(nfc_normalize(dec),
+         |    '[\\s' || chr(160) || chr(8199) || chr(8239) || ']+', ' ', 'g'),
+         |    '[\\p{Cc}\\p{Cf}]', '', 'g'))) AS canonical
+         |FROM d""".stripMargin,
 
     // langId's full decision chain: script-range shares first (exact on
     // BMP text — char-counting length/substr agree between engines

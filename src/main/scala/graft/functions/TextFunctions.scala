@@ -10,6 +10,34 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) via the native
+    * [[graft.plans.UnicodeNormalizeExpr]] — one static codegen'd call
+    * per row with no-alloc fast paths for ASCII and already-normalized
+    * text. Normalize BEFORE shingling/hashing: composed vs decomposed
+    * accents are different byte strings to MinHash/SimHash. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.UnicodeNormalizeExpr(
+      GraftColumnBridge.expression(text), form))
+  }
+
+  /** The dedup-prep canonical form: NFC, NBSP-family folded into the
+    * whitespace collapse, remaining control (Cc) and format (Cf —
+    * zero-widths, BiDi marks) characters stripped, lowercased,
+    * trimmed. Whitespace collapses BEFORE the Cc strip so newlines and
+    * tabs become separators instead of vanishing and joining words.
+    * Every step is a codegen'd built-in or the native normalizer, and
+    * every step is replayable in an RE2-regex SQL engine (the
+    * q_text_normalize oracle contract): `\s` is ASCII whitespace in
+    * BOTH Java and RE2, and `\p{Cc}\p{Cf}` are standard Unicode
+    * category classes in both. */
+  def canonicalizeForDedup(text: Column): Column = {
+    val nfc = normalizeUnicode(text, "NFC")
+    val ws = regexp_replace(nfc, "[\\s\\u00A0\\u2007\\u202F]+", " ")
+    val ctl = regexp_replace(ws, "[\\p{Cc}\\p{Cf}]", "")
+    trim(lower(ctl))
+  }
+
   /** Whitespace tokenization (the baseline token counter). */
   def tokens(text: Column): Column = split(trim(text), "\\s+").as("tokens")
 

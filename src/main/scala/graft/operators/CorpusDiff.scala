@@ -69,6 +69,30 @@ object CorpusDiff {
       })
   }
 
+  /** Population stability index contributions — the model-monitoring
+    * industry's drift number, next to [[distributionDrift]]'s JS (same
+    * shares, different functional): psi_contrib =
+    * (new_share' − old_share') · ln(new_share'/old_share') with both
+    * shares floored at `eps` so appearing/disappearing groups
+    * contribute a large-but-finite term (the standard PSI smoothing
+    * convention; JS's 0·ln0 trick does not apply because PSI's weight
+    * is the share DIFFERENCE, which is nonzero exactly when one side
+    * is empty). Sum `psi_contrib` for the index; the usual triage
+    * bands are < 0.1 stable, 0.1–0.25 shifting, > 0.25 action.
+    * Every term is ≥ 0 (x·ln of same-sign ratio), so no cancellation
+    * hides a moved group. Same shape as [[distributionDrift]]: the
+    * frame is O(groups), corpus text only counted. */
+  def psiDrift(oldDf: DataFrame, newDf: DataFrame, groupCol: String,
+               eps: Double = 1e-6): DataFrame = {
+    require(eps > 0 && eps < 1, s"eps must be in (0, 1), got $eps")
+    distributionDrift(oldDf, newDf, groupCol)
+      .withColumn("psi_contrib", {
+        val p = greatest(col("old_share"), lit(eps))
+        val q = greatest(col("new_share"), lit(eps))
+        (q - p) * log(q / p)
+      })
+  }
+
   /** Churn rollup of [[diff]]: counts per (group, status). A doc's
     * group comes from the NEW snapshot when present (a doc can move
     * groups between releases), else from the old — deterministic, never

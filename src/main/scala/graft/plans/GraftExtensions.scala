@@ -108,9 +108,26 @@ object GraftExtensions {
       ShiftRight(mixed, Literal(11, IntegerType))
     })
 
+  val unicodeNormalizeDescriptor: FunctionDescription = (
+    FunctionIdentifier("graft_unicode_normalize"),
+    new ExpressionInfo(classOf[UnicodeNormalizeExpr].getName,
+      "graft_unicode_normalize"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"graft_unicode_normalize expects (str, 'NFC'|'NFD'|'NFKC'|'NFKD'), " +
+          s"got ${children.size} args")
+      val form = children(1) match {
+        case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+          v.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_unicode_normalize form must be a STRING literal, got $other")
+      }
+      UnicodeNormalizeExpr(children.head, form)
+    })
+
   val descriptors: Seq[FunctionDescription] = Seq(normCdfDescriptor,
     simHashDescriptor, shinglesDescriptor, minHashDescriptor,
-    cosineDescriptor, bucketHashDescriptor)
+    cosineDescriptor, bucketHashDescriptor, unicodeNormalizeDescriptor)
 
   /** Register on an existing session (tests / REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
