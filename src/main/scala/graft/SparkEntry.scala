@@ -1042,6 +1042,87 @@ object SparkEntry {
       "event_id", 0.25, seed = 42L)
   }
 
+  /** EP1 input: a deterministic LOBSTER-shaped event frame derived from the
+    * events table — every column is integer/dyadic arithmetic on
+    * (event_id, user_id, ts_ns), so the DuckDB twin reproduces it exactly:
+    *  - 8 tickers from user_id, trade date from the event's UTC day;
+    *  - time_s folded into the 10:00-15:30 core session (integer seconds,
+    *    exact as double);
+    *  - every 5th event a type-1 submit (filtered out by the vis panel —
+    *    the event-type filter inside Oi.panel stays a real filter);
+    *  - quote prices on a 0.25 grid (midprice dyadic => first/last midprice
+    *    and the log-return ratio are bit-identical across engines);
+    *  - integer sizes (conditional-sum OI numerator/denominator are exact
+    *    integer-valued doubles => the OI division is bit-identical). */
+  private def ep1LobsterFrame(s: SparkSession, dir: String): DataFrame =
+    eventsNs(s, dir).select(
+      pmod(col("user_id"), lit(8L)).cast("string").as("ticker"),
+      date_add(to_date(lit("1970-01-01")),
+        expr(s"ts_ns div $DAY").cast("int")).as("date"),
+      (pmod(expr("ts_ns div 1000000000"), lit(19800L)) + lit(36000L))
+        .cast("double").as("time_s"),
+      when(pmod(col("event_id"), lit(5L)) === 0,
+        lit(graft.core.Schema.EventType.Submit))
+        .otherwise(lit(graft.core.Schema.EventType.VisibleExec))
+        .as("event_type"),
+      side(col("event_type")).as("direction"),
+      (lit(1L) + pmod(col("event_id"), lit(100L))).as("size"),
+      (lit(99.0) + pmod(col("event_id"), lit(5L)).cast("double") * 0.25)
+        .as("price"),
+      (lit(100.0) + pmod(col("event_id"), lit(7L)).cast("double") * 0.25)
+        .as("ask_price_1"),
+      (lit(99.0) + pmod(col("event_id"), lit(5L)).cast("double") * 0.25)
+        .as("bid_price_1"),
+      (lit(100L) + pmod(col("event_id"), lit(37L))).cast("double")
+        .as("ask_size_1"),
+      (lit(100L) + pmod(col("event_id"), lit(50L))).cast("double")
+        .as("bid_size_1"),
+      col("event_id").as("seq"))
+
+  /** DuckDB twin of [[ep1LobsterFrame]] (visible-exec rows only, with the
+    * derived columns the EP1 panel needs), as a CTE body. */
+  private val Ep1LobsterVis =
+    s"""SELECT CAST(user_id % 8 AS VARCHAR) AS ticker,
+       |  ts_ns // $DAY AS day_i,
+       |  (ts_ns // 1000000000) % 19800 + 36000 AS time_s,
+       |  CASE WHEN ($Side) = -1 THEN -1 ELSE 1 END AS dir,
+       |  1 + event_id % 100 AS size,
+       |  ((100.0 + (event_id % 7) * 0.25) + (99.0 + (event_id % 5) * 0.25))
+       |    / 2.0 AS mid,
+       |  event_id AS seq
+       |FROM e WHERE event_id % 5 <> 0""".stripMargin
+
+  /** DuckDB twin of the EP1 per-delta panel chain (vis OI panel at
+    * `stepS`-second ceil bins, session spine densification with zero-fill,
+    * last-bin drop, log returns) ending in a CTE named `panel` with columns
+    * (ticker, day_i, bin_s, oi, log_ret). Mirrors Oi.panel ->
+    * Oi.densifyPanel -> Returns.addLogReturns for integer-second inputs. */
+  private def ep1PanelSql(stepS: Long): String =
+    s"""lob AS ($Ep1LobsterVis),
+       |raw AS (
+       |  SELECT ticker, day_i, ((time_s + ${stepS - 1}) // $stepS) * $stepS AS bin_s,
+       |    (CAST(SUM(CASE WHEN dir = -1 THEN size ELSE 0 END) AS DOUBLE)
+       |      - CAST(SUM(CASE WHEN dir = 1 THEN size ELSE 0 END) AS DOUBLE))
+       |      / NULLIF(CAST(SUM(size) AS DOUBLE), 0.0) AS oi,
+       |    arg_min(mid, seq) AS first_mid, arg_max(mid, seq) AS last_mid
+       |  FROM lob GROUP BY 1, 2, 3),
+       |days AS (SELECT DISTINCT ticker, day_i FROM raw),
+       |spine AS (
+       |  SELECT d.ticker, d.day_i, g.bin_s
+       |  FROM days d, (SELECT UNNEST(generate_series(${36000 + stepS}, 55800,
+       |    $stepS)) AS bin_s) g),
+       |dense AS (
+       |  SELECT s.ticker, s.day_i, s.bin_s, COALESCE(r.oi, 0.0) AS oi,
+       |    r.first_mid, r.last_mid
+       |  FROM spine s LEFT JOIN raw r
+       |    ON s.ticker = r.ticker AND s.day_i = r.day_i AND s.bin_s = r.bin_s
+       |  WHERE s.bin_s < 55800),
+       |panel AS (
+       |  SELECT ticker, day_i, bin_s, oi,
+       |    CASE WHEN first_mid > 0 AND last_mid > 0
+       |      THEN ln(last_mid / first_mid) END AS log_ret
+       |  FROM dense)""".stripMargin
+
   // ---- S5 FF CSV fixture (shared by query + oracle; see q_s5_ff_csv) ----
 
   private val FfFixturePath = "/tmp/graft_ff_fixture.csv"
@@ -2047,6 +2128,47 @@ object SparkEntry {
           r6(col("sharpe")).as("sharpe_micro"),
           r6(col("sharpe_tstat")).as("tstat_micro"),
           r6(col("sharpe_annual")).as("annual_micro"))
+    }),
+
+    // --- EP1 end-to-end: the reference's PRIMARY workload
+    //     (`test_workflow.py:46-112` -> `chunk_pipeline.py`) as ONE chain of
+    //     the engine's own pipeline — `Pipelines.ep1`: microstructure
+    //     features (F2) -> pred_prob -> vis OI panel (A1/A5/W7) -> session
+    //     spine densification (J5) -> log returns (W1) -> per-ticker OLS of
+    //     log_ret on OI (M5). Input is the deterministic LOBSTER-shaped
+    //     frame above; the oracle re-derives every stage in SQL and solves
+    //     the same normal equations in closed form ---
+    "q_ep1_full" -> ((s, dir) => {
+      val (panel, fits) = graft.domain.Pipelines.ep1(
+        ep1LobsterFrame(s, dir), deltaNs = M15, kind = "vis")
+      val panelAgg = panel.groupBy(col("ticker")).agg(
+        count(lit(1)).as("n_bins"),
+        sum(when(col("log_ret").isNull, 1L).otherwise(0L)).as("n_empty"),
+        r6(sum(col("order_imbalance_vis"))).as("oi_sum_micro"))
+      def micro(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+      import s.implicits._
+      val fitDf = fits.map(f => (f.group(0).asInstanceOf[String],
+          micro(f.intercept), micro(f.coefs(0)), f.n))
+        .toDF("ticker", "b0_micro", "b_oi_micro", "n_fit")
+      panelAgg.join(fitDf, Seq("ticker"))
+    }),
+
+    // --- EP1 multi-delta fan-out (`Pipelines.ep1MultiDelta`): ONE cached
+    //     feature frame, panels for several bin widths computed off it (the
+    //     reference re-reads raw CSVs per delta — SURVEY §4.1). Gate output
+    //     is the per-(delta, ticker) panel summary, so both the shared-scan
+    //     caching path and every per-delta panel are under the oracle ---
+    "q_ep1_multidelta" -> ((s, dir) => {
+      val deltas = Seq(M15, M30)
+      val panels = graft.domain.Pipelines.ep1MultiDelta(
+        ep1LobsterFrame(s, dir), deltas, kind = "vis")
+      deltas.map { d =>
+        panels(d).groupBy(col("ticker")).agg(
+            count(lit(1)).as("n_bins"),
+            sum(when(col("log_ret").isNull, 1L).otherwise(0L)).as("n_empty"),
+            r6(sum(col("order_imbalance_vis"))).as("oi_sum_micro"))
+          .withColumn("delta_min", lit(d / (60L * 1000000000L)))
+      }.reduce(_ unionByName _)
     }),
 
     // --- F8+F9: linear signal + threshold/sign PnL per user ---
@@ -5369,6 +5491,51 @@ object SparkEntry {
          |  ${R6("sr / sqrt((1.0 - g3*sr + (g4 - 1.0)*sr*sr/4.0) / (n - 1.0))")} AS tstat_micro,
          |  ${R6("sr * sqrt(252.0)")} AS annual_micro
          |FROM m""".stripMargin,
+
+    // q_ep1_full twin: the EP1 panel chain (ep1PanelSql) + per-ticker
+    // closed-form simple OLS of log_ret on OI — the same normal equations
+    // the Spark side solves via QR on distributed power sums
+    "q_ep1_full" ->
+      s"""WITH e AS ($EventsNs),
+         |${ep1PanelSql(900L)},
+         |pagg AS (
+         |  SELECT ticker, COUNT(*) AS n_bins,
+         |    CAST(SUM(CASE WHEN log_ret IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_empty,
+         |    ${R6("SUM(oi)")} AS oi_sum_micro
+         |  FROM panel GROUP BY 1),
+         |live AS (
+         |  SELECT ticker, oi, log_ret FROM panel
+         |  WHERE log_ret IS NOT NULL AND oi IS NOT NULL),
+         |sums AS (
+         |  SELECT ticker, COUNT(*)::DOUBLE AS n, SUM(oi) AS sx,
+         |    SUM(oi*oi) AS sxx, SUM(log_ret) AS sy, SUM(oi*log_ret) AS sxy
+         |  FROM live GROUP BY 1),
+         |fit AS (
+         |  SELECT ticker,
+         |    ${R6("(sy*sxx - sx*sxy) / (n*sxx - sx*sx)")} AS b0_micro,
+         |    ${R6("(n*sxy - sx*sy) / (n*sxx - sx*sx)")} AS b_oi_micro,
+         |    CAST(n AS BIGINT) AS n_fit
+         |  FROM sums)
+         |SELECT p.ticker, p.n_bins, p.n_empty, p.oi_sum_micro,
+         |  f.b0_micro, f.b_oi_micro, f.n_fit
+         |FROM pagg p JOIN fit f ON p.ticker = f.ticker""".stripMargin,
+
+    // q_ep1_multidelta twin: the same panel chain at 15- and 30-minute
+    // deltas, per-ticker summaries unioned with the delta label
+    "q_ep1_multidelta" ->
+      Seq(900L -> 15L, 1800L -> 30L).map { case (stepS, mins) =>
+        s"""SELECT ticker, n_bins, n_empty, oi_sum_micro,
+           |  CAST($mins AS BIGINT) AS delta_min
+           |FROM (
+           |  WITH e AS ($EventsNs),
+           |  ${ep1PanelSql(stepS)}
+           |  SELECT ticker, COUNT(*) AS n_bins,
+           |    CAST(SUM(CASE WHEN log_ret IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_empty,
+           |    ${R6("SUM(oi)")} AS oi_sum_micro
+           |  FROM panel GROUP BY 1)""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     "q_f8_f9_signal_pnl" ->
       s"""WITH e AS ($EventsNs),
