@@ -2171,6 +2171,39 @@ object SparkEntry {
       }.reduce(_ unionByName _)
     }),
 
+    // --- EP3 end-to-end (`trading_strategy.py:469-524` via
+    //     `Pipelines.ep3ClOpSignal`): daily vis-OI panel -> Close-to-Open
+    //     returns from a daily-bars table (J6 broadcast) -> saved-coefficient
+    //     linear signal (F8). Bars and params are deterministic dyadic
+    //     functions of (ticker, day), so ClOp's ln(open/prev_close) and the
+    //     signal combination are reproducible on the oracle side ---
+    "q_ep3_full" -> ((s, dir) => {
+      val prepped = ep1LobsterFrame(s, dir)
+      val dayI = unix_date(col("date")).cast("long")
+      val bars = prepped
+        .filter(col("event_type") === graft.core.Schema.EventType.VisibleExec)
+        .select(col("ticker"), col("date")).distinct()
+        .withColumn("open", lit(100.0) +
+          pmod(dayI * 8 + col("ticker").cast("long"), lit(7L))
+            .cast("double") * 0.25)
+        .withColumn("close", lit(100.0) +
+          (pmod(dayI * 8 + col("ticker").cast("long"), lit(5L)) + 1)
+            .cast("double") * 0.25)
+      val params = prepped.select(col("ticker")).distinct()
+        .withColumn("intercept",
+          (pmod(col("ticker").cast("long"), lit(3L)) - 1)
+            .cast("double") * 0.125)
+        .withColumn("b_oi", lit(0.5) +
+          pmod(col("ticker").cast("long"), lit(2L)).cast("double") * 0.25)
+        .withColumn("b_clop", lit(-0.25) +
+          pmod(col("ticker").cast("long"), lit(3L)).cast("double") * 0.125)
+      graft.domain.Pipelines.ep3ClOpSignal(prepped, bars, params, "vis")
+        .select(col("ticker"), dayI.as("day_i"),
+          r6(col("order_imbalance_vis")).as("oi_micro"),
+          r6(col("ClOp")).as("clop_micro"),
+          r6(col("signal")).as("signal_micro"))
+    }),
+
     // --- F8+F9: linear signal + threshold/sign PnL per user ---
     "q_f8_f9_signal_pnl" -> ((s, dir) => {
       val daily = eventsNs(s, dir)
@@ -2786,13 +2819,19 @@ object SparkEntry {
     }),
 
     // --- Governance: measured LSH (b, r) operating point — banded
-    //     candidates vs exact PPJoin-verified Jaccard ground truth on
-    //     the same frame (sample-sized by contract at corpus scale);
+    //     candidates vs exact PPJoin-verified Jaccard ground truth,
     //     confusion counts + precision/recall + the theoretical S-curve
-    //     capture at the threshold ---
+    //     capture at the threshold. The gate demonstrates the operator's
+    //     own scale contract (Dedup.scala: "runs on a SAMPLE at corpus
+    //     scale — the exact side is worst-case quadratic"): a
+    //     deterministic bernoulliSample feeds the probe, the oracle
+    //     samples with the identical portable hash ---
     "q_lsh_tuning" -> ((s, dir) => {
-      Dedup.lshOperatingPoint(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.5, bands = 8, rowsPerBand = 4)
+      Dedup.lshOperatingPoint(
+        Sampling.bernoulliSample(Tables.documents(s, dir), "doc_id", 0.5,
+          seed = 11L),
+        "doc_id", "text", n = 3, threshold = 0.5, bands = 8,
+        rowsPerBand = 4)
     }),
 
     // --- LLM ops: SimHash near-dup pairs via chunk blocking (rows-only).
@@ -5537,6 +5576,42 @@ object SparkEntry {
            |  FROM panel GROUP BY 1)""".stripMargin
       }.mkString("\nUNION ALL\n"),
 
+    // q_ep3_full twin: daily vis-OI panel + deterministic bars/params +
+    // ClOp = ln(open / prev_close) + the same left-associated signal combo
+    "q_ep3_full" ->
+      s"""WITH e AS ($EventsNs),
+         |lob AS ($Ep1LobsterVis),
+         |daily AS (
+         |  SELECT ticker, day_i,
+         |    (CAST(SUM(CASE WHEN dir = -1 THEN size ELSE 0 END) AS DOUBLE)
+         |      - CAST(SUM(CASE WHEN dir = 1 THEN size ELSE 0 END) AS DOUBLE))
+         |      / NULLIF(CAST(SUM(size) AS DOUBLE), 0.0) AS oi
+         |  FROM lob GROUP BY 1, 2),
+         |bars AS (
+         |  SELECT ticker, day_i,
+         |    100.0 + ((day_i * 8 + CAST(ticker AS BIGINT)) % 7) * 0.25 AS open,
+         |    100.0 + ((day_i * 8 + CAST(ticker AS BIGINT)) % 5 + 1) * 0.25
+         |      AS close
+         |  FROM (SELECT DISTINCT ticker, day_i FROM lob)),
+         |clop AS (
+         |  SELECT ticker, day_i,
+         |    CASE WHEN lag(close) OVER w > 0
+         |      THEN ln(open / lag(close) OVER w) END AS clop_ret
+         |  FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY day_i)),
+         |params AS (
+         |  SELECT ticker,
+         |    (CAST(ticker AS BIGINT) % 3 - 1) * 0.125 AS intercept,
+         |    0.5 + (CAST(ticker AS BIGINT) % 2) * 0.25 AS b_oi,
+         |    -0.25 + (CAST(ticker AS BIGINT) % 3) * 0.125 AS b_clop
+         |  FROM (SELECT DISTINCT ticker FROM lob))
+         |SELECT d.ticker, d.day_i, ${R6("d.oi")} AS oi_micro,
+         |  ${R6("c.clop_ret")} AS clop_micro,
+         |  ${R6("(p.intercept + COALESCE(d.oi, 0.0) * p.b_oi) + COALESCE(c.clop_ret, 0.0) * p.b_clop")}
+         |    AS signal_micro
+         |FROM daily d
+         |LEFT JOIN clop c ON d.ticker = c.ticker AND d.day_i = c.day_i
+         |LEFT JOIN params p ON d.ticker = p.ticker""".stripMargin,
+
     "q_f8_f9_signal_pnl" ->
       s"""WITH e AS ($EventsNs),
          |daily AS (
@@ -5795,7 +5870,11 @@ object SparkEntry {
     // sets, full-outer confusion counts; the S-curve constant is the
     // identical driver-computed literal both engines interpolate
     "q_lsh_tuning" ->
-      s"""WITH ${MinhashSigCtes(32)},
+      s"""WITH mtoks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents
+         |  WHERE ${HashSql("doc_id", 11L)} < ${Sampling.threshold(0.5)}),
+         |${MinhashSigCtesTok("mtoks", 32)},
          |bnd AS (
          |  SELECT doc_id, sig, band,
          |    list_reduce([0::BIGINT] ||
