@@ -4383,6 +4383,36 @@ object SparkEntry {
             .as("beats_planted"))
     }),
 
+    // --- S10: model artifact I/O (`chunk_pipeline.py:92-94,106-109`) —
+    //     train -> save -> load -> re-predict; the gate pins bit-exact
+    //     prediction parity between the in-memory and reloaded model.
+    //     FULLY oracled: n_test is the deterministic hash-split count
+    //     (computable in SQL) and parity must make every row match, so
+    //     the oracle knows the whole output row a priori — any save/load
+    //     drift (lost scaler mean, coefficient truncation) hash-misses ---
+    "q_s10_model_io" -> ((s, dir) => {
+      val d = mlPlanted(s, dir)
+      val model = graft.ml.DirectionModel.logisticPipeline(MlGateCols)
+        .fit(d.filter(!col("is_test")))
+      val path = "/tmp/graft_model_io"
+      AuxSources.saveModel(model, path)
+      val reloaded = AuxSources.loadModel(path)
+      val test = d.filter(col("is_test"))
+      val a = graft.ml.DirectionModel.attachPredictions(model, test)
+        .select(col("event_id"), col("pred_dir").as("dir_a"),
+          col("pred_prob").as("prob_a"))
+      val b = graft.ml.DirectionModel.attachPredictions(reloaded, test)
+        .select(col("event_id"), col("pred_dir").as("dir_b"),
+          col("pred_prob").as("prob_b"))
+      a.join(b, Seq("event_id"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("dir_a") === col("dir_b"), 1L).otherwise(0L))
+            .as("n_dir_match"),
+          max(abs(col("prob_a") - col("prob_b"))).as("__pdiff"))
+        .select(lit("logistic").as("model"), col("n_test"),
+          col("n_dir_match"), (col("__pdiff") === 0.0).as("prob_exact"))
+    }),
+
     // --- M2: prediction + label-remap contract — pred_dir lands in
     //     {-1, +1} with both classes present (the planted signal is
     //     two-sided) and pred_prob stays in the unit interval ---
@@ -7317,6 +7347,15 @@ object SparkEntry {
          |    AS is_test,
          |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
          |FROM documents GROUP BY 1""".stripMargin,
+
+    // q_s10_model_io twin: save/load parity means every test row must
+    // match itself, so the oracle is the hash-split test count (the same
+    // mlPlanted split arithmetic in SQL) with full parity asserted
+    "q_s10_model_io" ->
+      s"""SELECT 'logistic' AS model, COUNT(*) AS n_test,
+         |  COUNT(*) AS n_dir_match, TRUE AS prob_exact
+         |FROM events WHERE event_id < 1024
+         |  AND ${HashSql("event_id", 42L)} < ${Sampling.threshold(0.25)}""".stripMargin,
 
     // q_purged_cv twin: the same ordinal (the q_o1_sort contract), the
     // same integer fold arithmetic, the same LONG-ns role CASE — every
