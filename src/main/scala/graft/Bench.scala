@@ -18,6 +18,20 @@ import org.apache.spark.sql.SparkSession
   * re-measured once and the min kept (`n_remeasured`), so transient
   * machine load shows up IN the artifact instead of requiring a manual
   * quiet re-run to adjudicate.
+  *
+  * ABSOLUTE reference (round 15): the median-relative segment detector
+  * is blind to UNIFORM load — round 14 shipped a 198.8 s artifact for a
+  * 157.9 s engine with n_remeasured = 0 because every probe was equally
+  * inflated. The committed `bench_full.json` (the prior round's quiet
+  * run) now supplies the absolute yardstick: segments whose probes
+  * exceed 1.5x the committed quiet calib are dirty regardless of the
+  * run's own median, and any query measuring >1.5x its committed quiet
+  * time is re-measured (up to 2 extra passes, min kept). The artifact
+  * carries `vs_quiet_ratio` (this run / committed quiet, summed over
+  * the shared query set) so a reader can normalize residual load that
+  * re-measurement could not shed. Subset runs (SPARK_GRAFT_ONLY) write
+  * `bench_full_subset.json` so local iteration never clobbers the
+  * committed quiet reference.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,6 +64,27 @@ object Bench {
     }
     val queries = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+
+    // committed quiet reference (see header): parsed from the PRIOR
+    // round's bench_full.json before this run overwrites it. The file is
+    // machine-written single-line JSON from this very program, so two
+    // regexes suffice — no JSON dependency in the zero-egress image.
+    final case class QuietRef(calib: Double, times: Map[String, Double])
+    val quietRef: Option[QuietRef] = try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val line = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val calibRe = """"calib_sec":([0-9.]+)""".r
+        val qBlockRe = """"queries":\{([^}]*)\}""".r
+        val entryRe = """"([^"]+)":([0-9.]+)""".r
+        for {
+          c <- calibRe.findFirstMatchIn(line).map(_.group(1).toDouble)
+          qb <- qBlockRe.findFirstMatchIn(line).map(_.group(1))
+        } yield QuietRef(c, entryRe.findAllMatchIn(qb)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      }
+    } catch { case _: Throwable => None }
 
     // Contention sentinel: a fixed-cost data-independent aggregation
     // (100M-row hash-sum, same on every machine and scale factor) timed
@@ -141,9 +176,13 @@ object Bench {
     // this mechanism's job; a uniformly-loaded run is what calib_sec /
     // calib_max already expose to the reader.
     val calibRef = segCalibs.sorted.apply(segCalibs.size / 2)
+    // a segment is dirty RELATIVE to this run's median (transient spike)
+    // OR ABSOLUTE to the committed quiet calib (uniform load — the r14
+    // blind spot: every probe inflated, median inflated with them)
     val dirtySegs = segCalibs.zipWithIndex.filter { case (c, i) =>
       val before = if (i == 0) c else segCalibs(i - 1)
-      math.max(before, c) > 1.5 * calibRef
+      val hi = math.max(before, c)
+      hi > 1.5 * calibRef || quietRef.exists(r => hi > 1.5 * r.calib)
     }.map(_._2).toSet
     val rerun = qseq.zipWithIndex.collect {
       case ((name, fn), i)
@@ -152,11 +191,47 @@ object Bench {
     }
     if (rerun.nonEmpty)
       System.err.println(s"[bench] ${dirtySegs.size} contended segment(s) " +
-        s"(calib ref ${fmt(calibRef)}, max ${fmt(segCalibs.max)}): " +
-        s"re-measuring ${rerun.size} queries")
-    val results = firstPass ++ rerun.flatMap { case (name, fn) =>
+        s"(calib ref ${fmt(calibRef)}, quiet ref " +
+        s"${quietRef.fold("n/a")(r => fmt(r.calib))}, " +
+        s"max ${fmt(segCalibs.max)}): re-measuring ${rerun.size} queries")
+    var results = firstPass ++ rerun.flatMap { case (name, fn) =>
       timeQuery(name, fn, 1, recordErrors = false)
         .map(d => name -> math.min(d, firstPass(name)))
+    }
+    var nRemeasured = rerun.size
+    // per-query absolute pass: anything still >1.5x its committed quiet
+    // time gets up to 2 extra single-rep measurements (min kept). The
+    // 0.1 s floor keeps sub-100ms queries — where scheduler jitter alone
+    // is 1.5x — out of the loop.
+    quietRef.foreach { r =>
+      val fnOf = queries
+      var pass = 0
+      def inflated: Seq[String] = results.toSeq.collect {
+        case (name, t)
+            if r.times.get(name).exists(q => t > 1.5 * math.max(q, 0.1)) =>
+          name
+      }
+      var pending = inflated
+      while (pass < 2 && pending.nonEmpty) {
+        System.err.println(s"[bench] ${pending.size} queries above 1.5x " +
+          s"committed quiet time: re-measuring (pass ${pass + 1})")
+        pending.foreach { name =>
+          timeQuery(name, fnOf(name), 1, recordErrors = false).foreach { d =>
+            results += name -> math.min(d, results(name))
+            nRemeasured += 1
+          }
+        }
+        pass += 1
+        pending = inflated
+      }
+    }
+    // this run vs the committed quiet run over the SHARED query set: the
+    // residual-load normalizer for anything re-measurement couldn't shed
+    val vsQuietRatio: Option[Double] = quietRef.flatMap { r =>
+      val shared = results.keySet.intersect(r.times.keySet)
+      val quietSum = shared.toSeq.map(r.times).sum
+      if (quietSum > 0)
+        Some(shared.toSeq.map(results).sum / quietSum) else None
     }
     errors.toSeq.sortBy(_._1).foreach { case (n, e) =>
       System.err.println(s"[bench] FAILED $n: $e")
@@ -170,7 +245,9 @@ object Bench {
     // artifact without its environment is not comparable to anything
     val calibMax = (calib +: segCalibs).max
     val segJson = segCalibs.map(fmt).mkString("[", ",", "]")
-    val env = s""""reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${Runtime.getRuntime.maxMemory() / (1 << 30)},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"calib_segments":$segJson,"n_remeasured":${rerun.size}"""
+    val vsQuietJson = vsQuietRatio.fold("null")(fmt)
+    val quietCalibJson = quietRef.fold("null")(r => fmt(r.calib))
+    val env = s""""reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${Runtime.getRuntime.maxMemory() / (1 << 30)},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"calib_segments":$segJson,"n_remeasured":$nRemeasured,"vs_quiet_ratio":$vsQuietJson,"quiet_calib_ref":$quietCalibJson"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     def jstr(s: String): String =
@@ -183,7 +260,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${errors.size},$env,"queries":$full,"errors":$errJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+    // subset runs must not clobber the committed quiet reference
+    val fullPath =
+      if (only.isDefined) "bench_full_subset.json" else "bench_full.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullLine + "\n").getBytes("UTF-8"))
 
     // THE one JSON line. The driver captures only the last ~2000 chars of
@@ -194,7 +274,7 @@ object Bench {
     // until the budget is spent; the full breakdown is in bench_full.json.
     val budget = 1600
     val header =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${errors.size},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"queries":"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${errors.size},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"vs_quiet_ratio":$vsQuietJson,"n_remeasured":$nRemeasured,"queries":"""
     val footer = s""","sf":"$sfDir"}"""
     val slowestFirst = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val fixed = header.length + footer.length + 2 // braces of "queries"
