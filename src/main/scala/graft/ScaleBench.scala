@@ -137,9 +137,19 @@ object ScaleBench {
       copies.map(mk).reduce(_ unionByName _)
 
     val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    // user copies shift by 10^12, NOT 10^6: the streaming join fixtures
+    // reserve the 1,000,000+event_id user range as a disjoint synthetic
+    // probe space, so a 10^6 shift would land inflated copies exactly in
+    // it and let real rows match probe rows. The guard makes the
+    // disjointness assumption loud instead of silently violated if the
+    // driver ever regenerates testdata with bigger id ranges.
+    val mx = ev.agg(max(col("event_id")), max(col("user_id"))).head
+    require(mx.getLong(0) < 10000000000L && mx.getLong(1) < 1000000000000L,
+      s"inflate: base ids (${mx.getLong(0)}, ${mx.getLong(1)}) exceed the " +
+        "copy-shift constants; raise the shifts before inflating")
     unionCopies { i =>
       ev.withColumn("event_id", col("event_id") + lit(i * 10000000000L))
-        .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000000000L))
     }.write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")

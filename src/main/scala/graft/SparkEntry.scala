@@ -2953,6 +2953,10 @@ object SparkEntry {
         // ZWSP (Cf, stripped), tab (collapsed), SOH control (Cc, stripped)
         when(col("doc_id") % 2 === 0, lit("A\u200BB\tC\u0001 "))
           .otherwise(lit("")),
+        // VT U+000B: in Java's \s but NOT RE2's — the explicit
+        // whitespace class must make it a separator on BOTH engines
+        when(col("doc_id") % 5 === 0, lit("V\u000BW "))
+          .otherwise(lit("")),
         col("text"))
       Tables.documents(s, dir).select(col("doc_id"),
         length(dec).as("n_raw"),
@@ -7594,6 +7598,8 @@ object SparkEntry {
          |    || (CASE WHEN doc_id % 2 = 0
          |       THEN 'A' || chr(8203) || 'B' || chr(9) || 'C'
          |         || chr(1) || ' ' ELSE '' END)
+         |    || (CASE WHEN doc_id % 5 = 0
+         |       THEN 'V' || chr(11) || 'W ' ELSE '' END)
          |    || text AS dec
          |  FROM documents)
          |SELECT doc_id,
@@ -7601,7 +7607,8 @@ object SparkEntry {
          |  nfc_normalize(dec) AS nfc,
          |  length(nfc_normalize(dec)) AS n_nfc,
          |  trim(lower(regexp_replace(regexp_replace(nfc_normalize(dec),
-         |    '[\\s' || chr(160) || chr(8199) || chr(8239) || ']+', ' ', 'g'),
+         |    '[ ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)
+         |      || chr(160) || chr(8199) || chr(8239) || ']+', ' ', 'g'),
          |    '[\\p{Cc}\\p{Cf}]', '', 'g'))) AS canonical
          |FROM d""".stripMargin,
 

@@ -121,26 +121,40 @@ object Strategy {
     val solve = udf((xxFlat: Seq[Double], xyFlat: Seq[Double]) => {
       import org.apache.commons.math3.linear._
       val p = xyFlat.size
-      val m = new Array2DRowRealMatrix(p, p)
-      var idx = 0
-      var maxAbs = 0.0
-      for (i <- 0 until p; j <- i until p) {
-        m.setEntry(i, j, xxFlat(idx)); m.setEntry(j, i, xxFlat(idx))
-        maxAbs = math.max(maxAbs, math.abs(xxFlat(idx)))
-        idx += 1
+      if (p == 2) {
+        // single-regressor fast path: the SAME normalized-determinant
+        // guard and Cramer solve as the q_ep2_full DuckDB twin, in the
+        // same IEEE operation order — so the drop/keep decision AND the
+        // betas of a borderline-conditioned window are bit-identical
+        // across engines (a QR rDiag threshold and a determinant test
+        // are different criteria and can disagree at the boundary).
+        val n = xxFlat(0); val sx = xxFlat(1); val sxx = xxFlat(2)
+        val det = n * sxx - sx * sx
+        if (!(det > 1e-9 * (n * sxx + sx * sx))) null
+        else Seq((xyFlat(0) * sxx - sx * xyFlat(1)) / det,
+          (n * xyFlat(1) - sx * xyFlat(0)) / det)
+      } else {
+        val m = new Array2DRowRealMatrix(p, p)
+        var idx = 0
+        var maxAbs = 0.0
+        for (i <- 0 until p; j <- i until p) {
+          m.setEntry(i, j, xxFlat(idx)); m.setEntry(j, i, xxFlat(idx))
+          maxAbs = math.max(maxAbs, math.abs(xxFlat(idx)))
+          idx += 1
+        }
+        try {
+          // RELATIVE singularity threshold: the default exact-zero rDiag
+          // check only rejects bitwise-collinear windows, so a constant
+          // regressor whose determinant is pure fp summation noise would
+          // "solve" to garbage-huge betas — and which side of zero that
+          // noise lands on is engine-dependent (a latent oracle
+          // divergence). 1e-9 x the matrix scale drops anything
+          // conditioned worse than ~1e9, far above fp noise (~1e-16)
+          val beta = new QRDecomposition(m, 1e-9 * maxAbs).getSolver
+            .solve(new ArrayRealVector(xyFlat.toArray))
+          (0 until p).map(beta.getEntry)
+        } catch { case _: Exception => null }
       }
-      try {
-        // RELATIVE singularity threshold: the default exact-zero rDiag
-        // check only rejects bitwise-collinear windows, so a constant
-        // regressor whose determinant is pure fp summation noise would
-        // "solve" to garbage-huge betas — and which side of zero that
-        // noise lands on is engine-dependent (a latent oracle
-        // divergence). 1e-9 x the matrix scale drops anything
-        // conditioned worse than ~1e9, far above fp noise (~1e-16)
-        val beta = new QRDecomposition(m, 1e-9 * maxAbs).getSolver
-          .solve(new ArrayRealVector(xyFlat.toArray))
-        (0 until p).map(beta.getEntry)
-      } catch { case _: Exception => null }
     })
     val xxArr = array((for (i <- 0 to k; j <- i to k)
       yield col(s"xx_${i}_$j")): _*)

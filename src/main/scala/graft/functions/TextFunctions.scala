@@ -28,12 +28,16 @@ object TextFunctions {
     * tabs become separators instead of vanishing and joining words.
     * Every step is a codegen'd built-in or the native normalizer, and
     * every step is replayable in an RE2-regex SQL engine (the
-    * q_text_normalize oracle contract): `\s` is ASCII whitespace in
-    * BOTH Java and RE2, and `\p{Cc}\p{Cf}` are standard Unicode
-    * category classes in both. */
+    * q_text_normalize oracle contract). The whitespace class is spelled
+    * EXPLICITLY rather than `\s`: Java's `\s` includes U+000B (vertical
+    * tab) while RE2's does not, so `\s` would silently turn VT into a
+    * space here but strip it as Cc in an RE2 twin — joining words on
+    * one engine only. The explicit list pins Java-`\s` semantics
+    * (VT is a separator) on both. */
   def canonicalizeForDedup(text: Column): Column = {
     val nfc = normalizeUnicode(text, "NFC")
-    val ws = regexp_replace(nfc, "[\\s\\u00A0\\u2007\\u202F]+", " ")
+    val ws = regexp_replace(nfc,
+      "[ \\t\\n\\u000B\\f\\r\\u00A0\\u2007\\u202F]+", " ")
     val ctl = regexp_replace(ws, "[\\p{Cc}\\p{Cf}]", "")
     trim(lower(ctl))
   }

@@ -27,6 +27,8 @@ CORES = [4, 8, 16, 32]
 QUERIES = [
     "q_o1_sort", "q_dedup_jaccard", "q_minhash_lsh_pairs",
     "q_dup_clusters", "q_pagerank", "q_pq_ann", "q_bpe_train",
+    # finance core: the reference's own workload shape on the cores axis
+    "q_a1_oi", "q_m8_rolling_refit",
 ]
 
 
@@ -49,8 +51,10 @@ def run_bench(data_dir: str, cores: int) -> dict:
             cwd=cwd, env=env, capture_output=True, text=True, check=True)
         # read the COMPLETE per-query breakdown the child writes in its
         # cwd — the one-line stdout contract is size-limited and drops
-        # the fastest queries once the set grows
-        full = os.path.join(cwd, "bench_full.json")
+        # the fastest queries once the set grows. Subset runs (ONLY set)
+        # write bench_full_subset.json so they never clobber the repo's
+        # committed quiet reference.
+        full = os.path.join(cwd, "bench_full_subset.json")
         if os.path.exists(full):
             with open(full) as f:
                 return json.load(f)
@@ -80,8 +84,11 @@ def main() -> None:
         print(f"[cores] local[{c}]: total {r['value']:.1f} s", file=sys.stderr)
     lo, hi = str(CORES[0]), str(CORES[-1])
     ratio = CORES[-1] / CORES[0]
+    # clamp: times are serialized to 3 decimals, so a <0.5 ms query reads
+    # 0.000 and an unclamped ratio divides by zero after four clean runs
     per_q = {
-        q: round(runs[lo]["queries"][q] / runs[hi]["queries"][q], 2)
+        q: round(max(runs[lo]["queries"][q], 1e-3)
+                 / max(runs[hi]["queries"][q], 1e-3), 2)
         for q in QUERIES
     }
     speedup = round(runs[lo]["total"] / runs[hi]["total"], 2)

@@ -36,12 +36,16 @@ EOF
   exit 1
 fi
 
-# recursive: LOBSTER dumps often arrive as <archive-dir>/<ticker>/*.7z
+# recursive: LOBSTER dumps often arrive as <archive-dir>/<ticker>/*.7z.
+# dest is keyed by the archive's path RELATIVE to <archive-dir> (slashes
+# preserved), not the basename stem: AAPL/2015.7z and MSFT/2015.7z must
+# extract to distinct dirs, not silently merge into one "2015".
 found=0
 while IFS= read -r -d '' a; do
   found=1
-  stem=$(basename "$a" .7z)
-  dest="$OUT_DIR/$stem"
+  rel=${a#"$ARCHIVE_DIR"/}
+  rel=${rel%.7z}
+  dest="$OUT_DIR/$rel"
   mkdir -p "$dest"
   echo "extracting $a -> $dest"
   "$SEVENZ" x -y -o"$dest" "$a" >/dev/null
