@@ -128,7 +128,9 @@ object ScaleBench {
     // reused against a mismatched 1x baseline and every slope would
     // compare different datasets
     val marker = new java.io.File(s"$outDir/_BUILT")
-    val tag = s"src=${new java.io.File(srcDir).getAbsolutePath} k=$k"
+    // v2: user-id copy shift moved to 10^12 (streaming-probe range fix);
+    // the version in the tag forces stale v1 builds to regenerate
+    val tag = s"src=${new java.io.File(srcDir).getAbsolutePath} k=$k v2"
     if (marker.exists() && new String(java.nio.file.Files.readAllBytes(
         marker.toPath), "UTF-8").trim == tag) return
     val copies = 0 until k

@@ -89,10 +89,22 @@ object Bpe {
     * to the lexicographically smaller "a b" pair. Throws if the corpus
     * runs out of adjacent pairs before `rounds` merges (every word
     * fully merged) — callers pick `rounds` << total pair mass. */
-  def train(docs: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
+  def train(docs: DataFrame, textCol: String, rounds: Int,
+            statePartitions: Int = 4): Seq[Merge] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(statePartitions >= 1,
+      s"statePartitions must be >= 1, got $statePartitions")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var state = wordCounts(docs, textCol).persist(lvl)
+    // the VOCAB frame (distinct tokens), not the corpus, is the round
+    // state — orders of magnitude smaller than the scan that built it.
+    // Left at the corpus shuffle width, every one of the ~rounds
+    // sequential argmax jobs launches that many near-empty tasks, and
+    // the 4->32-core strong-scaling probe measured wall time RISING
+    // with cores on pure launch overhead. Coalesce once (narrow, no
+    // shuffle); later withColumn rounds inherit the width. Callers with
+    // genuinely huge vocabs raise `statePartitions`.
+    var state = wordCounts(docs, textCol).coalesce(statePartitions)
+      .persist(lvl)
     // deferred-unpersist round structure: ONE Spark job per round (the
     // argmax), not two. Round r's argmax both materializes state r's
     // cache and is the last reader of state r-1, so r-1 unpersists right

@@ -37,7 +37,10 @@ import graft.core.Prep
   * no float rounding to diverge on. NULL-ts rows rank first (the
   * timeOrderSeq contract) and can never be purged/embargoed (no time
   * to overlap with) — they are test in their own fold, train
-  * elsewhere.
+  * elsewhere. Role rows are emitted per NON-EMPTY fold: in the
+  * degenerate n < k case the high folds receive no rows, so no test
+  * view exists for them (PurgedSplitPropertySpec pins this against a
+  * brute-force reference).
   *
   * Scale: one two-level ordinal scan, one k-row fold-extent aggregate
   * broadcast back, and a row-local role CASE per fold. The k× output
