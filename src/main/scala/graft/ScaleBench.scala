@@ -104,6 +104,13 @@ object ScaleBench {
       ("q_w3_rolling", q("q_w3_rolling"), null), // per-key feature window
       ("q_m8_rolling_refit", q("q_m8_rolling_refit"), null), // rolling OLS
       ("q_ep2_full", q("q_ep2_full"), null),     // full M8→M11→M10 chain
+      // EP1/EP3 (r15): the reference's PRIMARY workload composed through
+      // Pipelines.ep1/ep3ClOpSignal. Inflated events multiply rows per
+      // (ticker, day, bin) while the panel surface stays fixed, so the
+      // chains must stay scan/partial-agg-dominated — a regression to a
+      // bin-level window or a non-broadcast dim join would show here
+      ("q_ep1_full", q("q_ep1_full"), null),
+      ("q_ep3_full", q("q_ep3_full"), null),
       // SemDeDup both faces (embeddings)
       ("q_semdedup_fixedk", q("q_semdedup"),
         "fixed k=4 configuration: cell size grows with n, within-cell " +

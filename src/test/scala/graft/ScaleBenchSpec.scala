@@ -41,7 +41,7 @@ class ScaleBenchSpec extends SparkSpec {
     java.nio.file.Files.write(marker, "src=/somewhere/else k=2\n".getBytes)
     ScaleBench.inflate(spark, src, out, 2) // stale tag => rebuild + re-tag
     val tag = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
-    assert(tag == s"src=${new java.io.File(src).getAbsolutePath} k=2")
+    assert(tag == s"src=${new java.io.File(src).getAbsolutePath} k=2 v2")
     assert(spark.read.parquet(s"$out/events.parquet").count() ==
       2 * spark.read.parquet(s"$src/events.parquet").count())
   }
