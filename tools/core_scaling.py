@@ -45,9 +45,14 @@ def run_bench(data_dir: str, cores: int) -> dict:
         "SPARK_GRAFT_ONLY": ",".join(QUERIES),
     })
     cp = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
+    # 48g, not 16g: the x64 probe at 4 cores OOMed a 16g heap (r14,
+    # recorded in SCALE.md) — fewer cores means fewer but BIGGER
+    # concurrent task slices under the pinned 32-partition plan, and the
+    # heap must hold the worst slice set at every core count
+    heap = os.environ.get("SPARK_GRAFT_HEAP", "48g")
     with tempfile.TemporaryDirectory(prefix=f"corescale-{cores}-") as cwd:
         out = subprocess.run(
-            ["java", "-cp", cp, "-Xmx16g", "graft.Bench"],
+            ["java", "-cp", cp, f"-Xmx{heap}", "graft.Bench"],
             cwd=cwd, env=env, capture_output=True, text=True, check=True)
         # read the COMPLETE per-query breakdown the child writes in its
         # cwd — the one-line stdout contract is size-limited and drops
