@@ -105,11 +105,25 @@ object Bench {
     val calib = (1 to 3).map(_ => calibOnce()).min
     def fmt(v: Double): String = f"$v%.3f"
 
+    // between-query block hygiene: clearCache drops SQL-cached plans,
+    // but localCheckpoint blocks (graph/CC final frames) are RDD-level
+    // and survive it — across a 239-query run they accumulate until
+    // driver GC, squeezing the unified memory pool (measured at x64:
+    // late heavy queries 1.3-2x slower in a long session than fresh).
+    // Between independent query invocations every persistent RDD is
+    // either recomputable (plain persist) or never read again (a
+    // completed invocation's checkpoint), so dropping all is safe.
+    def dropAllBlocks(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       // drop persisted blocks a query left behind so later warmups don't
       // inherit its memory pressure
-      spark.sharedState.cacheManager.clearCache()
+      dropAllBlocks()
     }
 
     // min-of-N per query: single-shot times at these scale factors swing
@@ -142,7 +156,7 @@ object Bench {
         // outside the timer: a query's own persist cost is measured above,
         // but its cached blocks must not degrade the NEXT run (round-2
         // bench showed cross-query GC pressure inflating unrelated queries)
-        spark.sharedState.cacheManager.clearCache()
+        dropAllBlocks()
         if (ok) Some(d) else None
       }
       times.reduceOption(_ min _)

@@ -101,6 +101,11 @@ object DupClusters {
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val cur = checksum(next)
+      // the prior round's frame is fully consumed by next's eager
+      // materialization — free it (graft.core.Lineage: O(1) in-flight
+      // checkpoint frames, not O(rounds)); the returned labels read
+      // only the FINAL round's blocks
+      graft.core.Lineage.unpersistCheckpoint(edges)
       converged = cur == prev
       prev = cur
       edges = next

@@ -147,6 +147,11 @@ object Graph {
     var ranks = nodes
       .withColumn("r", when(isSeed, lit(Pico / recv)).otherwise(lit(0L)))
       .localCheckpoint()
+    // superseded-round hygiene (graft.core.Lineage): each eager
+    // checkpoint's last reader is the NEXT round's materialization, so
+    // the previous round frees the moment `next` exists — in-flight
+    // checkpoint storage is O(1) rank frames, not O(iterations)
+    var prevCp = ranks
     var it = 0
     var lastDelta: Option[Long] = None
     var converged = false
@@ -186,9 +191,16 @@ object Graph {
         lastDelta = Some(delta)
         converged = delta <= convergeEpsPico
       }
+      graft.core.Lineage.unpersistCheckpoint(prevCp)
+      prevCp = next
       ranks = next.select("node", "r")
       it += 1
     }
+    // static per-run frames: every reader ran inside the loop; the
+    // returned projection reads only the LAST round's checkpoint
+    graft.core.Lineage.unpersistCheckpoint(nodes)
+    graft.core.Lineage.unpersistCheckpoint(eDeg)
+    graft.core.Lineage.unpersistCheckpoint(srcSet)
     PageRankRun(
       ranks.select(col("node"), col("r").as("rank_pico"),
         (col("r").cast("double") / lit(Pico.toDouble)).as("rank")),
@@ -235,6 +247,9 @@ object Graph {
         .join(keep, adj("b") === keep("__keep"), "left_semi")
         .localCheckpoint()
       val m = next.count()
+      // the peeled frame's last reader was next's materialization —
+      // free it now (Lineage: O(1) in-flight frames, not O(peels))
+      graft.core.Lineage.unpersistCheckpoint(adj)
       converged = m == nEdges
       adj = next
       nEdges = m
@@ -453,9 +468,18 @@ object Graph {
           "left_anti")
         .withColumn("d", lit(h))
         .localCheckpoint()
-      known = known.union(nxt).localCheckpoint()
+      val grown = known.union(nxt).localCheckpoint()
+      // prior level's frames are fully consumed once `grown` exists
+      // (at h=2 frontier IS known — double-unpersist is a no-op)
+      graft.core.Lineage.unpersistCheckpoint(known)
+      graft.core.Lineage.unpersistCheckpoint(frontier)
+      known = grown
       frontier = nxt
     }
+    graft.core.Lineage.unpersistCheckpoint(adj)
+    // the final frontier is superseded too — unless maxHops == 1, where
+    // it IS the returned `known`
+    if (!(frontier eq known)) graft.core.Lineage.unpersistCheckpoint(frontier)
     known.groupBy("node").agg(
       count(lit(1)).as("n_reachable"),
       sum((lit(1.0) / col("d").cast("double")).cast("decimal(18,8)"))
