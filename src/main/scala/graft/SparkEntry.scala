@@ -517,6 +517,39 @@ object SparkEntry {
       s"generate_series(1, length($e)), i -> unicode(substr($e, i, 1))" +
       s"::BIGINT), (a, b) -> (a * 31 + b) % 2147483648) END"
 
+  /** The quality-classifier gates' held-out-split predicate (seed 12,
+    * rate 0.3) — the [[graft.operators.Sampling.hashSplitTag]] twin. */
+  private def QClsSplitSql: String =
+    s"${HashSql("doc_id", 12L)} < ${Sampling.threshold(0.3)}"
+
+  /** DuckDB twin of the quality-classifier SCORING fold (r16): reads
+    * the per-run weight fixture at `wdir` (written by the gate in this
+    * same process), rebuilds the portable-hash margin left-fold over
+    * the held-out split in TOKEN ORDER — identical adds on identical
+    * doubles, so the margin is bit-exact cross-engine. Ends in
+    * `qm(doc_id, margin)`. */
+  private def QClsMarginCtes(wdir: String): String =
+    s"""wt AS (SELECT idx, w FROM read_parquet('$wdir/*.parquet')),
+       |warr AS (SELECT list(w ORDER BY idx) AS arr FROM wt WHERE idx >= 0),
+       |icept AS (SELECT w AS b0 FROM wt WHERE idx = -1),
+       |qtoks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents WHERE $QClsSplitSql),
+       |qtok AS (
+       |  SELECT doc_id, unnest(t) AS tok,
+       |    generate_subscripts(t, 1) AS ord
+       |  FROM qtoks),
+       |qw AS (
+       |  SELECT doc_id, ord, arr[((${
+           Mix31Sql(StringKey31Sql("tok"), QClsSeed.toString)
+         }) % $QClsFeatures) + 1] AS w
+       |  FROM qtok, warr),
+       |qm AS (
+       |  SELECT doc_id, list_reduce(
+       |      [(SELECT b0 FROM icept)] || list(w ORDER BY ord),
+       |      (a, b) -> a + b) AS margin
+       |  FROM qw GROUP BY doc_id)""".stripMargin
+
   /** DuckDB twin of [[graft.operators.Dedup.minHashSignaturePortable]]:
     * CTE chain ending in `sigs(doc_id, sig)` — distinct 3-word shingles,
     * base-31 string keys, per-slot mix31 draws, min per slot, the k
@@ -1123,9 +1156,18 @@ object SparkEntry {
        |      THEN ln(last_mid / first_mid) END AS log_ret
        |  FROM dense)""".stripMargin
 
+  /** Per-process tag keying every artifact-WRITING gate's scratch path
+    * (S4/S5/S8/S9/S10): two concurrent Verify/Bench JVMs must not
+    * cross-read each other's fixtures, and a stale artifact left by a
+    * crashed run must not satisfy a later one. The tag is interpolated
+    * into the oracle SQL this same process dumps, so the DuckDB check
+    * always reads THIS run's artifacts. */
+  private val RunTag =
+    s"${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(System.nanoTime())}"
+
   // ---- S5 FF CSV fixture (shared by query + oracle; see q_s5_ff_csv) ----
 
-  private val FfFixturePath = "/tmp/graft_ff_fixture.csv"
+  private val FfFixturePath = s"/tmp/graft_ff_fixture_$RunTag.csv"
   private val FfFixtureCsv =
     """This file mirrors the Ken-French data library daily-factor layout
       |Daily factors in percent; the annual section at the bottom is dropped
@@ -1140,11 +1182,36 @@ object SparkEntry {
       |""".stripMargin
 
   /** S4 multi-file glob fixture dir (shared by query + oracle). */
-  private val MultiCsvDir = "/tmp/graft_multi_csv"
+  private val MultiCsvDir = s"/tmp/graft_multi_csv_$RunTag"
 
   // ---- S8 gzip CSV fixture (shared by query + oracle) ----
 
-  private val GzFixturePath = "/tmp/graft_prices_fixture.csv.gz"
+  private val GzFixturePath = s"/tmp/graft_prices_fixture_$RunTag.csv.gz"
+
+  /** S9 CSV sink dir (shared by query + oracle). */
+  private val CsvSinkDir = s"/tmp/graft_csv_sink_$RunTag"
+
+  /** Quality-classifier oracle faces (r16): per-run weight-fixture dirs
+    * — one per gate, so each stays self-contained under
+    * SPARK_GRAFT_ONLY subsets — plus the shared portable-hash
+    * parameters. The gate trains, persists the learned weights, and
+    * the oracle re-reads THIS run's fixture to replay the scoring
+    * fold in SQL. */
+  private val QClsWeightsDir = s"/tmp/graft_qcls_weights_$RunTag"
+  private val QScoreWeightsDir = s"/tmp/graft_qscore_weights_$RunTag"
+  private val QClsFeatures = 512
+  private val QClsSeed = 7L
+
+  /** Persist a trained LinearScorer as (idx, w) parquet rows — idx -1
+    * carries the intercept — the oracle-side fixture. */
+  private def writeScorer(s: SparkSession,
+                          scorer: graft.ml.QualityClassifier.LinearScorer,
+                          path: String): Unit = {
+    import s.implicits._
+    (scorer.weights.toSeq.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) } :+ ((-1L, scorer.intercept)))
+      .toDF("idx", "w").coalesce(1).write.mode("overwrite").parquet(path)
+  }
   private val GzFixtureCsv =
     """AAPL,190.5,100
       |MSFT,410.25,50
@@ -2160,15 +2227,23 @@ object SparkEntry {
     //     caching path and every per-delta panel are under the oracle ---
     "q_ep1_multidelta" -> ((s, dir) => {
       val deltas = Seq(M15, M30)
-      val panels = graft.domain.Pipelines.ep1MultiDelta(
+      val run = graft.domain.Pipelines.ep1MultiDelta(
         ep1LobsterFrame(s, dir), deltas, kind = "vis")
-      deltas.map { d =>
-        panels(d).groupBy(col("ticker")).agg(
+      val out = deltas.map { d =>
+        run.panels(d).groupBy(col("ticker")).agg(
             count(lit(1)).as("n_bins"),
             sum(when(col("log_ret").isNull, 1L).otherwise(0L)).as("n_empty"),
             r6(sum(col("order_imbalance_vis"))).as("oi_sum_micro"))
           .withColumn("delta_min", lit(d / (60L * 1000000000L)))
       }.reduce(_ unionByName _)
+      // materialize the (tiny, aggregated) result while the shared
+      // feature frame is still cached, then RELEASE it — the operator's
+      // ownership contract (MultiDeltaPanels.release); without this the
+      // featured corpus stays pinned for the caller session's lifetime
+      out.persist()
+      out.count()
+      run.release()
+      out
     }),
 
     // --- EP3 end-to-end (`trading_strategy.py:469-524` via
@@ -2672,11 +2747,18 @@ object SparkEntry {
           col("n_tokens_clean"))
     }),
 
-    // --- LLM ops: fastText-style quality classifier (rows-only ML
-    //     gate): train LR on hashed BoW against a planted label (the
-    //     quality heuristic at 0.6 — ~50/50 at these SFs), score the
-    //     held-out split with the PURE-COLUMN scorer, gate on accuracy.
-    //     Train/deploy share pmod(hash(token), n) by construction ---
+    // --- LLM ops: fastText-style quality classifier — FULLY ORACLED
+    //     since r16 (was rows-only): train LR on PORTABLE-hashed BoW
+    //     (mix31∘stringKey31 — same accuracy as the Murmur3 production
+    //     face, reproducible in plain SQL) against the planted label
+    //     (quality heuristic at 0.6 — ~50/50 at these SFs), persist the
+    //     LEARNED weights as a per-run parquet fixture, score the
+    //     held-out split with the pure-Column margin fold. The oracle
+    //     re-reads THIS run's weights and replays split, label, fold,
+    //     and the accuracy gate in SQL — any hash, fold-order, or
+    //     weight-persist drift hash-misses. The TRAINING remains an
+    //     iterative ML fit (not SQL-expressible); what graduated is
+    //     everything downstream of the learned weights ---
     "q_quality_classifier" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).withColumn("label",
         (TextFunctions.qualityScore(col("text")) >= 0.6).cast("double"))
@@ -2684,11 +2766,13 @@ object SparkEntry {
       val trainDf = tagged.filter(!col("is_test"))
       val nTrain = trainDf.count()
       val scorer = graft.ml.QualityClassifier.train(trainDf, "text", "label",
-        numFeatures = 512, maxIter = 30)
+        numFeatures = QClsFeatures, maxIter = 30,
+        portableSeed = Some(QClsSeed))
+      writeScorer(s, scorer, QClsWeightsDir)
+      val margin = graft.ml.QualityClassifier.marginExpr(col("text"),
+        scorer, Some(QClsSeed))
       tagged.filter(col("is_test"))
-        .withColumn("__pred",
-          (graft.ml.QualityClassifier.scoreExpr(col("text"), scorer) >= 0.5)
-            .cast("double"))
+        .withColumn("__pred", (margin >= 0.0).cast("double"))
         .agg(count(lit(1)).as("n_test"),
           sum(when(col("__pred") === col("label"), 1L).otherwise(0L))
             .as("__correct"))
@@ -2696,6 +2780,33 @@ object SparkEntry {
           lit(nTrain).as("n_train"), col("n_test"),
           (col("__correct") >= col("n_test") * lit(0.7))
             .as("beats_planted"))
+    }),
+
+    // --- LLM ops: the classifier's per-document SCORING face — the
+    //     decision margin per held-out doc, oracled ROW BY ROW (a far
+    //     finer hash surface than the aggregate accuracy gate: one
+    //     mis-hashed token anywhere moves some margin_micro). The
+    //     margin, not the sigmoid, is the gated number: pure +/index
+    //     arithmetic over the persisted weights is bit-identical on
+    //     any IEEE engine folding the same token order, where exp()
+    //     may differ in the last ULP; margin >= 0 IS the prob >= 0.5
+    //     keep decision, also emitted. Trains its own scorer and
+    //     writes its own fixture so the gate stays self-contained
+    //     under SPARK_GRAFT_ONLY subsets ---
+    "q_quality_score_oracle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("label",
+        (TextFunctions.qualityScore(col("text")) >= 0.6).cast("double"))
+      val tagged = Sampling.hashSplitTag(docs, "doc_id", 0.3, seed = 12L)
+      val scorer = graft.ml.QualityClassifier.train(
+        tagged.filter(!col("is_test")), "text", "label",
+        numFeatures = QClsFeatures, maxIter = 30,
+        portableSeed = Some(QClsSeed))
+      writeScorer(s, scorer, QScoreWeightsDir)
+      val margin = graft.ml.QualityClassifier.marginExpr(col("text"),
+        scorer, Some(QClsSeed))
+      tagged.filter(col("is_test"))
+        .select(col("doc_id"), r6(margin).as("margin_micro"),
+          (margin >= 0.0).as("keep"))
     }),
 
     // --- LLM ops: corpus snapshot diff + per-source churn (derived
@@ -3359,7 +3470,7 @@ object SparkEntry {
     // --- S9: CSV sink round-trip — writeCsv (header, overwrite-per-folder,
     //     prediction_ML_pipeline.py:366-374), read back by both engines ---
     "q_s9_csv_sink" -> ((s, dir) => {
-      val path = "/tmp/graft_csv_sink"
+      val path = CsvSinkDir
       val agg = eventsNs(s, dir).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
       // one part file: the oracle's glob must not see empty parts
@@ -4398,7 +4509,7 @@ object SparkEntry {
       val d = mlPlanted(s, dir)
       val model = graft.ml.DirectionModel.logisticPipeline(MlGateCols)
         .fit(d.filter(!col("is_test")))
-      val path = "/tmp/graft_model_io"
+      val path = s"/tmp/graft_model_io_$RunTag"
       AuxSources.saveModel(model, path)
       val reloaded = AuxSources.loadModel(path)
       val test = d.filter(col("is_test"))
@@ -7088,7 +7199,7 @@ object SparkEntry {
 
     "q_s9_csv_sink" ->
       s"""SELECT event_type, n
-         |FROM read_csv('/tmp/graft_csv_sink/*.csv', header=true,
+         |FROM read_csv('$CsvSinkDir/*.csv', header=true,
          |  columns={'event_type': 'VARCHAR', 'n': 'BIGINT'},
          |  delim=',', quote='"', auto_detect=false)""".stripMargin,
 
@@ -7530,6 +7641,58 @@ object SparkEntry {
          |      - LEAST(upper_ratio * 2.0, 0.5))) AS quality
          |  FROM m)
          |SELECT doc_id, ${R6("quality")} AS quality_micro FROM q""".stripMargin,
+
+    // q_quality_classifier twin (r16, graduated from rows-only): the
+    // gate persisted its LEARNED weights to a per-run fixture; the
+    // oracle replays split, portable-hash margin fold, planted label
+    // (the q_quality_score quality chain at 0.6), and the accuracy
+    // gate. (margin >= 0) IS the prob >= 0.5 decision, and the planted
+    // label's 0.6 compare is exact because both engines compute the
+    // identical IEEE quality chain.
+    "q_quality_classifier" ->
+      s"""WITH ${QClsMarginCtes(QClsWeightsDir)},
+         |qs_t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(trim(text), '\\s+') AS toks,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+         |  FROM documents WHERE $QClsSplitSql),
+         |qs_m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(ltoks, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','are','was',
+         |       'it','that','this','for','on','with','as','at','by','be'],
+         |      x))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(length(regexp_replace(text,
+         |      '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         |      AS DOUBLE) / length(text) AS upper_ratio
+         |  FROM qs_t),
+         |qs_q AS (
+         |  SELECT doc_id,
+         |    GREATEST(0.0, LEAST(1.0,
+         |      0.5 * (LEAST(nt / 50.0, 1.0) *
+         |        CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END)
+         |      + 0.5 * LEAST(stop_ratio * 4.0, 1.0)
+         |      - LEAST(punct_ratio * 2.0, 0.5)
+         |      - LEAST(upper_ratio * 2.0, 0.5))) AS quality
+         |  FROM qs_m)
+         |SELECT 'hashed_bow_lr' AS model,
+         |  (SELECT COUNT(*) FROM documents WHERE NOT ($QClsSplitSql))
+         |    AS n_train,
+         |  COUNT(*) AS n_test,
+         |  SUM(CASE WHEN (margin >= 0) = (quality >= 0.6)
+         |    THEN 1 ELSE 0 END) >= COUNT(*) * 0.7 AS beats_planted
+         |FROM qm JOIN qs_q USING (doc_id)""".stripMargin,
+
+    // q_quality_score_oracle twin: the per-document margin face — same
+    // fixture-fold machinery, gated row by row
+    "q_quality_score_oracle" ->
+      s"""WITH ${QClsMarginCtes(QScoreWeightsDir)}
+         |SELECT doc_id, ${R6("margin")} AS margin_micro,
+         |  margin >= 0 AS keep
+         |FROM qm""".stripMargin,
 
     // q_quality_score's chain + the lookahead-free BPE-ish count (every
     // non-alnum non-\s code point opens a piece, plus every alnum run

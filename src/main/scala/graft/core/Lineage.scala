@@ -26,13 +26,18 @@ import org.apache.spark.sql.DataFrame
 object Lineage {
 
   /** Free the storage blocks behind a frame RETURNED BY
-    * `localCheckpoint` (its analyzed plan is a LogicalRDD leaf holding
-    * the pinned RDD). The frame must never be read again — checkpoint
-    * blocks are NOT recomputable, lineage is truncated by design.
-    * No-op on frames that are not checkpoint leaves, so callers can
-    * pass a handle unconditionally. */
+    * `localCheckpoint` — i.e. whose analyzed plan ROOT is the
+    * LogicalRDD leaf holding the pinned RDD. The frame must never be
+    * read again — checkpoint blocks are NOT recomputable, lineage is
+    * truncated by design. No-op on anything else, including COMPOSITE
+    * plans that merely CONTAIN a checkpoint leaf (a join or projection
+    * over a still-live checkpoint must not free that checkpoint's
+    * blocks out from under it), so callers can pass a handle
+    * unconditionally. */
   def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

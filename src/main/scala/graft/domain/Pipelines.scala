@@ -40,20 +40,35 @@ object Pipelines {
     (withRet, fits)
   }
 
+  /** Handle to a multi-delta fan-out: the per-delta panels plus the
+    * RELEASE for the shared persisted feature frame backing them. The
+    * operator persists on the caller's behalf, so the caller owns the
+    * frame's lifetime: call `release()` once the panels are
+    * materialized (or abandoned) — at 100 TB an un-released feature
+    * frame is a full featured corpus pinned until the session ends.
+    * Release is always safe: panels evaluated AFTER it simply
+    * recompute the feature frame instead of reading the cache. */
+  final case class MultiDeltaPanels(panels: Map[Long, DataFrame],
+                                    release: () => Unit)
+
   /** EP1 stage-4 fan-out: one cached feature frame, panels for MANY deltas
     * computed off it (the reference loops deltas re-reading raw CSVs;
-    * here the scan+features run once — SURVEY §4.1 caching note). */
+    * here the scan+features run once — SURVEY §4.1 caching note).
+    * Returns a [[MultiDeltaPanels]] — the caller MUST invoke its
+    * `release()` when done with the panels. */
   def ep1MultiDelta(prepped: DataFrame, deltaNs: Seq[Long],
                     kind: String = "vis")
-      : Map[Long, DataFrame] = {
+      : MultiDeltaPanels = {
     val featured = Features.addMicrostructure(prepped)
       .withColumn("pred_prob",
         when(col("direction") === -1, 0.0).otherwise(1.0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    deltaNs.map { d =>
+    val panels = deltaNs.map { d =>
       d -> Returns.addLogReturns(
         Oi.densifyPanel(Oi.panel(featured, d, kind), d), deltaNs = d)
     }.toMap
+    MultiDeltaPanels(panels,
+      () => { featured.unpersist(blocking = false); () })
   }
 
   /** EP2 portfolio strategy over a precomputed multi-ticker OI panel

@@ -41,35 +41,57 @@ object QualityClassifier {
     def numFeatures: Int = weights.length
   }
 
-  /** Hashed-token feature indices, the SHARED train/deploy hash. */
-  private def featureIdx(text: Column, numFeatures: Int): Column =
+  /** Hashed-token feature indices, the SHARED train/deploy hash.
+    * `portableSeed = None` uses SQL Murmur3 `hash()` (the production
+    * face — fastest codegen path); `Some(seed)` uses the engine-portable
+    * mix31∘stringKey31 chain from [[graft.operators.Sampling]] so the
+    * whole scoring fold is reproducible in plain SQL on another engine
+    * (the DuckDB oracle face — same accuracy, pricier per token). */
+  private def featureIdx(text: Column, numFeatures: Int,
+                         portableSeed: Option[Long]): Column =
     transform(
       coalesce(TextFunctions.tokens(lower(text)),
         array().cast("array<string>")),
-      t => pmod(hash(t), lit(numFeatures)))
+      t => tokenIdx(t, numFeatures, portableSeed))
+
+  /** One token's hashed feature index in [0, numFeatures). */
+  private def tokenIdx(tok: Column, numFeatures: Int,
+                       portableSeed: Option[Long]): Column =
+    portableSeed match {
+      case None => pmod(hash(tok), lit(numFeatures)).cast("long")
+      case Some(seed) =>
+        graft.operators.Sampling.mix31(
+          graft.operators.Sampling.stringKey31(tok), lit(seed)) %
+          lit(numFeatures.toLong)
+    }
 
   private[ml] def featurize(df: DataFrame, textCol: String,
-                            numFeatures: Int): DataFrame = {
-    val toVec = udf((idxs: Seq[Int]) => {
+                            numFeatures: Int,
+                            portableSeed: Option[Long] = None): DataFrame = {
+    val toVec = udf((idxs: Seq[Long]) => {
       val a = new Array[Double](numFeatures)
-      if (idxs != null) idxs.foreach(i => a(i) += 1.0)
+      if (idxs != null) idxs.foreach(i => a(i.toInt) += 1.0)
       org.apache.spark.ml.linalg.Vectors.dense(a)
     })
     df.withColumn("features",
-      toVec(featureIdx(col(textCol), numFeatures)))
+      toVec(featureIdx(col(textCol), numFeatures, portableSeed)
+        .cast("array<long>")))
   }
 
   /** Train on (textCol, labelCol in {0.0, 1.0}); returns the dense
     * scorer. numFeatures is the hash width — collisions are part of the
-    * model (train and deploy share them by construction). */
+    * model (train and deploy share them by construction).
+    * `portableSeed`: see [[featureIdx]] — must match the one handed to
+    * [[scoreExpr]]. */
   def train(df: DataFrame, textCol: String, labelCol: String,
             numFeatures: Int = 1024, maxIter: Int = 50,
-            regParam: Double = 1e-4): LinearScorer = {
+            regParam: Double = 1e-4,
+            portableSeed: Option[Long] = None): LinearScorer = {
     val lr = new LogisticRegression().setMaxIter(maxIter)
       .setRegParam(regParam).setFeaturesCol("features")
       .setLabelCol(labelCol)
     val model: LogisticRegressionModel =
-      lr.fit(featurize(df, textCol, numFeatures))
+      lr.fit(featurize(df, textCol, numFeatures, portableSeed))
     LinearScorer(model.coefficients.toArray, model.intercept)
   }
 
@@ -79,23 +101,35 @@ object QualityClassifier {
     * the dot product with HashingTF's term-frequency vector. Empty/null
     * docs score sigmoid(intercept) (the model's prior), matching ml's
     * all-zero feature vector. */
-  def scoreExpr(text: Column, scorer: LinearScorer): Column = {
-    val n = scorer.numFeatures
+  def scoreExpr(text: Column, scorer: LinearScorer,
+                portableSeed: Option[Long] = None): Column = {
+    val margin = marginExpr(text, scorer, portableSeed)
+    (lit(1.0) / (lit(1.0) + exp(-margin))).as("quality_prob")
+  }
+
+  /** The raw decision margin (pre-sigmoid): intercept + the left-fold
+    * weight sum in TOKEN ORDER. Unlike the sigmoid (whose `exp` may
+    * differ in the last ULP across engines), the margin is pure +/index
+    * arithmetic over the stored weights — bit-identical on any IEEE
+    * engine folding the same token order, which is what the DuckDB
+    * oracle face gates. margin >= 0 IS the prob >= 0.5 decision. */
+  def marginExpr(text: Column, scorer: LinearScorer,
+                 portableSeed: Option[Long] = None): Column = {
     val wArr = array(scorer.weights.map(lit): _*)
     // bind tokens once (1-element transform idiom) so the tokenizer
     // regex runs once per row, not once per token lookup
     val perDoc = transform(array(TextFunctions.tokens(lower(text))), t =>
       aggregate(coalesce(t, array().cast("array<string>")),
         lit(scorer.intercept),
-        (acc, tok) => acc +
-          element_at(wArr, pmod(hash(tok), lit(n)) + 1)))
-    val margin = element_at(perDoc, 1)
-    (lit(1.0) / (lit(1.0) + exp(-margin))).as("quality_prob")
+        (acc, tok) => acc + element_at(wArr,
+          tokenIdx(tok, scorer.numFeatures, portableSeed).cast("int") + 1)))
+    element_at(perDoc, 1)
   }
 
   /** Keep documents scoring at or above `minProb` — the corpus-side
     * filter pass. Row-local, zero shuffles. */
   def filterByScore(df: DataFrame, textCol: String, scorer: LinearScorer,
-                    minProb: Double): DataFrame =
-    df.filter(scoreExpr(col(textCol), scorer) >= minProb)
+                    minProb: Double,
+                    portableSeed: Option[Long] = None): DataFrame =
+    df.filter(scoreExpr(col(textCol), scorer, portableSeed) >= minProb)
 }

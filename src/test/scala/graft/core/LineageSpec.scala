@@ -20,6 +20,15 @@ class LineageSpec extends SparkSpec {
     assert(pinned.nonEmpty, "localCheckpoint pinned no RDD?")
     // a plain plan (no checkpoint leaf) is a no-op, not an error
     Lineage.unpersistCheckpoint(spark.range(5).toDF("id"))
+    // a COMPOSITE plan over the live checkpoint (projection/filter) is
+    // also a no-op — it must NOT free the underlying checkpoint blocks
+    Lineage.unpersistCheckpoint(cp.select(col("id") * 2 as "x"))
+    Lineage.unpersistCheckpoint(
+      cp.filter(col("id") < 10).join(spark.range(3).toDF("id"), "id"))
+    assert((pinnedIds -- before) == pinned,
+      "a composite plan over a checkpoint freed (or pinned) blocks")
+    // the checkpoint is still fully readable after those no-ops
+    assert(cp.count() == 1000)
     Lineage.unpersistCheckpoint(cp)
     assert((pinnedIds -- before).isEmpty,
       "checkpoint blocks survived unpersistCheckpoint")

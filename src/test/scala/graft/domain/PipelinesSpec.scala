@@ -22,11 +22,23 @@ class PipelinesSpec extends SparkSpec {
   }
 
   test("EP1 multi-delta fan-out computes panels per delta off one frame") {
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val m = Pipelines.ep1MultiDelta(prepped,
       Seq(5L * 60 * 1000000000L, 15L * 60 * 1000000000L))
-    assert(m.size == 2)
-    assert(m(5L * 60 * 1000000000L).count() == 65)
-    assert(m(15L * 60 * 1000000000L).count() == 21) // 22 bins - last
+    assert(m.panels.size == 2)
+    assert(m.panels(5L * 60 * 1000000000L).count() == 65)
+    assert(m.panels(15L * 60 * 1000000000L).count() == 21) // 22 bins - last
+    // ownership contract: release() frees the shared feature frame the
+    // operator persisted on our behalf — nothing NEW stays pinned
+    // (the suite fixture's own cache is excluded via the before-set)
+    m.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      .diff(pinnedBefore)
+    assert(leaked.isEmpty,
+      s"ep1MultiDelta left ${leaked.size} pinned RDDs after release()")
+    // panels remain READABLE after release (recompute path, no
+    // block-not-found): release truncates no lineage
+    assert(m.panels(5L * 60 * 1000000000L).count() == 65)
   }
 
   test("EP3 ClOp signal composes daily OI + bars + params") {

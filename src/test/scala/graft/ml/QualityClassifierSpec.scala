@@ -78,6 +78,39 @@ class QualityClassifierSpec extends SparkSpec {
     assert(kept.length > 150) // most prose survives
   }
 
+  test("portable face: expr matches ml transform, classes still separate, " +
+    "margin sign == prob >= 0.5") {
+    val d = corpus(300)
+    val seed = Some(7L)
+    val feats = QualityClassifier.featurize(d, "text", 256,
+      portableSeed = seed)
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(30).setRegParam(1e-4).setLabelCol("label")
+    val model = lr.fit(feats)
+    val scorer = QualityClassifier.LinearScorer(
+      model.coefficients.toArray, model.intercept)
+    val mlProbs = model.transform(feats)
+      .select(col("doc_id"), col("probability")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.DenseVector](1)(1)).toMap
+    val rows = d.select(col("doc_id"),
+        QualityClassifier.scoreExpr(col("text"), scorer, seed),
+        QualityClassifier.marginExpr(col("text"), scorer, seed)).collect()
+    rows.foreach { r =>
+      val (id, p, m) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      assert(math.abs(p - mlProbs(id)) < 1e-9,
+        s"doc $id: ml ${mlProbs(id)} vs portable expr $p")
+      assert((m >= 0.0) == (p >= 0.5), s"doc $id: margin/prob disagree")
+    }
+    // the portable hash is as learnable as Murmur3 on the planted task
+    val trained = QualityClassifier.train(d, "text", "label",
+      numFeatures = 256, portableSeed = seed)
+    val kept = QualityClassifier
+      .filterByScore(d, "text", trained, 0.5, portableSeed = seed)
+      .select("label").collect().map(_.getDouble(0))
+    assert(kept.count(_ == 1.0).toDouble / kept.length > 0.95)
+  }
+
   test("empty and null docs score the intercept prior") {
     val scorer = QualityClassifier.LinearScorer(
       Array.fill(16)(5.0), intercept = 0.0)

@@ -132,10 +132,21 @@ def main() -> None:
     print("[loadtest] CONTROL run: no hogs", file=sys.stderr)
     control = run_bench(quiet_path, hogs=0, max_load=0.0)
 
+    # a query that failed inside either child run is recorded in its
+    # `errors` and omitted from `queries` (the child still exits 0) —
+    # fail LOUDLY with the missing names rather than KeyError mid-report
+    present = [q for q in QUERIES
+               if q in loaded["queries"] and q in control["queries"]]
+    absent = [q for q in QUERIES if q not in present]
+    if absent:
+        sys.exit(f"[loadtest] queries missing from a child artifact "
+                 f"(failed inside Bench?): {absent}; "
+                 f"loaded errors={loaded.get('errors')}, "
+                 f"control errors={control.get('errors')}")
     ratios = {q: round(loaded["queries"][q] /
-                       max(control["queries"][q], 1e-3), 2) for q in QUERIES}
-    tot_loaded = sum(loaded["queries"][q] for q in QUERIES)
-    tot_control = sum(control["queries"][q] for q in QUERIES)
+                       max(control["queries"][q], 1e-3), 2) for q in present}
+    tot_loaded = sum(loaded["queries"][q] for q in present)
+    tot_control = sum(control["queries"][q] for q in present)
     result = {
         "metric": "bench_loadtest",
         "hogs": hogs,
