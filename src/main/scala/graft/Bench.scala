@@ -34,6 +34,17 @@ import org.apache.spark.sql.SparkSession
   * committed quiet reference.
   */
 object Bench {
+
+  /** Measurement-protocol version, stamped into bench_full.json and
+    * required to MATCH when loading the committed quiet reference.
+    * Bump whenever the measurement discipline changes in a way that
+    * makes old quiet numbers incomparable. History:
+    *   v1 — through r15's run (implicit; no stamp in the artifact);
+    *   v2 — 971cfe9's protocol: ALL persistent RDD blocks (incl.
+    *        localCheckpoint frames) dropped between timed queries, so
+    *        fixture-cache-heavy queries pay their warm-up every rep. */
+  private val ProtocolVersion = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -75,14 +86,30 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) None
       else {
         val line = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val calibRe = """"calib_sec":([0-9.]+)""".r
-        val qBlockRe = """"queries":\{([^}]*)\}""".r
-        val entryRe = """"([^"]+)":([0-9.]+)""".r
-        for {
-          c <- calibRe.findFirstMatchIn(line).map(_.group(1).toDouble)
-          qb <- qBlockRe.findFirstMatchIn(line).map(_.group(1))
-        } yield QuietRef(c, entryRe.findAllMatchIn(qb)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        val protoRe = """"protocol":([0-9]+)""".r
+        val refProto = protoRe.findFirstMatchIn(line)
+          .map(_.group(1).toInt).getOrElse(1)
+        if (refProto != ProtocolVersion) {
+          // r15 lesson: a quiet reference recorded under DIFFERENT
+          // measurement rules (e.g. before the drop-all-blocks change)
+          // reads 1.2-1.33x off on fixture-heavy queries every run —
+          // burning re-measure passes and masking real regressions.
+          // An off-protocol yardstick is no yardstick.
+          System.err.println(s"[bench] committed quiet reference is " +
+            s"protocol v$refProto, this build measures v$ProtocolVersion" +
+            " — IGNORING it (vs_quiet_ratio will be null); re-record " +
+            "bench_full.json from a quiet full run")
+          None
+        } else {
+          val calibRe = """"calib_sec":([0-9.]+)""".r
+          val qBlockRe = """"queries":\{([^}]*)\}""".r
+          val entryRe = """"([^"]+)":([0-9.]+)""".r
+          for {
+            c <- calibRe.findFirstMatchIn(line).map(_.group(1).toDouble)
+            qb <- qBlockRe.findFirstMatchIn(line).map(_.group(1))
+          } yield QuietRef(c, entryRe.findAllMatchIn(qb)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        }
       }
     } catch { case _: Throwable => None }
 
@@ -261,7 +288,7 @@ object Bench {
     val segJson = segCalibs.map(fmt).mkString("[", ",", "]")
     val vsQuietJson = vsQuietRatio.fold("null")(fmt)
     val quietCalibJson = quietRef.fold("null")(r => fmt(r.calib))
-    val env = s""""reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${Runtime.getRuntime.maxMemory() / (1 << 30)},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"calib_segments":$segJson,"n_remeasured":$nRemeasured,"vs_quiet_ratio":$vsQuietJson,"quiet_calib_ref":$quietCalibJson"""
+    val env = s""""protocol":$ProtocolVersion,"reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${Runtime.getRuntime.maxMemory() / (1 << 30)},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"calib_segments":$segJson,"n_remeasured":$nRemeasured,"vs_quiet_ratio":$vsQuietJson,"quiet_calib_ref":$quietCalibJson"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     def jstr(s: String): String =

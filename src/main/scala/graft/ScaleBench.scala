@@ -151,72 +151,102 @@ object ScaleBench {
     * Package-visible so ScaleBenchSpec can pin the inflation invariants
     * (exact k-times counts, within-copy cosine/shingle preservation,
     * cross-copy decorrelation) at sf0.001. */
+  /** Every table [[inflate]] knows how to scale. */
+  private[graft] val AllTables: Set[String] =
+    Set("events", "documents", "embeddings", "lineitem", "orders")
+
   private[graft] def inflate(spark: SparkSession, srcDir: String,
-                             outDir: String, k: Int): Unit = {
-    // marker records WHAT was built (source + factor): a dir left over
-    // from a different SPARK_GRAFT_SF_DIR would otherwise be silently
-    // reused against a mismatched 1x baseline and every slope would
-    // compare different datasets
+                             outDir: String, k: Int,
+                             tables: Set[String] = AllTables): Unit = {
+    require(tables.nonEmpty && tables.subsetOf(AllTables),
+      s"inflate: unknown tables ${(tables -- AllTables).mkString(",")}")
+    // marker records WHAT was built (source + factor + table set): a
+    // dir left over from a different SPARK_GRAFT_SF_DIR would otherwise
+    // be silently reused against a mismatched 1x baseline and every
+    // slope would compare different datasets. A build is reused when
+    // its recorded table set COVERS the requested one (a full build
+    // serves any subset probe; a subset build never serves a fuller
+    // request).
     val marker = new java.io.File(s"$outDir/_BUILT")
     // v2: user-id copy shift moved to 10^12 (streaming-probe range fix);
     // the version in the tag forces stale v1 builds to regenerate
-    val tag = s"src=${new java.io.File(srcDir).getAbsolutePath} k=$k v2"
-    if (marker.exists() && new String(java.nio.file.Files.readAllBytes(
-        marker.toPath), "UTF-8").trim == tag) return
+    val base = s"src=${new java.io.File(srcDir).getAbsolutePath} k=$k v2"
+    val tag =
+      if (tables == AllTables) base
+      else s"$base tables=${tables.toSeq.sorted.mkString(",")}"
+    if (marker.exists()) {
+      val stored = new String(java.nio.file.Files.readAllBytes(
+        marker.toPath), "UTF-8").trim
+      val storedTables =
+        if (stored.contains(" tables="))
+          stored.split(" tables=").last.split(",").toSet
+        else AllTables // pre-r16 markers were always full builds
+      if (stored.startsWith(base) && tables.subsetOf(storedTables)) return
+    }
     val copies = 0 until k
 
     def unionCopies(mk: Int => DataFrame): DataFrame =
       copies.map(mk).reduce(_ unionByName _)
 
-    val ev = spark.read.parquet(s"$srcDir/events.parquet")
-    // user copies shift by 10^12, NOT 10^6: the streaming join fixtures
-    // reserve the 1,000,000+event_id user range as a disjoint synthetic
-    // probe space, so a 10^6 shift would land inflated copies exactly in
-    // it and let real rows match probe rows. The guard makes the
-    // disjointness assumption loud instead of silently violated if the
-    // driver ever regenerates testdata with bigger id ranges.
-    val mx = ev.agg(max(col("event_id")), max(col("user_id"))).head
-    require(mx.getLong(0) < 10000000000L && mx.getLong(1) < 1000000000000L,
-      s"inflate: base ids (${mx.getLong(0)}, ${mx.getLong(1)}) exceed the " +
-        "copy-shift constants; raise the shifts before inflating")
-    unionCopies { i =>
-      ev.withColumn("event_id", col("event_id") + lit(i * 10000000000L))
-        .withColumn("user_id", col("user_id") + lit(i * 1000000000000L))
-    }.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    if (tables("events")) {
+      val ev = spark.read.parquet(s"$srcDir/events.parquet")
+      // user copies shift by 10^12, NOT 10^6: the streaming join fixtures
+      // reserve the 1,000,000+event_id user range as a disjoint synthetic
+      // probe space, so a 10^6 shift would land inflated copies exactly in
+      // it and let real rows match probe rows. The guard makes the
+      // disjointness assumption loud instead of silently violated if the
+      // driver ever regenerates testdata with bigger id ranges.
+      val mx = ev.agg(max(col("event_id")), max(col("user_id"))).head
+      require(mx.getLong(0) < 10000000000L && mx.getLong(1) < 1000000000000L,
+        s"inflate: base ids (${mx.getLong(0)}, ${mx.getLong(1)}) exceed the " +
+          "copy-shift constants; raise the shifts before inflating")
+      unionCopies { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * 10000000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000000000000L))
+      }.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
 
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    unionCopies { i =>
-      if (i == 0) docs
-      else docs
-        .withColumn("doc_id", col("doc_id") + lit(i * 1000000000L))
-        .withColumn("text", concat_ws(" ",
-          transform(split(col("text"), " "),
-            w => concat(w, lit(s"~$i")))))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-    }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    if (tables("documents")) {
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      unionCopies { i =>
+        if (i == 0) docs
+        else docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 1000000000L))
+          .withColumn("text", concat_ws(" ",
+            transform(split(col("text"), " "),
+              w => concat(w, lit(s"~$i")))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
 
-    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    unionCopies { i =>
-      if (i == 0) emb
-      else emb
-        .withColumn("vec_id", col("vec_id") + lit(i * 1000000000L))
-        .withColumn("embedding", transform(col("embedding"),
-          (x, j) => when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x)
-            .otherwise(-x)))
-    }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    if (tables("embeddings")) {
+      val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      unionCopies { i =>
+        if (i == 0) emb
+        else emb
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000000L))
+          .withColumn("embedding", transform(col("embedding"),
+            (x, j) => when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x)
+              .otherwise(-x)))
+      }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
 
-    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
-    unionCopies { i =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
-        .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L))
-    }.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    if (tables("lineitem")) {
+      val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      unionCopies { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L))
+      }.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
 
-    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
-    unionCopies { i =>
-      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
-    }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    if (tables("orders")) {
+      val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+      unionCopies { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+      }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    }
 
     marker.getParentFile.mkdirs()
     java.nio.file.Files.write(marker.toPath, (tag + "\n").getBytes("UTF-8"))
@@ -246,13 +276,21 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_SCALE_TABLES limits the inflation to the listed
+    // tables (e.g. "embeddings" for the wide-decade ANN probes, where
+    // a full x256 events build would dwarf the measurement) — the
+    // _BUILT marker records the set, so a partial build is never
+    // silently reused for entries needing other tables
+    val scaleTables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(AllTables)
     val sizes = Sizes
     val dirs: Map[Int, String] = sizes.map { k =>
       if (k == 1) k -> srcDir
       else {
         val out = s"target/scalebench/x$k"
         System.err.println(s"[scale] building x$k under $out ...")
-        inflate(spark, srcDir, out, k)
+        inflate(spark, srcDir, out, k, scaleTables)
         k -> out
       }
     }.toMap

@@ -114,6 +114,31 @@ class ScaleBenchSpec extends SparkSpec {
       2 * li0.select("l_orderkey").distinct.count())
   }
 
+  test("partial-table inflation builds only the requested tables; a " +
+    "subset build is never reused for a fuller request, a full build " +
+    "serves subsets") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scalebench-partial").toString
+    ScaleBench.inflate(spark, src, dir, 2, Set("embeddings"))
+    assert(new java.io.File(s"$dir/embeddings.parquet").exists())
+    assert(!new java.io.File(s"$dir/events.parquet").exists(),
+      "subset build wrote a table it was not asked for")
+    val marker = java.nio.file.Paths.get(s"$dir/_BUILT")
+    val tag1 = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    assert(tag1.contains("tables=embeddings"))
+    // a fuller request must NOT reuse the partial build
+    ScaleBench.inflate(spark, src, dir, 2)
+    assert(new java.io.File(s"$dir/events.parquet").exists())
+    val tag2 = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    assert(!tag2.contains("tables="), "full rebuild kept the subset tag")
+    // and the full build now serves any subset request as a no-op:
+    // delete a subset table's dir marker-invisibly? simplest signal —
+    // the marker must be unchanged after the subset call
+    ScaleBench.inflate(spark, src, dir, 2, Set("documents"))
+    val tag3 = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    assert(tag3 == tag2, "subset request against a full build rebuilt")
+  }
+
   test("fitSlope recovers exact power-law exponents") {
     val xs = Seq(1.0, 4.0, 16.0).map(math.log)
     assertApprox(ScaleBench.fitSlope(xs,

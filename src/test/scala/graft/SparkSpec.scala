@@ -19,6 +19,15 @@ object SparkSpec {
       // green tests — a 5-10x scan-speed loss only visible at scale).
       // SparkEntrySpec runs every gate query, so this guards all of them.
       .config("spark.sql.codegen.fallback", "false")
+      // Tripwire 2 (r16): storage hygiene must be EXPLICIT, never GC
+      // luck. ContextCleaner frees unreferenced RDD blocks whenever the
+      // driver happens to GC — which is why the r15 checkpoint leak
+      // passed every small-heap test and only surfaced at 64x data on a
+      // big heap. With reference tracking off, a frame freed by nothing
+      // but GC stays pinned, so SoakSpec/LineageSpec assertions are
+      // deterministic in both directions. Test-session only; the
+      // Verify/Bench mains keep the default cleaner.
+      .config("spark.cleaner.referenceTracking", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

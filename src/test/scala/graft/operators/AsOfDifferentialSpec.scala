@@ -30,7 +30,12 @@ class AsOfDifferentialSpec extends SparkSpec {
       l.id -> (if (cands.isEmpty) None else Some(cands.map(_.t).max))
     }.toMap
 
-  private def run(seed: Int, forward: Boolean, tol: Option[Long]): Unit = {
+  /** Returns the number of matches that sit EXACTLY at the tolerance
+    * boundary — the SURVEY §7.4 #2 trap (inclusive vs exclusive
+    * tolerance). The tight-tolerance tests assert this is non-zero so
+    * a generator change can never silently drop the boundary-collision
+    * coverage this spec exists for. */
+  private def run(seed: Int, forward: Boolean, tol: Option[Long]): Long = {
     val rng = new scala.util.Random(seed)
     val keys = Seq("a", "b", "c")
     // timestamps on a coarse grid => many exact ties and exact-tolerance
@@ -55,6 +60,12 @@ class AsOfDifferentialSpec extends SparkSpec {
         s"seed=$seed fwd=$forward tol=$tol id=${l.id} k=${l.k} t=${l.t}: " +
           s"got ${out(l.id)}, want ${expect(l.id)}")
     }
+    tol.fold(0L) { tt =>
+      ls.count { l =>
+        expect(l.id).exists(mt =>
+          (if (forward) mt - l.t else l.t - mt) == tt)
+      }.toLong
+    }
   }
 
   test("forward, unbounded tolerance, randomized (3 seeds)") {
@@ -62,7 +73,11 @@ class AsOfDifferentialSpec extends SparkSpec {
   }
 
   test("forward, tight tolerance incl. exact boundary (3 seeds)") {
-    Seq(4, 5, 6).foreach(s => run(s, forward = true, Some(20L)))
+    val boundaryHits = Seq(4, 5, 6).map(s => run(s, forward = true,
+      Some(20L))).sum
+    assert(boundaryHits > 0, "generator produced NO exact-tolerance " +
+      "matches — the boundary-collision coverage this spec exists for " +
+      "is gone; re-align the ts grid with the tolerance")
   }
 
   test("backward, unbounded tolerance (3 seeds)") {
@@ -70,6 +85,10 @@ class AsOfDifferentialSpec extends SparkSpec {
   }
 
   test("backward, tight tolerance (3 seeds)") {
-    Seq(10, 11, 12).foreach(s => run(s, forward = false, Some(10L)))
+    val boundaryHits = Seq(10, 11, 12).map(s => run(s, forward = false,
+      Some(10L))).sum
+    assert(boundaryHits > 0, "generator produced NO exact-tolerance " +
+      "matches — the boundary-collision coverage this spec exists for " +
+      "is gone; re-align the ts grid with the tolerance")
   }
 }
