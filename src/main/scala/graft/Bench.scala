@@ -102,13 +102,29 @@ object Bench {
           None
         } else {
           val calibRe = """"calib_sec":([0-9.]+)""".r
+          val segRe = """"calib_segments":\[([0-9.,]*)\]""".r
           val qBlockRe = """"queries":\{([^}]*)\}""".r
           val entryRe = """"([^"]+)":([0-9.]+)""".r
           for {
             c <- calibRe.findFirstMatchIn(line).map(_.group(1).toDouble)
             qb <- qBlockRe.findFirstMatchIn(line).map(_.group(1))
-          } yield QuietRef(c, entryRe.findAllMatchIn(qb)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+          } yield {
+            // absolute contention reference = the committed run's MEDIAN
+            // segment probe, not its min-of-3 start calib: the dirty
+            // check compares SINGLE-SHOT probes, whose quiet-machine
+            // tail runs ~2x the min-of-3 (r16: a 0.181 calib reference
+            // flagged 5 segments / 125 queries dirty on a QUIET run,
+            // calib_max 0.361). Same-estimator comparison keeps the
+            // detector for real load (hogs push probes 3-10x) without
+            // burning re-measure passes on probe jitter.
+            val segMedian = segRe.findFirstMatchIn(line)
+              .map(_.group(1).split(",").filter(_.nonEmpty)
+                .map(_.toDouble).sorted)
+              .filter(_.nonEmpty)
+              .map(a => a(a.length / 2))
+            QuietRef(segMedian.getOrElse(c), entryRe.findAllMatchIn(qb)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+          }
         }
       }
     } catch { case _: Throwable => None }
@@ -203,7 +219,13 @@ object Bench {
       seg.foreach { case (name, fn) =>
         timeQuery(name, fn, reps).foreach(d => firstPass += name -> d)
       }
-      segCalibs :+= calibOnce()
+      // min-of-3, the SAME estimator as the start calib: single-shot
+      // probes spread 0.19-0.48 s on a QUIET 32-cpu box (scheduler
+      // jitter on the 32-task probe), so any sane threshold either
+      // false-fires on quiet runs (r16: 84-125 phantom re-measures per
+      // run) or misses real load. Under genuine contention all three
+      // shots inflate together, so the min still detects it.
+      segCalibs :+= (1 to 3).map(_ => calibOnce()).min
     }
     // dirty detection compares SEGMENT probes against each other only:
     // the start calib is systematically slower (the probe's codegen loop
