@@ -62,7 +62,14 @@ object ScaleBench {
     * entry would dominate the whole run's wall-clock to demonstrate a
     * property already measured at 4x/16x. Capped, not dropped: its
     * slope still fits over the sizes it runs at. */
-  private val MaxSize: Map[String, Int] = Map("q_semdedup_fixedk" -> 16)
+  private val MaxSize: Map[String, Int] = Map(
+    "q_semdedup_fixedk" -> 16,
+    // both documented-superlinear exempt faces stop at 64x: their
+    // quadratics are measured and explained (see the entry comments);
+    // the x256 decade belongs to their linear twins
+    // (q_pq_ann_fixedq / semdedup_sharded)
+    "q_pq_ann" -> 64,
+    "semdedup_scaledk" -> 64)
 
   /** Exempt entries are NOT free passes: each one still carries a
     * declared slope CEILING so the exemption can never silently hide a
@@ -74,8 +81,10 @@ object ScaleBench {
     * in r15) — the cap exists precisely to stop the entry before the
     * n² face takes over the run's wall-clock. Every exempt entry MUST
     * appear here (looked up without a default). */
-  private val ExemptMaxSlope: Map[String, Double] =
-    Map("q_semdedup_fixedk" -> 2.3)
+  private val ExemptMaxSlope: Map[String, Double] = Map(
+    "q_semdedup_fixedk" -> 2.3,
+    "q_pq_ann" -> 2.2,
+    "semdedup_scaledk" -> 2.1)
   private def buildOnly: Boolean =
     sys.env.get("SPARK_GRAFT_SCALE_BUILD_ONLY")
       .exists(v => Set("1", "true", "yes").contains(v.trim.toLowerCase))
@@ -104,7 +113,33 @@ object ScaleBench {
       ("q_pack_chunks", q("q_pack_chunks"), null),
       // ANN family (embeddings; fixed query set, corpus grows)
       ("q_ann_cosine", q("q_ann_cosine"), null),
-      ("q_pq_ann", q("q_pq_ann"), null),
+      // the GATE query's probe set is every 25th vector, so its scored
+      // frame is |Q|x|C| ~ n^2/25 BY WORKLOAD CONSTRUCTION — a batch
+      // all-pairs-flavored job, not an engine defect. Measured r16: the
+      // x256 run's 10.5e9-pair frame drove ObjectHashAggregate into its
+      // sort-based fallback and filled the disk with sorter spill. The
+      // r15 'cache residency' adjudication of this entry's 0.89 slope
+      // was WRONG — it was the pair term emerging. Kept (capped ≤64x,
+      // exempt with a quadratic ceiling) as the documented batch face;
+      // the corpus-scale serving contract is q_pq_ann_fixedq below.
+      ("q_pq_ann", q("q_pq_ann"),
+        "gate workload scales queries with corpus (n/25 probes) => " +
+          "scored pairs ~ n^2/25 by construction; serving contract is " +
+          "q_pq_ann_fixedq (fixed probes, growing corpus)"),
+      ("q_pq_ann_fixedq", (s, dir, _) => {
+        val e = graft.core.Tables.embeddings(s, dir).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+        val books = graft.operators.Pq.train(e, "vec_id", "vec",
+          m = 8, k = 8, maxIter = 2)
+        val codes = graft.operators.Pq.encode(e, "vec", books)
+        // FIXED probe set: the 1x copy's every-25th vector (inflated
+        // copies shift vec_id by 1e9) — per-query cost linear in the
+        // corpus, which is what an ANN index serves at 100 TB
+        val queries = e.filter(col("vec_id") < 1000000000L &&
+          pmod(col("vec_id"), lit(25L)) === 0)
+        graft.operators.Pq.searchTopK(queries, codes, "vec_id", "vec_id",
+          "vec", books, k = 3)
+      }, null),
       // graph family (lineitem + orders; k disjoint graph copies)
       ("q_pagerank", q("q_pagerank"), null),
       ("q_kcore", q("q_kcore"), null),
@@ -140,9 +175,28 @@ object ScaleBench {
           "pairs grow ~n^2/k by design; the scale path is k ∝ n " +
           "(semdedup_scaledk below) — SemDeDup paper uses 50k clusters " +
           "at corpus scale"),
+      // k ∝ n keeps CELLS constant (linear pair work) but makes flat
+      // Lloyd assignment O(n·k) = O(n²) by algebra — measured r16 at
+      // slope 1.61 over the 64x→256x decade (939 s at x256; the r15
+      // 'cache residency' adjudication of the 0.74 reading was WRONG —
+      // the assignment quadratic was emerging). Kept (capped, exempt
+      // with a quadratic ceiling) as the documented flat face; the
+      // linear corpus-scale face is semdedup_sharded below.
       ("semdedup_scaledk", (s, dir, scale) =>
         Clustering.semDedup(Tables.embeddings(s, dir), "vec_id",
             "embedding", k = 4 * scale, maxIter = 2, minCosine = 0.4)
+          .select(col("vec_id"), col("label")),
+        "flat Lloyd assignment is O(n·k); with k ∝ n that is O(n²) by " +
+          "algebra (slope 1.61 measured over 64x→256x) — the linear " +
+          "corpus-scale face is semdedup_sharded"),
+      // the corpus-scale SemDeDup: O(n) SRP pre-shard (constant target
+      // shard size), constant cells per shard, same deterministic
+      // k-means inside — every stage linear; blocking recall tradeoff
+      // documented on the operator (Clustering.semDupPairsSharded)
+      ("semdedup_sharded", (s, dir, _) =>
+        Clustering.semDedupSharded(Tables.embeddings(s, dir), "vec_id",
+            "embedding", shardSizeTarget = 2000, cellsPerShard = 4,
+            maxIter = 2, minCosine = 0.4)
           .select(col("vec_id"), col("label")), null))
   }
 

@@ -122,4 +122,134 @@ object Clustering {
     val pairs = semDupPairs(df, idCol, vecCol, k, maxIter, minCosine)
     DupClusters.dedupByCluster(df, idCol, pairs, "id_a", "id_b", orderBy)
   }
+
+  /** [[assign]]'s twin against a centroid-ARRAY column instead of driver
+    * literals: same micro-rounded squared-L2 grid, same left-to-right
+    * dim fold, same tie-to-smaller-index rule — bit-identical decisions
+    * when the centroid values are equal. */
+  private[operators] def assignDyn(vec: Column, cbs: Column): Column =
+    array_min(transform(cbs, (cb, i) =>
+      struct(microL(aggregate(zip_with(vec, cb, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v)).as("d"),
+        i.cast("int").as("c")))).getField("c")
+
+  /** Within-cell near-duplicate pairs of the SHARDED SemDeDup — the
+    * corpus-scale face. Flat Lloyd assignment is O(n·k); holding CELL
+    * size constant (what bounds within-cell pair cost) forces k ∝ n,
+    * making flat assignment O(n²) by algebra — measured, not
+    * hypothesized: slope 1.61 over the 64x→256x decade (SCALE.md r16).
+    *
+    * The fix is standard blocking: an O(n) signed-random-projection
+    * pre-shard into ~n/`shardSizeTarget` buckets of cosine-similar
+    * vectors, then the SAME deterministic k-means inside every shard
+    * JOINTLY with a constant `cellsPerShard` — so every stage is
+    * linear: the shard key is a row-local sign fold, each k-means
+    * iteration joins a vector to its OWN shard's ≤ cellsPerShard
+    * centroids (a shuffle join on the shard key, k constant), the
+    * centroid update is one partial-aggregated meanPool over
+    * (shard, cell), and pair generation is bounded by cell size.
+    * Shards larger than 4x the target (SRP sign buckets are not
+    * balance-guaranteed) are hash-sub-split to bound the worst case.
+    *
+    * Tradeoff, stated plainly: near-duplicates that land in DIFFERENT
+    * shards are never compared — the blocking recall loss every LSH
+    * dedup family in this repo shares (exact duplicates always
+    * co-shard: identical vectors have identical signatures). Raising
+    * `shardSizeTarget` buys recall with cost.
+    *
+    * With one shard (n ≤ shardSizeTarget) the composition reduces to
+    * EXACTLY [[semDupPairs]] with k = cellsPerShard — same init
+    * (k smallest ids), same argmin grid, same DECIMAL means, same
+    * emptied-cell rule — pinned bit-identical in ClusteringSpec. */
+  def semDupPairsSharded(df: DataFrame, idCol: String, vecCol: String,
+                         shardSizeTarget: Int, cellsPerShard: Int,
+                         maxIter: Int, minCosine: Double,
+                         seed: Long = 17L): DataFrame = {
+    require(shardSizeTarget >= 1, s"shardSizeTarget must be >= 1")
+    require(cellsPerShard >= 1, s"cellsPerShard must be >= 1")
+    require(maxIter >= 0, s"maxIter must be non-negative, got $maxIter")
+    val n = df.count()
+    require(n > 0, "semDupPairsSharded: empty input")
+    // bits = ceil(log2(ceil(n / target))): enough sign planes that the
+    // AVERAGE shard is ~target-sized; 0 bits (one shard) when n fits
+    val shardsWanted = (n + shardSizeTarget - 1) / shardSizeTarget
+    val bits =
+      (if (shardsWanted <= 1L) 0
+       else 64 - java.lang.Long.numberOfLeadingZeros(shardsWanted - 1))
+        .min(50)
+    val dims = df.select(size(col(vecCol))).head().getInt(0)
+    val vec = transform(col(vecCol), _.cast("double"))
+    val keyed = df.select(col(idCol).as("__sd_id"), vec.as("__sd_v"))
+      .withColumn("__sd_raw",
+        if (bits == 0) lit(0L)
+        else Similarity.srpSignature(col("__sd_v"), bits, dims, seed))
+    // bound the worst case: SRP sign buckets are similarity-preserving
+    // but not balanced; a shard > 4x target hash-splits into
+    // ceil(size / (2x target)) sub-shards (<= 4096, key packs below)
+    val sizes = keyed.groupBy("__sd_raw").agg(count(lit(1)).as("__sn"))
+    val base = keyed.join(sizes, "__sd_raw")
+      .withColumn("__splits",
+        when(col("__sn") > 4L * shardSizeTarget,
+          least(ceil(col("__sn") / (2.0 * shardSizeTarget)), lit(4096L))
+            .cast("long"))
+          .otherwise(lit(1L)))
+      .withColumn("__sd_s", col("__sd_raw") * 4096L +
+        pmod(hash(col("__sd_id")), col("__splits").cast("int")).cast("long"))
+      .select("__sd_id", "__sd_v", "__sd_s")
+    // init: the cellsPerShard smallest ids of each shard, as a centroid
+    // FRAME (shard, cell, vec) — k-means for every shard advances in
+    // one distributed pass per iteration, no driver loop over shards
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__sd_s")).orderBy(col("__sd_id"))
+    var cents = base
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") <= cellsPerShard)
+      .select(col("__sd_s"), (col("__rn") - 1).cast("int").as("__c"),
+        col("__sd_v").as("__cv"))
+      .localCheckpoint()
+    def gathered = cents.groupBy("__sd_s")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__c"), col("__cv")))),
+        s => s.getField("__cv")).as("__cbs"))
+    def assigned = base.join(gathered, "__sd_s")
+      .withColumn("__c", assignDyn(col("__sd_v"), col("__cbs")))
+      .drop("__cbs")
+    for (_ <- 1 to maxIter) {
+      val means = Embeddings.meanPool(
+        assigned.select(col("__sd_s"), col("__c"), col("__sd_v")),
+        Seq("__sd_s", "__c"), "__sd_v", "__nv")
+      // an emptied cell keeps its previous centroid (flat kmeans rule)
+      val next = cents.join(means, Seq("__sd_s", "__c"), "left")
+        .select(col("__sd_s"), col("__c"),
+          coalesce(col("__nv"), col("__cv")).as("__cv"))
+        .localCheckpoint()
+      graft.core.Lineage.unpersistCheckpoint(cents)
+      cents = next
+    }
+    // the final `cents` checkpoint stays pinned (the returned lazy frame
+    // reads it) — the caller-owned O(1) remainder, as in Graph/PageRank
+    val x = assigned.select(col("__sd_id").as("id_a"),
+      col("__sd_v").as("va"), col("__sd_s"), col("__c"))
+    val y = assigned.select(col("__sd_id").as("id_b"),
+      col("__sd_v").as("vb"), col("__sd_s"), col("__c"))
+    x.join(y, Seq("__sd_s", "__c")).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .where(microL(col("cosine")) >=
+        lit(math.floor(minCosine * 1e6 + 0.5).toLong))
+      .select(col("id_a"), col("id_b"), col("__sd_s").as("shard"),
+        col("__c").as("cell"), col("cosine"))
+  }
+
+  /** Sharded SemDeDup: [[semDupPairsSharded]] + one representative per
+    * duplicate component — the linear-time corpus-scale face of
+    * [[semDedup]] (see the pair generator's scaladoc for the blocking
+    * contract and the single-shard equivalence). */
+  def semDedupSharded(df: DataFrame, idCol: String, vecCol: String,
+                      shardSizeTarget: Int, cellsPerShard: Int,
+                      maxIter: Int, minCosine: Double, seed: Long = 17L,
+                      orderBy: Seq[Column] = Nil): DataFrame = {
+    val pairs = semDupPairsSharded(df, idCol, vecCol, shardSizeTarget,
+      cellsPerShard, maxIter, minCosine, seed)
+    DupClusters.dedupByCluster(df, idCol, pairs, "id_a", "id_b", orderBy)
+  }
 }

@@ -104,4 +104,65 @@ class ClusteringSpec extends SparkSpec {
     // {0,1,2} collapse to 0; singletons survive
     assert(kept.sameElements(Array(0L, 10L, 20L)))
   }
+
+  test("sharded face with ONE shard is bit-identical to flat semDupPairs") {
+    val d = vecs(blobs: _*)
+    val flat = Clustering.semDupPairs(d, "id", "vec", k = 3, maxIter = 2,
+        minCosine = 0.5)
+      .select(col("id_a"), col("id_b"), col("cluster"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    // n = 30 <= shardSizeTarget => bits = 0, one shard, no sub-split:
+    // the composition must reduce EXACTLY to flat (same init, same
+    // micro argmin grid, same DECIMAL means, same emptied-cell rule) —
+    // including bit-equal cosines
+    val sharded = Clustering.semDupPairsSharded(d, "id", "vec",
+        shardSizeTarget = 1000, cellsPerShard = 3, maxIter = 2,
+        minCosine = 0.5)
+      .select(col("id_a"), col("id_b"), col("cell"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(sharded == flat,
+      s"only-flat=${(flat -- sharded).take(5)} " +
+        s"only-sharded=${(sharded -- flat).take(5)}")
+  }
+
+  test("sharded semDedup: exact duplicates always co-shard (identical " +
+    "signature) and collapse; multi-shard run stays correct") {
+    // 600 vectors -> multiple shards at target 64; planted exact-dup
+    // pairs (i, i+1000) with IDENTICAL vectors — same SRP signature by
+    // construction, so blocking can never separate them
+    val rows = (0L until 300L).map { i =>
+      val v = Seq(math.sin(i * 0.37) * 3, math.cos(i * 0.53) * 3,
+        math.sin(i * 0.11 + 1) * 2, math.cos(i * 0.29 + 2) * 2)
+      i -> v
+    }
+    val planted = rows.map { case (i, v) => (i + 1000L) -> v }
+    val d = vecs((rows ++ planted): _*)
+    val kept = Clustering.semDedupSharded(d, "id", "vec",
+        shardSizeTarget = 64, cellsPerShard = 4, maxIter = 2,
+        minCosine = 0.999999)
+      .collect().map(_.getLong(0)).toSet
+    // every planted twin collapses onto its original (smaller id wins)
+    assert((0L until 300L).forall(i => kept(i) && !kept(i + 1000L)),
+      s"missed twins: ${(0L until 300L).filterNot(i => !kept(i + 1000L)).take(5)}")
+  }
+
+  test("sharded face sub-splits a pathologically skewed shard") {
+    // all vectors in the same orthant => ONE sign bucket regardless of
+    // bits; with n >> 4x target the splitter must engage (no blow-up,
+    // correct dedup within sub-shards not asserted — only the bound)
+    val rows = (0L until 200L).map(i =>
+      i -> Seq(1.0 + 0.001 * i, 2.0 + 0.002 * (i % 7), 0.5, 1.5))
+    val d = vecs(rows: _*)
+    val pairs = Clustering.semDupPairsSharded(d, "id", "vec",
+        shardSizeTarget = 10, cellsPerShard = 2, maxIter = 1,
+        minCosine = 0.0)
+    val maxShard = pairs.groupBy(col("shard"))
+      .agg(countDistinct(col("id_a")).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    // 200 ids in one sign bucket, target 10 => splits = ceil(200/20)=10
+    // sub-shards of ~20 each; without the splitter this reads ~199
+    assert(maxShard < 80, s"skewed shard not sub-split: $maxShard")
+  }
 }
