@@ -4819,6 +4819,23 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
     }),
 
+    // --- LLM ops: the SHARDED SemDeDup's single-shard face under the
+    //     flat oracle (r16): with shardSizeTarget >= n the composition
+    //     must reduce BIT-identically to flat semDedup with
+    //     k = cellsPerShard (same init, argmin grid, DECIMAL means,
+    //     emptied-cell rule) — so the sharded implementation's whole
+    //     init/assign/update/pair/dedup plumbing is DuckDB-gated via
+    //     q_semdedup's kmeans CTE twin (oracle shared below, the
+    //     streaming-twin pattern). The multi-shard face is
+    //     ClusteringSpec-pinned (SRP planes are Gaussian, not
+    //     SQL-reproducible) and ScaleBench-gated linear ---
+    "q_semdedup_sharded" -> ((s, dir) => {
+      Clustering.semDedupSharded(Tables.embeddings(s, dir), "vec_id",
+          "embedding", shardSizeTarget = Int.MaxValue, cellsPerShard = 4,
+          maxIter = 2, minCosine = 0.4)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // --- LLM ops: content-defined chunking — md5-nibble boundaries make
     //     the rule engine-portable, so the whole operator hash-matches ---
     "q_cdc_chunks" -> ((s, dir) => {
@@ -5023,6 +5040,10 @@ object SparkEntry {
     "q_stream_calibration" -> oracleSqlBase("q_calibration"),
     // streaming confusion counts are algebraic — batch twin gates it
     "q_stream_confusion" -> oracleSqlBase("q_m9_confusion"),
+    // sharded SemDeDup, single-shard face: bit-identical to flat
+    // semDedup by construction (see the gate comment), so the flat
+    // kmeans-CTE oracle gates the sharded implementation end to end
+    "q_semdedup_sharded" -> oracleSqlBase("q_semdedup"),
     "q_stream_split" ->
       s"""SELECT doc_id,
          |  ${HashSql("doc_id", 3L)} < ${Sampling.threshold(0.25)}
