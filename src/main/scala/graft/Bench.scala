@@ -42,8 +42,15 @@ object Bench {
     *   v1 — through r15's run (implicit; no stamp in the artifact);
     *   v2 — 971cfe9's protocol: ALL persistent RDD blocks (incl.
     *        localCheckpoint frames) dropped between timed queries, so
-    *        fixture-cache-heavy queries pay their warm-up every rep. */
-  private val ProtocolVersion = 2
+    *        fixture-cache-heavy queries pay their warm-up every rep;
+    *   v3 — segment probes are min-of-3 (same estimator as the start
+    *        calib). The estimator changed mid-v2 without a bump; a
+    *        reference recorded under single-shot v2 carries
+    *        calib_segments whose median reads ~2x high and would
+    *        silently mis-calibrate dirty detection (r16 ADVICE). The
+    *        committed reference was re-recorded under min-of-3, so v3
+    *        only invalidates genuinely stale artifacts. */
+  private val ProtocolVersion = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -323,11 +330,21 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${errors.size},$env,"queries":$full,"errors":$errJson,"sf":"$sfDir"}"""
-    // subset runs must not clobber the committed quiet reference
+    // NEVER write bench_full.json by default: the committed quiet
+    // reference is the absolute yardstick every future run calibrates
+    // against, and r16's driver run (contended, n_remeasured 51)
+    // clobbered it in the working tree where one careless `git add -A`
+    // would have committed the poisoned copy. Run output goes to
+    // bench_out.json; the yardstick refreshes ONLY under an explicit
+    // SPARK_GRAFT_RECORD_QUIET=1 on a full (non-subset) run.
+    val recordQuiet = sys.env.get("SPARK_GRAFT_RECORD_QUIET").contains("1")
     val fullPath =
-      if (only.isDefined) "bench_full_subset.json" else "bench_full.json"
+      if (only.isDefined) "bench_full_subset.json" else "bench_out.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullLine + "\n").getBytes("UTF-8"))
+    if (recordQuiet && only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
 
     // THE one JSON line. The driver captures only the last ~2000 chars of
     // stdout (sbt appends a ~100-char [success] trailer after this line),

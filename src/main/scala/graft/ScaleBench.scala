@@ -225,18 +225,26 @@ object ScaleBench {
     // v2: user-id copy shift moved to 10^12 (streaming-probe range fix);
     // the version in the tag forces stale v1 builds to regenerate
     val base = s"src=${new java.io.File(srcDir).getAbsolutePath} k=$k v2"
-    val tag =
-      if (tables == AllTables) base
-      else s"$base tables=${tables.toSeq.sorted.mkString(",")}"
-    if (marker.exists()) {
-      val stored = new String(java.nio.file.Files.readAllBytes(
-        marker.toPath), "UTF-8").trim
-      val storedTables =
-        if (stored.contains(" tables="))
+    // a same-base marker's recorded set stays VALID on disk when we add
+    // more tables to the dir — the final tag must be the UNION, or
+    // building {embeddings} then {documents} would record only
+    // tables=documents and force a pointless embeddings rebuild on the
+    // next embeddings request (r16 ADVICE)
+    val priorTables: Set[String] =
+      if (!marker.exists()) Set.empty
+      else {
+        val stored = new String(java.nio.file.Files.readAllBytes(
+          marker.toPath), "UTF-8").trim
+        if (!stored.startsWith(base)) Set.empty // different src/k: dir invalid
+        else if (stored.contains(" tables="))
           stored.split(" tables=").last.split(",").toSet
         else AllTables // pre-r16 markers were always full builds
-      if (stored.startsWith(base) && tables.subsetOf(storedTables)) return
-    }
+      }
+    if (tables.subsetOf(priorTables)) return
+    val allAfterBuild = tables ++ priorTables
+    val tag =
+      if (allAfterBuild == AllTables) base
+      else s"$base tables=${allAfterBuild.toSeq.sorted.mkString(",")}"
     val copies = 0 until k
 
     def unionCopies(mk: Int => DataFrame): DataFrame =

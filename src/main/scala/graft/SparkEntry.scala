@@ -527,7 +527,11 @@ object SparkEntry {
     * same process), rebuilds the portable-hash margin left-fold over
     * the held-out split in TOKEN ORDER — identical adds on identical
     * doubles, so the margin is bit-exact cross-engine. Ends in
-    * `qm(doc_id, margin)`. */
+    * `qm(doc_id, margin)`. A NULL-text doc has NO qtok rows (unnest of
+    * a NULL list), so qm is built by LEFT join from the split itself
+    * and folds just the intercept for it — matching the Spark side's
+    * coalesce-to-empty-array margin — instead of silently dropping the
+    * doc from the compared set (r16 ADVICE). */
   private def QClsMarginCtes(wdir: String): String =
     s"""wt AS (SELECT idx, w FROM read_parquet('$wdir/*.parquet')),
        |warr AS (SELECT list(w ORDER BY idx) AS arr FROM wt WHERE idx >= 0),
@@ -544,11 +548,14 @@ object SparkEntry {
            Mix31Sql(StringKey31Sql("tok"), QClsSeed.toString)
          }) % $QClsFeatures) + 1] AS w
        |  FROM qtok, warr),
+       |qws AS (
+       |  SELECT doc_id, list(w ORDER BY ord) AS ws FROM qw GROUP BY doc_id),
        |qm AS (
-       |  SELECT doc_id, list_reduce(
-       |      [(SELECT b0 FROM icept)] || list(w ORDER BY ord),
+       |  SELECT q.doc_id, list_reduce(
+       |      [(SELECT b0 FROM icept)] ||
+       |        coalesce(g.ws, []::DOUBLE[]),
        |      (a, b) -> a + b) AS margin
-       |  FROM qw GROUP BY doc_id)""".stripMargin
+       |  FROM qtoks q LEFT JOIN qws g USING (doc_id))""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.minHashSignaturePortable]]:
     * CTE chain ending in `sigs(doc_id, sig)` — distinct 3-word shingles,
@@ -1165,6 +1172,25 @@ object SparkEntry {
   private val RunTag =
     s"${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(System.nanoTime())}"
 
+  /** Sweep stale RunTag-keyed scratch (> 48 h old) left by earlier
+    * runs: per-run tags never self-overwrite the way the old fixed
+    * paths did, so without this /tmp grows one fixture set per
+    * Verify/Bench invocation forever (r16 ADVICE). Deleting on exit is
+    * deliberately NOT an option — the driver's DuckDB oracle reads
+    * THIS run's fixtures after the Verify JVM exits — so age-based
+    * sweep at startup is the correct lifecycle. Runs once at object
+    * init (RunTag's first use). */
+  private val sweepStaleScratch: Unit = try {
+    val cutoff = System.currentTimeMillis() - 48L * 3600 * 1000
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Option(new java.io.File("/tmp").listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("graft_") && f.lastModified() < cutoff) rm(f)
+    })
+  } catch { case _: Throwable => () }
+
   // ---- S5 FF CSV fixture (shared by query + oracle; see q_s5_ff_csv) ----
 
   private val FfFixturePath = s"/tmp/graft_ff_fixture_$RunTag.csv"
@@ -1201,6 +1227,31 @@ object SparkEntry {
   private val QScoreWeightsDir = s"/tmp/graft_qscore_weights_$RunTag"
   private val QClsFeatures = 512
   private val QClsSeed = 7L
+
+  /** The quality gates' ONE trained model per (process, sf dir):
+    * q_quality_classifier and q_quality_score_oracle fit the IDENTICAL
+    * LR (same corpus, planted label, split seed, portable hash,
+    * iterations) — as two independent fits they were the two most
+    * expensive bench entries (13.1 s = 7.9% of the r16 run). Trained
+    * lazily on first use and shared; each gate still persists its OWN
+    * weight fixture from this scorer, so SPARK_GRAFT_ONLY subsets stay
+    * self-contained (the oracle always reads the fixture the gate
+    * itself wrote this run). Keyed by dir: one Verify/Bench process
+    * runs one sf dir, but a test session may touch several. */
+  private val qClsScorerCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, graft.ml.QualityClassifier.LinearScorer]()
+  private def qClsSharedScorer(s: SparkSession, dir: String)
+      : graft.ml.QualityClassifier.LinearScorer =
+    qClsScorerCache.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir).withColumn("label",
+        (TextFunctions.qualityScore(col("text")) >= 0.6).cast("double"))
+      val trainDf = Sampling.hashSplitTag(docs, "doc_id", 0.3, seed = 12L)
+        .filter(!col("is_test"))
+      graft.ml.QualityClassifier.train(trainDf, "text", "label",
+        numFeatures = QClsFeatures, maxIter = 30,
+        portableSeed = Some(QClsSeed))
+    })
 
   /** Persist a trained LinearScorer as (idx, w) parquet rows — idx -1
     * carries the intercept — the oracle-side fixture. */
@@ -2238,12 +2289,14 @@ object SparkEntry {
       }.reduce(_ unionByName _)
       // materialize the (tiny, aggregated) result while the shared
       // feature frame is still cached, then RELEASE it — the operator's
-      // ownership contract (MultiDeltaPanels.release); without this the
-      // featured corpus stays pinned for the caller session's lifetime
-      out.persist()
-      out.count()
+      // ownership contract (MultiDeltaPanels.release). The result comes
+      // back as LOCAL rows re-framed on the driver (bounded: one row
+      // per delta x ticker), not the cached frame itself — returning a
+      // persisted frame would pin it for the session's lifetime outside
+      // any caller's unpersist reach (r16 ADVICE)
+      val rows = out.collect().toSeq
       run.release()
-      out
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     }),
 
     // --- EP3 end-to-end (`trading_strategy.py:469-524` via
@@ -2763,11 +2816,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).withColumn("label",
         (TextFunctions.qualityScore(col("text")) >= 0.6).cast("double"))
       val tagged = Sampling.hashSplitTag(docs, "doc_id", 0.3, seed = 12L)
-      val trainDf = tagged.filter(!col("is_test"))
-      val nTrain = trainDf.count()
-      val scorer = graft.ml.QualityClassifier.train(trainDf, "text", "label",
-        numFeatures = QClsFeatures, maxIter = 30,
-        portableSeed = Some(QClsSeed))
+      val nTrain = tagged.filter(!col("is_test")).count()
+      val scorer = qClsSharedScorer(s, dir)
       writeScorer(s, scorer, QClsWeightsDir)
       val margin = graft.ml.QualityClassifier.marginExpr(col("text"),
         scorer, Some(QClsSeed))
@@ -2790,17 +2840,15 @@ object SparkEntry {
     //     arithmetic over the persisted weights is bit-identical on
     //     any IEEE engine folding the same token order, where exp()
     //     may differ in the last ULP; margin >= 0 IS the prob >= 0.5
-    //     keep decision, also emitted. Trains its own scorer and
-    //     writes its own fixture so the gate stays self-contained
-    //     under SPARK_GRAFT_ONLY subsets ---
+    //     keep decision, also emitted. Shares the per-run trained
+    //     scorer with q_quality_classifier (identical fit by
+    //     construction) but writes its OWN fixture so the gate stays
+    //     self-contained under SPARK_GRAFT_ONLY subsets ---
     "q_quality_score_oracle" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).withColumn("label",
         (TextFunctions.qualityScore(col("text")) >= 0.6).cast("double"))
       val tagged = Sampling.hashSplitTag(docs, "doc_id", 0.3, seed = 12L)
-      val scorer = graft.ml.QualityClassifier.train(
-        tagged.filter(!col("is_test")), "text", "label",
-        numFeatures = QClsFeatures, maxIter = 30,
-        portableSeed = Some(QClsSeed))
+      val scorer = qClsSharedScorer(s, dir)
       writeScorer(s, scorer, QScoreWeightsDir)
       val margin = graft.ml.QualityClassifier.marginExpr(col("text"),
         scorer, Some(QClsSeed))

@@ -160,15 +160,25 @@ object Clustering {
     * With one shard (n ≤ shardSizeTarget) the composition reduces to
     * EXACTLY [[semDupPairs]] with k = cellsPerShard — same init
     * (k smallest ids), same argmin grid, same DECIMAL means, same
-    * emptied-cell rule — pinned bit-identical in ClusteringSpec. */
+    * emptied-cell rule — pinned bit-identical in ClusteringSpec.
+    *
+    * `nHint`: the corpus row count, if the caller already knows it
+    * (table metadata, a prior stage's count). It only SIZES the shard
+    * key — ceil(log2(n / target)) sign planes — so an approximate hint
+    * merely shifts the average shard size, never correctness; without
+    * it the operator pays one exact counting scan of the corpus before
+    * any useful work, which at 100 TB is a full extra pass (r16
+    * verdict). */
   def semDupPairsSharded(df: DataFrame, idCol: String, vecCol: String,
                          shardSizeTarget: Int, cellsPerShard: Int,
                          maxIter: Int, minCosine: Double,
-                         seed: Long = 17L): DataFrame = {
+                         seed: Long = 17L,
+                         nHint: Option[Long] = None): DataFrame = {
     require(shardSizeTarget >= 1, s"shardSizeTarget must be >= 1")
     require(cellsPerShard >= 1, s"cellsPerShard must be >= 1")
     require(maxIter >= 0, s"maxIter must be non-negative, got $maxIter")
-    val n = df.count()
+    nHint.foreach(h => require(h > 0, s"nHint must be positive, got $h"))
+    val n = nHint.getOrElse(df.count())
     require(n > 0, "semDupPairsSharded: empty input")
     // bits = ceil(log2(ceil(n / target))): enough sign planes that the
     // AVERAGE shard is ~target-sized; 0 bits (one shard) when n fits
@@ -247,9 +257,10 @@ object Clustering {
   def semDedupSharded(df: DataFrame, idCol: String, vecCol: String,
                       shardSizeTarget: Int, cellsPerShard: Int,
                       maxIter: Int, minCosine: Double, seed: Long = 17L,
-                      orderBy: Seq[Column] = Nil): DataFrame = {
+                      orderBy: Seq[Column] = Nil,
+                      nHint: Option[Long] = None): DataFrame = {
     val pairs = semDupPairsSharded(df, idCol, vecCol, shardSizeTarget,
-      cellsPerShard, maxIter, minCosine, seed)
+      cellsPerShard, maxIter, minCosine, seed, nHint)
     DupClusters.dedupByCluster(df, idCol, pairs, "id_a", "id_b", orderBy)
   }
 }
