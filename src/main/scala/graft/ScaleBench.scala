@@ -449,7 +449,15 @@ object ScaleBench {
     val sk = skipped.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"scale_slopes","gate":$SlopeGate,"reps":$reps,"cpus":"$cpus","sizes":[${sizes.mkString(",")}],"sf":"$srcDir","n_fail":${failures.size},"skipped":$sk,"queries":$json}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_SLOPES.json"),
+    // same artifact discipline as Bench: a subset or off-default-sizes
+    // probe must never clobber the committed full-gate artifact (the
+    // r15/r16 probe sessions each had to hand-restore SCALE_SLOPES.json
+    // after SPARK_GRAFT_ONLY runs)
+    val slopesPath =
+      if (only.isDefined || sys.env.contains("SPARK_GRAFT_SCALE_SIZES"))
+        "SCALE_SLOPES_subset.json"
+      else "SCALE_SLOPES.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(slopesPath),
       (line + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()

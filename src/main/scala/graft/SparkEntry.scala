@@ -1225,6 +1225,12 @@ object SparkEntry {
     * fold in SQL. */
   private val QClsWeightsDir = s"/tmp/graft_qcls_weights_$RunTag"
   private val QScoreWeightsDir = s"/tmp/graft_qscore_weights_$RunTag"
+
+  /** q_m2_predict's per-run fixture (r17): the LR fit's raw per-row
+    * P(label=1) — the one piece SQL cannot replay; everything
+    * downstream (threshold, {-1,+1} remap, per-row correctness against
+    * the side-tag direction) is oracled from it. */
+  private val M2ScoresDir = s"/tmp/graft_m2_scores_$RunTag"
   private val QClsFeatures = 512
   private val QClsSeed = 7L
 
@@ -4576,21 +4582,28 @@ object SparkEntry {
           col("n_dir_match"), (col("__pdiff") === 0.0).as("prob_exact"))
     }),
 
-    // --- M2: prediction + label-remap contract — pred_dir lands in
-    //     {-1, +1} with both classes present (the planted signal is
-    //     two-sided) and pred_prob stays in the unit interval ---
+    // --- M2: prediction + label-remap contract — FULLY ORACLED since
+    //     r17 (was rows-only): the gate persists the fit's raw per-row
+    //     P(label=1) as a per-run fixture (the ML training is the only
+    //     piece SQL cannot replay) and emits the REMAPPED per-row face;
+    //     the oracle re-reads THIS run's scores and replays threshold,
+    //     {-1,+1} remap, and per-row correctness against the side-tag
+    //     direction — any threshold or label-indexing drift (e.g. an
+    //     inverted class index) hash-misses row by row. pred_dir must
+    //     equal (pred_prob > 0.5): Spark binary LR's prediction is the
+    //     0.5 probability threshold (raw margin > 0), which is exactly
+    //     what the CASE twin spells ---
     "q_m2_predict" -> ((s, dir) => {
       val d = mlPlanted(s, dir)
       val model = graft.ml.DirectionModel.logisticPipeline(MlGateCols)
         .fit(d.filter(!col("is_test")))
       val preds = graft.ml.DirectionModel.attachPredictions(
         model, d.filter(col("is_test")))
-      preds.groupBy(col("pred_dir"))
-        .agg(count(lit(1)).as("n"), min(col("pred_prob")).as("__pmin"),
-          max(col("pred_prob")).as("__pmax"))
-        .select(col("pred_dir"), col("n"),
-          (col("__pmin") >= 0.0 && col("__pmax") <= 1.0)
-            .as("prob_in_unit"))
+      preds.select(col("event_id"), col("pred_prob")).coalesce(1)
+        .write.mode("overwrite").parquet(M2ScoresDir)
+      preds.select(col("event_id"),
+        r6(col("pred_prob")).as("prob_micro"), col("pred_dir"),
+        (col("pred_dir") === col("direction")).as("correct"))
     }),
 
     // --- M3: RF grid-CV + LR. The RF grid is a REAL 2-point maxDepth
@@ -7540,6 +7553,26 @@ object SparkEntry {
          |  COUNT(*) AS n_dir_match, TRUE AS prob_exact
          |FROM events WHERE event_id < 1024
          |  AND ${HashSql("event_id", 42L)} < ${Sampling.threshold(0.25)}""".stripMargin,
+
+    // q_m2_predict twin (r17, graduated from rows-only): the gate
+    // persisted its fit's raw per-row P(label=1); the oracle replays
+    // the 0.5 threshold, the {-1,+1} remap, and per-row correctness
+    // against the side-tag direction over the same hash-split test set.
+    // The raw LR fit itself stays legitimately un-replayable — what
+    // graduated is everything downstream of the learned scores.
+    "q_m2_predict" ->
+      s"""WITH sc AS (
+         |  SELECT event_id, pred_prob
+         |  FROM read_parquet('$M2ScoresDir/*.parquet')),
+         |ev AS (
+         |  SELECT event_id, $Side AS direction
+         |  FROM events WHERE event_id < 1024
+         |    AND ${HashSql("event_id", 42L)} < ${Sampling.threshold(0.25)})
+         |SELECT e.event_id, ${R6("s.pred_prob")} AS prob_micro,
+         |  CASE WHEN s.pred_prob > 0.5 THEN 1 ELSE -1 END AS pred_dir,
+         |  (CASE WHEN s.pred_prob > 0.5 THEN 1 ELSE -1 END) = e.direction
+         |    AS correct
+         |FROM sc s JOIN ev e USING (event_id)""".stripMargin,
 
     // q_purged_cv twin: the same ordinal (the q_o1_sort contract), the
     // same integer fold arithmetic, the same LONG-ns role CASE — every

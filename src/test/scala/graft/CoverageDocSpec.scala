@@ -35,9 +35,11 @@ class CoverageDocSpec extends AnyFunSuite {
   test("rows-only remainder is exactly the documented ML-fit set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // r16: q_quality_classifier graduated to fully-oracled (portable
-    // hash + persisted-weights fixture); the remainder is the three
-    // training fits, which are inherently un-oracle-able
-    val documented = Set("q_m1_gbt", "q_m2_predict", "q_m3_rf_lr")
+    // hash + persisted-weights fixture); r17: q_m2_predict graduated the
+    // same way (per-run raw-score fixture, remap/correctness replayed in
+    // SQL). The remainder is the two raw training fits, which are
+    // inherently un-oracle-able
+    val documented = Set("q_m1_gbt", "q_m3_rf_lr")
     assert(rowsOnly == documented,
       s"rows-only gate set changed: ${rowsOnly.diff(documented)} new / " +
         s"${documented.diff(rowsOnly)} gone — update COVERAGE.md's header " +

@@ -22,13 +22,18 @@ class MlGatesSpec extends SparkSpec {
   }
 
   test("q_m2_predict: both directions predicted, unit-interval probs, " +
-    "rerun-stable") {
+    "rerun-stable (per-row face since r17)") {
     val a = SparkEntry.queries("q_m2_predict")(spark, sf).collect()
     val b = SparkEntry.queries("q_m2_predict")(spark, sf).collect()
-    assert(a.sortBy(_.getInt(0)).toSeq == b.sortBy(_.getInt(0)).toSeq,
+    assert(a.sortBy(_.getLong(0)).toSeq == b.sortBy(_.getLong(0)).toSeq,
       "predict gate not deterministic across reruns")
-    assert(a.map(_.getInt(0)).toSet == Set(-1, 1))
-    assert(a.forall(_.getAs[Boolean]("prob_in_unit")))
+    assert(a.map(_.getAs[Int]("pred_dir")).toSet == Set(-1, 1))
+    assert(a.forall { r =>
+      val p = r.getAs[Long]("prob_micro"); p >= 0L && p <= 1000000L
+    })
+    // the planted signal is learnable: most per-row decisions correct
+    val acc = a.count(_.getAs[Boolean]("correct")).toDouble / a.length
+    assert(acc >= 0.8, s"per-row accuracy $acc below the planted bar")
   }
 
   test("q_m3_rf_lr: RF grid-CV and LR both beat the planted signal, " +

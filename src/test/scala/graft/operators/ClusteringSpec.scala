@@ -148,6 +148,83 @@ class ClusteringSpec extends SparkSpec {
       s"missed twins: ${(0L until 300L).filterNot(i => !kept(i + 1000L)).take(5)}")
   }
 
+  test("sharded blocking recall on planted near-dups: measured curve vs " +
+    "the flat face, floors pinned") {
+    // The sharded face's one documented tradeoff is BLOCKING RECALL:
+    // near-dups landing in different SRP shards are never compared.
+    // This fixture makes the loss a measured number instead of prose:
+    // 480 deterministic gaussian 32-dim vectors, 120 planted near-dup
+    // twins (id+10000, cosine ~0.97 >> the 0.9 gate; random cross-pair
+    // cosine at dims=32 is ~5 sigma below 0.9, so planted pairs are the
+    // only true pairs). Expected co-shard probability for a planted
+    // pair is (1 - theta/pi)^bits ~ 0.92^bits (theta = 0.24 rad), so
+    // the analytic curve is ~0.78 at 8 shards, ~0.85 at 4, 1.0 at 1 —
+    // the floors sit safely under it. The flat face (k=4) is the
+    // blocking-free reference: twins co-cluster almost surely.
+    val rnd = new scala.util.Random(421L)
+    val dims = 32
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    def gauss(): Array[Double] = Array.fill(dims)(rnd.nextGaussian())
+    val base = (0L until 480L).map(i => i -> gauss())
+    val twins = base.take(120).map { case (i, v) =>
+      val u = gauss()
+      (i + 10000L) -> v.zip(u).map { case (x, e) => x + 0.22 * e }
+    }
+    val d = vecs((base.map { case (i, v) => i -> unit(v) } ++
+      twins.map { case (i, v) => i -> unit(v) }): _*)
+    val plantedIds = (0L until 120L).toSet
+    def foundPairs(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+      pairs.select("id_a", "id_b").collect()
+        .collect { case r if r.getLong(1) == r.getLong(0) + 10000L =>
+          r.getLong(0) }
+        .toSet.intersect(plantedIds)
+    val flatFound = foundPairs(Clustering.semDupPairs(
+      d, "id", "vec", k = 4, maxIter = 2, minCosine = 0.9))
+    val flatRecall = flatFound.size / 120.0
+    assert(flatRecall >= 0.95, s"flat reference recall $flatRecall")
+    // 600 rows: targets 75/150/600 => 8/4/1 shards => 3/2/0 SRP bits
+    val recalls = Seq(75, 150, 600).map { target =>
+      val got = foundPairs(Clustering.semDupPairsSharded(d, "id", "vec",
+        shardSizeTarget = target, cellsPerShard = 4, maxIter = 2,
+        minCosine = 0.9))
+      val r = got.intersect(flatFound).size.toDouble / flatFound.size
+      info(f"shardSizeTarget=$target%4d: recall vs flat = $r%.3f " +
+        f"(planted recall ${got.size / 120.0}%.3f)")
+      target -> r
+    }.toMap
+    // floors (analytic curve minus margin) — pinned so a shard-key or
+    // sub-split regression that silently drops comparisons FAILS here
+    assert(recalls(75) >= 0.60, s"recall@75 = ${recalls(75)}")
+    assert(recalls(150) >= 0.70, s"recall@150 = ${recalls(150)}")
+    // one shard = the bit-identical flat reduction: recall exactly 1
+    assert(recalls(600) == 1.0, s"recall@600 = ${recalls(600)}")
+    // more shards must not BUY recall (monotone within noise)
+    assert(recalls(75) <= recalls(150) + 0.05)
+  }
+
+  test("nHint sizes the shard key without the counting pre-pass and " +
+    "preserves results when the hint equals the exact count") {
+    val rows = (0L until 120L).map { i =>
+      i -> Seq(math.sin(i * 0.37) * 3, math.cos(i * 0.53) * 3,
+        math.sin(i * 0.11 + 1) * 2, math.cos(i * 0.29 + 2) * 2)
+    }
+    val d = vecs(rows: _*)
+    def run(hint: Option[Long]) =
+      Clustering.semDupPairsSharded(d, "id", "vec", shardSizeTarget = 30,
+          cellsPerShard = 2, maxIter = 2, minCosine = 0.5, nHint = hint)
+        .select("id_a", "id_b", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(Some(120L)) == run(None))
+    // an APPROXIMATE hint only shifts average shard size — still runs,
+    // still returns a sane pair set (subset relation is not guaranteed
+    // between different shardings, so assert non-triviality instead)
+    assert(run(Some(90L)).nonEmpty)
+    intercept[IllegalArgumentException](run(Some(0L)))
+  }
+
   test("sharded face sub-splits a pathologically skewed shard") {
     // all vectors in the same orthant => ONE sign bucket regardless of
     // bits; with n >> 4x target the splitter must engage (no blow-up,
