@@ -1231,6 +1231,20 @@ object SparkEntry {
     * downstream (threshold, {-1,+1} remap, per-row correctness against
     * the side-tag direction) is oracled from it. */
   private val M2ScoresDir = s"/tmp/graft_m2_scores_$RunTag"
+
+  /** q_m1_gbt / q_m3_rf_lr per-run fixtures (r17): each training gate
+    * persists its fit's per-row test predictions; the oracle replays
+    * split membership and counts, the planted-direction twin, and the
+    * accuracy fold from the fixture — so the whole gate row is
+    * SQL-gated and only the raw fits themselves stay un-replayed. */
+  private val M1PredsDir = s"/tmp/graft_m1_preds_$RunTag"
+  private val M3PredsDir = s"/tmp/graft_m3_preds_$RunTag"
+
+  /** DuckDB twin of [[graft.operators.Sampling.unitHash]]'s strict
+    * `> 0.5` compare: bucketHash is the unit value times 2^20, so
+    * f > 0.5 iff the integer bucket exceeds 524288. */
+  private def UnitHashGtHalfSql(key: String, seed: Long): String =
+    s"${HashSql(key, seed)} > 524288"
   private val QClsFeatures = 512
   private val QClsSeed = 7L
 
@@ -4531,10 +4545,11 @@ object SparkEntry {
     // --- M1: GBT training gate — fixed-seed fit on a planted-signal
     //     frame (the reference's own sanity bar: the model must learn a
     //     signal that is in the data by construction,
-    //     chunk_pipeline.py:82). Rows-only: training is not
-    //     SQL-expressible; the gate pins (n_train, n_test,
-    //     accuracy >= 0.8), all deterministic — hash split, constant
-    //     event cap, subsample 1.0 ---
+    //     chunk_pipeline.py:82). FULLY ORACLED since r17 (was
+    //     rows-only): the fit's per-row test predictions persist as a
+    //     per-run fixture; the oracle replays split counts, the
+    //     side-tag direction twin, and the accuracy fold from it — the
+    //     GBT fit itself stays legitimately un-replayable ---
     "q_m1_gbt" -> ((s, dir) => {
       val d = mlPlanted(s, dir)
       val train = d.filter(!col("is_test"))
@@ -4543,6 +4558,8 @@ object SparkEntry {
         maxDepth = 3, maxIter = 5, subsample = 1.0).fit(train)
       val preds = graft.ml.DirectionModel.attachPredictions(
         model, d.filter(col("is_test")))
+      preds.select(col("event_id"), col("pred_dir")).coalesce(1)
+        .write.mode("overwrite").parquet(M1PredsDir)
       preds.agg(count(lit(1)).as("n_test"),
           sum(when(col("pred_dir") === col("direction"), 1L)
             .otherwise(0L)).as("__correct"))
@@ -4626,6 +4643,21 @@ object SparkEntry {
       val dl = mlPlanted(s, dir)
       val lr = graft.ml.DirectionModel.logisticPipeline(MlGateCols)
         .fit(dl.filter(!col("is_test")))
+      // FULLY ORACLED since r17 (was rows-only): both fits' per-row
+      // test predictions persist as ONE tagged fixture; the oracle
+      // replays split membership, the planted-direction twins (side
+      // tag for lr, the unitHash XOR for rf), the accuracy folds, and
+      // pins chosen_depth = 5 as the EXPECTED CV selection (the
+      // planted XOR makes depth 1 chance, so selection is provable —
+      // a gate that picks the stump now hash-misses the oracle, not
+      // just the spec)
+      def predRows(model: org.apache.spark.ml.PipelineModel, name: String,
+                   test: DataFrame) =
+        graft.ml.DirectionModel.attachPredictions(model, test)
+          .select(lit(name).as("model"), col("event_id"), col("pred_dir"))
+      predRows(rf, "rf", di.filter(col("is_test")))
+        .unionByName(predRows(lr, "lr", dl.filter(col("is_test"))))
+        .coalesce(1).write.mode("overwrite").parquet(M3PredsDir)
       def gate(model: org.apache.spark.ml.PipelineModel, name: String,
                test: DataFrame, depth: Column) =
         graft.ml.DirectionModel.attachPredictions(model, test)
@@ -7573,6 +7605,61 @@ object SparkEntry {
          |  (CASE WHEN s.pred_prob > 0.5 THEN 1 ELSE -1 END) = e.direction
          |    AS correct
          |FROM sc s JOIN ev e USING (event_id)""".stripMargin,
+
+    // q_m1_gbt twin (r17, graduated from rows-only): the gate persisted
+    // its fit's per-row test predictions; the oracle replays the split
+    // counts, the side-tag direction, and the accuracy fold. The inner
+    // join makes fixture coverage itself gated: a prediction row
+    // missing for any test event (or predicted for a non-test event)
+    // moves n_test off the split twin's count.
+    "q_m1_gbt" ->
+      s"""WITH pr AS (
+         |  SELECT event_id, pred_dir
+         |  FROM read_parquet('$M1PredsDir/*.parquet')),
+         |ev AS (
+         |  SELECT event_id, $Side AS direction,
+         |    ${HashSql("event_id", 42L)} < ${Sampling.threshold(0.25)}
+         |      AS is_test
+         |  FROM events WHERE event_id < 1024)
+         |SELECT 'gbt' AS model,
+         |  (SELECT COUNT(*) FROM ev WHERE NOT is_test) AS n_train,
+         |  COUNT(*) AS n_test,
+         |  SUM(CASE WHEN p.pred_dir = e.direction THEN 1 ELSE 0 END)
+         |    >= COUNT(*) * 0.8 AS beats_planted
+         |FROM pr p JOIN ev e USING (event_id) WHERE e.is_test""".stripMargin,
+
+    // q_m3_rf_lr twin (r17, graduated from rows-only): one tagged
+    // fixture carries both fits' test predictions; the rf face folds
+    // against the unitHash-XOR planted direction, the lr face against
+    // the side tag. chosen_depth = 5 is the EXPECTED CV selection
+    // (depth-1 is chance on the planted XOR), pinned here so a CV
+    // machinery regression hash-misses the oracle.
+    "q_m3_rf_lr" ->
+      s"""WITH pr AS (
+         |  SELECT model, event_id, pred_dir
+         |  FROM read_parquet('$M3PredsDir/*.parquet')),
+         |evi AS (
+         |  SELECT event_id,
+         |    CASE WHEN (${UnitHashGtHalfSql("event_id", 11L)})
+         |        != (${UnitHashGtHalfSql("event_id", 13L)})
+         |      THEN 1 ELSE -1 END AS direction
+         |  FROM events WHERE event_id < 1024
+         |    AND ${HashSql("event_id", 42L)} < ${Sampling.threshold(0.25)}),
+         |evl AS (
+         |  SELECT event_id, $Side AS direction
+         |  FROM events WHERE event_id < 1024
+         |    AND ${HashSql("event_id", 42L)} < ${Sampling.threshold(0.25)})
+         |SELECT 'rf' AS model, COUNT(*) AS n_test,
+         |  SUM(CASE WHEN p.pred_dir = e.direction THEN 1 ELSE 0 END)
+         |    >= COUNT(*) * 0.8 AS beats_planted,
+         |  CAST(5 AS BIGINT) AS chosen_depth
+         |FROM pr p JOIN evi e USING (event_id) WHERE p.model = 'rf'
+         |UNION ALL
+         |SELECT 'lr' AS model, COUNT(*) AS n_test,
+         |  SUM(CASE WHEN p.pred_dir = e.direction THEN 1 ELSE 0 END)
+         |    >= COUNT(*) * 0.8 AS beats_planted,
+         |  CAST(NULL AS BIGINT) AS chosen_depth
+         |FROM pr p JOIN evl e USING (event_id) WHERE p.model = 'lr'""".stripMargin,
 
     // q_purged_cv twin: the same ordinal (the q_o1_sort contract), the
     // same integer fold arithmetic, the same LONG-ns role CASE — every

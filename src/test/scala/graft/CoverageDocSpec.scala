@@ -35,11 +35,13 @@ class CoverageDocSpec extends AnyFunSuite {
   test("rows-only remainder is exactly the documented ML-fit set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // r16: q_quality_classifier graduated to fully-oracled (portable
-    // hash + persisted-weights fixture); r17: q_m2_predict graduated the
-    // same way (per-run raw-score fixture, remap/correctness replayed in
-    // SQL). The remainder is the two raw training fits, which are
-    // inherently un-oracle-able
-    val documented = Set("q_m1_gbt", "q_m3_rf_lr")
+    // hash + persisted-weights fixture); r17: q_m1_gbt, q_m2_predict and
+    // q_m3_rf_lr graduated the same way (per-run prediction/score
+    // fixtures; split counts, direction twins, remap, and accuracy
+    // folds replayed in SQL — only the raw fits themselves go
+    // un-replayed, via the fixture). Rows-only is now EMPTY; any new
+    // un-oracled gate must be documented here deliberately.
+    val documented = Set.empty[String]
     assert(rowsOnly == documented,
       s"rows-only gate set changed: ${rowsOnly.diff(documented)} new / " +
         s"${documented.diff(rowsOnly)} gone — update COVERAGE.md's header " +
