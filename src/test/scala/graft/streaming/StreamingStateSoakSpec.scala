@@ -118,6 +118,37 @@ class StreamingStateSoakSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningOi state is EXACTLY key cardinality — flat in batch count " +
+    "and event volume, stepping only when new keys arrive") {
+    // the third stateful shape: NoTimeout mapGroupsWithState, whose
+    // documented bound is per-KEY state (one TickerState per ticker) —
+    // the soak pins that events-per-key and batch count never leak
+    // into the store, and that the metric still moves when keys do
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Int, Double)]
+    val out = StreamingOi.runningOi(
+      input.toDF().toDF("ticker", "direction", "size"))
+    val name = s"soak_oi_${StreamingOi.nextSinkId()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      val k = 25
+      (1 to 6).foreach { b =>
+        // volume grows with b; the key set does not
+        input.addData((1 to k * b).map(i =>
+          (s"T${i % k}", if (i % 2 == 0) -1 else 1, 1.0 + i)): _*)
+        q.processAllAvailable()
+        assert(stateRows(q) == k.toLong,
+          s"batch $b: state ${stateRows(q)} != key cardinality $k")
+      }
+      // new keys step the store by exactly their count
+      input.addData((1 to 7).map(i => (s"NEW$i", 1, 1.0)): _*)
+      q.processAllAvailable()
+      assert(stateRows(q) == (k + 7).toLong,
+        s"state ${stateRows(q)} after 7 new keys (expected ${k + 7})")
+    } finally q.stop()
+  }
+
   test("tagStream pending-exec state plateaus once the watermark passes " +
     "tolerance windows; the never-passing twin accumulates every key") {
     val batches = 6
