@@ -44,7 +44,16 @@ object Pq {
     * iteration (subspaces explode to (j, c, subvec) rows and one
     * partial-aggregated groupBy updates every codebook), versus m
     * independent runs each paying per-iteration job overhead. The
-    * vector dimension must divide evenly into `m` subspaces. */
+    * vector dimension must divide evenly into `m` subspaces.
+    *
+    * At corpus scale, do NOT train on the full table: codebooks need a
+    * representative learning set, not every row (Jegou et al. 2011 §V),
+    * and each iteration here is a full pass over `df`. Compose with the
+    * deterministic sampler —
+    * `train(Sampling.bernoulliSample(e, id, 0.01), ...)` — and spend
+    * the passes on the sample; the r17 wide-decade probe measured ~2/3
+    * of the whole PQ serve pipeline's cost going to avoidable full-
+    * corpus retraining (SCALE.md, x1024 section). */
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
             k: Int, maxIter: Int): Codebooks = {
     require(m >= 1, s"m must be >= 1, got $m")
