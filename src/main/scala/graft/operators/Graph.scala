@@ -130,7 +130,6 @@ object Graph {
         s"pageRank weights must be <= 4e6 (rank*w must fit signed-64); " +
           s"max seen $maxW")
     }
-    val srcSet = eDeg.select("src").distinct().localCheckpoint()
     // teleport mass (100-d)% of Pico: spread over all N nodes, or — in
     // the personalized case — over the |S| seed nodes only
     val teleport = Pico - Pico * dampingPct / 100L
@@ -144,8 +143,17 @@ object Graph {
           "no node in the graph")
         (p(col("node")), s)
     }
+    // dangling-ness is STATIC (a node either has out-edges or it never
+    // does), so the flag is resolved ONCE here and carried in the rank
+    // frame; the alternative — an anti-join of ranks against the src
+    // set inside the loop — is a second N-vs-N shuffle join in every
+    // iteration at cluster scale
     var ranks = nodes
-      .withColumn("r", when(isSeed, lit(Pico / recv)).otherwise(lit(0L)))
+      .join(eDeg.select(col("src").as("node")).distinct()
+          .withColumn("__out", lit(true)),
+        Seq("node"), "left")
+      .select(col("node"), col("__out").isNull.as("__dang"),
+        when(isSeed, lit(Pico / recv)).otherwise(lit(0L)).as("r"))
       .localCheckpoint()
     // superseded-round hygiene (graft.core.Lineage): each eager
     // checkpoint's last reader is the NEXT round's materialization, so
@@ -158,26 +166,28 @@ object Graph {
     while (it < iterations && !converged) {
       // the dangling mass rides into the update as a broadcast 1-row
       // aggregate instead of a driver collect: ONE action per iteration
-      // (the localCheckpoint), not two
-      val dang = ranks
-        .join(srcSet, ranks("node") === srcSet("src"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("__dang"))
+      // (the localCheckpoint), not two — and the static __dang flag
+      // makes it a row-local filter over the checkpointed rank frame,
+      // no join at all
+      val dang = ranks.filter(col("__dang"))
+        .agg(coalesce(sum(col("r")), lit(0L)).as("__dm"))
       val inSums = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr("(r * w) div outw").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__in"))
       // join FROM ranks (same node universe as `nodes`) so the previous
-      // rank rides along for the exact L1 delta without a second join
+      // rank and the dangling flag ride along for the next round
+      // without a second join
       val next = ranks
-        .select(col("node"), col("r").as("__prev"))
+        .select(col("node"), col("__dang"), col("r").as("__prev"))
         .join(inSums, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .withColumn("__recv",
           when(isSeed, coalesce(col("__in"), lit(0L))
-            + expr(s"__dang div $recv"))
+            + expr(s"__dm div $recv"))
           .otherwise(coalesce(col("__in"), lit(0L))))
-        .select(col("node"),
+        .select(col("node"), col("__dang"),
           (when(isSeed, lit(teleport / recv)).otherwise(lit(0L)) +
             expr(s"($dampingPct * __recv) div 100")).as("r"),
           col("__prev"))
@@ -193,14 +203,13 @@ object Graph {
       }
       graft.core.Lineage.unpersistCheckpoint(prevCp)
       prevCp = next
-      ranks = next.select("node", "r")
+      ranks = next.select("node", "__dang", "r")
       it += 1
     }
     // static per-run frames: every reader ran inside the loop; the
     // returned projection reads only the LAST round's checkpoint
     graft.core.Lineage.unpersistCheckpoint(nodes)
     graft.core.Lineage.unpersistCheckpoint(eDeg)
-    graft.core.Lineage.unpersistCheckpoint(srcSet)
     PageRankRun(
       ranks.select(col("node"), col("r").as("rank_pico"),
         (col("r").cast("double") / lit(Pico.toDouble)).as("rank")),
