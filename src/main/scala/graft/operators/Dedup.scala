@@ -153,19 +153,38 @@ object Dedup {
       .filter(col("__rk") <= greatest(
         (col("sh_size") - ceil(lit(threshold) * col("sh_size")) + 1L)
           .cast("long"), lit(1L)))
-    val keep = (col("id") +: col("sh_size") +: blockCols.map(col)) :+
-      col("shingle")
+    val keep = (col("id") +: col("sh_size") +: col("__rk") +:
+      blockCols.map(col)) :+ col("shingle")
     val a = prefix.select(keep: _*)
-      .toDF(("id_a" +: "size_a" +: blockCols.map(_ + "_a")) :+ "shingle": _*)
+      .toDF(("id_a" +: "size_a" +: "__rka" +:
+        blockCols.map(_ + "_a")) :+ "shingle": _*)
     val b = prefix.select(keep: _*)
-      .toDF(("id_b" +: "size_b" +: blockCols.map(_ + "_b")) :+ "shingle": _*)
+      .toDF(("id_b" +: "size_b" +: "__rkb" +:
+        blockCols.map(_ + "_b")) :+ "shingle": _*)
     val blockEq = blockCols.map(c => col(c + "_a") === col(c + "_b"))
       .foldLeft(lit(true))(_ && _)
+    // positional filter (PPJoin): let w be the pair's minimal shared
+    // prefix shingle under the global (df, hash, shingle) order. Any
+    // common shingle BELOW w would sit even earlier in both docs'
+    // orders, hence inside both prefixes, contradicting w's minimality —
+    // so every common shingle is >= w and |A∩B| <= 1 + min(|A|-pos_w(A),
+    // |B|-pos_w(B)). Per-doc ranks are order-consistent, so min(__rka)
+    // and min(__rkb) over the pair's matched rows BOTH come from w —
+    // one groupBy (replacing the distinct, same shuffle) yields the
+    // bound, and pairs that cannot reach t/(1+t)·(|A|+|B|) common
+    // shingles never enter the exact-verification joins
     a.join(b, Seq("shingle"))
       .where(col("id_a") < col("id_b") && blockEq &&
         col("size_a") * threshold <= col("size_b") &&
         col("size_b") * threshold <= col("size_a"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b")
+      .agg(min(col("size_a")).as("size_a"), min(col("size_b")).as("size_b"),
+        min(col("__rka")).as("__rka"), min(col("__rkb")).as("__rkb"))
+      .where((lit(1L) + least(col("size_a") - col("__rka"),
+          col("size_b") - col("__rkb"))).cast("double") >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("size_a") + col("size_b")).cast("double") - lit(1e-9))
+      .select("id_a", "id_b")
   }
 
   /** n-gram CONTAINMENT pairs: c(A,B) = |A∩B| / |A| >= threshold — the

@@ -97,6 +97,48 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("jaccardPairs == naive all-pairs join at several thresholds " +
+    "(positional-filter differential, skewed random corpus)") {
+    // small vocab + geometric lengths force heavy shingle sharing and a
+    // skewed document-frequency profile, so the prefix AND positional
+    // filters both fire; planted near-dup pairs pin the keep side
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu",
+      "hen", "ibis", "jay")
+    def doc(seed: Int, len: Int): String =
+      (0 until len).map(i =>
+        vocab((seed * 7 + i * (1 + seed % 3)) % vocab.size)).mkString(" ")
+    val base = (0 until 40).map(i => i.toLong -> doc(i % 11, 5 + i % 14))
+    // planted near-dups: a copy with one word swapped
+    val dups = (0 until 6).map { i =>
+      val (_, t) = base(i * 5)
+      (100L + i) -> (t.split(" ").dropRight(1).mkString(" ") + " newt")
+    }
+    val rows = base ++ dups
+    val d = docs(rows: _*)
+    def shingleSet(s: String): Set[String] = {
+      val toks = s.toLowerCase.trim.split("\\s+").toVector
+      if (toks.size < 3) Set.empty
+      else (0 to toks.size - 3).map(i =>
+        toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, s) => id -> shingleSet(s) }
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.jaccardPairs(d, "doc_id", "text", 3, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val expect = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib && sa.nonEmpty && sb.nonEmpty
+        inter = sa.intersect(sb).size.toDouble
+        j = inter / (sa.size + sb.size - inter)
+        if j >= t
+      } yield (ia, ib) -> j).toMap
+      assert(got.keySet == expect.keySet,
+        s"t=$t missing=${expect.keySet -- got.keySet} " +
+          s"extra=${got.keySet -- expect.keySet}")
+      expect.foreach { case (k, j) => assertApprox(got(k), j) }
+    }
+  }
+
   test("identical docs have identical minhash signatures; sig length k") {
     val d = docs(1L -> "one two three four five six",
       2L -> "one two three four five six", 3L -> "totally different words here")
