@@ -91,6 +91,52 @@ object ScaleBench {
   private val SlopeGate = 1.3
 
   /** name -> (query(spark, dir, scale), exemption reason or null). */
+  /** Per-dir memoized replay fixture for the streaming scale entries:
+    * the events table normalized to (ts_ns, event_id, event_type,
+    * value, event_time) and written as four TIME-QUARTILE files, oldest
+    * first with modification-time gaps, so a maxFilesPerTrigger=1
+    * replay runs a CONSTANT four micro-batches at every inflation —
+    * rows per batch grow k-fold while batch count does not — and each
+    * batch's closing watermark trails the next file's minimum event
+    * time (quartiles are disjoint time ranges), so no row is ever
+    * dropped as late and the measured state work is the full input.
+    * The warm-up rep pays this build; min-of-reps discards it. */
+  private val streamFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamScaleFixture(s: SparkSession, dir: String): String =
+    streamFixtureCache.computeIfAbsent(dir, d => {
+      val root =
+        s"${System.getProperty("java.io.tmpdir")}/graft_scale_stream_" +
+          java.lang.Integer.toHexString(d.hashCode) + "_" +
+          java.lang.ProcessHandle.current().pid()
+      val ev = Tables.tsToNs(Tables.events(s, d))
+        .select(col("ts").as("ts_ns"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("event_time", timestamp_micros(expr("ts_ns div 1000")))
+      val cuts = ev.stat
+        .approxQuantile("ts_ns", Array(0.25, 0.5, 0.75), 0.001)
+        .map(_.toLong)
+      val slices = Seq(
+        col("ts_ns") < cuts(0),
+        col("ts_ns") >= cuts(0) && col("ts_ns") < cuts(1),
+        col("ts_ns") >= cuts(1) && col("ts_ns") < cuts(2),
+        col("ts_ns") >= cuts(2))
+      slices.zipWithIndex.foreach { case (p, i) =>
+        ev.filter(p).coalesce(1).write
+          .mode(if (i == 0) "overwrite" else "append").parquet(root)
+        Thread.sleep(15) // file-source replay order = modification time
+      }
+      root
+    })
+
+  private def withShufflePartitions[A](s: SparkSession, n: Int)
+                                      (f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   private def entries: Seq[(String, (SparkSession, String, Int) => DataFrame,
       String)] = {
     def q(name: String): (SparkSession, String, Int) => DataFrame =
@@ -207,7 +253,54 @@ object ScaleBench {
         Clustering.semDedupSharded(Tables.embeddings(s, dir), "vec_id",
             "embedding", shardSizeTarget = 2000, cellsPerShard = 4,
             maxIter = 2, minCosine = 0.4)
-          .select(col("vec_id"), col("label")), null))
+          .select(col("vec_id"), col("label")), null),
+      // streaming THROUGHPUT face (events): the complete-mode OI
+      // aggregation replayed over the inflated events table in a
+      // CONSTANT four micro-batches (time-quartile files). State is
+      // O(bins) — constant, because inflation multiplies density on the
+      // same time span — while rows per batch grow k-fold, so the entry
+      // measures the stateful-agg shuffle + state-store THROUGHPUT path.
+      // Complements StreamingStateSoakSpec, which pins state SIZE.
+      ("stream_oi_replay", (s, dir, _) => {
+        val root = streamScaleFixture(s, dir)
+        val schema = s.read.parquet(root).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(root)
+        val hourNs = 3600L * 1000L * 1000L * 1000L
+        val oi = graft.operators.Imbalance.orderImbalance(
+          stream.withColumn("bin_ns",
+            graft.operators.TimeBins.ceilNs(col("ts_ns"), hourNs)),
+          Seq(col("bin_ns")),
+          when(col("event_type").isin("click", "view", "purchase"), -1)
+            .otherwise(1),
+          col("value"))
+        withShufflePartitions(s, 8) {
+          graft.streaming.StreamingOi.replayComplete(oi,
+            "graft_scale_stream_oi_" +
+              graft.streaming.StreamingOi.nextSinkId())
+        }
+      }, null),
+      // streaming STATE-GROWTH face (events): first-copy-wins dedup on
+      // the copy-shifted event id — live state per watermark horizon
+      // grows k-fold (k× distinct keys on the same time span), eviction
+      // runs at every batch boundary, and the counting sink keeps the
+      // driver's O(output) collection out of the measurement. The
+      // 100 TB streaming question this gates: per-key state machinery
+      // must stay linear in keys.
+      ("stream_dedup_replay", (s, dir, _) => {
+        val root = streamScaleFixture(s, dir)
+        val schema = s.read.parquet(root).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(root)
+        val kept = graft.streaming.StreamingDedup.firstCopy(
+          stream, "event_id", "event_time", "10 minutes")
+        withShufflePartitions(s, 8) {
+          graft.streaming.StreamingOi.replayCounted(
+            kept.select(col("event_id")),
+            "graft_scale_stream_dedup_" +
+              graft.streaming.StreamingOi.nextSinkId())
+        }
+      }, null))
   }
 
   /** Write the k-times inflated sf0.1 tables under `outDir` (same file

@@ -118,4 +118,28 @@ object StreamingOi {
     try q.processAllAvailable() finally q.stop()
     result.sparkSession.table(queryName)
   }
+
+  /** Finite-replay materializer that COUNTS instead of collecting: each
+    * micro-batch is forced through a row-counting foreachBatch sink, so
+    * nothing accumulates on the driver. This is the scale-probe face of
+    * [[replayAppend]] — a k-fold inflated fixture replays at full
+    * engine cost (state lookups, eviction, shuffles) while the memory
+    * sink's O(output) driver collection, which would dominate and
+    * distort the timing at 64x, never happens. Returns a 1-row frame
+    * with the emitted-row total so harnesses can force and sanity-check
+    * the result. Correctness gates keep using the collecting
+    * materializers; this one is for measurement. */
+  def replayCounted(result: DataFrame, queryName: String): DataFrame = {
+    val total = new java.util.concurrent.atomic.AtomicLong()
+    val q = result.writeStream
+      .outputMode(OutputMode.Append())
+      .queryName(queryName)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        total.addAndGet(df.count()); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import result.sparkSession.implicits._
+    Seq(total.get()).toDF("n_rows")
+  }
 }
