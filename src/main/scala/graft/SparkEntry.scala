@@ -4396,10 +4396,14 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_suppkey"))
       val ord = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"))
+      // one edge row PER LINE with w=1: the operator's duplicate-edge
+      // contract (weights SUM) turns its single aggregation into the
+      // co-order line count — pre-aggregating here would shuffle the
+      // joined frame twice for the same result
       val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy((col("o_custkey") * 2).cast("long").as("src"),
+        .select((col("o_custkey") * 2).cast("long").as("src"),
           (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-        .agg(count(lit(1)).as("w"))
+        .withColumn("w", lit(1L))
       val edges = fwd.union(fwd.select(col("dst").as("src"),
         col("src").as("dst"), col("w")))
       Graph.pageRank(edges, "src", "dst", iterations = 5,
