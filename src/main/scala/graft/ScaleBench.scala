@@ -440,6 +440,19 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the x64 graph entries are memory-marginal at the 8g default heap
+    // under local[32] (32 concurrent SMJ+hash-agg tasks exhausted the
+    // execution pool late r17, on BOTH pre- and post-optimization code
+    // — UNABLE_TO_ACQUIRE_MEMORY in the edge-prep distinct, and a
+    // higher AQE initialPartitionNum did not relieve it). The gate
+    // protocol heap is therefore 16g (SPARK_DRIVER_MEM=16g), the r14
+    // core-scaling lesson applied here, and the artifact stamps
+    // heap_gb so an off-protocol refit is visible instead of silent.
+    val heapGb = Runtime.getRuntime.maxMemory() / (1L << 30)
+    if (heapGb < 12)
+      System.err.println(s"[scale] WARNING: heap ${heapGb}g is below the " +
+        "16g gate protocol (SPARK_DRIVER_MEM=16g) — x64 graph entries " +
+        "can exhaust the execution pool at 8g")
 
     // SPARK_GRAFT_SCALE_TABLES limits the inflation to the listed
     // tables (e.g. "embeddings" for the wide-decade ANN probes, where
@@ -551,7 +564,7 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val sk = skipped.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"scale_slopes","gate":$SlopeGate,"reps":$reps,"cpus":"$cpus","sizes":[${sizes.mkString(",")}],"sf":"$srcDir","n_fail":${failures.size},"skipped":$sk,"queries":$json}"""
+      s"""{"metric":"scale_slopes","gate":$SlopeGate,"reps":$reps,"cpus":"$cpus","heap_gb":$heapGb,"sizes":[${sizes.mkString(",")}],"sf":"$srcDir","n_fail":${failures.size},"skipped":$sk,"queries":$json}"""
     // same artifact discipline as Bench: a subset or off-default-sizes
     // probe must never clobber the committed full-gate artifact (the
     // r15/r16 probe sessions each had to hand-restore SCALE_SLOPES.json
