@@ -428,6 +428,13 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // bypass SparkEntry's per-run shared fixtures (trade-graph edge
+    // prep): the scale gate must measure each entry's FULL uncached
+    // cost at every scale and rep — a warm-rep cache would remove the
+    // edge prep (the one memory-marginal stage, the reason for the 16g
+    // protocol) from the measured growth law, and the pinned frames
+    // would accumulate across inflated dirs
+    System.setProperty("graft.noSharedFixtures", "1")
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
@@ -448,7 +455,11 @@ object ScaleBench {
     // protocol heap is therefore 16g (SPARK_DRIVER_MEM=16g), the r14
     // core-scaling lesson applied here, and the artifact stamps
     // heap_gb so an off-protocol refit is visible instead of silent.
-    val heapGb = Runtime.getRuntime.maxMemory() / (1L << 30)
+    // round to NEAREST GiB: some collectors report maxMemory slightly
+    // below -Xmx (e.g. minus a survivor space), so flooring would stamp
+    // a protocol-compliant 16g run as heap_gb:15 and spuriously warn on
+    // a 12g one (r17 ADVICE)
+    val heapGb = (Runtime.getRuntime.maxMemory() + (1L << 29)) >> 30
     if (heapGb < 12)
       System.err.println(s"[scale] WARNING: heap ${heapGb}g is below the " +
         "16g gate protocol (SPARK_DRIVER_MEM=16g) — x64 graph entries " +

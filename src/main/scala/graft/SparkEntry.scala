@@ -1273,6 +1273,104 @@ object SparkEntry {
         portableSeed = Some(QClsSeed))
     })
 
+  /** The graph gates' ONE trade-graph edge prep per (session, sf dir):
+    * q_pagerank / q_ppr / q_pagerank_weighted all build the identical
+    * lineitem⋈orders customer<->supplier frame — as three independent
+    * preps they were the largest duplicated block in the r17 bench
+    * (13.1 s combined = 8.6% of the run), the same shape the shared
+    * quality scorer eliminated. Cached as the DEDUPED forward edge
+    * frame with per-pair co-order line counts, localCheckpoint'd so
+    * all three gates read the pinned result. Semantics are UNCHANGED
+    * for every face:
+    *  - unweighted/ppr: project (src, dst) — pageRank's distinct sees
+    *    an already-unique set, the identical edge set the per-line
+    *    input deduped to;
+    *  - weighted: project (src, dst, w = line count) — pageRank's
+    *    duplicate-edge SUM contract sees one pre-summed row per edge,
+    *    and the sums are identical because the forward (even→odd) and
+    *    reversed (odd→even) key spaces are disjoint.
+    * Keyed by (session, dir): checkpointed frames are session-tied,
+    * and a test session may touch several sf dirs. ScaleBench sets
+    * -Dgraft.noSharedFixtures=1 to bypass the cache: its q_pagerank
+    * entry must keep measuring the FULL uncached edge prep at every
+    * scale and rep — the prep contains the one memory-marginal stage
+    * the 16g protocol exists for, and a warm-rep cache would silently
+    * remove it from the growth law. */
+  private val tradeEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]()
+
+  /** A cached localCheckpoint'd frame's blocks can be swept out from
+    * under the cache by RDD-level hygiene (Bench/ScaleBench/SoakSpec
+    * drop all persistent RDDs between queries; checkpoint blocks are
+    * NOT recomputable) — a hit on a dead checkpoint throws
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at read time. Liveness =
+    * the analyzed plan is still a pinned LogicalRDD leaf. */
+  private def checkpointLive(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ => false
+    }
+
+  /** RDD ids of the currently-LIVE shared fixtures: Bench's
+    * between-query block sweep spares these (and only these), so the
+    * fixture actually survives across the three graph gates instead of
+    * being rebuilt per gate — every other persistent RDD is still
+    * dropped (they are recomputable or never read again; the fixture
+    * is neither, being a checkpoint that IS read again). */
+  def sharedFixtureRddIds: Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    tradeEdgesCache.values.asScala.toSeq.flatMap { df =>
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD
+            if checkpointLive(df) => Some(lr.rdd.id)
+        case _ => None
+      }
+    }.toSet
+  }
+
+  private def tradeGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    def build: DataFrame = {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      // disjoint node spaces: customers on even ids, suppliers on odd
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    }
+    if (sys.props.get("graft.noSharedFixtures").contains("1")) build
+    else tradeEdgesCache.compute((s, dir), (_, prev) =>
+      // revalidate on every hit: rebuild if an RDD sweep killed the
+      // pinned blocks since the last use
+      if (prev != null && checkpointLive(prev)) prev
+      else build.localCheckpoint())
+  }
+
+  /** The ML gates' ONE logistic fit on the mlPlanted train split per
+    * (session, sf dir): q_m2_predict, q_m3_rf_lr's lr face and
+    * q_s10_model_io all fit the IDENTICAL pipeline (same feature
+    * columns, same deterministic hash split, same data) — the fits
+    * were bit-interchangeable already, so sharing changes no gate's
+    * output, and each gate still persists/replays its OWN per-run
+    * fixture from this model, keeping SPARK_GRAFT_ONLY subsets
+    * self-contained (r17 verdict item 7). Not oracle-weakening: every
+    * oracle fold reads the fixture the gate itself wrote this run. */
+  private val mlLrFitCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), org.apache.spark.ml.PipelineModel]()
+  private def mlPlantedLrFit(s: SparkSession, dir: String)
+      : org.apache.spark.ml.PipelineModel =
+    if (sys.props.get("graft.noSharedFixtures").contains("1"))
+      graft.ml.DirectionModel.logisticPipeline(MlGateCols)
+        .fit(mlPlanted(s, dir).filter(!col("is_test")))
+    else mlLrFitCache.computeIfAbsent((s, dir), _ =>
+      graft.ml.DirectionModel.logisticPipeline(MlGateCols)
+        .fit(mlPlanted(s, dir).filter(!col("is_test"))))
+
   /** Persist a trained LinearScorer as (idx, w) parquet rows — idx -1
     * carries the intercept — the oracle-side fixture. */
   private def writeScorer(s: SparkSession,
@@ -4355,14 +4453,10 @@ object SparkEntry {
     //     iteration — every step LONG-exact, so the DuckDB twin replays
     //     the same 5 iterations bit-for-bit ---
     "q_pagerank" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"))
-      // disjoint node spaces: customers on even ids, suppliers on odd
-      val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).cast("long").as("src"),
-          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      // edge prep shared across the three PageRank-family gates (r18);
+      // the projection drops the line counts — the unweighted contract
+      // deduplicates, and the fixture is already one row per edge
+      val fwd = tradeGraphEdges(s, dir).select(col("src"), col("dst"))
       val edges = fwd.union(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pageRank(edges, "src", "dst", iterations = 5)
@@ -4375,13 +4469,8 @@ object SparkEntry {
     //     sf0.001). Rank = importance relative to the seeds; same
     //     pico-grid chain, replayed by the seeded oracle variant ---
     "q_ppr" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"))
-      val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).cast("long").as("src"),
-          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      // same shared edge fixture as q_pagerank (r18)
+      val fwd = tradeGraphEdges(s, dir).select(col("src"), col("dst"))
       val edges = fwd.union(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       Graph.personalizedPageRank(edges, "src", "dst",
@@ -4392,18 +4481,12 @@ object SparkEntry {
     // --- graph: WEIGHTED PageRank — same trade graph, mass split
     //     proportional to the pair's co-order line count ---
     "q_pagerank_weighted" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"))
-      // one edge row PER LINE with w=1: the operator's duplicate-edge
-      // contract (weights SUM) turns its single aggregation into the
-      // co-order line count — pre-aggregating here would shuffle the
-      // joined frame twice for the same result
-      val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).cast("long").as("src"),
-          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-        .withColumn("w", lit(1L))
+      // shared fixture carries w = co-order line count per edge (r18):
+      // the operator's duplicate-edge contract (weights SUM) sees one
+      // pre-summed row per directed edge — identical sums to the old
+      // per-line w=1 input, since forward and reversed key spaces are
+      // disjoint (even→odd vs odd→even node ids)
+      val fwd = tradeGraphEdges(s, dir)
       val edges = fwd.union(fwd.select(col("dst").as("src"),
         col("src").as("dst"), col("w")))
       Graph.pageRank(edges, "src", "dst", iterations = 5,
@@ -4582,8 +4665,7 @@ object SparkEntry {
     //     drift (lost scaler mean, coefficient truncation) hash-misses ---
     "q_s10_model_io" -> ((s, dir) => {
       val d = mlPlanted(s, dir)
-      val model = graft.ml.DirectionModel.logisticPipeline(MlGateCols)
-        .fit(d.filter(!col("is_test")))
+      val model = mlPlantedLrFit(s, dir) // shared fit (r18)
       val path = s"/tmp/graft_model_io_$RunTag"
       AuxSources.saveModel(model, path)
       val reloaded = AuxSources.loadModel(path)
@@ -4616,8 +4698,7 @@ object SparkEntry {
     //     what the CASE twin spells ---
     "q_m2_predict" -> ((s, dir) => {
       val d = mlPlanted(s, dir)
-      val model = graft.ml.DirectionModel.logisticPipeline(MlGateCols)
-        .fit(d.filter(!col("is_test")))
+      val model = mlPlantedLrFit(s, dir) // shared fit (r18)
       val preds = graft.ml.DirectionModel.attachPredictions(
         model, d.filter(col("is_test")))
       preds.select(col("event_id"), col("pred_prob")).coalesce(1)
@@ -4645,8 +4726,7 @@ object SparkEntry {
         .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel]
         .getMaxDepth.toLong
       val dl = mlPlanted(s, dir)
-      val lr = graft.ml.DirectionModel.logisticPipeline(MlGateCols)
-        .fit(dl.filter(!col("is_test")))
+      val lr = mlPlantedLrFit(s, dir) // shared fit (r18)
       // FULLY ORACLED since r17 (was rows-only): both fits' per-row
       // test predictions persist as ONE tagged fixture; the oracle
       // replays split membership, the planted-direction twins (side

@@ -121,8 +121,17 @@ object Graph {
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
+    // out-weight attach as ONE window over a single exchange on src —
+    // the former self-join (e ⋈ e.groupBy(src).agg(sum)) shuffled the
+    // edge frame twice and held the SMJ pairing's sort buffers for both
+    // faces concurrently, which made this the one memory-marginal stage
+    // in the repo (reproducibly exhausted the execution pool at x64
+    // under an 8g heap, 3/3 — SCALE.md 16g-protocol section). The
+    // window shape shuffles e ONCE and buffers per src group only
+    // (bounded by out-degree), identical LONG sums either way.
     val eDeg = e
-      .join(e.groupBy("src").agg(sum(col("w")).as("outw")), "src")
+      .withColumn("outw", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .localCheckpoint() // static across iterations: compute + pin once
     if (weightCol.nonEmpty) {
       val maxW = eDeg.agg(max(col("w"))).head().getLong(0)

@@ -465,6 +465,66 @@ class PlanQualitySpec extends SparkSpec {
     assert(seg.count() > 0)
   }
 
+  test("gate-plan WindowExec audit: no unpartitioned window outside " +
+    "the whitelisted bounded sites (COVERAGE.md inventory)") {
+    // COVERAGE.md's r14 inventory documents every INTENDED
+    // single-partition window (all over tiny post-aggregate frames —
+    // O(days), O(groups), O(shards), top-k rows); the constant lit(k)
+    // partition keys documenting the intent in source are
+    // constant-folded out by Catalyst, so the executed node really is
+    // unpartitioned and nothing FAILED if a future operator added an
+    // unbounded one (r17 verdict item 6). This walk makes the
+    // inventory executable: every gate plan is scanned for
+    // WindowExec nodes with an empty partitionSpec, and any gate
+    // exceeding its whitelisted count — or any NEW gate with one —
+    // goes red and must either partition the window or justify a
+    // whitelist entry with the bounded frame it runs over.
+    import org.apache.spark.sql.execution.window.WindowExec
+    // gate -> allowed unpartitioned-WindowExec count; the bounded frame
+    // is noted per entry (sites: COVERAGE.md "WindowExec warning
+    // inventory"). Counts are per PLAN NODE in the pre-AQE sparkPlan,
+    // which does not dedup reused subtrees — so one bounded source
+    // site can legitimately appear several times (q_purged_cv's single
+    // timeOrderSeq offsets window shows up 4x because the `folded`
+    // frame feeds both the fold-extent aggregate and the role
+    // projection, each carrying its own copy of the ordinal subtree;
+    // AQE's ReusedExchange collapses them at runtime).
+    val allowed: Map[String, Int] = Map(
+      // Prep.timeOrderSeq offsets: O(time-slices) per-slice counts
+      "q_o1_sort" -> 1,
+      "q_purged_cv" -> 4, // same site, subtree duplicated (see above)
+      // Curation.tokenYieldCurve cumulative walk: <= `buckets` rows
+      "q_token_yield" -> 1,
+      // CorpusDiff drift shares: O(groups) count pairs
+      "q_dist_drift" -> 1,
+      "q_psi_drift" -> 1,
+      // Strategy.rollingRefitSignals day-moment offsets: O(days) rows
+      "q_ep2_full" -> 1,
+      // Sharding balanced-shard offsets: O(buckets x slices) counts
+      "q_balanced_shard" -> 1,
+      // Packing shard offsets (ungrouped call): O(shards) counts
+      "q_pack_chunks" -> 1,
+      // Sampling.unimaxPlan caps/ordering: O(sources) rows (two
+      // windows in plan + one duplicated subtree copy)
+      "q_unimax_plan" -> 3,
+      "q_unimax_apply" -> 3,
+      // hybrid RRF ranking: <= 20-row fused top-k frame
+      "q_hybrid_rrf" -> 1)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val n = fn(spark, sf).queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.size
+        val cap = allowed.getOrElse(name, 0)
+        if (n > cap) Some(s"$name: $n unpartitioned WindowExec " +
+          s"(whitelisted $cap)")
+        else None
+      }
+    assert(offenders.isEmpty,
+      "unpartitioned windows outside the audited inventory:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("personalized pageRank: seed confinement is row-local — the " +
     "per-iteration plan has exactly the exchanges of the global variant") {
     import org.apache.spark.sql.functions._

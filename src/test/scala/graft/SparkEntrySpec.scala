@@ -34,6 +34,22 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("shared trade-graph fixture survives an RDD block sweep: a " +
+    "dead checkpoint is rebuilt, not read (r18 sweep-kill regression)") {
+    // Bench/ScaleBench/SoakSpec drop all persistent RDDs between
+    // queries; a cached localCheckpoint whose blocks were swept must
+    // be revalidated and rebuilt — the original bug read the dead
+    // checkpoint and threw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+    assert(SparkEntry.queries("q_pagerank")(spark, sf).rdd.count() > 0)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    assert(SparkEntry.queries("q_ppr")(spark, sf).rdd.count() > 0)
+    // and the id registry only reports LIVE fixtures
+    val ids = SparkEntry.sharedFixtureRddIds
+    val live = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.subsetOf(live), s"dead fixture ids reported: ${ids -- live}")
+  }
+
   test("OI output bounded and spine densification yields zero-filled bins") {
     val oi = SparkEntry.queries("q_a1_oi")(spark, sf)
     val vals = oi.select(col("oi_micro")).collect()

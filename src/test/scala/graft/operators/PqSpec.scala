@@ -87,6 +87,59 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall@3 = $recall")   // measured 0.93
   }
 
+  test("sample-first training contract: codebooks trained on a 25% " +
+    "deterministic sample reach recall parity with full-corpus " +
+    "training (Pq.train scaladoc / SCALE.md x1024 adjudication)") {
+    // The documented serve-path contract is "train on a representative
+    // learning set, not every row" (Jegou et al. 2011 §V) — the r17
+    // x1024 probe measured ~2/3 of the PQ pipeline's cost going to
+    // avoidable full-corpus retraining. This pins the claim the
+    // contract rests on: sampled codebooks must not cost material
+    // recall. Blob data with real neighborhood structure (same
+    // rationale as the recall@3 test above), 4x its size so the 25%
+    // sample is still k-feasible per subspace.
+    import spark.implicits._
+    val rows = for (c <- 0 until 10; i <- 0 until 80) yield {
+      val id = (c * 80 + i).toLong
+      val v = Array.tabulate(64) { d =>
+        val base = if (d >= c * 6 && d < c * 6 + 6) 10.0 else 0.0
+        base + ((id * 31 + d * 7) % 13).toDouble / 13.0
+      }
+      (id, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "vec")
+      .select(col("vec_id"), Embeddings.normalizeL2(
+        transform(col("vec"), _.cast("double"))).as("vec"))
+    val queries = e.limit(15)
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "vec_id",
+        "vec", "vec", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallWith(train: org.apache.spark.sql.DataFrame): Double = {
+      val books = Pq.train(train, "vec_id", "vec", m = 8, k = 8,
+        maxIter = 3)
+      val codes = Pq.encode(e, "vec", books)
+      val pq = Pq.searchTopK(queries, codes, "vec_id", "vec_id", "vec",
+          books, k = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, want) =>
+        (pq.getOrElse(q, Set.empty) intersect want).size.toDouble /
+          want.size
+      }.sum / exact.size
+    }
+    val full = recallWith(e)
+    val sampled = recallWith(
+      Sampling.bernoulliSample(e, "vec_id", 0.25, seed = 3L))
+    info(f"recall@3: full-corpus training $full%.3f, " +
+      f"25%% sample training $sampled%.3f")
+    assert(sampled >= 0.85, s"sampled-training recall@3 = $sampled")
+    assert(sampled >= full - 0.05,
+      s"sampled-training recall $sampled fell more than 0.05 below " +
+        s"full-corpus training $full — the sample-first contract's " +
+        "parity claim broke")
+  }
+
   test("searchTopK: null query vectors and null corpus codes are " +
     "excluded, never ranked first by a null distance") {
     val e = embs().limit(10)
