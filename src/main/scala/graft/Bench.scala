@@ -324,7 +324,7 @@ object Bench {
     val segJson = segCalibs.map(fmt).mkString("[", ",", "]")
     val vsQuietJson = vsQuietRatio.fold("null")(fmt)
     val quietCalibJson = quietRef.fold("null")(r => fmt(r.calib))
-    val env = s""""protocol":$ProtocolVersion,"reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${Runtime.getRuntime.maxMemory() / (1 << 30)},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"calib_segments":$segJson,"n_remeasured":$nRemeasured,"vs_quiet_ratio":$vsQuietJson,"quiet_calib_ref":$quietCalibJson"""
+    val env = s""""protocol":$ProtocolVersion,"reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${(Runtime.getRuntime.maxMemory() + (1L << 29)) >> 30},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"calib_segments":$segJson,"n_remeasured":$nRemeasured,"vs_quiet_ratio":$vsQuietJson,"quiet_calib_ref":$quietCalibJson"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     def jstr(s: String): String =
