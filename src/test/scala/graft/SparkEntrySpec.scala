@@ -50,6 +50,17 @@ class SparkEntrySpec extends SparkSpec {
     assert(ids.subsetOf(live), s"dead fixture ids reported: ${ids -- live}")
   }
 
+  test("graft.noSharedFixtures=1 bypasses the fixture cache: gate " +
+    "construction registers no new shared fixture (ScaleBench must " +
+    "measure uncached cost)") {
+    val before = SparkEntry.sharedFixtureRddIds
+    System.setProperty("graft.noSharedFixtures", "1")
+    try assert(SparkEntry.queries("q_pagerank")(spark, sf).rdd.count() > 0)
+    finally System.clearProperty("graft.noSharedFixtures")
+    assert(SparkEntry.sharedFixtureRddIds == before,
+      "a bypassed gate construction must not add/replace a cached fixture")
+  }
+
   test("OI output bounded and spine densification yields zero-filled bins") {
     val oi = SparkEntry.queries("q_a1_oi")(spark, sf)
     val vals = oi.select(col("oi_micro")).collect()
