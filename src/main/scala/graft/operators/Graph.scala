@@ -115,9 +115,15 @@ object Graph {
             col(weightCol).cast("long").as("w"))
           .na.drop().filter(col("w") > 0)
           .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
+    // node discovery and the STATIC dangling flag in ONE aggregation
+    // (r18): a node is non-dangling iff it ever appears as a src, so
+    // max(__out) over the tagged union gives the node set AND the flag
+    // in a single shuffle — the former shape (union+distinct, then a
+    // separate distinct of eDeg's src set, then a left join to attach
+    // the flag) paid three shuffles at setup for the same frame
+    val nodes = e.select(col("src").as("node"), lit(true).as("__out"))
+      .union(e.select(col("dst").as("node"), lit(false).as("__out")))
+      .groupBy("node").agg(max(col("__out")).as("__out"))
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
@@ -153,15 +159,13 @@ object Graph {
         (p(col("node")), s)
     }
     // dangling-ness is STATIC (a node either has out-edges or it never
-    // does), so the flag is resolved ONCE here and carried in the rank
-    // frame; the alternative — an anti-join of ranks against the src
-    // set inside the loop — is a second N-vs-N shuffle join in every
-    // iteration at cluster scale
+    // does), so the flag rides along from the node-discovery
+    // aggregation above and is carried in the rank frame; the
+    // alternative — an anti-join of ranks against the src set inside
+    // the loop — is a second N-vs-N shuffle join in every iteration at
+    // cluster scale
     var ranks = nodes
-      .join(eDeg.select(col("src").as("node")).distinct()
-          .withColumn("__out", lit(true)),
-        Seq("node"), "left")
-      .select(col("node"), col("__out").isNull.as("__dang"),
+      .select(col("node"), (!col("__out")).as("__dang"),
         when(isSeed, lit(Pico / recv)).otherwise(lit(0L)).as("r"))
       .localCheckpoint()
     // superseded-round hygiene (graft.core.Lineage): each eager
