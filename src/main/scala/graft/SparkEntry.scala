@@ -1296,9 +1296,9 @@ object SparkEntry {
     * scale and rep — the prep contains the one memory-marginal stage
     * the 16g protocol exists for, and a warm-rep cache would silently
     * remove it from the growth law. */
-  private val tradeEdgesCache =
+  private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), DataFrame]()
+      (SparkSession, String, String), DataFrame]()
 
   /** A cached localCheckpoint'd frame's blocks can be swept out from
     * under the cache by RDD-level hygiene (Bench/ScaleBench/SoakSpec
@@ -1315,13 +1315,13 @@ object SparkEntry {
 
   /** RDD ids of the currently-LIVE shared fixtures: Bench's
     * between-query block sweep spares these (and only these), so the
-    * fixture actually survives across the three graph gates instead of
+    * fixture actually survives across its reader gates instead of
     * being rebuilt per gate — every other persistent RDD is still
-    * dropped (they are recomputable or never read again; the fixture
+    * dropped (they are recomputable or never read again; a fixture
     * is neither, being a checkpoint that IS read again). */
   def sharedFixtureRddIds: Set[Int] = {
     import scala.jdk.CollectionConverters._
-    tradeEdgesCache.values.asScala.toSeq.flatMap { df =>
+    fixtureCache.values.asScala.toSeq.flatMap { df =>
       df.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD
             if checkpointLive(df) => Some(lr.rdd.id)
@@ -1330,8 +1330,22 @@ object SparkEntry {
     }.toSet
   }
 
-  private def tradeGraphEdges(s: SparkSession, dir: String): DataFrame = {
-    def build: DataFrame = {
+  /** Lazily-built, liveness-revalidated per-(session, dir) checkpoint
+    * fixture — the shared-prep pattern (r17 quality scorer, r18 trade
+    * graph / Jaccard pairs). `graft.noSharedFixtures=1` (set by
+    * ScaleBench) bypasses the cache entirely so scale entries keep
+    * measuring full uncached per-invocation cost. */
+  private def sharedFixture(s: SparkSession, dir: String, name: String)
+      (build: => DataFrame): DataFrame =
+    if (sys.props.get("graft.noSharedFixtures").contains("1")) build
+    else fixtureCache.compute((s, dir, name), (_, prev) =>
+      // revalidate on every hit: rebuild if an RDD sweep killed the
+      // pinned blocks since the last use
+      if (prev != null && checkpointLive(prev)) prev
+      else build.localCheckpoint())
+
+  private def tradeGraphEdges(s: SparkSession, dir: String): DataFrame =
+    sharedFixture(s, dir, "tradeEdges") {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"))
       val ord = Tables.orders(s, dir)
@@ -1342,13 +1356,24 @@ object SparkEntry {
           (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     }
-    if (sys.props.get("graft.noSharedFixtures").contains("1")) build
-    else tradeEdgesCache.compute((s, dir), (_, prev) =>
-      // revalidate on every hit: rebuild if an RDD sweep killed the
-      // pinned blocks since the last use
-      if (prev != null && checkpointLive(prev)) prev
-      else build.localCheckpoint())
-  }
+
+  /** The duplicate-cluster family's ONE exact Jaccard pair set per
+    * (session, dir): q_dedup_jaccard, q_dup_clusters, q_group_split
+    * and q_cluster_dedup all compute the identical
+    * `jaccardPairs(documents, n=3, t=0.5, block=source)` — three of
+    * the four preps were duplicated work (the family cost 8.35 s on
+    * the committed yardstick, most of it the PPJoin prep). The output
+    * is O(near-dup pairs) — tiny — so the checkpoint pins almost
+    * nothing while the downstream gates (CC labels, leakage-safe
+    * split, cluster dedup) keep exercising their own operators in
+    * full. Oracles are unaffected: each gate's DuckDB twin recomputes
+    * the pair set from the raw documents table, so the fixture is
+    * itself differentially verified four ways every run. */
+  private def jaccardDupPairs(s: SparkSession, dir: String): DataFrame =
+    sharedFixture(s, dir, "jaccardDupPairs") {
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5, blockCols = Seq("source"))
+    }
 
   /** The ML gates' ONE logistic fit on the mlPlanted train split per
     * (session, sf dir): q_m2_predict, q_m3_rf_lr's lr face and
@@ -2572,8 +2597,8 @@ object SparkEntry {
     // --- LLM ops: 3-gram Jaccard near-dup pairs (prefix-filtered exact
     //     set-similarity join, blocked by source) ---
     "q_dedup_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.5, blockCols = Seq("source"))
+      // pair set shared across the duplicate-cluster family (r18)
+      jaccardDupPairs(s, dir)
         .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard_micro"))
     }),
 
@@ -2595,8 +2620,7 @@ object SparkEntry {
     //     O(log^2 n)-round scale path ---
     "q_dup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val prs = Dedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, blockCols = Seq("source"))
+      val prs = jaccardDupPairs(s, dir) // shared pair fixture (r18)
       val labels = DupClusters.connectedComponents(prs, "id_a", "id_b")
       DupClusters.assignClusters(docs, "doc_id", labels)
         .select(col("doc_id"), col("cluster_id"))
@@ -2608,8 +2632,7 @@ object SparkEntry {
     //     eval into a memorization test ---
     "q_group_split" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val prs = Dedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, blockCols = Seq("source"))
+      val prs = jaccardDupPairs(s, dir) // shared pair fixture (r18)
       DupClusters.leakageSafeSplitTag(docs, "doc_id", prs, "id_a", "id_b",
           testFraction = 0.25, seed = 7L)
         .select(col("doc_id"), col("cluster_id"), col("is_test"))
@@ -2621,8 +2644,7 @@ object SparkEntry {
     //     LSH, not greedy pair deletion ---
     "q_cluster_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val prs = Dedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, blockCols = Seq("source"))
+      val prs = jaccardDupPairs(s, dir) // shared pair fixture (r18)
       DupClusters.dedupByCluster(docs, "doc_id", prs, "id_a", "id_b",
           orderBy = Seq(r6(TextFunctions.qualityScore(col("text"))).desc))
         .select(col("doc_id"), col("source"))
