@@ -52,6 +52,24 @@ object Bench {
     *        only invalidates genuinely stale artifacts. */
   private val ProtocolVersion = 3
 
+  /** Max heap rounded to NEAREST GiB for artifact stamps (some
+    * collectors report maxMemory slightly below -Xmx — a survivor
+    * space is deducted — so flooring would stamp a 16g run as 15).
+    * -1 when the JVM reports no cap (maxMemory == Long.MaxValue, no
+    * -Xmx): the rounding expression would otherwise overflow to a
+    * large negative number (r18 ADVICE). */
+  def heapGbStamp(maxBytes: Long): Long =
+    if (maxBytes == Long.MaxValue) -1L else (maxBytes + (1L << 29)) >> 30
+
+  /** Protocol-floor check against the RAW byte count, not the rounded
+    * GiB — rounding lets a true 11.5-11.99g heap round up and
+    * silently pass (r18 ADVICE). A 256 MiB slack absorbs the
+    * survivor-space deduction so a compliant `-Xmx<floor>g` run never
+    * false-warns; an uncapped heap (Long.MaxValue) never warns. */
+  def heapBelowFloor(maxBytes: Long, floorGb: Int): Boolean =
+    maxBytes != Long.MaxValue &&
+      maxBytes < (floorGb.toLong << 30) - (1L << 28)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -170,18 +188,27 @@ object Bench {
     // liveness revalidation.
     def dropAllBlocks(): Unit = {
       spark.sharedState.cacheManager.clearCache()
-      val keep = SparkEntry.sharedFixtureRddIds
+      val keep = SparkEntry.sharedFixtureRddIds(spark)
       spark.sparkContext.getPersistentRDDs.values
         .filterNot(r => keep(r.id))
         .foreach(_.unpersist(blocking = false))
     }
 
+    // which (fixture, build sec, paid-by) triples this run saw: shared
+    // fixtures are normally all built once, here in the warmup pass;
+    // any rebuild inside a TIMED query (a sweep killed the checkpoint)
+    // is attributed to that query so its number stays interpretable
+    // (r18 verdict: family per-query times were order-dependent with
+    // no record of who paid the prep)
+    var fixtureBuildLog = Vector.empty[(String, Double, String)]
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       // drop persisted blocks a query left behind so later warmups don't
       // inherit its memory pressure
       dropAllBlocks()
     }
+    fixtureBuildLog ++= SparkEntry.drainFixtureBuilds()
+      .map { case (fx, sec) => (fx, sec, "warmup") }
 
     // min-of-N per query: single-shot times at these scale factors swing
     // up to 4x run-to-run from GC/JIT/page-cache noise (r5->r6 showed 4x
@@ -216,6 +243,8 @@ object Bench {
         dropAllBlocks()
         if (ok) Some(d) else None
       }
+      fixtureBuildLog ++= SparkEntry.drainFixtureBuilds()
+        .map { case (fx, sec) => (fx, sec, name) }
       times.reduceOption(_ min _)
     }
     // Interleaved contention probes: the start-of-run calib alone proved
@@ -324,7 +353,13 @@ object Bench {
     val segJson = segCalibs.map(fmt).mkString("[", ",", "]")
     val vsQuietJson = vsQuietRatio.fold("null")(fmt)
     val quietCalibJson = quietRef.fold("null")(r => fmt(r.calib))
-    val env = s""""protocol":$ProtocolVersion,"reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${(Runtime.getRuntime.maxMemory() + (1L << 29)) >> 30},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"calib_segments":$segJson,"n_remeasured":$nRemeasured,"vs_quiet_ratio":$vsQuietJson,"quiet_calib_ref":$quietCalibJson"""
+    // reading convention (COVERAGE.md): a fixture paid_by "warmup"
+    // costs NO timed query anything; paid_by a query name means that
+    // query's time includes the listed build seconds this run
+    val fixtureJson = fixtureBuildLog.map { case (fx, sec, by) =>
+      s"""{"fixture":"$fx","sec":${fmt(sec)},"paid_by":"$by"}"""
+    }.mkString("[", ",", "]")
+    val env = s""""protocol":$ProtocolVersion,"reps":$reps,"cpus":"$cpus","jvm":"${System.getProperty("java.version")}","heap_gb":${heapGbStamp(Runtime.getRuntime.maxMemory())},"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"calib_segments":$segJson,"n_remeasured":$nRemeasured,"vs_quiet_ratio":$vsQuietJson,"quiet_calib_ref":$quietCalibJson,"fixture_builds":$fixtureJson"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     def jstr(s: String): String =

@@ -90,6 +90,22 @@ object ScaleBench {
       .exists(v => Set("1", "true", "yes").contains(v.trim.toLowerCase))
   private val SlopeGate = 1.3
 
+  /** The widest-segment gate (same threshold as the overall fit). The
+    * least-squares fit alone has misled three separate times (fixedq
+    * 0.24→1.01 at the next decade; dedup_jaccard's one-off 1.39 top
+    * segment; the r17 inflated-x1 rows): overhead-dominated small
+    * sizes depress the fit and can hide a super-linear top decade, so
+    * the steepest ADJACENT-pair segment is now a committed, gated
+    * number of its own (r18 verdict item 3). */
+  private val SegGate = SlopeGate
+
+  /** Absolute-time floor for widest-segment gating: a segment with an
+    * endpoint below this is overhead-dominated (scheduler + planning
+    * alone swing 0.1-0.4 s run-to-run), and its slope is noise — a
+    * 0.2→0.9 s step reads 1.08 with no data term at all. Segments
+    * with BOTH endpoints >= the floor participate. */
+  private val SegTimeFloorSec = 1.0
+
   /** name -> (query(spark, dir, scale), exemption reason or null). */
   /** Per-dir memoized replay fixture for the streaming scale entries:
     * the events table normalized to (ts_ns, event_id, event_type,
@@ -198,6 +214,16 @@ object ScaleBench {
       }, null),
       // graph family (lineitem + orders; k disjoint graph copies)
       ("q_pagerank", q("q_pagerank"), null),
+      // stage attribution for q_pagerank (r19, the r18 verdict's
+      // widest-segment adjudication): the gate's cost = uncached
+      // trade-edge prep (lineitem⋈orders SMJ + groupBy — the
+      // memory-marginal stage the 16g protocol exists for) + 5
+      // pageRank iterations. Measuring the prep ALONE makes any
+      // super-linear top segment attributable to the right stage
+      // instead of adjudicated by guesswork, and gates the prep's own
+      // growth law permanently.
+      ("q_pagerank_prep",
+        (s, dir, _) => SparkEntry.tradeGraphEdges(s, dir), null),
       ("q_kcore", q("q_kcore"), null),
       // retrieval (documents; vocab grows k-fold with the copy tags)
       ("q_tfidf", q("q_tfidf"), null),
@@ -418,6 +444,39 @@ object ScaleBench {
     ()
   }
 
+  /** The steepest adjacent-pair segment slope among segments whose
+    * endpoint times BOTH clear `floor` seconds; None when no segment
+    * qualifies or any time is an error sentinel (< 0). */
+  private[graft] def widestSegment(times: Seq[(Int, Double)],
+                                   floor: Double): Option[Double] =
+    if (times.exists(_._2 < 0)) None
+    else times.sliding(2).collect {
+      case Seq((k1, t1), (k2, t2)) if t1 >= floor && t2 >= floor =>
+        math.log(t2 / t1) / math.log(k2.toDouble / k1)
+    }.maxOption
+
+  /** Monotonicity repair (r18 verdict item 4): any size reading ABOVE
+    * its larger neighbor is re-measured via `measure` (min kept —
+    * contention only ever adds time); a cleaned midpoint can expose an
+    * inversion one step earlier, so the scan backs up. Returns the
+    * repaired series and the sizes re-measured. */
+  private[graft] def resolveInversions(initial: Seq[(Int, Double)],
+      measure: Int => Double): (Seq[(Int, Double)], List[Int]) = {
+    var times = initial
+    var remeasured = List.empty[Int]
+    var i = 0
+    while (i < times.size - 1) {
+      val (k1, t1) = times(i)
+      val (_, t2) = times(i + 1)
+      if (t1 >= 0 && t2 >= 0 && t1 > t2 && !remeasured.contains(k1)) {
+        times = times.updated(i, k1 -> math.min(t1, measure(k1)))
+        remeasured ::= k1
+        i = math.max(i - 1, 0)
+      } else i += 1
+    }
+    (times, remeasured)
+  }
+
   private[graft] def fitSlope(xs: Seq[Double], ys: Seq[Double]): Double = {
     val n = xs.size.toDouble
     val xb = xs.sum / n
@@ -455,13 +514,15 @@ object ScaleBench {
     // protocol heap is therefore 16g (SPARK_DRIVER_MEM=16g), the r14
     // core-scaling lesson applied here, and the artifact stamps
     // heap_gb so an off-protocol refit is visible instead of silent.
-    // round to NEAREST GiB: some collectors report maxMemory slightly
-    // below -Xmx (e.g. minus a survivor space), so flooring would stamp
-    // a protocol-compliant 16g run as heap_gb:15 and spuriously warn on
-    // a 12g one (r17 ADVICE)
-    val heapGb = (Runtime.getRuntime.maxMemory() + (1L << 29)) >> 30
-    if (heapGb < 12)
-      System.err.println(s"[scale] WARNING: heap ${heapGb}g is below the " +
+    // stamp rounds to nearest GiB; the FLOOR check runs on raw bytes
+    // with a survivor-space slack so a true 11.5-11.99g heap can't
+    // round up past it, and an uncapped JVM (maxMemory=Long.MaxValue)
+    // stamps -1 instead of an overflowed negative (r18 ADVICE)
+    val maxHeapBytes = Runtime.getRuntime.maxMemory()
+    val heapGb = Bench.heapGbStamp(maxHeapBytes)
+    if (Bench.heapBelowFloor(maxHeapBytes, 12))
+      System.err.println(s"[scale] WARNING: heap ${heapGb}g " +
+        s"($maxHeapBytes bytes) is below the " +
         "16g gate protocol (SPARK_DRIVER_MEM=16g) — x64 graph entries " +
         "can exhaust the execution pool at 8g")
 
@@ -521,7 +582,7 @@ object ScaleBench {
         skipped ::= name
         None
       } else Some {
-      val times = entrySizes.map { k =>
+      def measureAt(k: Int): Double = {
         val dir = dirs(k)
         // one warm-up materialization, then min-of-reps (Bench rationale)
         val t =
@@ -543,39 +604,69 @@ object ScaleBench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         System.err.println(s"[scale] $name x$k: ${fmt(t)} s")
-        k -> t
+        t
+      }
+      // in-run monotonicity check (r18 verdict item 4): the r18
+      // "cleared window" artifact still carried two rows where a
+      // smaller size read ABOVE a 4x-larger one (pack_chunks x16 2.44
+      // vs x64 0.66) — mid-size contamination the window-clearing rule
+      // (calib + small-size absolutes) provably cannot catch. Any such
+      // inversion re-measures the SMALLER size once (min kept:
+      // contention only ever adds time); a surviving inversion is
+      // stamped nonmonotone so no fit silently rides a poisoned row.
+      val (times, remeasured) = resolveInversions(
+        entrySizes.map(k => k -> measureAt(k)),
+        k => {
+          System.err.println(s"[scale] $name NON-MONOTONE at x$k — " +
+            "re-measuring")
+          measureAt(k)
+        })
+      val nonmonotone = times.sliding(2).exists {
+        case Seq((_, t1), (_, t2)) => t1 >= 0 && t2 >= 0 && t1 > t2
+        case _ => false
       }
       val errored = times.exists(_._2 < 0)
       val slope =
         if (errored) Double.NaN
         else fitSlope(times.map(t => math.log(t._1.toDouble)),
           times.map(t => math.log(t._2)))
+      // the steepest adjacent segment whose endpoints BOTH clear the
+      // absolute-time floor (overhead-dominated sub-second readings
+      // would false-flag); null when no segment qualifies
+      val widestSeg: Option[Double] = widestSegment(times, SegTimeFloorSec)
       // exempt entries trade the linear gate for their DECLARED growth
-      // ceiling (ExemptMaxSlope — worse-than-documented still fails)
+      // ceiling (ExemptMaxSlope — worse-than-documented still fails);
+      // the widest segment gates against the same threshold as the fit
       val gate = if (exempt == null) SlopeGate else ExemptMaxSlope(name)
-      val ok = !errored && slope <= gate
+      val segGate = if (exempt == null) SegGate else ExemptMaxSlope(name)
+      val ok = !errored && slope <= gate && widestSeg.forall(_ <= segGate)
       if (!ok) failures ::= name
-      System.err.println(f"[scale] $name slope = $slope%.2f " +
+      System.err.println(f"[scale] $name slope = $slope%.2f" +
+        widestSeg.fold("")(w => f" widest_seg = $w%.2f") + " " +
         (if (errored) "(ERROR)"
         else if (exempt != null)
           f"(EXEMPT, ceiling $gate%.1f${if (ok) "" else " EXCEEDED"})"
         else if (ok) "(ok)" else "(FAIL)"))
-      (name, times, slope, exempt, ok)
+      (name, times, slope, widestSeg, nonmonotone, remeasured, exempt, ok)
       }
     }
 
-    val json = results.map { case (name, times, slope, exempt, ok) =>
+    val json = results.map {
+      case (name, times, slope, widestSeg, nonmonotone, remeasured,
+          exempt, ok) =>
       val ts = times.map { case (k, t) => s""""x$k":${fmt(t)}""" }
         .mkString(",")
       val sl = if (slope.isNaN) "null" else fmt(slope)
+      val ws = widestSeg.fold("null")(fmt)
+      val rm = remeasured.sorted.mkString("[", ",", "]")
       val ex = if (exempt == null) "null"
         else "\"" + exempt.replace("\"", "'") + "\""
       val ceil = if (exempt == null) "null" else fmt(ExemptMaxSlope(name))
-      s""""$name":{$ts,"slope":$sl,"exempt":$ex,"exempt_ceiling":$ceil,"ok":$ok}"""
+      s""""$name":{$ts,"slope":$sl,"widest_seg":$ws,"nonmonotone":$nonmonotone,"remeasured":$rm,"exempt":$ex,"exempt_ceiling":$ceil,"ok":$ok}"""
     }.mkString("{", ",", "}")
     val sk = skipped.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"scale_slopes","gate":$SlopeGate,"reps":$reps,"cpus":"$cpus","heap_gb":$heapGb,"sizes":[${sizes.mkString(",")}],"sf":"$srcDir","n_fail":${failures.size},"skipped":$sk,"queries":$json}"""
+      s"""{"metric":"scale_slopes","gate":$SlopeGate,"seg_gate":$SegGate,"seg_floor_sec":$SegTimeFloorSec,"reps":$reps,"cpus":"$cpus","heap_gb":$heapGb,"sizes":[${sizes.mkString(",")}],"sf":"$srcDir","n_fail":${failures.size},"skipped":$sk,"queries":$json}"""
     // same artifact discipline as Bench: a subset or off-default-sizes
     // probe must never clobber the committed full-gate artifact (the
     // r15/r16 probe sessions each had to hand-restore SCALE_SLOPES.json

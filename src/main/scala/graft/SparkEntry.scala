@@ -1313,21 +1313,58 @@ object SparkEntry {
       case _ => false
     }
 
-  /** RDD ids of the currently-LIVE shared fixtures: Bench's
-    * between-query block sweep spares these (and only these), so the
-    * fixture actually survives across its reader gates instead of
-    * being rebuilt per gate — every other persistent RDD is still
-    * dropped (they are recomputable or never read again; a fixture
-    * is neither, being a checkpoint that IS read again). */
-  def sharedFixtureRddIds: Set[Int] = {
+  /** Drop cache entries whose owning SparkContext has stopped: RDD
+    * ids are per-SparkContext counters, so a stale session's id can
+    * collide with an unrelated live RDD in a later session (making a
+    * block sweep spare the wrong RDD), and a stopped entry also pins
+    * the dead SparkSession + DataFrame (r18 ADVICE). */
+  private def evictStoppedSessions(): Unit = {
     import scala.jdk.CollectionConverters._
-    fixtureCache.values.asScala.toSeq.flatMap { df =>
-      df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD
-            if checkpointLive(df) => Some(lr.rdd.id)
-        case _ => None
-      }
-    }.toSet
+    fixtureCache.keySet.asScala
+      .filter(_._1.sparkContext.isStopped).toList
+      .foreach(fixtureCache.remove)
+    mlLrFitCache.keySet.asScala
+      .filter(_._1.sparkContext.isStopped).toList
+      .foreach(mlLrFitCache.remove)
+  }
+
+  /** RDD ids of the currently-LIVE shared fixtures OWNED BY `s`:
+    * Bench's between-query block sweep spares these (and only these),
+    * so the fixture actually survives across its reader gates instead
+    * of being rebuilt per gate — every other persistent RDD is still
+    * dropped (they are recomputable or never read again; a fixture
+    * is neither, being a checkpoint that IS read again). Scoped to
+    * the sweeping session because RDD ids are per-SparkContext
+    * counters — another session's fixture id would spare an arbitrary
+    * unrelated RDD here (r18 ADVICE). */
+  def sharedFixtureRddIds(s: SparkSession): Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    evictStoppedSessions()
+    fixtureCache.entrySet.asScala.toSeq
+      .filter(_.getKey._1 eq s)
+      .flatMap { e =>
+        val df = e.getValue
+        df.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD
+              if checkpointLive(df) => Some(lr.rdd.id)
+          case _ => None
+        }
+      }.toSet
+  }
+
+  /** Per-process log of shared-fixture builds (fixture name, build
+    * wall seconds). Bench drains it after its warmup pass and after
+    * each timed query, stamping WHO paid each build into the bench
+    * artifact — without the stamp, a family's per-query times are
+    * order-dependent (the first reader pays the prep) and misread
+    * across rounds (r18 verdict). */
+  private val fixtureBuilds =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+  def drainFixtureBuilds(): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var e = fixtureBuilds.poll()
+    while (e != null) { out += e; e = fixtureBuilds.poll() }
+    out.toSeq
   }
 
   /** Lazily-built, liveness-revalidated per-(session, dir) checkpoint
@@ -1342,9 +1379,17 @@ object SparkEntry {
       // revalidate on every hit: rebuild if an RDD sweep killed the
       // pinned blocks since the last use
       if (prev != null && checkpointLive(prev)) prev
-      else build.localCheckpoint())
+      else {
+        val t0 = System.nanoTime()
+        val built = build.localCheckpoint()
+        fixtureBuilds.add((name, (System.nanoTime() - t0) / 1e9))
+        built
+      })
 
-  private def tradeGraphEdges(s: SparkSession, dir: String): DataFrame =
+  // package-visible: ScaleBench's q_pagerank_prep attribution entry
+  // measures this prep alone (uncached, via the noSharedFixtures
+  // bypass) to separate prep growth from iteration growth
+  private[graft] def tradeGraphEdges(s: SparkSession, dir: String): DataFrame =
     sharedFixture(s, dir, "tradeEdges") {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -1373,6 +1418,33 @@ object SparkEntry {
     sharedFixture(s, dir, "jaccardDupPairs") {
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, blockCols = Seq("source"))
+    }
+
+  /** The part-graph family's ONE repeat-co-purchase pair set per
+    * (session, dir): q_triangles, q_link_pred, q_kcore,
+    * q_degree_dist, q_clustering_coef, q_khop and q_assortativity all
+    * start from the IDENTICAL `lineitem self-join -> (l_partkey,
+    * l_partkey) pairs -> co-order count >= 2` frame — seven copies of
+    * the most expensive prep on the board (family 14.4 s = 11% of the
+    * r18 quiet yardstick). The output is O(edges) — small relative to
+    * the self-join input — so the checkpoint pins little while every
+    * downstream gate keeps exercising its own graph operator in full.
+    * Oracles are unaffected: each gate's DuckDB twin recomputes the
+    * pair set from raw lineitem, so the fixture is differentially
+    * verified seven ways every run. ScaleBench's
+    * `graft.noSharedFixtures=1` bypass keeps scale entries measuring
+    * the full uncached prep. */
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
+    sharedFixture(s, dir, "coPurchasePairs") {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
     }
 
   /** The ML gates' ONE logistic fit on the mlPlanted train split per
@@ -4522,15 +4594,7 @@ object SparkEntry {
     //     going complete, the way a raw co-order graph does here).
     //     Degree orientation bounds the wedge join at O(m^1.5) total ---
     "q_triangles" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"),
-          col("b.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= 2)
+      val pairs = coPurchasePairs(s, dir)
       Graph.triangleCounts(pairs, "src", "dst")
     }),
 
@@ -4538,15 +4602,7 @@ object SparkEntry {
     //     co-purchase graph — top-50 non-adjacent pairs by shared
     //     neighbors, with neighborhood Jaccard ---
     "q_link_pred" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"),
-          col("b.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= 2)
+      val pairs = coPurchasePairs(s, dir)
       Graph.linkPredictions(pairs, "src", "dst", topK = 50)
         .select(col("x"), col("y"), col("common"), col("deg_x"),
           col("deg_y"), r6(col("jaccard")).as("jaccard_micro"),
@@ -4557,15 +4613,7 @@ object SparkEntry {
     //     dense nucleus after iterative peel (fixpoint in 4 rounds at
     //     sf0.01; the oracle unrolls 8, safely past it) ---
     "q_kcore" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"),
-          col("b.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= 2)
+      val pairs = coPurchasePairs(s, dir)
       Graph.kCore(pairs, "src", "dst", k = 2)
     }),
 
@@ -4573,30 +4621,14 @@ object SparkEntry {
     //     (log2-binned via integer bit-length — no libm log2 parity
     //     risk) ---
     "q_degree_dist" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"),
-          col("b.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= 2)
+      val pairs = coPurchasePairs(s, dir)
       Graph.degreeDistribution(pairs, "src", "dst")
     }),
 
     // --- graph: local clustering coefficient — community density per
     //     node over the oriented-wedge triangle counts ---
     "q_clustering_coef" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"),
-          col("b.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= 2)
+      val pairs = coPurchasePairs(s, dir)
       Graph.clusteringCoefficients(pairs, "src", "dst")
         .select(col("node"), col("degree"), col("n_triangles"),
           r6(col("clustering_coef")).as("clustering_micro"))
@@ -4605,15 +4637,7 @@ object SparkEntry {
     // --- graph: 2-hop neighborhood reach + truncated harmonic
     //     centrality — the scalable (bounded-k) centrality face ---
     "q_khop" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"),
-          col("b.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= 2)
+      val pairs = coPurchasePairs(s, dir)
       Graph.kHopNeighborhood(pairs, "src", "dst", maxHops = 2)
         .select(col("node"), col("n_reachable"),
           r6(col("harmonic")).as("harmonic_micro"))
@@ -4622,15 +4646,7 @@ object SparkEntry {
     // --- graph: degree assortativity — do hubs link to hubs? The
     //     one-number health check for hub-cap defenses ---
     "q_assortativity" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"),
-          col("b.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= 2)
+      val pairs = coPurchasePairs(s, dir)
       Graph.degreeAssortativity(pairs, "src", "dst")
         .select(col("n_pairs"),
           r6(col("assortativity")).as("assortativity_micro"))

@@ -148,4 +148,79 @@ class ScaleBenchSpec extends SparkSpec {
     assertApprox(ScaleBench.fitSlope(xs,
       Seq(5.0, 5.0, 5.0).map(math.log)), 0.0)
   }
+
+  test("widestSegment takes the steepest adjacent pair above the floor " +
+    "and ignores overhead-dominated sub-floor segments") {
+    // x1->x4 is quadratic but sub-floor (scheduler noise regime);
+    // x4->x16 linear; x16->x64 slope 1.41 (the r18 q_pagerank shape)
+    val times = Seq(1 -> 0.05, 4 -> 0.8, 16 -> 3.2, 64 -> 22.6)
+    val w = ScaleBench.widestSegment(times, 1.0).get
+    assertApprox(w, math.log(22.6 / 3.2) / math.log(4.0), 1e-9)
+    // all sub-floor: no segment qualifies
+    assert(ScaleBench.widestSegment(Seq(1 -> 0.1, 4 -> 0.4), 1.0).isEmpty)
+    // an error sentinel poisons the entry
+    assert(ScaleBench.widestSegment(
+      Seq(1 -> 2.0, 4 -> -1.0, 16 -> 9.0), 1.0).isEmpty)
+    // the steepest segment wins even when it is not the top one
+    val mid = Seq(1 -> 1.0, 4 -> 16.0, 16 -> 32.0)
+    assertApprox(ScaleBench.widestSegment(mid, 1.0).get, 2.0, 1e-9)
+  }
+
+  test("resolveInversions re-measures a size reading above its larger " +
+    "neighbor (min kept), backs up to expose earlier inversions, and " +
+    "re-measures each size at most once") {
+    // contaminated x16 (the r18 pack_chunks shape: 2.44 above x64 0.66)
+    var measured = List.empty[Int]
+    val clean = Map(1 -> 0.1, 4 -> 0.2, 16 -> 0.4, 64 -> 0.66)
+    val (fixed, rm) = ScaleBench.resolveInversions(
+      Seq(1 -> 0.1, 4 -> 0.2, 16 -> 2.44, 64 -> 0.66),
+      k => { measured ::= k; clean(k) })
+    assert(rm == List(16) && measured == List(16))
+    assert(fixed == Seq(1 -> 0.1, 4 -> 0.2, 16 -> 0.4, 64 -> 0.66))
+
+    // cleaning a midpoint exposes the inversion one step earlier
+    val (fixed2, rm2) = ScaleBench.resolveInversions(
+      Seq(1 -> 0.3, 4 -> 0.9, 16 -> 0.4),
+      k => Map(1 -> 0.3, 4 -> 0.2, 16 -> 0.4)(k))
+    assert(rm2.toSet == Set(1, 4), s"got $rm2")
+    assert(fixed2 == Seq(1 -> 0.3, 4 -> 0.2, 16 -> 0.4) ||
+      fixed2.map(_._2).sliding(2).forall { case Seq(a, b) => a <= b })
+
+    // a PERSISTENT inversion terminates (one re-measure per size) and
+    // survives into the output for the nonmonotone stamp
+    var calls = 0
+    val (fixed3, rm3) = ScaleBench.resolveInversions(
+      Seq(1 -> 5.0, 4 -> 1.0),
+      _ => { calls += 1; 5.0 })
+    assert(calls == 1 && rm3 == List(1))
+    assert(fixed3 == Seq(1 -> 5.0, 4 -> 1.0))
+
+    // error sentinels are never "inverted" against
+    val (fixed4, rm4) = ScaleBench.resolveInversions(
+      Seq(1 -> 2.0, 4 -> -1.0), k => fail(s"must not re-measure x$k"))
+    assert(rm4.isEmpty && fixed4 == Seq(1 -> 2.0, 4 -> -1.0))
+  }
+
+  test("heap stamp guards the uncapped JVM and the floor check runs on " +
+    "raw bytes, not the rounded GiB (r18 ADVICE)") {
+    // no -Xmx: Runtime.maxMemory() == Long.MaxValue — the old rounding
+    // expression overflowed to a large NEGATIVE heap_gb and tripped the
+    // <12g warning on an effectively unbounded heap
+    assert(Bench.heapGbStamp(Long.MaxValue) == -1L)
+    assert(!Bench.heapBelowFloor(Long.MaxValue, 12))
+    // nearest-GiB rounding for real caps (collector survivor deduction)
+    assert(Bench.heapGbStamp(16L << 30) == 16L)
+    assert(Bench.heapGbStamp((16L << 30) - (1L << 29)) == 16L)
+    assert(Bench.heapGbStamp(8L << 30) == 8L)
+    // a true 11.5g heap rounds UP to 12 — the rounded value passes a
+    // >=12 check, but the raw-byte floor catches it
+    val g11_5 = (23L << 29)
+    assert(Bench.heapGbStamp(g11_5) == 12L)
+    assert(Bench.heapBelowFloor(g11_5, 12))
+    // a compliant -Xmx12g run (maxMemory within survivor slack) passes
+    assert(!Bench.heapBelowFloor(12L << 30, 12))
+    assert(!Bench.heapBelowFloor((12L << 30) - (1L << 27), 12))
+    // and a 16g protocol run clears a 12g floor with room
+    assert(!Bench.heapBelowFloor(16L << 30, 12))
+  }
 }

@@ -45,7 +45,7 @@ class SparkEntrySpec extends SparkSpec {
       .foreach(_.unpersist(blocking = false))
     assert(SparkEntry.queries("q_ppr")(spark, sf).rdd.count() > 0)
     // and the id registry only reports LIVE fixtures
-    val ids = SparkEntry.sharedFixtureRddIds
+    val ids = SparkEntry.sharedFixtureRddIds(spark)
     val live = spark.sparkContext.getPersistentRDDs.keySet
     assert(ids.subsetOf(live), s"dead fixture ids reported: ${ids -- live}")
   }
@@ -53,12 +53,45 @@ class SparkEntrySpec extends SparkSpec {
   test("graft.noSharedFixtures=1 bypasses the fixture cache: gate " +
     "construction registers no new shared fixture (ScaleBench must " +
     "measure uncached cost)") {
-    val before = SparkEntry.sharedFixtureRddIds
+    val before = SparkEntry.sharedFixtureRddIds(spark)
     System.setProperty("graft.noSharedFixtures", "1")
     try assert(SparkEntry.queries("q_pagerank")(spark, sf).rdd.count() > 0)
     finally System.clearProperty("graft.noSharedFixtures")
-    assert(SparkEntry.sharedFixtureRddIds == before,
+    assert(SparkEntry.sharedFixtureRddIds(spark) == before,
       "a bypassed gate construction must not add/replace a cached fixture")
+  }
+
+  test("sharedFixtureRddIds is scoped to the sweeping session: another " +
+    "session's fixture ids never leak into this session's spare set " +
+    "(r18 ADVICE — per-context RDD id counters collide across sessions)") {
+    assert(SparkEntry.queries("q_pagerank")(spark, sf).rdd.count() > 0)
+    assert(SparkEntry.sharedFixtureRddIds(spark).nonEmpty)
+    // a sibling session on the same context registers its OWN fixture;
+    // ids reported for it must not appear in ours and vice versa
+    val sibling = spark.newSession()
+    assert(SparkEntry.queries("q_pagerank")(sibling, sf).rdd.count() > 0)
+    val mine = SparkEntry.sharedFixtureRddIds(spark)
+    val theirs = SparkEntry.sharedFixtureRddIds(sibling)
+    assert(mine.nonEmpty && theirs.nonEmpty)
+    assert(mine.intersect(theirs).isEmpty,
+      s"fixture ids shared across sessions: ${mine.intersect(theirs)}")
+  }
+
+  test("shared-fixture builds are drained with their wall cost exactly " +
+    "once (Bench stamps who paid each build — r18 verdict item 6)") {
+    SparkEntry.drainFixtureBuilds() // clear anything earlier tests built
+    // force a rebuild by sweeping the checkpoint blocks
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    assert(SparkEntry.queries("q_triangles")(spark, sf).rdd.count() > 0)
+    val builds = SparkEntry.drainFixtureBuilds()
+    assert(builds.exists { case (n, sec) =>
+      n == "coPurchasePairs" && sec > 0 }, s"got $builds")
+    // drained means drained: a second call reports nothing new
+    assert(SparkEntry.queries("q_kcore")(spark, sf).rdd.count() > 0)
+    val second = SparkEntry.drainFixtureBuilds()
+    assert(!second.exists(_._1 == "coPurchasePairs"),
+      s"cache hit logged as a build: $second")
   }
 
   test("OI output bounded and spine densification yields zero-filled bins") {
