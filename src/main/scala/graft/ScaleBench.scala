@@ -85,6 +85,13 @@ object ScaleBench {
     "q_semdedup_fixedk" -> 2.3,
     "q_pq_ann" -> 2.2,
     "semdedup_scaledk" -> 2.1)
+  /** Entries that run ONLY when explicitly named via SPARK_GRAFT_ONLY:
+    * wide-decade adjudication faces that duplicate a gated entry's
+    * work under an alternative configuration — permanently available
+    * for probes, never silently padding the committed full refit. */
+  private val ProbeOnly: Set[String] =
+    Set("q_pagerank_scaledparts", "q_kcore_scaledparts")
+
   private def buildOnly: Boolean =
     sys.env.get("SPARK_GRAFT_SCALE_BUILD_ONLY")
       .exists(v => Set("1", "true", "yes").contains(v.trim.toLowerCase))
@@ -224,7 +231,37 @@ object ScaleBench {
       // growth law permanently.
       ("q_pagerank_prep",
         (s, dir, _) => SparkEntry.tradeGraphEdges(s, dir), null),
+      // partitions-scale-with-data face (r19 adjudication probe): the
+      // gate holds shuffle.partitions at 32 ACROSS scales, so per-task
+      // sort/agg volume grows k-fold and the iteration loop crosses
+      // into the spill regime at the top decade (x256: OOM at 16g,
+      // segment 1.38 at 48g). A real cluster sizes partitions with the
+      // data (SCALE.md partitioning doctrine — constant rows per
+      // partition); this face applies exactly that rule. The eager
+      // count INSIDE the override is required: shuffle.partitions is
+      // read at planning time, which a lazily-returned frame would
+      // defer until after the conf is restored.
+      ("q_pagerank_scaledparts", (s, dir, scale) =>
+        withShufflePartitions(s, math.max(32, scale)) {
+          val n = SparkEntry.queries("q_pagerank")(s, dir).count()
+          s.range(n).limit(1).toDF()
+        }, null),
+      // same face for the k-core/co-purchase family (its prep is the
+      // heaviest graph prep on the board: a lineitem SELF-join)
+      ("q_kcore_scaledparts", (s, dir, scale) =>
+        withShufflePartitions(s, math.max(32, scale)) {
+          val n = SparkEntry.queries("q_kcore")(s, dir).count()
+          s.range(n).limit(1).toDF()
+        }, null),
       ("q_kcore", q("q_kcore"), null),
+      // stage attribution for q_kcore (r19): its cost = the
+      // co-purchase pair prep (lineitem SELF-join + pair-count agg —
+      // the heaviest graph prep on the board) + the peel loop.
+      // Disjoint inflation copies keep peel rounds CONSTANT, so any
+      // super-linear segment must be attributed prep-vs-peel before
+      // it is adjudicated.
+      ("q_kcore_prep",
+        (s, dir, _) => SparkEntry.coPurchasePairs(s, dir), null),
       // retrieval (documents; vocab grows k-fold with the copy tags)
       ("q_tfidf", q("q_tfidf"), null),
       // decontamination (documents vs fixed benchmark gram set)
@@ -562,7 +599,8 @@ object ScaleBench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown entries: ${unknown.mkString(", ")}")
     }
-    val chosen = entries.filter { case (n, _, _) => only.forall(_(n)) }
+    val chosen = entries.filter { case (n, _, _) =>
+      only.fold(!ProbeOnly(n))(_(n)) }
     def fmt(v: Double): String = f"$v%.3f"
     var failures = List.empty[String]
     var skipped = List.empty[String]

@@ -1434,7 +1434,8 @@ object SparkEntry {
     * verified seven ways every run. ScaleBench's
     * `graft.noSharedFixtures=1` bypass keeps scale entries measuring
     * the full uncached prep. */
-  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
+  // package-visible: ScaleBench's q_kcore_prep attribution entry
+  private[graft] def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
     sharedFixture(s, dir, "coPurchasePairs") {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
