@@ -95,7 +95,25 @@ object Decontam {
     * StreamingDecontamSpec pins stream == batch equality. */
   def tagContamination(docs: DataFrame, benchGrams: Seq[String],
                        textCol: String, n: Int = 3,
-                       outCol: String = "n_overlap"): DataFrame =
+                       outCol: String = "n_overlap"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    // native static-set kernel: the intersect face below rebuilds the
+    // benchmark hash set PER ROW (O(|bench|) per doc — 3.1 s of the
+    // 3.5 s q_stream_decontam micro-batch at sf0.1); the expression
+    // binds a sorted set once and probes per doc gram. Bit-equal to
+    // the intersect face (DecontamSpec differential).
+    docs.withColumn(outCol, GraftColumnBridge.column(
+      graft.plans.StaticGramOverlapExpr(
+        GraftColumnBridge.expression(Dedup.shingles(col(textCol), n)),
+        benchGrams)))
+  }
+
+  /** Interpreted intersect twin of [[tagContamination]], kept for
+    * differential verification of the native kernel (DecontamSpec
+    * asserts exact equality — same distinct-intersection count). */
+  private[graft] def tagContaminationIntersect(docs: DataFrame,
+      benchGrams: Seq[String], textCol: String, n: Int = 3,
+      outCol: String = "n_overlap"): DataFrame =
     docs.withColumn(outCol,
       size(array_intersect(Dedup.shingles(col(textCol), n),
         lit(benchGrams.toArray))))

@@ -48,6 +48,36 @@ class DecontamSpec extends SparkSpec {
     assert(fracs(2L) > 0.0 && fracs(2L) < 1.0)
   }
 
+  test("tagContamination's native static-set kernel is bit-equal to the " +
+    "intersect face — toy edge cases AND the real documents table") {
+    val grams = Decontam.benchGramSet(bench(), "q")
+    // toy frame covers: verbatim containment, partial overlap, clean,
+    // too-short-for-any-gram, and null text
+    val toyNative = Decontam.tagContamination(docs(), grams, "text")
+      .select("doc_id", "n_overlap").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val toyTwin = Decontam.tagContaminationIntersect(docs(), grams, "text")
+      .select("doc_id", "n_overlap").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(toyNative == toyTwin, s"native $toyNative != twin $toyTwin")
+    assert(toyNative(4L) == 0 && toyNative(5L) == 0) // short + null -> 0
+    // real corpus differential at sf0.001 with the gate's own gram set
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val realGrams = Decontam.benchGramSet(
+      real.filter(pmod(col("doc_id"), lit(53L)) === 0)
+        .select(col("text").as("q")), "q")
+    val joined = Decontam
+      .tagContamination(real, realGrams, "text", outCol = "a")
+      .select(col("doc_id"), col("a"))
+      .join(Decontam
+        .tagContaminationIntersect(real, realGrams, "text", outCol = "b")
+        .select(col("doc_id"), col("b")), Seq("doc_id"))
+    assert(joined.filter(col("a") =!= col("b")).count() == 0)
+    assert(joined.filter(col("a") > 0).count() > 0,
+      "differential is vacuous: no overlapping doc in the corpus")
+  }
+
   test("decontaminate drops docs at/above minOverlap and keeps the rest " +
     "(null and short docs always survive)") {
     val kept = Decontam.decontaminate(docs(), bench(), "doc_id", "text",
