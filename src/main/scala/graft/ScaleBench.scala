@@ -219,6 +219,15 @@ object ScaleBench {
         graft.operators.Pq.searchTopK(queries, codes, "vec_id", "vec_id",
           "vec", books, k = 3)
       }, null),
+      // PCA (embeddings; r19 verdict item 5: the #2 bench query was the
+      // only top-5 entry with neither a committed slope nor a floor
+      // adjudication). Design reads scan-dominated — the covariance is
+      // a distributed exact-decimal upper-triangle partial combiner
+      // (O(d²) driver state, never O(n)), the power iteration runs on
+      // the d×d covariance alone, and the projection is one broadcast
+      // map — so the gate asserts the design argument with a measured
+      // growth law like everything else on the board.
+      ("q_pca", q("q_pca"), null),
       // graph family (lineitem + orders; k disjoint graph copies)
       ("q_pagerank", q("q_pagerank"), null),
       // stage attribution for q_pagerank (r19, the r18 verdict's
@@ -237,9 +246,18 @@ object ScaleBench {
       // into the spill regime at the top decade (x256: OOM at 16g,
       // segment 1.38 at 48g). A real cluster sizes partitions with the
       // data (SCALE.md partitioning doctrine — constant rows per
-      // partition); this face applies exactly that rule. The eager
-      // count INSIDE the override is required: shuffle.partitions is
-      // read at planning time, which a lazily-returned frame would
+      // partition); this face applies that rule FROM THE GATE'S BASE:
+      // max(32, scale) equals the gate's fixed 32 at x4/x16 (the face
+      // only diverges at x64+), and per-task volume still grows ~8x
+      // from x1 to x64 rather than holding constant (true constant
+      // rows-per-partition would be 32*scale = 2048 partitions at x64
+      // — task-overhead-dominated on one 32-thread JVM). What the
+      // probe isolates is therefore the TOP-DECADE spill regime, which
+      // is where the gate's super-linear segment lives; the committed
+      // r19 adjudication readings (segment 1.38→1.13 / 1.40→1.16) were
+      // measured under exactly this configuration (r19 ADVICE). The
+      // eager count INSIDE the override is required: shuffle.partitions
+      // is read at planning time, which a lazily-returned frame would
       // defer until after the conf is restored.
       ("q_pagerank_scaledparts", (s, dir, scale) =>
         withShufflePartitions(s, math.max(32, scale)) {
@@ -506,7 +524,14 @@ object ScaleBench {
       val (k1, t1) = times(i)
       val (_, t2) = times(i + 1)
       if (t1 >= 0 && t2 >= 0 && t1 > t2 && !remeasured.contains(k1)) {
-        times = times.updated(i, k1 -> math.min(t1, measure(k1)))
+        // the re-measure can itself fail: measure returns the -1.0
+        // error sentinel on a throw, and min(clean, -1.0) would replace
+        // a VALID reading with an error, poisoning the whole entry
+        // (slope null, ok=false) — the same doctrine as Bench.timeQuery:
+        // a contention re-measurement that throws must never flag a
+        // size that already measured clean (r19 ADVICE)
+        val r = measure(k1)
+        times = times.updated(i, k1 -> (if (r >= 0) math.min(t1, r) else t1))
         remeasured ::= k1
         i = math.max(i - 1, 0)
       } else i += 1

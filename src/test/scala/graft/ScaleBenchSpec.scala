@@ -199,6 +199,17 @@ class ScaleBenchSpec extends SparkSpec {
     val (fixed4, rm4) = ScaleBench.resolveInversions(
       Seq(1 -> 2.0, 4 -> -1.0), k => fail(s"must not re-measure x$k"))
     assert(rm4.isEmpty && fixed4 == Seq(1 -> 2.0, 4 -> -1.0))
+
+    // a THROWING re-measure (measureAt's -1.0 sentinel) must not
+    // replace a valid clean reading — min(clean, -1.0) would poison
+    // the entry (slope null, ok=false) for a transient failure during
+    // the repair pass, the exact class Bench.timeQuery's recordErrors
+    // guard exists for (r19 ADVICE)
+    val (fixed5, rm5) = ScaleBench.resolveInversions(
+      Seq(1 -> 5.0, 4 -> 1.0), _ => -1.0)
+    assert(rm5 == List(1))
+    assert(fixed5 == Seq(1 -> 5.0, 4 -> 1.0),
+      "failed re-measure must keep the original reading, not the sentinel")
   }
 
   test("heap stamp guards the uncapped JVM and the floor check runs on " +
@@ -213,14 +224,24 @@ class ScaleBenchSpec extends SparkSpec {
     assert(Bench.heapGbStamp((16L << 30) - (1L << 29)) == 16L)
     assert(Bench.heapGbStamp(8L << 30) == 8L)
     // a true 11.5g heap rounds UP to 12 — the rounded value passes a
-    // >=12 check, but the raw-byte floor catches it
+    // >=12 check; under the r19-ADVICE slack (64 MiB/floor-GiB, worst
+    // case Serial/Parallel survivor deduction ~heap/30) it sits INSIDE
+    // the accepted [floor-slack, floor) silent band, but an 11g heap
+    // is still caught on raw bytes
     val g11_5 = (23L << 29)
     assert(Bench.heapGbStamp(g11_5) == 12L)
-    assert(Bench.heapBelowFloor(g11_5, 12))
-    // a compliant -Xmx12g run (maxMemory within survivor slack) passes
+    assert(!Bench.heapBelowFloor(g11_5, 12))
+    assert(Bench.heapBelowFloor(11L << 30, 12))
+    // a compliant -Xmx12g run passes even under the WORST-CASE
+    // Serial/Parallel maxMemory deduction (one survivor space =
+    // young/10 = heap/30 ≈ 410 MiB at 12g — larger than the old fixed
+    // 256 MiB slack, which false-warned exactly here)
     assert(!Bench.heapBelowFloor(12L << 30, 12))
     assert(!Bench.heapBelowFloor((12L << 30) - (1L << 27), 12))
-    // and a 16g protocol run clears a 12g floor with room
+    assert(!Bench.heapBelowFloor((12L << 30) - ((12L << 30) / 30), 12))
+    // and a 16g protocol run clears a 12g floor with room; an 8g
+    // off-protocol run is still loudly below it
     assert(!Bench.heapBelowFloor(16L << 30, 12))
+    assert(Bench.heapBelowFloor(8L << 30, 12))
   }
 }
