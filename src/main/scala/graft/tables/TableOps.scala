@@ -28,19 +28,19 @@ import org.apache.spark.sql.functions._
   * `MERGE INTO`/`INSERT OVERWRITE`/`CALL rewrite_data_files` and
   * `VERSION AS OF`.
   */
-object TableOps {
+object TableOps extends TableBackend {
 
   private def latestPath(root: String) = Paths.get(root, "_latest")
 
   /** Current snapshot version, or None for an empty table. */
-  def currentVersion(root: String): Option[Int] = {
+  override def currentVersion(root: String): Option[Int] = {
     val p = latestPath(root)
     if (Files.exists(p)) Some(Files.readString(p).trim.stripPrefix("v").toInt)
     else None
   }
 
   /** All snapshot versions, ascending. */
-  def versions(root: String): Seq[Int] = {
+  override def versions(root: String): Seq[Int] = {
     val d = Paths.get(root)
     if (!Files.isDirectory(d)) return Nil
     val it = Files.list(d).iterator()
@@ -69,16 +69,16 @@ object TableOps {
   }
 
   /** Read the current snapshot (or a specific version: time travel). */
-  def read(spark: SparkSession, root: String,
-           asOfVersion: Option[Int] = None): DataFrame = {
+  override def read(spark: SparkSession, root: String,
+                    asOfVersion: Option[Int]): DataFrame = {
     val v = asOfVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no snapshot in $root"))
     spark.read.parquet(dirFor(root, v))
   }
 
   /** Create/replace the table with `df`. */
-  def overwrite(df: DataFrame, root: String,
-                partitionBy: Seq[String] = Nil): Int = {
+  override def overwrite(df: DataFrame, root: String,
+                         partitionBy: Seq[String]): Int = {
     Files.createDirectories(Paths.get(root))
     commit(df, root, partitionBy)
   }
@@ -88,8 +88,8 @@ object TableOps {
     * are inserted, unmatched target rows are kept. One outer join, one
     * snapshot write; schemas must align (unionByName semantics for new
     * nullable columns on either side). */
-  def merge(spark: SparkSession, root: String, updates: DataFrame,
-            keys: Seq[String], partitionBy: Seq[String] = Nil): Int = {
+  override def merge(spark: SparkSession, root: String, updates: DataFrame,
+                     keys: Seq[String], partitionBy: Seq[String]): Int = {
     val target = read(spark, root)
     val cols = (target.columns ++
       updates.columns.filterNot(target.columns.contains)).toSeq
@@ -107,9 +107,9 @@ object TableOps {
   }
 
   /** DELETE WHERE semantics: new snapshot without matching rows. */
-  def deleteWhere(spark: SparkSession, root: String,
-                  predicate: org.apache.spark.sql.Column,
-                  partitionBy: Seq[String] = Nil): Int =
+  override def deleteWhere(spark: SparkSession, root: String,
+                           predicate: org.apache.spark.sql.Column,
+                           partitionBy: Seq[String]): Int =
     commit(read(spark, root).filter(!predicate || predicate.isNull),
       root, partitionBy)
 
@@ -118,8 +118,8 @@ object TableOps {
   /** Create/replace a table as an SCD Type-2 dimension: every row of
     * `df` becomes current as of `asOfNs` (valid_from = asOfNs,
     * valid_to = NULL, is_current = true). */
-  def scd2Overwrite(df: DataFrame, root: String, asOfNs: Long,
-                    partitionBy: Seq[String] = Nil): Int =
+  override def scd2Overwrite(df: DataFrame, root: String, asOfNs: Long,
+                             partitionBy: Seq[String]): Int =
     commit(df
       .withColumn("valid_from", lit(asOfNs))
       .withColumn("valid_to", lit(null).cast("long"))
@@ -137,9 +137,9 @@ object TableOps {
     *
     * Three key-joins of the CURRENT slice vs the update batch (history
     * rows never enter a join), one snapshot write. */
-  def scd2Merge(spark: SparkSession, root: String, updates: DataFrame,
-                keys: Seq[String], asOfNs: Long,
-                partitionBy: Seq[String] = Nil): Int = {
+  override def scd2Merge(spark: SparkSession, root: String,
+                         updates: DataFrame, keys: Seq[String],
+                         asOfNs: Long, partitionBy: Seq[String]): Int = {
     val target = read(spark, root)
     require(Scd2Meta.forall(target.columns.contains),
       s"not an SCD2 table (missing ${Scd2Meta.mkString("/")}): " +
@@ -177,9 +177,9 @@ object TableOps {
 
   /** Dynamic partition overwrite: replace only the partitions present in
     * `replacement`, keep all others (INSERT OVERWRITE ... PARTITION). */
-  def overwritePartitions(spark: SparkSession, root: String,
-                          replacement: DataFrame,
-                          partitionBy: Seq[String]): Int = {
+  override def overwritePartitions(spark: SparkSession, root: String,
+                                   replacement: DataFrame,
+                                   partitionBy: Seq[String]): Int = {
     val target = read(spark, root)
     val parts = replacement.select(partitionBy.map(col): _*).distinct()
     val keep = target.join(broadcast(parts), partitionBy, "left_anti")
@@ -189,8 +189,8 @@ object TableOps {
 
   /** Compaction (rewrite_data_files analog): rewrite the current snapshot
     * with a target file count per partition. */
-  def compact(spark: SparkSession, root: String, targetFiles: Int,
-              partitionBy: Seq[String] = Nil): Int =
+  override def compact(spark: SparkSession, root: String,
+                       targetFiles: Int, partitionBy: Seq[String]): Int =
     commit(read(spark, root).repartition(targetFiles), root, partitionBy)
 
   /** Z-order clustering (rewrite_data_files sort-strategy analog):
@@ -204,9 +204,9 @@ object TableOps {
     * min/max (one aggregate pass, driver holds 2 doubles per column);
     * the interleave is plain shift/mask arithmetic in codegen. Nulls
     * bucket to 0 and cluster together at the low end. */
-  def clusterBy(spark: SparkSession, root: String, cols: Seq[String],
-                bits: Int = 8, targetFiles: Int = 8,
-                partitionBy: Seq[String] = Nil): Int = {
+  override def clusterBy(spark: SparkSession, root: String,
+                         cols: Seq[String], bits: Int, targetFiles: Int,
+                         partitionBy: Seq[String]): Int = {
     require(cols.nonEmpty, "clusterBy needs at least one column")
     require(bits >= 1 && bits * cols.size <= 60,
       s"bits ($bits) * columns (${cols.size}) must stay within a long")
@@ -241,7 +241,7 @@ object TableOps {
   /** Number of parquet data files in a snapshot (recursive, so
     * partitioned layouts count their leaf files) — the observable
     * compaction/clustering effect alongside content invariance. */
-  def dataFileCount(root: String, version: Int): Int = {
+  override def dataFileCount(root: String, version: Int): Int = {
     val d = Paths.get(dirFor(root, version))
     if (!Files.isDirectory(d)) return 0
     val s = Files.walk(d)
@@ -251,7 +251,7 @@ object TableOps {
   }
 
   /** Expire old snapshots, keeping the most recent `keep`. */
-  def expireSnapshots(root: String, keep: Int = 2): Seq[Int] = {
+  override def expireSnapshots(root: String, keep: Int): Seq[Int] = {
     val vs = versions(root)
     val cur = currentVersion(root).getOrElse(return Nil)
     val expire = vs.filter(_ != cur).dropRight(math.max(keep - 1, 0))
