@@ -78,6 +78,33 @@ object Bench {
     maxBytes != Long.MaxValue &&
       maxBytes < (floorGb.toLong << 30) - (floorGb.toLong << 26)
 
+  /** The sub-second-population stamp the window-clearing rule keys on
+    * (COVERAGE.md quiet-record protocol): median of this-run/committed
+    * ratios over shared queries whose committed quiet time is
+    * sub-second but >= 0.1 s (below that, scheduler jitter alone is
+    * 1.5x — same floor as the re-measure pass). Extracted pure so the
+    * clearing-rule arithmetic is spec-pinned, not main()-only. */
+  private[graft] def subsecMedianOf(results: Map[String, Double],
+      quiet: Map[String, Double]): Option[Double] = {
+    val ratios = results.toSeq.collect {
+      case (name, t)
+          if quiet.get(name).exists(q => q >= 0.1 && q < 1.0) =>
+        t / quiet(name)
+    }.sorted
+    if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
+  }
+
+  /** Executable band verdict for the adjudicated q_stream_join_xbatch
+    * irreducible floor (SCALE.md): "below" means the replay stopped
+    * doing its mandated 4-trigger state work (a correctness smell,
+    * not a win); "above" means the state machinery regressed in a way
+    * no oracle catches. The upper bound is generous because hot
+    * windows legitimately inflate the gate ~1.1-1.3x. */
+  private[graft] val XBatchFloorBand: (Double, Double) = (2.5, 6.0)
+  private[graft] def xbatchVerdict(t: Double): String =
+    if (t < XBatchFloorBand._1) "below"
+    else if (t > XBatchFloorBand._2) "above" else "ok"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -367,42 +394,21 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
-    // the sub-second-population stamp the window-clearing rule keys on
-    // (COVERAGE.md quiet-record protocol): median of this-run/committed
-    // ratios over shared queries whose committed quiet time is
-    // sub-second but >= 0.1 s (below that, scheduler jitter alone is
-    // 1.5x — same floor as the re-measure pass). Emitted in the
-    // driver-facing total line so a hot window self-labels in
-    // BENCH_r*.json without consulting bench_full.json (r19 verdict
-    // item 5). vs_quiet_ratio is sum-weighted and so dominated by the
-    // multi-second gates; THIS number is the per-query machine-baseline
-    // reading the record/restore decision uses.
-    val subsecMedian: Option[Double] = quietRef.flatMap { r =>
-      val ratios = results.toSeq.collect {
-        case (name, t)
-            if r.times.get(name).exists(q => q >= 0.1 && q < 1.0) =>
-          t / r.times(name)
-      }.sorted
-      if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
-    }
+    // emitted in the driver-facing total line so a hot window
+    // self-labels in BENCH_r*.json without consulting bench_full.json
+    // (r19 verdict item 5). vs_quiet_ratio is sum-weighted and so
+    // dominated by the multi-second gates; subsecMedian is the
+    // per-query machine-baseline reading the record/restore decision
+    // uses (see subsecMedianOf).
+    val subsecMedian: Option[Double] =
+      quietRef.flatMap(r => subsecMedianOf(results, r.times))
 
-    // executable floor-band check for the adjudicated streaming
-    // irreducible floor (r19 verdict item 4): q_stream_join_xbatch's
-    // ~3.5-4 s quiet reading is mandated micro-batch state machinery
-    // (a 200-row twin of the same 3-file replay / 4-trigger state
-    // machine costs the same — SCALE.md), so a reading materially ABOVE
-    // the band is a state-machinery regression no oracle would catch,
-    // and one materially BELOW it means the replay stopped doing its
-    // mandated trigger work (a correctness smell, not a win). Hot
-    // windows legitimately inflate the gate ~1.1-1.3x, so the upper
-    // bound is generous; the stamp self-labels every artifact and the
+    // executable floor-band check (r19 verdict item 3; see
+    // xbatchVerdict): the stamp self-labels every artifact and the
     // stderr line makes a drift loud on quiet-record runs.
-    val XBatchFloorBand = (2.5, 6.0)
     val xbatchFloor: Option[String] =
       results.get("q_stream_join_xbatch").map { t =>
-        val verdict =
-          if (t < XBatchFloorBand._1) "below" else
-          if (t > XBatchFloorBand._2) "above" else "ok"
+        val verdict = xbatchVerdict(t)
         if (verdict != "ok")
           System.err.println(f"[bench] q_stream_join_xbatch $t%.2f s is " +
             s"$verdict the documented irreducible-floor band " +

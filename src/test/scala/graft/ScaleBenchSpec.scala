@@ -244,4 +244,37 @@ class ScaleBenchSpec extends SparkSpec {
     assert(!Bench.heapBelowFloor(16L << 30, 12))
     assert(Bench.heapBelowFloor(8L << 30, 12))
   }
+
+  test("subsecMedianOf implements the window-clearing rule's stamp: " +
+    "median ratio over shared queries with committed quiet time in " +
+    "[0.1, 1.0), ignoring jitter-floor and multi-second entries") {
+    val quiet = Map(
+      "a" -> 0.5, "b" -> 0.2, "c" -> 0.9,   // in the sub-second band
+      "tiny" -> 0.05,                        // below the 0.1 s floor
+      "big" -> 3.0,                          // multi-second gate
+      "gone" -> 0.4)                         // not in this run
+    val run = Map(
+      "a" -> 0.55, "b" -> 0.24, "c" -> 0.90,
+      "tiny" -> 0.50,   // 10x — must NOT poison the stamp
+      "big" -> 9.0,     // 3x — must NOT poison the stamp
+      "new" -> 0.2)     // no committed reference
+    // ratios considered: 1.1, 1.2, 1.0 -> sorted (1.0, 1.1, 1.2),
+    // median (size/2 = idx 1) = 1.1
+    assert(Bench.subsecMedianOf(run, quiet).exists(m =>
+      math.abs(m - 1.1) < 1e-9))
+    // no shared sub-second entries -> no stamp, never a division
+    assert(Bench.subsecMedianOf(Map("big" -> 2.0), quiet).isEmpty)
+    assert(Bench.subsecMedianOf(run, Map.empty).isEmpty)
+  }
+
+  test("xbatchVerdict bands the streaming irreducible floor: below " +
+    "means the mandated trigger work stopped, above means the state " +
+    "machinery regressed") {
+    assert(Bench.xbatchVerdict(3.6) == "ok")   // the documented floor
+    assert(Bench.xbatchVerdict(5.1) == "ok")   // hot-window inflation
+    assert(Bench.xbatchVerdict(1.2) == "below")
+    assert(Bench.xbatchVerdict(8.0) == "above")
+    val (lo, hi) = Bench.XBatchFloorBand
+    assert(Bench.xbatchVerdict(lo) == "ok" && Bench.xbatchVerdict(hi) == "ok")
+  }
 }
