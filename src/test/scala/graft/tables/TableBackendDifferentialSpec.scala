@@ -283,4 +283,47 @@ class TableBackendDifferentialSpec extends SparkSpec {
     assert(out.filter(col("id") === 2 && !col("is_current"))
       .select("valid_to").head().getLong(0) == 2000L)
   }
+
+  test("the two backends agree on NULL-SAFE matching: a null merge key " +
+    "matches a null key (<=>), and a null attribute equal to a null " +
+    "attribute is an SCD2 no-op — the semantics an adapter that joins " +
+    "with plain equality would silently get wrong") {
+    val mem = new InMemoryTableBackend(spark)
+    val backends: Seq[(TableBackend, String)] =
+      Seq((TableOps, tmp()), (mem, "nulls"))
+    // a null-keyed row in the target must be REPLACED by a null-keyed
+    // update under <=>, not duplicated (plain = would never match it)
+    val target = df("k STRING, v DOUBLE",
+      Row("a", 1.0), Row(null, 2.0))
+    val upd = df("k STRING, v DOUBLE",
+      Row(null, 20.0), Row("b", 3.0))
+    backends.foreach { case (b, t) => b.overwrite(target, t) }
+    backends.foreach { case (b, t) => b.merge(spark, t, upd, Seq("k")) }
+    val Seq((b1, t1), (b2, t2)) = backends
+    assertSame(b1.read(spark, t1), b2.read(spark, t2), "null-key merge")
+    val m = b1.read(spark, t1)
+    assert(m.count() == 3, "null key must match null key, not insert")
+    assert(m.filter(col("k").isNull).head().getDouble(1) == 20.0)
+
+    // SCD2: a null attribute updated to null is IDENTICAL (no-op, no
+    // history row); null -> value and value -> null both close+reopen
+    val dim = df("id BIGINT, attr STRING",
+      Row(1L, null), Row(2L, "x"), Row(3L, null))
+    backends.foreach { case (b, t) =>
+      b.scd2Overwrite(dim, s"${t}_scd", asOfNs = 10L)
+    }
+    val dimUpd = df("id BIGINT, attr STRING",
+      Row(1L, null),   // null == null -> no-op
+      Row(2L, null),   // value -> null: close + reopen
+      Row(3L, "y"))    // null -> value: close + reopen
+    backends.foreach { case (b, t) =>
+      b.scd2Merge(spark, s"${t}_scd", dimUpd, Seq("id"), asOfNs = 20L)
+    }
+    assertSame(b1.read(spark, s"${t1}_scd"), b2.read(spark, s"${t2}_scd"),
+      "null-attr scd2")
+    val s = b1.read(spark, s"${t1}_scd")
+    assert(s.filter(!col("is_current")).count() == 2,
+      "exactly ids 2 and 3 close; id 1's null==null must be a no-op")
+    assert(s.filter(col("id") === 1).count() == 1)
+  }
 }
