@@ -94,6 +94,23 @@ object Bench {
     if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
   }
 
+  /** Per-query re-measure selection (the absolute pass in main):
+    * queries reading above 1.5x-times-loadFactor their committed quiet
+    * time, with the same 0.1 s jitter floor as subsecMedianOf.
+    * loadFactor is the first-pass sub-second median clamped to >= 1.0
+    * — 1.0 on a quiet window (flat-rule behavior, bit-identical), the
+    * measured uniform-load ratio on a hot one, so only queries inflated
+    * BEYOND the window's own baseline are chased. Extracted pure so the
+    * hot-window arithmetic is spec-pinned, not main()-only. */
+  private[graft] def inflatedOf(results: Map[String, Double],
+      quiet: Map[String, Double], loadFactor: Double): Seq[String] =
+    results.toSeq.collect {
+      case (name, t)
+          if quiet.get(name).exists(q =>
+            t > 1.5 * loadFactor * math.max(q, 0.1)) =>
+        name
+    }
+
   /** Executable band verdict for the adjudicated q_stream_join_xbatch
     * irreducible floor (SCALE.md): "below" means the replay stopped
     * doing its mandated 4-trigger state work (a correctness smell,
@@ -358,19 +375,34 @@ object Bench {
     // per-query absolute pass: anything still >1.5x its committed quiet
     // time gets up to 2 extra single-rep measurements (min kept). The
     // 0.1 s floor keeps sub-100ms queries — where scheduler jitter alone
-    // is 1.5x — out of the loop.
+    // is 1.5x — out of the loop. The threshold is LOAD-NORMALIZED by the
+    // first-pass sub-second median (the established machine-baseline
+    // proxy, see subsecMedianOf): the committed yardstick is a
+    // best-window statistic, so on a uniformly hot window the flat 1.5x
+    // flags a large fraction of the board and the pass re-measures
+    // near-wholesale (r19 driver window: 97; an r20 subsec-1.18 window:
+    // 195 of 241) — burning minutes on re-measures that CANNOT shed
+    // uniform load by construction (the whole window is hot; transient
+    // spikes are the SEGMENT probes' job above). Clamped at 1.0 so a
+    // quiet window's behavior is bit-identical to the flat rule. A
+    // genuinely regressed query still surfaces: the detector the judge
+    // reads compares committed entries, and the subsec_median /
+    // vs_quiet stamps self-label whatever this pass declined to chase.
     quietRef.foreach { r =>
       val fnOf = queries
+      val loadFactor =
+        math.max(1.0, subsecMedianOf(results, r.times).getOrElse(1.0))
+      if (loadFactor > 1.0)
+        System.err.println(f"[bench] hot window (first-pass subsec " +
+          f"median $loadFactor%.3f): per-query re-measure threshold " +
+          f"scaled to ${1.5 * loadFactor}%.2fx committed quiet")
       var pass = 0
-      def inflated: Seq[String] = results.toSeq.collect {
-        case (name, t)
-            if r.times.get(name).exists(q => t > 1.5 * math.max(q, 0.1)) =>
-          name
-      }
+      def inflated: Seq[String] = inflatedOf(results, r.times, loadFactor)
       var pending = inflated
       while (pass < 2 && pending.nonEmpty) {
-        System.err.println(s"[bench] ${pending.size} queries above 1.5x " +
-          s"committed quiet time: re-measuring (pass ${pass + 1})")
+        System.err.println(s"[bench] ${pending.size} queries above " +
+          f"${1.5 * loadFactor}%.2fx committed quiet time: " +
+          s"re-measuring (pass ${pass + 1})")
         pending.foreach { name =>
           timeQuery(name, fnOf(name), 1, recordErrors = false).foreach { d =>
             results += name -> math.min(d, results(name))

@@ -267,6 +267,25 @@ class ScaleBenchSpec extends SparkSpec {
     assert(Bench.subsecMedianOf(run, Map.empty).isEmpty)
   }
 
+  test("inflatedOf load-normalizes the per-query re-measure threshold: " +
+    "quiet windows keep the flat 1.5x rule bit-identically, hot windows " +
+    "only chase queries inflated beyond their own uniform baseline") {
+    val quiet = Map("a" -> 1.0, "b" -> 0.5, "c" -> 2.0, "tiny" -> 0.05)
+    // a=1.6x, b=1.2x, c=2.0x, tiny=2x-but-under-the-0.1s-jitter-floor
+    val run = Map("a" -> 1.6, "b" -> 0.6, "c" -> 4.0, "tiny" -> 0.10,
+      "new" -> 9.0) // no committed reference -> never selected
+    // quiet window (factor 1.0): the flat rule — a and c exceed 1.5x
+    assert(Bench.inflatedOf(run, quiet, 1.0).toSet == Set("a", "c"))
+    // hot window stamped 1.18: threshold 1.77x — a (1.6x) is window
+    // position and is NOT chased; c (2.0x) still is
+    assert(Bench.inflatedOf(run, quiet, 1.18).toSet == Set("c"))
+    // the 0.1 s floor: tiny reads 2x its committed 0.05 but under
+    // 1.5 * max(0.05, 0.1) = 0.15 s absolute — never selected
+    assert(!Bench.inflatedOf(run, quiet, 1.0).contains("tiny"))
+    // empty references -> empty selection, never a throw
+    assert(Bench.inflatedOf(run, Map.empty, 1.0).isEmpty)
+  }
+
   test("xbatchVerdict bands the streaming irreducible floor: below " +
     "means the mandated trigger work stopped, above means the state " +
     "machinery regressed") {
