@@ -556,6 +556,11 @@ object ScaleBench {
     // protocol) from the measured growth law, and the pinned frames
     // would accumulate across inflated dirs
     System.setProperty("graft.noSharedFixtures", "1")
+    // and the small-input fast paths (Par.fanOut, the CC driver
+    // union-find): growth laws must measure the SCALE path — the code
+    // shape that runs at 100 TB — not a curve that switches
+    // implementation at the probe size where a fast path disengages
+    System.setProperty("graft.noSmallInputFastPaths", "1")
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt

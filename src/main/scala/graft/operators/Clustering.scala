@@ -178,7 +178,17 @@ object Clustering {
     require(cellsPerShard >= 1, s"cellsPerShard must be >= 1")
     require(maxIter >= 0, s"maxIter must be non-negative, got $maxIter")
     nHint.foreach(h => require(h > 0, s"nHint must be positive, got $h"))
-    val n = nHint.getOrElse(df.count())
+    // one probe pass, not two: count (when no hint) and width together —
+    // first() is the same "any row decides" contract the old head() probe
+    // had (the width is constant by the operator's own requirement)
+    val (n, dims) = nHint match {
+      case Some(h) =>
+        (h, df.select(size(col(vecCol))).head().getInt(0))
+      case None =>
+        val r = df.agg(count(lit(1)),
+          first(size(col(vecCol)), ignoreNulls = true)).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+    }
     require(n > 0, "semDupPairsSharded: empty input")
     // bits = ceil(log2(ceil(n / target))): enough sign planes that the
     // AVERAGE shard is ~target-sized; 0 bits (one shard) when n fits
@@ -187,9 +197,12 @@ object Clustering {
       (if (shardsWanted <= 1L) 0
        else 64 - java.lang.Long.numberOfLeadingZeros(shardsWanted - 1))
         .min(50)
-    val dims = df.select(size(col(vecCol))).head().getInt(0)
     val vec = transform(col(vecCol), _.cast("double"))
-    val keyed = df.select(col(idCol).as("__sd_id"), vec.as("__sd_v"))
+    // fan the SRP-signature / assignment scans wide (row-local work over
+    // a possibly single-split local scan; no-op at cluster scale)
+    val keyed = graft.core.Par
+      .fanOut(df.select(col(idCol).as("__sd_id"), vec.as("__sd_v")),
+        col("__sd_id"))
       .withColumn("__sd_raw",
         if (bits == 0) lit(0L)
         else Similarity.srpSignature(col("__sd_v"), bits, dims, seed))

@@ -343,8 +343,12 @@ object Dedup {
     // should precompute signatures and use [[minHashLshPairsFromSigs]],
     // or clear via spark.sharedState.cacheManager.clearCache() as
     // Bench/Verify do between queries.
-    val sig = df.select(col(idCol).as("id"),
-        minHashSignature(col(textCol), n, k).as("sig"))
+    // fanned wide before the persist: the k-hash signature kernel is the
+    // heavy row-local stage, and the cached blocks inherit the fan
+    // (graft.core.Par; no-op at cluster scale / on shuffled inputs)
+    val sig = graft.core.Par
+      .fanOut(df.select(col(idCol).as("id"),
+        minHashSignature(col(textCol), n, k).as("sig")), col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minHashLshPairsFromSigs(sig, bands, rowsPerBand, maxBucket)
   }
@@ -355,8 +359,10 @@ object Dedup {
       textCol: String, n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       maxBucket: Int = 4096, seed: Long = 0L): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-        minHashSignaturePortable(col(textCol), n, k, seed).as("sig"))
+    val sig = graft.core.Par
+      .fanOut(df.select(col(idCol).as("id"),
+        minHashSignaturePortable(col(textCol), n, k, seed).as("sig")),
+        col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minHashLshPairsFromSigsPortable(sig, bands, rowsPerBand, maxBucket)
   }

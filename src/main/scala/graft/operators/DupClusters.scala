@@ -81,12 +81,67 @@ object DupClusters {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** Edge-count ceiling for the driver union-find fast path of
+    * [[connectedComponents]]. 2^20 edges collect as ~16 MB of longs —
+    * far under any sane driver heap — while the star-contraction rounds
+    * they replace cost 6-8 shuffle+checkpoint rounds of pure scheduler
+    * overhead at that size (measured 3.3 s / 43 jobs on a 394-edge input
+    * at sf0.1). Override with -Dgraft.ccDriverMaxEdges; 0 disables.
+    * `graft.noSmallInputFastPaths=1` (ScaleBench) also disables it so
+    * committed growth laws keep measuring the distributed path. */
+  private def ccDriverMaxEdges: Long =
+    if (graft.core.Par.fastPathsOff) 0L
+    else sys.props.get("graft.ccDriverMaxEdges").map(_.toLong)
+      .getOrElse(1L << 20)
+
+  /** Driver union-find with min-id roots over a COLLECTED edge list —
+    * the small-input fast path of [[connectedComponents]]. Pointing the
+    * larger root at the smaller (plus full path compression) keeps every
+    * root the MINIMUM id of its component, so the labeling is exactly
+    * the star-contraction fixpoint's. Deterministic for any edge order:
+    * union(min, max) is order-insensitive on the root graph. */
+  private[operators] def unionFindLabels(edges: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+      // path compression
+      var y = x0
+      while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val nodes = new java.util.HashSet[Long]()
+    edges.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+    val out = Array.ofDim[(Long, Long)](nodes.size)
+    val it = nodes.iterator()
+    var i = 0
+    while (it.hasNext) { val n = it.next(); out(i) = (n, find(n)); i += 1 }
+    out
+  }
+
   /** Connected components of the undirected graph given as a pair table.
     * Returns one row per node that appears in ANY pair:
     * (id, cluster_id) with cluster_id = the minimum id in the node's
     * component (so representatives are deterministic and the labeling is
     * layout/rerun-stable). Nodes with no pairs are absent — join with
-    * `coalesce` (see [[assignClusters]]) to label them as singletons. */
+    * `coalesce` (see [[assignClusters]]) to label them as singletons.
+    *
+    * Small inputs take a driver union-find fast path: the initial
+    * distinct+checkpoint already materializes the edge set and counts it
+    * (the checksum), so when the count is within [[ccDriverMaxEdges]]
+    * and the endpoints are integral, the edges collect to the driver and
+    * label in microseconds instead of paying O(log n) star-contraction
+    * rounds of shuffle+checkpoint machinery — the same bounded
+    * size-probed driver pattern as the ANN brute-path guard
+    * (Similarity). Labels are bit-identical to the distributed path
+    * (DupClustersSpec differential); at corpus scale the count exceeds
+    * the cap and the star-contraction path below runs unchanged. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
@@ -97,6 +152,37 @@ object DupClusters {
       .localCheckpoint(true)
     var prev = checksum(edges)
     var converged = prev._1 == 0L
+    locally {
+      import org.apache.spark.sql.types._
+      val uT = edges.schema("u").dataType
+      val vT = edges.schema("v").dataType
+      // same-typed integral endpoints only: the distributed labeling's
+      // output types are then unambiguous (mixed widths would need the
+      // union's coercion reproduced here — not worth the edge case)
+      val integral = uT == vT && (uT match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+      if (!converged && integral && prev._1 <= ccDriverMaxEdges) {
+        val collected = edges
+          .select(col("u").cast("long"), col("v").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        graft.core.Lineage.unpersistCheckpoint(edges)
+        val spark = pairs.sparkSession
+        val rows = unionFindLabels(collected)
+          .map { case (id, c) => org.apache.spark.sql.Row(id, c) }
+        val labels = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq,
+            math.max(1, math.min(spark.sparkContext.defaultParallelism,
+              1 + rows.length / 4096))),
+          StructType(Seq(StructField("id", LongType),
+            StructField("cluster_id", LongType))))
+        // cast back to the distributed path's output types (id takes the
+        // endpoint union's type, cluster_id the v side's)
+        return labels.select(col("id").cast(uT).as("id"),
+          col("cluster_id").cast(vT).as("cluster_id"))
+      }
+    }
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)

@@ -120,10 +120,23 @@ object Embeddings {
     // output grid. Still exact + order-independent at any width.
     val Dec = "decimal(30,12)"
     val dv = transform(col(vecCol), _.cast("double"))
-    val base = df.select(col(idCol).as("__id"), dv.as("__v"))
-    val d = base.select(size(col("__v")).as("d")).head.getInt(0)
-    val n = base.count()
+    // fanned wide: the covariance combiner below does d(d+1)/2 exact-
+    // decimal products PER ROW — the most compute-dense row-local stage
+    // in the repo — and a single-split local scan otherwise runs it on
+    // one core (measured 2.05 s single-threaded vs ~0.15 s wide at
+    // sf0.1). Partition-partial decimal sums are order-independent, so
+    // the fan cannot change a covariance bit (graft.core.Par; no-op at
+    // cluster scale).
+    val base = graft.core.Par.fanOut(
+      df.select(col(idCol).as("__id"), dv.as("__v")), col("__id"))
+    // one probe pass, not two (count + width ride the same aggregate);
+    // n counts ALL rows — the covariance divisor contract — not just
+    // non-null vectors
+    val probe = base.agg(count(lit(1)),
+      first(size(col("__v")), ignoreNulls = true)).head()
+    val n = probe.getLong(0)
     require(n > 0, "pcaPowerProject: empty input")
+    val d = probe.getInt(1)
 
     // per-dim mean, exact decimal — d doubles to the driver
     val muRows = base

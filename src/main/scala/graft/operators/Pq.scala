@@ -69,13 +69,19 @@ object Pq {
       s"k=$k but the input has only ${initRows.length} rows")
     var cbs: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
       initRows.map(r => r.slice(j * dsub, (j + 1) * dsub)))
+    // fan the per-iteration scans wide: the m*k distance folds per row
+    // are the expensive row-local stage, and a single-split local scan
+    // otherwise runs them on one core (graft.core.Par — no-op at cluster
+    // scale; decimal dim means are order-independent, so partitioning
+    // cannot change a codebook bit)
+    val dfF = graft.core.Par.fanOut(df, col(idCol))
     for (_ <- 1 to maxIter) {
       val subStructs = array((0 until m).map { j =>
         val sub = slice(vec, j * dsub + 1, dsub)
         struct(lit(j).as("j"), Clustering.assign(sub, cbs(j)).as("c"),
           sub.as("sub"))
       }: _*)
-      val exploded = df.select(explode(subStructs).as("e"))
+      val exploded = dfF.select(explode(subStructs).as("e"))
         .select(col("e.j").as("__km_j"), col("e.c").as("__km_c"),
           col("e.sub").as("__km_v"))
       val means = Embeddings.meanPoolLong(exploded,
@@ -96,10 +102,14 @@ object Pq {
   def encode(df: DataFrame, vecCol: String, books: Codebooks,
              codeCol: String = "pq_code"): DataFrame = {
     val vec = transform(col(vecCol), _.cast("double"))
-    df.withColumn(codeCol, array((0 until books.m).map { j =>
-      Clustering.assign(slice(vec, j * books.dsub + 1, books.dsub),
-        books.cb(j)).cast("int")
-    }: _*))
+    // row-local argmin per subspace — fanned wide so a single-split scan
+    // doesn't serialize the m*k distance folds (and the downstream ADC
+    // scoring, which runs in this frame's partitions) on one core
+    graft.core.Par.fanOut(df)
+      .withColumn(codeCol, array((0 until books.m).map { j =>
+        Clustering.assign(slice(vec, j * books.dsub + 1, books.dsub),
+          books.cb(j)).cast("int")
+      }: _*))
   }
 
   /** ADC top-k: for each query, the exact m x k subdistance table

@@ -123,6 +123,50 @@ class DupClustersSpec extends SparkSpec {
     assert(tags == Set(true, false))
   }
 
+  test("driver union-find fast path labels bit-identically to the " +
+    "distributed star-contraction path (r20 differential)") {
+    val rnd = new scala.util.Random(7)
+    // chains (deep), a star, a clique, random noise, and duplicates —
+    // the shapes that distinguish a wrong union rule
+    val edges = (0L until 40L).map(i => i -> (i + 1)) ++
+      (100L to 110L).map(100L -> _) ++
+      (for (a <- 200L to 205L; b <- 200L to 205L if a < b) yield a -> b) ++
+      Seq.fill(60)((rnd.nextInt(50).toLong + 300L,
+        rnd.nextInt(50).toLong + 300L)).filter(e => e._1 != e._2) ++
+      Seq(0L -> 1L, 1L -> 0L) // duplicate + reversed
+    val p = pairs(edges: _*)
+    val fast = labelsOf(p) // default: small input takes the driver path
+    val dist =
+      try {
+        System.setProperty("graft.noSmallInputFastPaths", "1")
+        labelsOf(p)
+      } finally System.clearProperty("graft.noSmallInputFastPaths")
+    assert(fast == dist)
+    assert(fast == bruteForce(edges))
+  }
+
+  test("graft.ccDriverMaxEdges=0 forces the distributed path (the " +
+    "ScaleBench contract); labels unchanged") {
+    val p = pairs(1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val dist =
+      try {
+        System.setProperty("graft.ccDriverMaxEdges", "0")
+        labelsOf(p)
+      } finally System.clearProperty("graft.ccDriverMaxEdges")
+    assert(dist ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("int-typed pairs keep int-typed labels on the fast path") {
+    val p = df("id_a INT, id_b INT", Row(1, 2), Row(2, 3))
+    val labels = DupClusters.connectedComponents(p, "id_a", "id_b")
+    import org.apache.spark.sql.types.IntegerType
+    assert(labels.schema("id").dataType == IntegerType)
+    assert(labels.schema("cluster_id").dataType == IntegerType)
+    val got = labels.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1))
+  }
+
   test("dedupByCluster tie on rank falls back to ascending id") {
     val d = df("doc_id BIGINT, quality DOUBLE",
       Row(5L, 0.5), Row(4L, 0.5))
