@@ -4755,10 +4755,15 @@ object SparkEntry {
     //     outside its hypothesis class by design ---
     "q_m3_rf_lr" -> ((s, dir) => {
       val di = mlInteraction(s, dir)
+      // stage barrier for the CV grid: the 2-fold x 2-depth search fits
+      // 4 models + the winning refit, and each fit's RDD conversion
+      // re-derives the feature frame from the events scan without it
+      val diTrain = di.filter(!col("is_test"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cvModel = graft.ml.DirectionModel.rfCrossValidated(
           MlInteractionCols, folds = 2, numTrees = Array(10),
           maxDepths = Array(1, 5))
-        .fit(di.filter(!col("is_test")))
+        .fit(diTrain)
       val rf = cvModel.bestModel
         .asInstanceOf[org.apache.spark.ml.PipelineModel]
       val rfDepth = rf.stages.last

@@ -70,10 +70,22 @@ object Curation {
     val scored = deduped.withColumn("quality_score",
       TextFunctions.qualityScore(col(textCol)))
     val filtered = scored.filter(col("quality_score") >= cfg.minQuality)
-    val sampled =
+    val sampled0 =
       if (cfg.sampleRate >= 1.0) filtered
       else Sampling.bernoulliSample(filtered, idCol, cfg.sampleRate,
         cfg.seed)
+    // stage barrier when the pairwise stage is on (the curateFull
+    // pattern): the near-dup generators reference `sampled` for their
+    // signature/shingle prep AND the anti-join reads it again — without
+    // the barrier the dedup-window + scoring subplan executes once per
+    // reference. Off when the stage is off: the single reference flows
+    // straight into packing. Lifetime as curateFull's barriers: the
+    // returned frame references the cache; Verify/Bench clear between
+    // queries.
+    val sampled =
+      if (cfg.nearDupJaccard <= 0.0) sampled0
+      else sampled0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val unique =
       if (cfg.nearDupJaccard <= 0.0) sampled
       else {
