@@ -200,25 +200,43 @@ object Clustering {
     val vec = transform(col(vecCol), _.cast("double"))
     // fan the SRP-signature / assignment scans wide (row-local work over
     // a possibly single-split local scan; no-op at cluster scale)
-    val keyed = graft.core.Par
+    val keyed0 = graft.core.Par
       .fanOut(df.select(col(idCol).as("__sd_id"), vec.as("__sd_v")),
         col("__sd_id"))
-      .withColumn("__sd_raw",
-        if (bits == 0) lit(0L)
-        else Similarity.srpSignature(col("__sd_v"), bits, dims, seed))
-    // bound the worst case: SRP sign buckets are similarity-preserving
-    // but not balanced; a shard > 4x target hash-splits into
-    // ceil(size / (2x target)) sub-shards (<= 4096, key packs below)
-    val sizes = keyed.groupBy("__sd_raw").agg(count(lit(1)).as("__sn"))
-    val base = keyed.join(sizes, "__sd_raw")
-      .withColumn("__splits",
-        when(col("__sn") > 4L * shardSizeTarget,
-          least(ceil(col("__sn") / (2.0 * shardSizeTarget)), lit(4096L))
-            .cast("long"))
-          .otherwise(lit(1L)))
-      .withColumn("__sd_s", col("__sd_raw") * 4096L +
-        pmod(hash(col("__sd_id")), col("__splits").cast("int")).cast("long"))
-      .select("__sd_id", "__sd_v", "__sd_s")
+    val base =
+      if (bits == 0) {
+        // single-shard face: every row's raw key is the same 0L, no shard
+        // can exceed 4x target (bits == 0 implies n <= target), and
+        // pmod(hash, 1) = 0 — so the size probe and the split join are
+        // algebraic no-ops; the shard key is exactly lit(0L). Same
+        // specialization as the signature's own bits == 0 arm above.
+        keyed0.withColumn("__sd_s", lit(0L))
+      } else {
+        val keyed = keyed0.withColumn("__sd_raw",
+          Similarity.srpSignature(col("__sd_v"), bits, dims, seed))
+        // bound the worst case: SRP sign buckets are similarity-preserving
+        // but not balanced; a shard > 4x target hash-splits into
+        // ceil(size / (2x target)) sub-shards (<= 4096, key packs below).
+        // The per-raw-shard split table is O(#shards) rows — checkpoint it
+        // ONCE so the repeated derivations of `base` (init window, one per
+        // k-means iteration, the final pair pass) stop re-paying the
+        // full counting scan of the corpus the groupBy needs (r20: that
+        // was one extra corpus pass per derivation, 5 per invocation)
+        val splits = keyed.groupBy("__sd_raw")
+          .agg(count(lit(1)).as("__sn"))
+          .withColumn("__splits",
+            when(col("__sn") > 4L * shardSizeTarget,
+              least(ceil(col("__sn") / (2.0 * shardSizeTarget)), lit(4096L))
+                .cast("long"))
+              .otherwise(lit(1L)))
+          .select("__sd_raw", "__splits")
+          .localCheckpoint()
+        keyed.join(splits, "__sd_raw")
+          .withColumn("__sd_s", col("__sd_raw") * 4096L +
+            pmod(hash(col("__sd_id")), col("__splits").cast("int"))
+              .cast("long"))
+          .select("__sd_id", "__sd_v", "__sd_s")
+      }
     // init: the cellsPerShard smallest ids of each shard, as a centroid
     // FRAME (shard, cell, vec) — k-means for every shard advances in
     // one distributed pass per iteration, no driver loop over shards
@@ -250,13 +268,28 @@ object Clustering {
       cents = next
     }
     // the final `cents` checkpoint stays pinned (the returned lazy frame
-    // reads it) — the caller-owned O(1) remainder, as in Graph/PageRank
-    val x = assigned.select(col("__sd_id").as("id_a"),
-      col("__sd_v").as("va"), col("__sd_s"), col("__c"))
-    val y = assigned.select(col("__sd_id").as("id_b"),
-      col("__sd_v").as("vb"), col("__sd_s"), col("__c"))
-    x.join(y, Seq("__sd_s", "__c")).where(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+    // reads it) — the caller-owned O(1) remainder, as in Graph/PageRank.
+    // Pair generation derives `assigned` ONCE: cells gather to a bounded
+    // list (cell size is capped by the shard-split rule, so the list is
+    // O(shardSizeTarget) rows — never the corpus) and the id-ordered
+    // pairs stream out of two pipelined explodes. The r19 x⋈y self-join
+    // executed the whole scan→shard→assign pipeline twice (once per join
+    // side) and shuffled both copies; this shuffles the assigned frame
+    // once and recomputes nothing. Pair SET and every cosine bit are
+    // unchanged: the same (id_a < id_b) orientation, the same row-local
+    // cosine expression on the same vectors.
+    val cells = assigned.groupBy(col("__sd_s"), col("__c"))
+      .agg(collect_list(struct(col("__sd_id"), col("__sd_v"))).as("__cell"))
+    cells
+      .select(col("__sd_s"), col("__c"), col("__cell"),
+        explode(col("__cell")).as("__a"))
+      .select(col("__sd_s"), col("__c"), col("__a"),
+        explode(col("__cell")).as("__b"))
+      .where(col("__a.__sd_id") < col("__b.__sd_id"))
+      .select(col("__a.__sd_id").as("id_a"), col("__b.__sd_id").as("id_b"),
+        col("__sd_s"), col("__c"),
+        Similarity.cosine(col("__a.__sd_v"), col("__b.__sd_v"))
+          .as("cosine"))
       .where(microL(col("cosine")) >=
         lit(math.floor(minCosine * 1e6 + 0.5).toLong))
       .select(col("id_a"), col("id_b"), col("__sd_s").as("shard"),

@@ -148,11 +148,18 @@ object Dedup {
     // partition exceeds one document's shingle count
     val w = Window.partitionBy(col("id"))
       .orderBy(col("__df"), xxhash64(col("shingle")), col("shingle"))
+    // persisted: the prefix index is referenced by BOTH self-join sides —
+    // without the barrier the explode + df-count + per-doc window subplan
+    // executes once per side (r20: that was 2 full window sorts of the
+    // exploded corpus per candidate pass). Footprint is the PPJoin prefix
+    // mass, ~(1-t) of the shingle mass the caller already persists as
+    // `sh`. Same cache lifetime as sh (see jaccardPairs).
     val prefix = ranked
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= greatest(
         (col("sh_size") - ceil(lit(threshold) * col("sh_size")) + 1L)
           .cast("long"), lit(1L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keep = (col("id") +: col("sh_size") +: col("__rk") +:
       blockCols.map(col)) :+ col("shingle")
     val a = prefix.select(keep: _*)
