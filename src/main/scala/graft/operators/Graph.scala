@@ -148,6 +148,121 @@ object Graph {
     // teleport mass (100-d)% of Pico: spread over all N nodes, or — in
     // the personalized case — over the |S| seed nodes only
     val teleport = Pico - Pico * dampingPct / 100L
+    // small-graph driver fast path (r20): the rank grid is pure LONG
+    // arithmetic — integer division, integer sums, integer damping — so
+    // a driver loop over the collected (already checkpointed) edge frame
+    // reproduces every iteration BIT-identically (GraphSpec
+    // differential), while the distributed loop's per-iteration
+    // join+agg+checkpoint rounds are pure scheduler machinery at this
+    // edge count (~5 jobs x iterations for a graph that fits in one
+    // task). Same bounded size-probed pattern as the CC union-find and
+    // ANN brute-path guards; `graft.noSmallInputFastPaths=1`
+    // (ScaleBench) and -Dgraft.prDriverMaxEdges=0 disable it, so
+    // committed growth laws keep measuring the 100 TB code shape. The
+    // count probe reads the checkpointed blocks — no recompute. Cap:
+    // 2^21 edges hold 4 longs each in primitive arrays (~64 MB steady,
+    // ~200 MB transient during the collect) — bounded well under the
+    // 8g bench / 16g protocol heaps, while a graph this size fits in
+    // ONE task and pays ~5 scheduler jobs per iteration distributed.
+    val prCap: Long =
+      if (graft.core.Par.fastPathsOff) 0L
+      else sys.props.get("graft.prDriverMaxEdges").map(_.toLong)
+        .getOrElse(1L << 21)
+    if (prCap > 0L && eDeg.count() <= prCap) {
+      val isSeedCol = seedPred.map(p => p(col("node"))).getOrElse(lit(true))
+      val nodeRows = nodes
+        .select(col("node"), col("__out"), isSeedCol.as("__seed"))
+        .collect()
+      val edgeRows = eDeg.select(col("src"), col("dst"), col("w"),
+        col("outw")).collect()
+      graft.core.Lineage.unpersistCheckpoint(nodes)
+      graft.core.Lineage.unpersistCheckpoint(eDeg)
+      val nN = nodeRows.length
+      val idx = new java.util.HashMap[Long, Integer](nN * 2)
+      val ids = new Array[Long](nN)
+      val dangF = new Array[Boolean](nN)
+      val seedF = new Array[Boolean](nN)
+      var i = 0
+      while (i < nN) {
+        val row = nodeRows(i)
+        ids(i) = row.getLong(0)
+        dangF(i) = !row.getBoolean(1)
+        // a null seed predicate value behaves as false, exactly as the
+        // distributed when(isSeed, ...) does
+        seedF(i) = !row.isNullAt(2) && row.getBoolean(2)
+        idx.put(ids(i), i)
+        i += 1
+      }
+      val recv: Long = seedPred match {
+        case None => n
+        case Some(_) =>
+          val s = seedF.count(identity).toLong
+          require(s > 0, "personalized pageRank: seed predicate " +
+            "matches no node in the graph")
+          s
+      }
+      val nE = edgeRows.length
+      val eSrc = new Array[Int](nE); val eDst = new Array[Int](nE)
+      val eW = new Array[Long](nE); val eOutW = new Array[Long](nE)
+      i = 0
+      while (i < nE) {
+        val row = edgeRows(i)
+        eSrc(i) = idx.get(row.getLong(0))
+        eDst(i) = idx.get(row.getLong(1))
+        eW(i) = row.getLong(2)
+        eOutW(i) = row.getLong(3)
+        i += 1
+      }
+      var r = Array.tabulate(nN)(v =>
+        if (seedF(v)) Pico / recv else 0L)
+      var it = 0
+      var lastDelta: Option[Long] = None
+      var converged = false
+      while (it < iterations && !converged) {
+        var dm = 0L
+        i = 0
+        while (i < nN) { if (dangF(i)) dm += r(i); i += 1 }
+        val in = new Array[Long](nN)
+        i = 0
+        while (i < nE) {
+          // exactly the distributed `(r * w) div outw` (operands are
+          // non-negative, so SQL div == Java /)
+          in(eDst(i)) += r(eSrc(i)) * eW(i) / eOutW(i)
+          i += 1
+        }
+        val dmShare = dm / recv
+        val next = new Array[Long](nN)
+        i = 0
+        while (i < nN) {
+          val recvMass = in(i) + (if (seedF(i)) dmShare else 0L)
+          next(i) = (if (seedF(i)) teleport / recv else 0L) +
+            dampingPct.toLong * recvMass / 100L
+          i += 1
+        }
+        if (convergeEpsPico > 0L) {
+          var delta = 0L
+          i = 0
+          while (i < nN) { delta += math.abs(next(i) - r(i)); i += 1 }
+          lastDelta = Some(delta)
+          converged = delta <= convergeEpsPico
+        }
+        r = next
+        it += 1
+      }
+      val spark = edges.sparkSession
+      import org.apache.spark.sql.types.{DoubleType, LongType,
+        StructField, StructType}
+      val out = (0 until nN).map(v => org.apache.spark.sql.Row(
+        ids(v), r(v), r(v).toDouble / Pico.toDouble))
+      val ranksDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(out,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            1 + nN / 4096))),
+        StructType(Seq(StructField("node", LongType),
+          StructField("rank_pico", LongType),
+          StructField("rank", DoubleType))))
+      return PageRankRun(ranksDf, it, lastDelta)
+    }
     // mass receivers: (isSeed flag column, receiver count) — the flag is
     // row-local, so personalization adds ZERO joins per iteration
     val (isSeed, recv) = seedPred match {
@@ -259,6 +374,58 @@ object Graph {
       .union(und.select(col("v").as("a"), col("u").as("b")))
       .localCheckpoint()
     var nEdges = adj.count()
+    // small-graph driver fast path (r20): the peel is pure integer set
+    // arithmetic (degree counts, threshold filters) with a UNIQUE
+    // fixpoint, so a driver loop over the collected (already
+    // checkpointed and counted) adjacency reproduces the result
+    // exactly — while each distributed peel round pays a
+    // groupBy + two semi-joins + checkpoint of scheduler machinery.
+    // Same bounded probed pattern and switches as the PageRank and CC
+    // fast paths; ScaleBench pins it off.
+    val kcCap: Long =
+      if (graft.core.Par.fastPathsOff) 0L
+      else sys.props.get("graft.kcoreDriverMaxEdges").map(_.toLong)
+        .getOrElse(1L << 21)
+    if (nEdges > 0L && nEdges <= kcCap) {
+      val rows = adj.collect()
+      graft.core.Lineage.unpersistCheckpoint(adj)
+      var cur: Array[(Long, Long)] =
+        rows.map(r => (r.getLong(0), r.getLong(1)))
+      var itD = 0
+      var convD = false
+      while (!convD && itD < maxIter) {
+        val deg = new java.util.HashMap[Long, Long]()
+        cur.foreach(p => deg.merge(p._1, 1L, _ + _))
+        val next = cur.filter(p =>
+          deg.get(p._1) >= k && deg.get(p._2) >= k)
+        convD = next.length == cur.length
+        cur = next
+        itD += 1
+      }
+      if (!convD)
+        throw new IllegalStateException(
+          s"kCore did not reach the peel fixpoint in $maxIter " +
+            s"iterations (${cur.length} directed edges still changing); " +
+            "raise maxIter")
+      val spark = edges.sparkSession
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val degOut = new java.util.HashMap[Long, Long]()
+      cur.foreach(p => degOut.merge(p._1, 1L, _ + _))
+      val out = new Array[org.apache.spark.sql.Row](degOut.size)
+      val itr = degOut.entrySet().iterator()
+      var j = 0
+      while (itr.hasNext) {
+        val e = itr.next()
+        out(j) = org.apache.spark.sql.Row(e.getKey, e.getValue)
+        j += 1
+      }
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            1 + out.length / 4096))),
+        StructType(Seq(StructField("node", LongType),
+          StructField("degree", LongType))))
+    }
     var it = 0
     var converged = nEdges == 0L
     while (!converged && it < maxIter) {

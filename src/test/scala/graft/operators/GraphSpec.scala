@@ -443,6 +443,53 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(g, "src", "dst", k = 2).count() == 0)
   }
 
+  test("driver fast path reproduces the distributed pico loop " +
+    "bit-identically: unweighted, weighted, personalized, convergence " +
+    "(r20 differential)") {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val rnd = new scala.util.Random(11)
+    val edges = (Seq.fill(300)((rnd.nextInt(60).toLong,
+        rnd.nextInt(60).toLong)) ++
+      (0L until 20L).map(i => i -> (i + 40L)) ++   // dangling sinks
+      Seq((200L, 201L), (201L, 200L)))             // detached 2-cycle
+      .filter(e => e._1 != e._2)
+    val g = df("src BIGINT, dst BIGINT",
+      edges.map(p => Row(p._1, p._2)): _*)
+    val wG = df("src BIGINT, dst BIGINT, w BIGINT",
+      edges.zipWithIndex.map { case ((s, d), i) =>
+        Row(s, d, (i % 5 + 1).toLong) }: _*)
+    def snap(r: Graph.PageRankRun): (Seq[(Long, Long, Double)], Int,
+        Option[Long]) =
+      (r.ranks.collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        .sortBy(_._1).toSeq, r.iterationsRun, r.finalDeltaPico)
+    def all() = Seq(
+      snap(Graph.pageRankRun(g, "src", "dst", iterations = 6)),
+      snap(Graph.pageRankRun(wG, "src", "dst", iterations = 4,
+        weightCol = "w")),
+      snap(Graph.pageRankRun(g, "src", "dst", iterations = 5,
+        seedPred = Some(n => pmod(n, lit(7L)) === 0L))),
+      snap(Graph.pageRankRun(g, "src", "dst", iterations = 40,
+        convergeEpsPico = Graph.Pico / 50L)),
+      (Graph.kCore(g, "src", "dst", k = 3).collect()
+        .map(x => (x.getLong(0), x.getLong(1), 0.0)).sortBy(_._1).toSeq,
+        0, None))
+    val fast = all() // default: small input takes the driver path
+    val dist =
+      try {
+        System.setProperty("graft.noSmallInputFastPaths", "1")
+        all()
+      } finally System.clearProperty("graft.noSmallInputFastPaths")
+    assert(fast == dist)
+    // -Dgraft.prDriverMaxEdges=0 also forces the distributed path
+    val dist2 =
+      try {
+        System.setProperty("graft.prDriverMaxEdges", "0")
+        snap(Graph.pageRankRun(g, "src", "dst", iterations = 6))
+      } finally System.clearProperty("graft.prDriverMaxEdges")
+    assert(dist2 == fast.head)
+  }
+
   test("pageRank: all-dangling graph (no second-hop edges) keeps " +
     "uniform ranks; degenerate inputs rejected") {
     // 1->2, 3->4: sources never receive, sinks only receive — symmetric
