@@ -88,6 +88,20 @@ object Probe {
         transform(col("embedding"), x => x.cast("double")).as("vec"))
       Pq.train(e, "vec_id", "vec", m = 8, k = 8, maxIter = 2)
     }
+    locally {
+      val e = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val books = Pq.train(e, "vec_id", "vec", m = 8, k = 8, maxIter = 2)
+      t("pq: encode only (count)") {
+        Pq.encode(e, "vec", books).count()
+      }
+      t("pq: search from encoded (count)") {
+        val codes = Pq.encode(e, "vec", books)
+        val queries = e.filter(pmod(col("vec_id"), lit(25L)) === 0)
+        Pq.searchTopK(queries, codes, "vec_id", "vec_id", "vec", books,
+          k = 3).count()
+      }
+    }
 
     println("== pca anatomy ==")
     locally {

@@ -39,10 +39,26 @@ object Clustering {
     aggregate(zip_with(vec, typedlit(centroid.toSeq),
       (x, c) => (x - c) * (x - c)), lit(0.0), (acc, v) => acc + v)
 
-  /** Row-local argmin assignment: array_min over (dist_micro, index)
-    * structs — lexicographic struct order gives the tie-to-smaller-index
-    * rule for free. */
-  private[operators] def assign(vec: Column, centroids: Array[Array[Double]]): Column =
+  /** Row-local argmin assignment — the native codegen'd kernel
+    * ([[graft.plans.ArgMinL2MicroExpr]]: one fused while-loop per row,
+    * one expression node per plan). The HOF twin below walked k
+    * interpreted zip_with/aggregate folds per row and carried a
+    * ~k*dims-node tree through every plan; ClusteringSpec pins bit
+    * equality across well-formed AND degenerate inputs (r20). */
+  private[operators] def assign(vec: Column, centroids: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    require(centroids.nonEmpty, "assign: empty centroid set")
+    val dims = centroids.head.length
+    GraftColumnBridge.column(graft.plans.ArgMinL2MicroExpr(
+      GraftColumnBridge.expression(vec),
+      centroids.flatten.toSeq, dims))
+  }
+
+  /** Interpreted higher-order twin of [[assign]], kept for differential
+    * verification of the native kernel: array_min over (dist_micro,
+    * index) structs — lexicographic struct order gives the
+    * tie-to-smaller-index rule for free. */
+  private[operators] def assignHof(vec: Column, centroids: Array[Array[Double]]): Column =
     array_min(array(centroids.zipWithIndex.map { case (c, i) =>
       struct(microL(sqDist(vec, c)).as("d"), lit(i).as("c"))
     }: _*)).getField("c")

@@ -58,15 +58,19 @@ object Pq {
             k: Int, maxIter: Int): Codebooks = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(maxIter >= 0, s"maxIter must be non-negative, got $maxIter")
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val dsub = dim / m
     val vec = transform(col(vecCol), _.cast("double"))
     val initRows = df.select(col(idCol), vec.as("__v"))
       .orderBy(col(idCol)).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     require(initRows.length == k,
       s"k=$k but the input has only ${initRows.length} rows")
+    // width from the init rows — the former separate head() probe paid
+    // one extra job for a value the init collect already carries (the
+    // operator requires a constant width; mismatches still fail loudly
+    // in the slice/assign arithmetic below)
+    val dim = initRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
     var cbs: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
       initRows.map(r => r.slice(j * dsub, (j + 1) * dsub)))
     // fan the per-iteration scans wide: the m*k distance folds per row

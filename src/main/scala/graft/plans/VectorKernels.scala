@@ -56,6 +56,46 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Per-row argmin-squared-L2 kernel (called from generated code).
+    * `cents` is row-major (k x dims). Mirrors the HOF
+    * array_min(array(struct(microL(aggregate(zip_with(...))), i)))
+    * composition bit-for-bit: left-to-right (x-c)^2 double accumulation
+    * from 0.0, micro-rounding as Math.floor(d*1e6+0.5) cast to long
+    * (Spark's non-ANSI double->long cast), argmin with ties to the
+    * smaller index. Degenerate rows — a null vector, a length mismatch
+    * with the centroid literals, or any null element — make EVERY
+    * centroid's distance null (zip_with null-pads, the fold poisons),
+    * and the struct ordering then picks (null, 0): index 0, exactly the
+    * HOF fall-through. Never null, so custom codegen with a false
+    * isNull. */
+  def argMinL2Micro(vec: ArrayData, cents: Array[Double],
+                    dims: Int): Int = {
+    val degenerate = vec == null || vec.numElements() != dims || {
+      var i = 0; var hasNull = false
+      while (i < dims && !hasNull) { hasNull = vec.isNullAt(i); i += 1 }
+      hasNull
+    }
+    if (degenerate) return 0
+    val k = cents.length / dims
+    var best = Long.MaxValue
+    var bestI = 0
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var j = 0
+      val base = c * dims
+      while (j < dims) {
+        val diff = vec.getDouble(j) - cents(base + j)
+        acc += diff * diff
+        j += 1
+      }
+      val micro = Math.floor(acc * 1e6 + 0.5).toLong
+      if (micro < best) { best = micro; bestI = c }
+      c += 1
+    }
+    bestI
+  }
+
   def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a == null || b == null) return null
     val n = a.numElements()
@@ -128,6 +168,62 @@ case class SrpBandBucketsExpr(child: Expression, planes: Seq[Double],
 
   override protected def withNewChildInternal(newChild: Expression)
       : SrpBandBucketsExpr = copy(child = newChild)
+}
+
+/** Argmin centroid index over an embedding column: the assignment step
+  * of the deterministic k-means family (Clustering.assign's native face
+  * — flat k-means, SemDeDup, PQ train/encode all ride it). Centroids
+  * are carried FLATTENED row-major as a Seq (structural equality for
+  * plan canonicalization, as SrpBandBucketsExpr) and bound to a
+  * primitive array once per executor. The HOF twin it replaces walked
+  * k interpreted zip_with/aggregate folds per row AND carried a
+  * ~k*dims-node expression tree through every plan (planning cost per
+  * bench rep); this is one expression node and one fused while-loop.
+  * Never null: degenerate rows resolve to index 0 exactly like the
+  * HOF's struct ordering (see the kernel doc). */
+case class ArgMinL2MicroExpr(child: Expression, centroids: Seq[Double],
+                             dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  require(dims > 0, s"dims must be positive, got $dims")
+  require(centroids.nonEmpty && centroids.length % dims == 0,
+    s"centroids must be k x dims flattened: ${centroids.length} " +
+      s"not a multiple of $dims")
+
+  @transient private lazy val centArr: Array[Double] = centroids.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<DOUBLE>, got ${other.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_argmin_l2_micro"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    VectorKernels.argMinL2Micro(
+      if (v == null) null else v.asInstanceOf[ArrayData], centArr, dims)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val centsRef = ctx.addReferenceObj("graftArgminCents", centArr,
+      "double[]")
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code +
+      code"""
+        int ${ev.value} = graft.plans.VectorKernels.argMinL2Micro(
+          ${c.isNull} ? null : ${c.value}, $centsRef, $dims);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ArgMinL2MicroExpr = copy(child = newChild)
 }
 
 case class CosineExpr(left: Expression, right: Expression)

@@ -20,6 +20,33 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("native argmin kernel is bit-identical to the HOF twin on " +
+    "well-formed and degenerate vectors (r20 differential)") {
+    val rnd = new scala.util.Random(3)
+    val cents = Array.tabulate(5)(c =>
+      Array.tabulate(4)(j => rnd.nextGaussian() + c))
+    val rows: Seq[(Long, Any)] =
+      (0L until 200L).map(i =>
+        i -> (Seq.fill(4)(rnd.nextGaussian() * 3): Any)) ++
+      Seq[(Long, Any)](
+        300L -> null,                                  // null vector
+        301L -> Seq(1.0, 2.0),                         // too short
+        302L -> Seq.fill(6)(1.0),                      // too long
+        303L -> Seq[Any](1.0, null, 3.0, 4.0),         // null element
+        304L -> Seq(Double.NaN, 1.0, 2.0, 3.0),        // NaN
+        305L -> Seq(Double.PositiveInfinity, 1.0, 2.0, 3.0))
+    val base = df("id BIGINT, vec ARRAY<DOUBLE>",
+      rows.map(r => Row(r._1, r._2)): _*)
+    val both = base.select(col("id"),
+        Clustering.assign(col("vec"), cents).as("k"),
+        Clustering.assignHof(col("vec"), cents).as("h"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"id ${r.getLong(0)}: kernel ${r.getInt(1)} != hof ${r.getInt(2)}")
+    }
+  }
+
   test("kmeans separates well-separated blobs (one cluster per blob)") {
     val got = Clustering.kmeans(vecs(blobs: _*), "id", "vec",
         k = 3, maxIter = 3)
