@@ -138,26 +138,60 @@ object Pq {
     rankTopKWindow(adcScored(queries, codes, qId, cId, qVec, books,
       codeCol, excludeSelf), k)
 
-  /** The scored `(query_id, corpus_id, adc_dist)` frame shared by both
-    * flat-PQ rank faces: per-query m x k ADC table broadcast onto every
-    * corpus code, distance = integer sum of m table lookups. */
-  private def adcScored(queries: DataFrame, codes: DataFrame,
-      qId: String, cId: String, qVec: String, books: Codebooks,
-      codeCol: String, excludeSelf: Boolean): DataFrame = {
-    val qv = transform(col(qVec), _.cast("double"))
-    val dtab = array((0 until books.m).map { j =>
+  /** Per-query m x k subdistance table — the native codegen'd kernel
+    * ([[graft.plans.PqSubDistTableExpr]]); PqSpec pins bit equality
+    * against [[dtabHof]]. */
+  private[operators] def dtabCol(qv: Column, books: Codebooks): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val k = books.cb.head.length
+    GraftColumnBridge.column(graft.plans.PqSubDistTableExpr(
+      GraftColumnBridge.expression(qv),
+      books.cb.flatMap(_.flatMap(_.toSeq)).toSeq, books.m, k, books.dsub))
+  }
+
+  /** Interpreted unrolled twin of [[dtabCol]], kept for differential
+    * verification of the native kernel. */
+  private[operators] def dtabHof(qv: Column, books: Codebooks): Column =
+    array((0 until books.m).map { j =>
       array(books.cb(j).map { c =>
         Clustering.microL(Clustering.sqDist(
           slice(qv, j * books.dsub + 1, books.dsub), c))
       }: _*)
     }: _*)
+
+  /** Per-candidate ADC distance — the native codegen'd kernel
+    * ([[graft.plans.AdcDistExpr]]); PqSpec pins bit equality against
+    * [[distHof]]. */
+  private[operators] def distCol(dtab: Column, code: Column,
+                                 m: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.AdcDistExpr(
+      GraftColumnBridge.expression(dtab),
+      GraftColumnBridge.expression(code), m))
+  }
+
+  /** Interpreted aggregate twin of [[distCol]], kept for differential
+    * verification of the native kernel. */
+  private[operators] def distHof(dtab: Column, code: Column,
+                                 m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+      (acc, j) => acc + element_at(element_at(dtab, j + 1),
+        element_at(code, j + 1) + 1))
+
+  /** The scored `(query_id, corpus_id, adc_dist)` frame shared by both
+    * flat-PQ rank faces: per-query m x k ADC table broadcast onto every
+    * corpus code, distance = integer sum of m table lookups (both the
+    * table build and the per-candidate sum are native kernels — the
+    * candidate loop is the hottest row-local stage of the PQ family). */
+  private def adcScored(queries: DataFrame, codes: DataFrame,
+      qId: String, cId: String, qVec: String, books: Codebooks,
+      codeCol: String, excludeSelf: Boolean): DataFrame = {
+    val qv = transform(col(qVec), _.cast("double"))
     // null vectors/codes would yield null distances, which sort FIRST
     // under asc ordering — exclude them on both sides instead
     val q = queries.filter(col(qVec).isNotNull)
-      .select(col(qId).as("query_id"), dtab.as("__dtab"))
-    val dist = aggregate(sequence(lit(0), lit(books.m - 1)), lit(0L),
-      (acc, j) => acc + element_at(element_at(col("__dtab"), j + 1),
-        element_at(col(codeCol), j + 1) + 1))
+      .select(col(qId).as("query_id"), dtabCol(qv, books).as("__dtab"))
+    val dist = distCol(col("__dtab"), col(codeCol), books.m)
     val scored = codes.filter(col(codeCol).isNotNull)
       .select(col(cId).as("corpus_id"), col(codeCol))
       .crossJoin(broadcast(q))
@@ -189,20 +223,12 @@ object Pq {
         struct(Clustering.microL(Clustering.sqDist(qv, c)).as("d"),
           lit(i).as("c"))
     }: _*)), 1, nProbe)
-    val dtab = array((0 until books.m).map { j =>
-      array(books.cb(j).map { c =>
-        Clustering.microL(Clustering.sqDist(
-          slice(qv, j * books.dsub + 1, books.dsub), c))
-      }: _*)
-    }: _*)
     val q = queries.filter(col(qVec).isNotNull)
-      .select(col(qId).as("query_id"), dtab.as("__dtab"),
+      .select(col(qId).as("query_id"), dtabCol(qv, books).as("__dtab"),
         explode(probed).as("__probe"))
       .select(col("query_id"), col("__dtab"),
         col("__probe").getField("c").as(cellCol))
-    val dist = aggregate(sequence(lit(0), lit(books.m - 1)), lit(0L),
-      (acc, j) => acc + element_at(element_at(col("__dtab"), j + 1),
-        element_at(col(codeCol), j + 1) + 1))
+    val dist = distCol(col("__dtab"), col(codeCol), books.m)
     val scored = codes.filter(col(codeCol).isNotNull)
       .select(col(cId).as("corpus_id"), col(codeCol), col(cellCol))
       .join(broadcast(q), Seq(cellCol))

@@ -96,6 +96,79 @@ object VectorKernels {
     bestI
   }
 
+  /** Per-row PQ subdistance table (called from generated code): cell
+    * (j, c) = microL(sqDist(slice(vec, j*dsub+1, dsub), books(j)(c))),
+    * with `books` flattened row-major (m x k x dsub). Mirrors the
+    * unrolled HOF composition bit-for-bit, including its null algebra:
+    * a null vector, a vector too short for subspace j (slice returns a
+    * short array, zip_with null-pads), or a null element inside the
+    * slice make that CELL null; the two array levels are never null. */
+  def pqSubDistTable(vec: ArrayData, books: Array[Double], m: Int,
+                     k: Int, dsub: Int): ArrayData = {
+    val rows = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val cells = new Array[Any](k)
+      // cell nullity is uniform within a subspace: it depends only on
+      // the slice's shape, never on the centroid
+      var bad = vec == null || vec.numElements() < (j + 1) * dsub
+      if (!bad) {
+        var t = j * dsub
+        while (t < (j + 1) * dsub && !bad) {
+          bad = vec.isNullAt(t); t += 1
+        }
+      }
+      var c = 0
+      while (c < k) {
+        if (bad) cells(c) = null
+        else {
+          var acc = 0.0
+          var t = 0
+          val base = (j * k + c) * dsub
+          while (t < dsub) {
+            val diff = vec.getDouble(j * dsub + t) - books(base + t)
+            acc += diff * diff
+            t += 1
+          }
+          cells(c) = java.lang.Long.valueOf(
+            Math.floor(acc * 1e6 + 0.5).toLong)
+        }
+        c += 1
+      }
+      rows(j) =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(cells)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** Per-pair ADC distance (called from generated code): the integer
+    * sum over subspaces of dtab[j][code[j]]. Mirrors the HOF
+    * aggregate's null algebra: a null dtab or code, a missing row/cell
+    * index (element_at past the end is null), or a null cell poison the
+    * whole sum to null. Codes outside [0, k) — impossible from encode,
+    * whose argmin emits [0, k) — resolve to null rather than
+    * element_at's negative-index wraparound; the expression's contract
+    * is encode-produced codes. Returns a boxed Long or null. */
+  def adcDist(dtab: ArrayData, code: ArrayData, m: Int,
+              codeIsLong: Boolean): java.lang.Long = {
+    if (dtab == null || code == null) return null
+    if (dtab.numElements() < m || code.numElements() < m) return null
+    var acc = 0L
+    var j = 0
+    while (j < m) {
+      if (code.isNullAt(j)) return null
+      val c =
+        if (codeIsLong) code.getLong(j).toInt else code.getInt(j)
+      val row = dtab.getArray(j)
+      if (row == null || c < 0 || c >= row.numElements() ||
+        row.isNullAt(c)) return null
+      acc += row.getLong(c)
+      j += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a == null || b == null) return null
     val n = a.numElements()
@@ -224,6 +297,115 @@ case class ArgMinL2MicroExpr(child: Expression, centroids: Seq[Double],
 
   override protected def withNewChildInternal(newChild: Expression)
       : ArgMinL2MicroExpr = copy(child = newChild)
+}
+
+/** PQ subdistance table over a query-vector column: m x k LONG cells,
+  * codebooks carried FLATTENED row-major (m*k*dsub) as a Seq and bound
+  * to a primitive array once per executor. Replaces an unrolled
+  * ~m*k*dsub-node HOF tree (planning cost) of interpreted folds. The
+  * outer arrays are never null; cells go null exactly like the HOF
+  * (short vector / null element in the subspace slice) — see the
+  * kernel doc. */
+case class PqSubDistTableExpr(child: Expression, books: Seq[Double],
+                              m: Int, k: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  require(m > 0 && k > 0 && dsub > 0, s"m/k/dsub must be positive")
+  require(books.length == m * k * dsub,
+    s"books must be m x k x dsub flattened: ${books.length} != " +
+      s"$m * $k * $dsub")
+
+  @transient private lazy val bookArr: Array[Double] = books.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<DOUBLE>, got ${other.sql}")
+    }
+  override def dataType: DataType =
+    ArrayType(ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = true), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_pq_subdist_table"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    VectorKernels.pqSubDistTable(
+      if (v == null) null else v.asInstanceOf[ArrayData],
+      bookArr, m, k, dsub)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val booksRef = ctx.addReferenceObj("graftPqBooks", bookArr, "double[]")
+    val c = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code +
+      code"""
+        $javaType ${ev.value} = graft.plans.VectorKernels.pqSubDistTable(
+          ${c.isNull} ? null : ${c.value}, $booksRef, $m, $k, $dsub);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PqSubDistTableExpr = copy(child = newChild)
+}
+
+/** ADC distance of one (dtab, code) pair: integer sum of m table
+  * lookups — the per-candidate scoring loop of the PQ search family,
+  * formerly an interpreted aggregate over element_at chains evaluated
+  * once per (query, candidate). Null algebra mirrors the HOF (see the
+  * kernel doc); nullable because malformed cells poison the sum. */
+case class AdcDistExpr(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression with Serializable {
+  require(m > 0, s"m must be positive, got $m")
+
+  private def codeOk(dt: DataType) = dt match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+  private lazy val codeIsLong = right.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    left.dataType match {
+      case ArrayType(ArrayType(org.apache.spark.sql.types.LongType, _), _)
+        if codeOk(right.dataType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<ARRAY<BIGINT>>, ARRAY<INT|BIGINT>), " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_adc_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.adcDist(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], m, codeIsLong)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Long ${ev.value}_r =
+         |  graft.plans.VectorKernels.adcDist($a, $b, $m, $codeIsLong);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDistExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 case class CosineExpr(left: Expression, right: Expression)

@@ -31,6 +31,46 @@ class PqSpec extends SparkSpec {
     assert(again == codes)
   }
 
+  test("native dtab and adc-dist kernels are bit-identical to the HOF " +
+    "twins, including malformed vectors and codes (r20 differential)") {
+    val e = embs()
+    val books = Pq.train(e, "vec_id", "vec", m = 8, k = 8, maxIter = 1)
+    // well-formed side: every (query, code) pair of a real encode
+    val codes = Pq.encode(e, "vec", books)
+      .select(col("vec_id").as("cid"), col("pq_code"))
+    val qs = e.select(col("vec_id").as("qid"),
+      Pq.dtabCol(col("vec"), books).as("dk"),
+      Pq.dtabHof(col("vec"), books).as("dh"))
+    qs.collect().foreach { r =>
+      assert(r.getSeq[Seq[Long]](1) == r.getSeq[Seq[Long]](2),
+        s"dtab mismatch for query ${r.getLong(0)}")
+    }
+    val scored = codes.crossJoin(qs.limit(5))
+      .select(col("qid"), col("cid"),
+        Pq.distCol(col("dk"), col("pq_code"), books.m).as("k"),
+        Pq.distHof(col("dh"), col("pq_code"), books.m).as("h"))
+      .collect()
+    scored.foreach { r =>
+      assert(r.get(2) == r.get(3),
+        s"adc mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // malformed side: short / null-element / null vectors yield the
+    // same (null-celled) tables and null distances on both faces
+    val bad = df("id BIGINT, vec ARRAY<DOUBLE>",
+      Row(1L, Seq(1.0, 2.0, 3.0)),          // shorter than one subspace set
+      Row(2L, null),                        // null vector
+      Row(3L, (0 until 64).map(i =>
+        if (i == 17) null else (i * 0.1).asInstanceOf[Any])))
+    val badT = bad.select(col("id"),
+        Pq.dtabCol(transform(col("vec"), _.cast("double")), books).as("dk"),
+        Pq.dtabHof(transform(col("vec"), _.cast("double")), books).as("dh"))
+      .collect()
+    badT.foreach { r =>
+      assert(r.getSeq[Seq[Any]](1) == r.getSeq[Seq[Any]](2),
+        s"malformed dtab mismatch for ${r.getLong(0)}")
+    }
+  }
+
   test("searchTopK: a query scores its own code at ADC distance 0 via " +
     "table lookup (excludeSelf = false)") {
     val e = embs().limit(20)
