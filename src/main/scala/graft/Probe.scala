@@ -193,6 +193,33 @@ object Probe {
       Clustering.semDedup(emb, "vec_id", "embedding", 4, 2, 0.4).count()
     }
 
+    println("== curate_jaccard anatomy ==")
+    locally {
+      val docs = Tables.documents(spark, dir)
+      t("cj: dedup+score+sample count") {
+        val deduped = Dedup.exact(docs, "text", "doc_id")
+        val scored = deduped.withColumn("q",
+          graft.functions.TextFunctions.qualityScore(col("text")))
+        Sampling.bernoulliSample(scored.filter(col("q") >= 0.2),
+          "doc_id", 0.9, 5L).count()
+      }
+      t("cj: jaccardPairs t=0.8 on raw docs") {
+        Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8).count()
+      }
+      t("cj: FULL q_curate_jaccard") {
+        SparkEntry.queries("q_curate_jaccard")(spark, dir).count()
+      }
+      t("cj: FULL q_curate (lsh face)") {
+        SparkEntry.queries("q_curate")(spark, dir).count()
+      }
+      t("cj: packing alone (concatChunks)") {
+        Packing.concatChunks(docs.select(col("doc_id"), col("n_chars"),
+            col("lang"), col("text")),
+          "doc_id", "n_chars", 16384L, 5L, groupCols = Seq("lang"),
+          carryCols = Seq("text")).count()
+      }
+    }
+
     println("== m3 anatomy ==")
     t("m3: FULL query") {
       SparkEntry.queries("q_m3_rf_lr")(spark, dir).count()

@@ -142,8 +142,19 @@ object Clustering {
   /** [[assign]]'s twin against a centroid-ARRAY column instead of driver
     * literals: same micro-rounded squared-L2 grid, same left-to-right
     * dim fold, same tie-to-smaller-index rule — bit-identical decisions
-    * when the centroid values are equal. */
-  private[operators] def assignDyn(vec: Column, cbs: Column): Column =
+    * when the centroid values are equal. Native codegen'd kernel
+    * ([[graft.plans.ArgMinL2MicroDynExpr]]) since r20 — the interpreted
+    * twin below stays for the ClusteringSpec differential. */
+  private[operators] def assignDyn(vec: Column, cbs: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.ArgMinL2MicroDynExpr(
+      GraftColumnBridge.expression(vec),
+      GraftColumnBridge.expression(cbs)))
+  }
+
+  /** Interpreted higher-order twin of [[assignDyn]], kept for
+    * differential verification of the native kernel. */
+  private[operators] def assignDynHof(vec: Column, cbs: Column): Column =
     array_min(transform(cbs, (cb, i) =>
       struct(microL(aggregate(zip_with(vec, cb, (x, c) => (x - c) * (x - c)),
         lit(0.0), (acc, v) => acc + v)).as("d"),

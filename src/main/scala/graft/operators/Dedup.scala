@@ -136,13 +136,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val ex = sh.select((col("id") +: col("sh_size") +:
       blockCols.map(col)) :+ explode(col("sh")).as("shingle"): _*)
-    // document frequency of each shingle over the (filtered) corpus;
-    // partial-aggregates map-side, joined back on the same shingle key
+    // document frequency of each shingle over the (filtered) corpus, as
+    // a count window over ONE exchange on the shingle key — the former
+    // groupBy + join-back derived the exploded frame twice and paid a
+    // second shuffle for identical __df values (r20); skew exposure is
+    // unchanged (the join shuffled ex by the same key)
     val ranked =
-      if (rarityOrder) {
-        val freq = ex.groupBy("shingle").agg(count(lit(1)).as("__df"))
-        ex.join(freq, "shingle")
-      } else ex.withColumn("__df", lit(0L))
+      if (rarityOrder)
+        ex.withColumn("__df", count(lit(1)).over(
+          Window.partitionBy(col("shingle"))))
+      else ex.withColumn("__df", lit(0L))
     // per-doc prefix of length |A| - ceil(t|A|) + 1 under the global
     // (df, hash, shingle) order; the window partitions by doc id, so no
     // partition exceeds one document's shingle count
@@ -232,10 +235,14 @@ object Dedup {
     val cand = {
       val ex = sh.select((col("id") +: col("sh_size") +:
         blockCols.map(col)) :+ explode(col("sh")).as("shingle"): _*)
-      val freq = ex.groupBy("shingle").agg(count(lit(1)).as("__df"))
       val w = Window.partitionBy(col("id"))
         .orderBy(col("__df"), xxhash64(col("shingle")), col("shingle"))
-      val a = ex.join(freq, "shingle")
+      // document frequency as a count window over one shingle exchange
+      // (same rewrite as jaccardCandidates, r20) — the container side
+      // below keeps reading the plain exploded frame
+      val a = ex
+        .withColumn("__df", count(lit(1)).over(
+          Window.partitionBy(col("shingle"))))
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= greatest(
           (col("sh_size") - ceil(lit(threshold) * col("sh_size")) + 1L)

@@ -96,6 +96,56 @@ object VectorKernels {
     bestI
   }
 
+  /** Dynamic-centroid argmin (called from generated code): the
+    * [[argMinL2Micro]] arithmetic against a centroid-ARRAY column
+    * instead of driver literals. Mirrors the HOF
+    * array_min(transform(cbs, ...)) composition exactly, including its
+    * richer null algebra: nullity here is PER ENTRY (a null centroid, a
+    * length mismatch with the vector, or a null element on either side
+    * nulls that entry's distance), and a null distance sorts before
+    * every real one — so the winner is the SMALLEST INDEX among null
+    * entries when any exist, else the strict argmin with ties to the
+    * smaller index. Null (boxed) only when cbs itself is null or empty
+    * (array_min of nothing). */
+  def argMinL2MicroDyn(vec: ArrayData, cbs: ArrayData): java.lang.Integer = {
+    if (cbs == null) return null
+    val n = cbs.numElements()
+    if (n == 0) return null
+    val vecBad = vec == null || {
+      var i = 0; var hasNull = false
+      val ne = vec.numElements()
+      while (i < ne && !hasNull) { hasNull = vec.isNullAt(i); i += 1 }
+      hasNull
+    }
+    var best = Long.MaxValue
+    var bestI = 0
+    var found = false
+    var c = 0
+    while (c < n) {
+      if (cbs.isNullAt(c)) return Integer.valueOf(c)
+      val cb = cbs.getArray(c)
+      var bad = vecBad || cb.numElements() != vec.numElements()
+      if (!bad) {
+        var i = 0
+        val d = cb.numElements()
+        while (i < d && !bad) { bad = cb.isNullAt(i); i += 1 }
+      }
+      if (bad) return Integer.valueOf(c) // first null-distance entry wins
+      var acc = 0.0
+      var j = 0
+      val d = cb.numElements()
+      while (j < d) {
+        val diff = vec.getDouble(j) - cb.getDouble(j)
+        acc += diff * diff
+        j += 1
+      }
+      val micro = Math.floor(acc * 1e6 + 0.5).toLong
+      if (!found || micro < best) { found = true; best = micro; bestI = c }
+      c += 1
+    }
+    Integer.valueOf(bestI)
+  }
+
   /** Per-row PQ subdistance table (called from generated code): cell
     * (j, c) = microL(sqDist(slice(vec, j*dsub+1, dsub), books(j)(c))),
     * with `books` flattened row-major (m x k x dsub). Mirrors the
@@ -297,6 +347,61 @@ case class ArgMinL2MicroExpr(child: Expression, centroids: Seq[Double],
 
   override protected def withNewChildInternal(newChild: Expression)
       : ArgMinL2MicroExpr = copy(child = newChild)
+}
+
+/** Dynamic-centroid argmin over (vector, centroid-array) columns — the
+  * per-iteration assignment of the SHARDED SemDeDup, whose centroids
+  * arrive as a joined column rather than driver literals. One fused
+  * while-loop replacing an interpreted transform/aggregate chain
+  * evaluated per corpus row per k-means iteration (the 100 TB
+  * assignment path). Null contract mirrors the HOF exactly (see the
+  * kernel doc); nullable because a null/empty centroid array yields
+  * null. */
+case class ArgMinL2MicroDynExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _))
+        => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<DOUBLE>, ARRAY<ARRAY<DOUBLE>>), " +
+          s"got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_argmin_l2_micro_dyn"
+
+  // the HOF twin yields a (null-entry-wins) result even for a NULL
+  // VECTOR as long as cbs is non-null — so only cbs-null short-circuits;
+  // the vector must flow through. Hence eval/doGenCode handle nulls
+  // manually instead of nullSafeEval.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    val c = right.eval(input)
+    VectorKernels.argMinL2MicroDyn(
+      if (v == null) null else v.asInstanceOf[ArrayData],
+      if (c == null) null else c.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code = l.code + r.code +
+      code"""
+        java.lang.Integer ${ev.value}_r =
+          graft.plans.VectorKernels.argMinL2MicroDyn(
+            ${l.isNull} ? null : ${l.value},
+            ${r.isNull} ? null : ${r.value});
+        boolean ${ev.isNull} = ${ev.value}_r == null;
+        int ${ev.value} = ${ev.isNull} ? -1 : ${ev.value}_r.intValue();""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgMinL2MicroDynExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** PQ subdistance table over a query-vector column: m x k LONG cells,

@@ -47,6 +47,33 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("native DYNAMIC argmin kernel is bit-identical to the HOF twin, " +
+    "including per-entry null algebra (r20 differential)") {
+    val rnd = new scala.util.Random(5)
+    def v4() = Seq.fill(4)(rnd.nextGaussian())
+    val goodCbs: Any = Seq(v4(), v4(), v4())
+    val rows: Seq[(Long, Any, Any)] =
+      (0L until 100L).map(i => (i, v4(): Any, goodCbs)) ++
+      Seq[(Long, Any, Any)](
+        (200L, null, goodCbs),                       // null vector
+        (201L, v4(), null),                          // null cbs
+        (202L, v4(), Seq.empty[Seq[Double]]),        // empty cbs
+        (203L, v4(), Seq[Any](v4(), null, v4())),    // null centroid entry
+        (204L, v4(), Seq(v4(), Seq(1.0, 2.0), v4())),// ragged centroid
+        (205L, Seq[Any](1.0, null, 3.0, 4.0), goodCbs), // null element
+        (206L, Seq(Double.NaN, 1.0, 2.0, 3.0), goodCbs))
+    val base = df("id BIGINT, vec ARRAY<DOUBLE>, cbs ARRAY<ARRAY<DOUBLE>>",
+      rows.map(r => Row(r._1, r._2, r._3)): _*)
+    base.select(col("id"),
+        Clustering.assignDyn(col("vec"), col("cbs")).as("k"),
+        Clustering.assignDynHof(col("vec"), col("cbs")).as("h"))
+      .collect()
+      .foreach { r =>
+        assert(r.get(1) == r.get(2),
+          s"id ${r.getLong(0)}: kernel ${r.get(1)} != hof ${r.get(2)}")
+      }
+  }
+
   test("kmeans separates well-separated blobs (one cluster per blob)") {
     val got = Clustering.kmeans(vecs(blobs: _*), "id", "vec",
         k = 3, maxIter = 3)
