@@ -244,7 +244,11 @@ object PlanDump {
     val dir = "/root/testdata/sf0.1"
     val targets = Seq("q_pca", "q_semdedup", "q_semdedup_sharded",
       "q_pq_ann", "q_minhash_lsh_pairs", "q_dup_clusters",
-      "q_group_split", "q_cluster_dedup")
+      "q_group_split", "q_cluster_dedup",
+      // session 2 additions
+      "q_pagerank", "q_ppr", "q_pagerank_weighted", "q_kcore",
+      "q_curate_jaccard", "q_lsh_tuning", "q_containment", "q_kmeans",
+      "q_ivf_kmeans_ann")
     targets.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.explainString(
